@@ -1,0 +1,158 @@
+"""Text-analysis scalar library for the training-data pipeline operators
+(tokenization, language-ID heuristic, quality scoring, fingerprinting,
+shingling/MinHash building blocks).
+
+Everything is native Column expressions — no Python UDFs — so the hot
+path stays inside whole-stage codegen and scales to 100 TB of text.
+MinHash uses xxhash64 (JVM intrinsic) with per-permutation seeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "tokens",
+    "token_count",
+    "word_shingles",
+    "char_ngrams",
+    "quality_features",
+    "fingerprint64",
+    "minhash_signature",
+    "lsh_bands",
+    "simhash64",
+]
+
+_WS = r"\s+"
+_NON_ALNUM = "[^a-z0-9 ]"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace.
+    The canonical form used by dedup fingerprints."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, _NON_ALNUM, " ")
+    c = F.regexp_replace(c, _WS, " ")
+    return F.trim(c)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the raw text (empty string -> empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), _WS), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles over the normalized text (distinct).
+    Documents shorter than n words yield a single whole-text shingle so
+    they still participate in dedup."""
+    toks = tokens(normalize_text(col))
+    cnt = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(0), cnt - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(cnt >= n, shingled).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Array of distinct character n-grams of the normalized text."""
+    norm = normalize_text(col)
+    ln = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), ln - n + 1), lambda i: F.substring(norm, i, n)
+    )
+    return F.array_distinct(F.when(ln >= n, grams).otherwise(F.array(norm)))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Heuristic quality features (Gopher/C4-style cheap signals):
+    token count, mean word length, alpha ratio, punctuation ratio,
+    stopword ratio. Returns a dict of named Columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    alpha_chars = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    stop = F.array([F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, F.lower(t))))
+    mean_word_len = F.when(n_tok > 0, (n_char - (n_tok - 1)) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_char,
+        "mean_word_len": mean_word_len.cast("double"),
+        "alpha_ratio": F.when(n_char > 0, alpha_chars / n_char).otherwise(0.0).cast("double"),
+        "punct_ratio": F.when(n_char > 0, punct_chars / n_char).otherwise(0.0).cast("double"),
+        "stopword_ratio": F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0).cast("double"),
+    }
+
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with as "
+    "at by from not no"
+).split()
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint of the normalized text."""
+    return F.xxhash64(normalize_text(col))
+
+
+def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
+    """MinHash signature: array of `num_perm` min-hashes, one per seeded
+    xxhash64 permutation. All JVM-side; no UDF."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
+    """Slice a MinHash signature into `bands` bands of `rows` values and
+    hash each band -> array<struct<band:int, bucket:long>> for exploding
+    into the banded candidate join."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at(signature, b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ])).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash64(shingles: Column) -> Column:
+    """64-bit SimHash over a shingle array: for each bit, sum +1/-1 by
+    each shingle's xxhash64 bit, take the sign. Pure Column expressions
+    (64 aggregations over the array, fused by codegen)."""
+    def bit(i: int) -> Column:
+        votes = F.aggregate(
+            shingles,
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseOR(F.shiftleft(bit(i), i))
+    return out

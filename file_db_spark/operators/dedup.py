@@ -1,0 +1,303 @@
+"""Deduplication operators over `documents` and `embeddings` —
+first-class training-data-pipeline components.
+
+- exact dedup          hash-groupBy (md5 of normalized text)
+- duplicate groups     window count over the content hash
+- n-gram Jaccard       shingle-explode candidate join + exact verify
+- MinHash + LSH        signature -> banded buckets -> candidate join
+- SimHash              64-bit sign-aggregated hash, hamming buckets
+- embedding near-dup   cosine over candidate pairs
+
+Scale story: every candidate-generation step is an equi-join on a
+derived key (shingle, band bucket, simhash band), never an O(n^2)
+cross join. Verification runs only on candidate pairs. At 100 TB the
+shingle/band joins shuffle on well-distributed hash keys; hot shingles
+(boilerplate) should be frequency-capped — see `max_shingle_group`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.text import (
+    lsh_bands,
+    minhash_signature,
+    normalize_text,
+    simhash64,
+    word_shingles,
+)
+from ..functions.vectors import cosine
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "x1_exact_dedup",
+    r"""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    )
+    SELECT content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS group_size
+    FROM hashed GROUP BY content_hash
+    """,
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on canonical content hash, keep the
+    lowest doc_id (J5/A2 generalized). One shuffle on the hash —
+    perfectly distributed at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(normalize_text("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("group_size"))
+    )
+
+
+@_q(
+    "x2_dup_groups",
+    r"""
+    WITH hashed AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    )
+    SELECT doc_id, content_hash, dup_count FROM (
+      SELECT doc_id, content_hash,
+             COUNT(*) OVER (PARTITION BY content_hash) AS dup_count
+      FROM hashed
+    ) WHERE dup_count > 1
+    """,
+)
+def x2_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship duplicate-detection shape (readme.md:26-36 self-join J5)
+    done the idiomatic Spark way: count() over a window on the content
+    hash tags every duplicate row in a single pass."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5(normalize_text("text")).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("dup_count", F.count("*").over(w))
+        .filter(F.col("dup_count") > 1)
+        .select("doc_id", "content_hash", "dup_count")
+    )
+
+
+@_q(
+    "x3_ngram_jaccard",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), eligible AS (
+      SELECT doc_id, w FROM norm WHERE len(w) >= 5
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+      FROM eligible, unnest(generate_series(1, len(w) - 4)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.2
+    """,
+)
+def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (5-word shingle) Jaccard near-dup join: explode distinct
+    shingles, equi-join on shingle to generate candidates, compute exact
+    Jaccard from intersection/set sizes. Never materializes the n^2
+    pair space — cost is sum of squared shingle-group sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(word_shingles("text", 5)).alias("shingle"))
+        .join(  # drop docs shorter than the shingle width (oracle parity)
+            d.select(
+                "doc_id",
+                F.size(F.split(normalize_text("text"), " ")).alias("n_words"),
+            ).filter(F.col("n_words") >= 5),
+            "doc_id",
+        )
+        .select("doc_id", "shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands x 4 rows) near-dup candidates,
+    verified by MinHash-estimated Jaccard >= 0.5. xxhash64-based (JVM
+    intrinsic) — not SQL-portable, driver records rows-only.
+
+    Scale: the banded join is an equi-join on (band, bucket); signature
+    computation is embarrassingly parallel Column work.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        minhash_signature(word_shingles("text", 5), num_perm=32).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id", "sig", F.explode(lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b")
+    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est_jac = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / 32.0
+    )
+    return (
+        cand.select("doc_a", "doc_b", est_jac.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["x4_minhash_lsh"] = x4_minhash_lsh
+
+
+def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit sign hash, candidates = equal 16-bit
+    band (4 bands -> catches pairs within hamming distance 3 in at
+    least one band with certainty... pigeonhole: hamming<=3 implies one
+    of 4 bands identical). Rows-only check (xxhash64 not SQL-portable)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", simhash64(word_shingles("text", 3)).alias("simhash"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["x5_simhash"] = x5_simhash
+
+
+@_q(
+    "x6_embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.99
+    """,
+)
+def x6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup within label blocks (label = coarse
+    cluster / IVF cell stand-in): candidates are same-cell pairs, never
+    the full n^2. cos >= 0.99 -> near-duplicate vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(
+        F.col("a.embedding").cast("array<double>"),
+        F.col("b.embedding").cast("array<double>"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.99)
+    )

@@ -1,0 +1,190 @@
+"""Event-stream analytics over the `events` table — the batch
+expressions of the streaming semantics (SURVEY §2.10). The same logic
+runs under Structured Streaming in file_db_spark.streaming; here each
+query is batch so the DuckDB oracle can verify it.
+
+Scale: all window/group operations shuffle once on (key) or (key,
+window); event-time windows are pure Column exprs, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "e1_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch form of
+    `groupBy(window('ts','1 hour'))`; identical grouping semantics.
+    Streaming variant: streaming/events_stream.py (with watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "e2_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap — lag/cumulative-sum
+    sessionization (batch analog of session_window / flatMapGroupsWithState).
+    Single shuffle on user_id serves both window passes."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > 1_800_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_q(
+    "e3_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(28,4))) AS DOUBLE) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def e3_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction JVM-side."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k.cast("decimal(28,4)")).cast("double").alias("sum_k"),
+    )
+
+
+@_q(
+    "e4_stateful_dedup",
+    """
+    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id FROM (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def e4_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed first-event dedup — batch analog of dropDuplicates on a
+    stream with watermark state (streaming variant in streaming/)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+@_q(
+    "e5_sliding_window",
+    """
+    WITH halves AS (
+      SELECT ts, value,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS half_start
+      FROM events WHERE event_type = 'purchase'
+    ), windows AS (
+      SELECT half_start AS window_start, value FROM halves
+      UNION ALL
+      SELECT half_start - INTERVAL 30 MINUTE AS window_start, value FROM halves
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start, COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM windows GROUP BY 1
+    """,
+)
+def e5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in 2
+    overlapping windows — `F.window(ts, '1 hour', '30 minutes')`."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_purchases", "total_value")
+    )

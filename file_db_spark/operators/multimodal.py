@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata, processed by Arrow-batched pandas
+functions via mapInPandas.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked deterministic STUB (`_fake_decode`) — the Spark-side
+plumbing (schema, batch iteration, partitioning) is real and is what
+matters at 100 TB: mapInPandas streams Arrow batches, never
+materializes a partition, and the binary payload never crosses the
+driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "m1_binary_meta",
+    """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, lang AS media_lang
+    FROM documents
+    """,
+)
+def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata: byte length of the (utf-8) payload —
+    the `binary` column pattern with typed metadata alongside."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.col("lang").alias("media_lang"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """STUB image decode. Real deployments plug PIL/ffmpeg here; the
+    container has no codecs, so derive deterministic fake dimensions
+    and a mean-intensity from the payload bytes. NOT a real decoder."""
+    w = 64 + (len(payload) % 512)
+    h = 64 + (sum(payload[:16]) % 512 if payload else 0)
+    mean = (sum(payload[:256]) / max(1, min(len(payload), 256))) / 255.0
+    return w, h, mean
+
+
+def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract over binary payloads with
+    mapInPandas (Arrow-batched). The documents' utf-8 bytes stand in
+    for image payloads; the decode kernel is a deterministic stub.
+    Rows-only correctness check (no SQL analog of the kernel)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_intensity": [f[2] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+QUERIES["m2_decode_features"] = m2_decode_features

@@ -1,0 +1,593 @@
+"""Relational operator inventory (SURVEY.md §2) mapped onto the driver
+testdata tables. Each query has a Spark implementation and a DuckDB
+oracle; column names are aliased identically on both sides.
+
+Numeric-parity convention: every SUM first casts its (deterministic,
+bit-identical on both engines) per-row double to DECIMAL(18,4) so the
+aggregation is exact and order-independent, then casts back to DOUBLE.
+Plain double arithmetic outside SUM is IEEE-deterministic and needs no
+treatment. AVG is expressed as exact-decimal-sum / count.
+
+Scale notes are per-query in docstrings; overall: dims (region, nation,
+supplier, part, customer) are broadcast; fact-fact joins shuffle on
+their keys with AQE handling skew; all filters/projections are plain
+Column exprs so they push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.paths import sql_path_parse_wildcard_search
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dsum(col, scale: int = 4):
+    """Exact, order-independent sum of a double column: cast each value
+    to DECIMAL(18,scale) (bit-identical on both engines), sum exactly,
+    return DOUBLE."""
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# A1 group-by multi-agg — flagship (dir_detail analog, TPC-H Q1 shape)
+# reference: dir_detail FileDbDAL/SQLUtil.py:269-286
+# ---------------------------------------------------------------------------
+@_q(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,4))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: multi-aggregate group-by (the dir_detail pattern,
+    FileDbDAL/SQLUtil.py:269-286). Partial aggregation map-side, single
+    shuffle on a 6-value grouping key — scale-safe at any SF."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 LIKE filter with OS-wildcard rewrite (FileDbDAL/Search.py:71-122)
+# ---------------------------------------------------------------------------
+@_q(
+    "p3_like_filter",
+    """
+    SELECT p_partkey, p_name, p_brand
+    FROM part WHERE p_name LIKE '%widget%'
+    """,
+)
+def p3_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: user wildcard '*widget*' rewritten to SQL LIKE by the F8
+    parser (FileDbDAL/SQLUtil.py:177-197). Predicate pushes into scan."""
+    pat = sql_path_parse_wildcard_search("*widget*")
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(pat))
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+@_q(
+    "p4_ilike_filter",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_mktsegment ILIKE 'furn%'
+    """,
+)
+def p4_ilike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: case-insensitive LIKE (API/Schedule.py:34-44)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").ilike("furn%"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@_q(
+    "p5_prefix_filter",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+    GROUP BY o_orderpriority
+    """,
+)
+def p5_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: prefix/subtree predicate (startswith ≡ dir_path LIKE 'p%',
+    FileDbDAL/Directory.py:222-224). startswith compiles to a sargable
+    StartsWith pushed filter — at scale it prunes row groups."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderpriority").startswith("1")
+            | F.col("o_orderpriority").startswith("2")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@_q(
+    "p6_selectivity_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag IN ('A', 'R')
+    """,
+)
+def p6_selectivity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: size + IN-list filter (DuplicateImageBrowser.py:33-43)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45) & F.col("l_returnflag").isin("A", "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+@_q(
+    "j1_broadcast_equi_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j1_broadcast_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the core equi-join chain (file⋈directory analog,
+    FileDbDAL/SQLUtil.py:230-235). customer is a dim -> explicit
+    broadcast; lineitem⋈orders shuffles on orderkey with AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(_dsum(rev).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+@_q(
+    "j2_left_outer_join",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(28,4))) AS DOUBLE) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def j2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left outer join preserving unmatched left rows (file⟕hash,
+    FileDbDAL/SQLUtil.py:235-237)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spent"),
+        )
+    )
+
+
+@_q(
+    "j3_derived_key_join",
+    """
+    WITH keyed AS (
+      SELECT p_partkey, p_retailprice, split_part(p_name, ' ', 1) AS name_key FROM part
+    ), dim AS (
+      SELECT DISTINCT split_part(p_name, ' ', 1) AS name_key FROM part
+    )
+    SELECT d.name_key, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(k.p_retailprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM keyed k JOIN dim d ON k.name_key = d.name_key
+    GROUP BY d.name_key
+    """,
+)
+def j3_derived_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: join on a computed key (fc.extension = extension(f.name),
+    FileDbDAL/SQLUtil.py:264-265) — materialize the derived key as a
+    column first so it is a plain equi-join (SURVEY §4 O1)."""
+    p = load_table(spark, sf_dir, "part")
+    keyed = p.withColumn("name_key", F.split(F.col("p_name"), " ").getItem(0))
+    dim = keyed.select("name_key").distinct()
+    return (
+        keyed.join(F.broadcast(dim), "name_key")
+        .groupBy("name_key")
+        .agg(
+            F.count("*").alias("n_parts"),
+            _dsum(F.col("p_retailprice")).alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "j4_self_join",
+    """
+    SELECT a.n_regionkey, a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def j4_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: self-join on a shared key (directory parent self-join,
+    FileDbDAL/SQLUtil.py:242-247)."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_regionkey").alias("n_regionkey"),
+            F.col("a.n_name").alias("nation_a"),
+            F.col("b.n_name").alias("nation_b"),
+        )
+    )
+
+
+@_q(
+    "j6_disjunctive_join",
+    """
+    SELECT DISTINCT c.c_custkey, s.s_suppkey
+    FROM customer c JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey OR CAST(c.c_acctbal AS INT) = CAST(s.s_acctbal AS INT)
+    """,
+)
+def j6_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: disjunctive (OR) join decomposed into a union of equi-joins
+    (FileDbDAL/Search.py:262-293). Spark would execute the OR predicate
+    as a BroadcastNestedLoopJoin; the union-of-equi-joins rewrite is the
+    scale-safe plan (SURVEY §4: OR-join decomposition)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    by_nation = c.join(s, c.c_nationkey == s.s_nationkey).select("c_custkey", "s_suppkey")
+    by_bal = c.join(
+        s, c.c_acctbal.cast("int") == s.s_acctbal.cast("int")
+    ).select("c_custkey", "s_suppkey")
+    return by_nation.unionByName(by_bal).distinct()
+
+
+@_q(
+    "j7_array_probe_join",
+    """
+    SELECT t.pk, p.p_name, p.p_retailprice
+    FROM (SELECT UNNEST([3, 7, 11, 19, 42, 97]) AS pk) t
+    JOIN part p ON p.p_partkey = t.pk
+    """,
+)
+def j7_array_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: unnest(array) probe join (search_full_path,
+    FileDbDAL/Search.py:125-154). The probe list is tiny -> broadcast;
+    for large probe sets this becomes a shuffle join automatically."""
+    p = load_table(spark, sf_dir, "part")
+    probes = spark.createDataFrame([(k,) for k in (3, 7, 11, 19, 42, 97)], "pk bigint")
+    return (
+        p.join(F.broadcast(probes), p.p_partkey == probes.pk)
+        .select("pk", "p_name", "p_retailprice")
+    )
+
+
+@_q(
+    "j8_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: anti-join = snapshot-diff deletions (NOT EXISTS,
+    FileDbDAL/DirectoryCrawl.py:816-833)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "j9_semi_join",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate > TIMESTAMP '2000-01-01'
+    )
+    """,
+)
+def j9_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10-claim analog as a pure semi-join (EXISTS)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+    )
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / distinct
+# ---------------------------------------------------------------------------
+@_q(
+    "a3_minmax_activity",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a3_minmax_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: min/max activity rollup (vwf_directory_activity,
+    FileDbDAL/SQLUtil.py:360-383)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+@_q(
+    "a5_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def a5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: DISTINCT (select distinct unnest, FileDbDAL/Directory.py:210-212)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k
+# ---------------------------------------------------------------------------
+@_q(
+    "t1_topk_priority",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def t1_topk_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: global top-k claim ordering (get_dirs_to_crawl,
+    FileDbDAL/DirectoryCrawl.py:656-669). orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort at scale. Unique-key
+    tiebreak keeps the result deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@_q(
+    "t2_topk_smallest",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 20
+    """,
+)
+def t2_topk_smallest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: smallest-first work queue (hash smallest files first,
+    FileDbDAL/DirectoryCrawl.py:705-718)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy(
+            F.col("l_quantity").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@_q(
+    "u1_union_all_listing",
+    """
+    SELECT 'customer' AS type, c_custkey AS key, c_name AS name, c_acctbal AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS type, s_suppkey AS key, s_name AS name, s_acctbal AS acctbal
+    FROM supplier
+    """,
+)
+def u1_union_all_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION ALL two entity tables into one listing (vw_ll files+dirs,
+    FileDbDAL/SQLUtil.py:223-248)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("type"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("type"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+@_q(
+    "u2_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: UNION with dedup (FileDbDAL/Directory.py:298-307)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Window functions (reference §2.5: planned idiomatic replacements)
+# ---------------------------------------------------------------------------
+@_q(
+    "w1_window_rownum",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w1_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: row_number pagination (the TODO at API/Schedule.py:33).
+    Per-key top-N via window — one shuffle on the partition key."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+    )
+
+
+@_q(
+    "w2_window_dupcount",
+    """
+    SELECT l_orderkey, l_linenumber, lines_in_order FROM (
+      SELECT l_orderkey, l_linenumber,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS lines_in_order
+      FROM lineitem
+    ) WHERE lines_in_order >= 6
+    """,
+)
+def w2_window_dupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/J5 idiom: tag duplicate groups with count() over partition in
+    one pass instead of a self-join (SURVEY §2.5)."""
+    w = Window.partitionBy("l_orderkey")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("lines_in_order", F.count("*").over(w))
+        .filter(F.col("lines_in_order") >= 6)
+        .select("l_orderkey", "l_linenumber", "lines_in_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar path library exercised through SQL-parity expressions (F1-F3, F7)
+# ---------------------------------------------------------------------------
+@_q(
+    "f1_path_scalars",
+    r"""
+    WITH paths AS (
+      SELECT doc_id, '/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.TXT' AS full_path
+      FROM documents
+    )
+    SELECT doc_id, full_path,
+           regexp_replace(full_path, '[/\\][^/\\]+$', '') AS parent_dir,
+           regexp_replace(full_path, '^.+[/\\]', '') AS base_name,
+           lower(regexp_replace(full_path, '^.+\.', '')) AS ext
+    FROM paths
+    """,
+)
+def f1_path_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3: basepath/basename/extension as native regex Columns
+    (FileDbDAL/SQLUtil.py:14-61). Paths synthesized from documents rows
+    (testdata has no path column). DuckDB's RE2 lacks lookbehind, so the
+    oracle uses the lookbehind-free equivalent — identical output for
+    depth>=2 paths like these."""
+    from ..functions.paths import basename, basepath, extension
+
+    d = load_table(spark, sf_dir, "documents")
+    paths = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("/data/"),
+            F.col("source"),
+            F.lit("/doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit(".TXT"),
+        ).alias("full_path"),
+    )
+    return paths.select(
+        "doc_id",
+        "full_path",
+        basepath("full_path").alias("parent_dir"),
+        basename("full_path").alias("base_name"),
+        extension("full_path").alias("ext"),
+    )

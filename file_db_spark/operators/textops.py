@@ -1,0 +1,173 @@
+"""Text-analysis operators over the `documents` table: token counting,
+quality scoring, language-ID heuristic, fingerprinting. All native
+Column expressions (JVM-side) — the 100 TB path has zero Python in it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import fingerprint64, normalize_text
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "d1_token_stats",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM tok GROUP BY lang
+    """,
+)
+def d1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) rolled up per language.
+    Integer sums are exact — no decimal dance needed."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return tok.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@_q(
+    "d2_quality_score",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars,
+           CAST(alpha_chars AS DOUBLE) / n_chars AS alpha_ratio,
+           CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
+           CASE WHEN n_tokens >= 10 AND CAST(alpha_chars AS DOUBLE) / n_chars > 0.6
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM feats WHERE n_chars > 0
+    """,
+)
+def d2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (C4/Gopher-style cheap filters):
+    alpha ratio + mean word length + keep/drop decision."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("bigint")
+    feats = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        alpha.alias("alpha_chars"),
+    ).filter(F.col("n_chars") > 0)
+    alpha_ratio = F.col("alpha_chars").cast("double") / F.col("n_chars")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        alpha_ratio.alias("alpha_ratio"),
+        (
+            (F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double")
+            / F.col("n_tokens")
+        ).alias("mean_word_len"),
+        F.when((F.col("n_tokens") >= 10) & (alpha_ratio > 0.6), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("quality_keep"),
+    )
+
+
+@_q(
+    "d3_langid_heuristic",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                  t -> list_contains(['the','a','an','and','or','of','to','in','is','are'], t)
+             )) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_stop AS DOUBLE) / n_tokens AS en_stop_ratio,
+           CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM scored WHERE n_tokens > 0
+    """,
+)
+def d3_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic: English function-word
+    density. (The corpus is synthetic English-ish; the operator is the
+    point — swap the profile table per language at scale.)"""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(
+        *[F.lit(w) for w in ["the", "a", "an", "and", "or", "of", "to", "in", "is", "are"]]
+    )
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("bigint")
+    scored = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), n_stop.alias("n_stop")
+    ).filter(F.col("n_tokens") > 0)
+    ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return scored.select(
+        "doc_id",
+        "lang",
+        ratio.alias("en_stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("predicted_lang"),
+    )
+
+
+@_q(
+    "d4_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint of the canonical normalized text. The oracle
+    uses md5 (both engines implement RFC-compliant md5 hex); the engine
+    also exposes a 64-bit xxhash64 fingerprint (not SQL-portable) via
+    functions.text.fingerprint64."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+
+
+def d5_fingerprint64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 64-bit fingerprint (xxhash64) — engine-native, used by
+    shuffle-free dedup paths; no SQL oracle (rows-only check)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint64("text").alias("fp64"))
+
+
+QUERIES["d5_fingerprint64"] = d5_fingerprint64

@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Design notes (100 TB stance):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast-join demotion/promotion replace hand-tuned
+  partition counts when the data is 1000x bigger than the test SF.
+- Session timezone pinned UTC so timestamp semantics are deterministic
+  and match the DuckDB oracle (naive timestamps).
+- Arrow enabled for all pandas interchange (Pandas UDFs, toPandas).
+- ``spark.sql.shuffle.partitions`` defaults to 32 locally; on a real
+  cluster AQE coalesces from a deliberately high initial number, so we
+  set the initial partition count high and let AQE shrink it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def get_spark(
+    app_name: str = "file_db_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / oracle parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: the scale story ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- python interchange is always Arrow ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # broadcast dims aggressively; AQE converts sort-merge to broadcast
+        # at runtime when a side turns out small post-filter.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # parquet scan sizing: 128 MiB splits keep task count sane at 100 TB
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # quieter local runs
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
