@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with df.count() (full execution, nothing
+collected to the driver beyond the count). A warmup query runs first so
+JVM/session startup isn't billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from file_db_spark import operators as ops
+from file_db_spark.session import get_spark
+
+# Headline queries: one per major operator family (agg, join chain,
+# window, events, dedup exact, minhash-LSH, text stats, ANN).
+HEADLINE = [
+    "a1_pricing_summary",
+    "j1_broadcast_equi_join",
+    "j2_left_outer_join",
+    "w2_window_dupcount",
+    "e1_tumbling_window",
+    "e2_sessionize",
+    "x1_exact_dedup",
+    "x4_minhash_lsh",
+    "d1_token_stats",
+    "v2_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    spark = get_spark(app_name="file_db_spark-bench")
+
+    # Warmup: spin up executors + codegen paths outside the timed region.
+    ops.QUERIES["a5_distinct"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = ops.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,18 @@ def default_sf_dir() -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # With spark.sql.legacy.parquet.nanosAsLong=true the TIMESTAMP
+        # (NANOS) column arrives as long epoch-nanos. Convert with
+        # integer division (`div`, exact — a double round-trip would
+        # lose precision at 1e18 ns) to match DuckDB's native
+        # TIMESTAMP_NS view truncated to Spark's microsecond unit.
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

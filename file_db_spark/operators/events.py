@@ -34,7 +34,7 @@ def _q(name: str, oracle: str | None = None):
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -48,7 +48,7 @@ def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -115,7 +115,7 @@ def e2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(28,4))) AS DOUBLE) AS sum_k
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(12,2))) AS DOUBLE) AS sum_k
     FROM events
     GROUP BY event_type
     """,
@@ -126,7 +126,7 @@ def e3_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(k.cast("decimal(28,4)")).cast("double").alias("sum_k"),
+        F.sum(k.cast("decimal(12,2)")).cast("double").alias("sum_k"),
     )
 
 
@@ -172,7 +172,7 @@ def e4_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT half_start - INTERVAL 30 MINUTE AS window_start, value FROM halves
     )
     SELECT CAST(window_start AS TIMESTAMP) AS window_start, COUNT(*) AS n_purchases,
-           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM windows GROUP BY 1
     """,
 )
@@ -184,7 +184,7 @@ def e5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_purchases"),
-            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_purchases", "total_value")
     )

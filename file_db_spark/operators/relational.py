@@ -2,11 +2,16 @@
 testdata tables. Each query has a Spark implementation and a DuckDB
 oracle; column names are aliased identically on both sides.
 
-Numeric-parity convention: every SUM first casts its (deterministic,
-bit-identical on both engines) per-row double to DECIMAL(18,4) so the
-aggregation is exact and order-independent, then casts back to DOUBLE.
-Plain double arithmetic outside SUM is IEEE-deterministic and needs no
-treatment. AVG is expressed as exact-decimal-sum / count.
+Numeric-parity convention: the money-ish testdata columns are true
+2-decimal values stored as double, so each input is cast to
+DECIMAL(12,2) FIRST (tie-free: the double sits ~1e-11 from the 2-dp
+value, so Spark's HALF_UP and DuckDB's rounding agree), all products
+are computed in exact decimal arithmetic (scale grows 2→4→6, precision
+stays ≤38 on both engines), SUMs are exact, and only the final
+aggregate is cast back to DOUBLE. Casting a double *product* to
+decimal instead is NOT parity-safe: the engines disagree on ties when
+the scaled double lands exactly on x.5 (observed in round 1 at the 4th
+decimal of sum_charge). AVG is expressed as exact-decimal-sum / count.
 
 Scale notes are per-query in docstrings; overall: dims (region, nation,
 supplier, part, customer) are broadcast; fact-fact joins shuffle on
@@ -37,11 +42,17 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
-def _dsum(col, scale: int = 4):
-    """Exact, order-independent sum of a double column: cast each value
-    to DECIMAL(18,scale) (bit-identical on both engines), sum exactly,
-    return DOUBLE."""
-    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+def _d2(col):
+    """Exact decimal view of a true-2-decimal double column (see module
+    docstring: tie-free on both engines)."""
+    return col.cast("decimal(12,2)")
+
+
+def _dsum(dec_col):
+    """Exact, order-independent sum of an exact-decimal column, returned
+    as DOUBLE (the final double cast of identical decimals is identical
+    on both engines)."""
+    return F.sum(dec_col).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -52,12 +63,12 @@ def _dsum(col, scale: int = 4):
     "a1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,4))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -71,17 +82,17 @@ def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = _d2(F.col("l_extendedprice")) * (1 - _d2(F.col("l_discount")))
+    charge = disc_price * (1 + _d2(F.col("l_tax")))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(_d2(F.col("l_quantity"))).alias("sum_qty"),
+            _dsum(_d2(F.col("l_extendedprice"))).alias("sum_base_price"),
             _dsum(disc_price).alias("sum_disc_price"),
             _dsum(charge).alias("sum_charge"),
-            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
-            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            (_dsum(_d2(F.col("l_quantity"))) / F.count("*")).alias("avg_qty"),
+            (_dsum(_d2(F.col("l_discount"))) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -170,7 +181,7 @@ def p6_selectivity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j1_broadcast_equi_join",
     """
     SELECT c.c_mktsegment,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -185,7 +196,7 @@ def j1_broadcast_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _d2(F.col("l_extendedprice")) * (1 - _d2(F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -198,7 +209,7 @@ def j1_broadcast_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_left_outer_join",
     """
     SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
-           CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(28,4))) AS DOUBLE) AS total_spent
+           CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
     FROM customer c
     LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -214,7 +225,7 @@ def j2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            _dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spent"),
+            _dsum(_d2(F.coalesce(F.col("o_totalprice"), F.lit(0.0)))).alias("total_spent"),
         )
     )
 
@@ -228,7 +239,7 @@ def j2_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT split_part(p_name, ' ', 1) AS name_key FROM part
     )
     SELECT d.name_key, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(k.p_retailprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+           CAST(SUM(CAST(k.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
     FROM keyed k JOIN dim d ON k.name_key = d.name_key
     GROUP BY d.name_key
     """,
@@ -245,7 +256,7 @@ def j3_derived_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("name_key")
         .agg(
             F.count("*").alias("n_parts"),
-            _dsum(F.col("p_retailprice")).alias("total_price"),
+            _dsum(_d2(F.col("p_retailprice"))).alias("total_price"),
         )
     )
 
@@ -283,19 +294,22 @@ def j4_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT DISTINCT c.c_custkey, s.s_suppkey
     FROM customer c JOIN supplier s
-      ON c.c_nationkey = s.s_nationkey OR CAST(c.c_acctbal AS INT) = CAST(s.s_acctbal AS INT)
+      ON c.c_nationkey = s.s_nationkey OR CAST(floor(c.c_acctbal) AS BIGINT) = CAST(floor(s.s_acctbal) AS BIGINT)
     """,
 )
 def j6_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: disjunctive (OR) join decomposed into a union of equi-joins
     (FileDbDAL/Search.py:262-293). Spark would execute the OR predicate
     as a BroadcastNestedLoopJoin; the union-of-equi-joins rewrite is the
-    scale-safe plan (SURVEY §4: OR-join decomposition)."""
+    scale-safe plan (SURVEY §4: OR-join decomposition). Derived key uses
+    floor(), identical on both engines — Spark cast(double as int)
+    truncates toward zero while DuckDB's rounds, so a raw cast key
+    diverges on the two sides (round-1 j6 failure)."""
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     by_nation = c.join(s, c.c_nationkey == s.s_nationkey).select("c_custkey", "s_suppkey")
     by_bal = c.join(
-        s, c.c_acctbal.cast("int") == s.s_acctbal.cast("int")
+        s, F.floor(c.c_acctbal) == F.floor(s.s_acctbal)
     ).select("c_custkey", "s_suppkey")
     return by_nation.unionByName(by_bal).distinct()
 

@@ -134,6 +134,20 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    """Embedding dimensionality from the parquet file — a one-batch
+    footer/metadata probe via pyarrow (O(1) IO, no Spark job, nothing
+    shipped through the driver's result path). The schema alone can't
+    carry it because the column is list<float>, not fixed_size_list."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column("embedding")[0])
+
+
 def v2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: 8 sign bits -> 256 buckets; queries
     probe only their own bucket, then exact cosine re-rank inside it.
@@ -142,10 +156,11 @@ def v2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: bucket id is a derived column — repartition/bucket the
     corpus by it once, and every query touches 1/256 of the data.
+    Corpus/query bucket columns carry distinct names (c_bucket /
+    q_bucket) so the join condition is unambiguous.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    planes = _hyperplanes(8, dim)
+    planes = _hyperplanes(8, _embedding_dim(sf_dir))
 
     def bucket_of(emb_col):
         bits = [
@@ -167,21 +182,20 @@ def v2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        bucket_of(F.col("embedding")).alias("bucket"),
+        bucket_of(F.col("embedding")).alias("c_bucket"),
     )
     q = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            bucket_of(F.col("embedding")).alias("bucket"),
+            bucket_of(F.col("embedding")).alias("q_bucket"),
         )
     )
     cos = cosine(F.col("q_emb").cast("array<double>"), F.col("c_emb").cast("array<double>"))
     scored = corpus.join(
         F.broadcast(q),
-        (F.col("corpus.bucket") if False else F.col("bucket")).isNotNull()
-        & (corpus.bucket == q.bucket)
+        (F.col("c_bucket") == F.col("q_bucket"))
         & (F.col("neighbor_id") != F.col("query_id")),
     ).select("query_id", "neighbor_id", cos.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(

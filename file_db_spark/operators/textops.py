@@ -35,7 +35,7 @@ def _q(name: str, oracle: str | None = None):
       FROM documents
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM tok GROUP BY lang

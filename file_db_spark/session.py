@@ -42,6 +42,10 @@ def get_spark(
         .master(master)
         # --- determinism / oracle parity ---
         .config("spark.sql.session.timeZone", "UTC")
+        # Testdata events.parquet stores INT64 TIMESTAMP(NANOS), which
+        # Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos
+        # as long; catalog.load_table converts to timestamp exactly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- adaptive execution: the scale story ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

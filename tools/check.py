@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry at sf0.01, run the matching oracle_sql() in DuckDB on
+the same parquet, and compare row-count + (order-insensitive,
+name-sorted-columns) value hash.
+
+Usage: python tools/check.py [query ...]   (no args = all queries)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+
+from file_db_spark.catalog import TABLES  # noqa: E402
+from file_db_spark.session import get_spark  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(pd.util.hash_pandas_object(canon(df), index=False).values.tobytes())
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    qs, oracles = queries(), oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark query crashed")
+            traceback.print_exc(limit=3)
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"rows  {name}: {len(sdf)} rows (rows-only, no oracle)")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as exc:
+            print(f"FAIL  {name}: oracle crashed: {exc}")
+            n_fail += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL  {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
+            n_fail += 1
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(
+                f"FAIL  {name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+            )
+            n_fail += 1
+            continue
+        hs, ho = value_hash(sdf), value_hash(odf)
+        if hs != ho:
+            print(f"FAIL  {name}: value hash mismatch ({len(sdf)} rows)")
+            cs, co = canon(sdf), canon(odf)
+            diff = ~(cs == co).all(axis=1)
+            if diff.any():
+                i = diff.idxmax()
+                print("  first differing row:")
+                print("  spark :", cs.loc[i].to_dict())
+                print("  oracle:", co.loc[i].to_dict())
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(sdf)} rows")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
