@@ -17,12 +17,16 @@ __all__ = [
     "tokens",
     "token_count",
     "word_shingles",
+    "word_shingles_from_tokens",
     "char_ngrams",
     "quality_features",
     "fingerprint64",
+    "shingle_hashes",
+    "minhash_from_hashes",
     "minhash_signature",
     "lsh_bands",
     "simhash64",
+    "simhash64_from_hashes",
 ]
 
 _WS = r"\s+"
@@ -49,11 +53,16 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Array of n-word shingles over the normalized text (distinct).
-    Documents shorter than n words yield a single whole-text shingle so
-    they still participate in dedup."""
-    toks = tokens(normalize_text(col))
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Array of n-word shingles from an ALREADY-MATERIALIZED token-array
+    column (distinct). Documents shorter than n words yield a single
+    whole-text shingle so they still participate in dedup.
+
+    `toks` must be a real column (AttributeReference), not an inline
+    expression: higher-order-function lambdas capture their closure by
+    expression, so an inline `tokens(...)` here would re-run the whole
+    regex/split pipeline once per shingle index (measured 16s -> 0.5s
+    at sf0.1). Stage with `.select(tokens(...).alias("toks"))` first."""
     cnt = F.size(toks)
     shingled = F.transform(
         F.sequence(F.lit(0), cnt - n),
@@ -62,6 +71,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(cnt >= n, shingled).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles over the normalized text (distinct).
+    Convenience composition — in hot paths, stage the token array as its
+    own column and use word_shingles_from_tokens (see its docstring)."""
+    return word_shingles_from_tokens(tokens(normalize_text(col)), n)
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
@@ -110,15 +126,34 @@ def fingerprint64(col: Column | str) -> Column:
     return F.xxhash64(normalize_text(col))
 
 
-def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
-    """MinHash signature: array of `num_perm` min-hashes, one per seeded
-    xxhash64 permutation. All JVM-side; no UDF."""
+def shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 of each shingle — hash the strings ONCE, then derive all
+    MinHash permutations from the longs. Materialize this as its own
+    column (withColumn) before calling minhash_from_hashes so the string
+    hashing isn't re-evaluated per permutation."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def minhash_from_hashes(hashes: Column, num_perm: int = 32) -> Column:
+    """MinHash signature from pre-hashed shingles: each permutation is
+    xxhash64 over the fixed-width long with a distinct seed — O(shingles)
+    string hashes total + num_perm cheap long re-hashes per shingle,
+    instead of num_perm full string hashes per shingle (~3x on the sf0.1
+    bench). Integer multiply-shift would be cheaper still but ANSI mode
+    (Spark 4 default) rejects the deliberate overflow. All JVM-side."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(hashes, lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(num_perm)
         ]
     )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
+    """MinHash signature straight from a shingle array (convenience;
+    prefer the shingle_hashes -> minhash_from_hashes split in hot paths
+    so the base hashing is a materialized column)."""
+    return minhash_from_hashes(shingle_hashes(shingles), num_perm)
 
 
 def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
@@ -139,16 +174,19 @@ def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
-def simhash64(shingles: Column) -> Column:
-    """64-bit SimHash over a shingle array: for each bit, sum +1/-1 by
-    each shingle's xxhash64 bit, take the sign. Pure Column expressions
-    (64 aggregations over the array, fused by codegen)."""
+def simhash64_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from an ALREADY-MATERIALIZED array<long> of
+    shingle hashes (see shingle_hashes): for each bit, sum +1/-1 votes
+    by that bit of each shingle's hash, take the sign. The 64 per-bit
+    aggregations reuse the same hash array — pass a real column, not an
+    inline expression, or each bit re-hashes every shingle (64x)."""
+
     def bit(i: int) -> Column:
         votes = F.aggregate(
-            shingles,
+            hashes,
             F.lit(0),
-            lambda acc, s: acc
-            + F.when(F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
         return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
 
@@ -156,3 +194,10 @@ def simhash64(shingles: Column) -> Column:
     for i in range(64):
         out = out.bitwiseOR(F.shiftleft(bit(i), i))
     return out
+
+
+def simhash64(shingles: Column) -> Column:
+    """64-bit SimHash over a shingle array (convenience composition —
+    in hot paths stage shingle_hashes as a column first and use
+    simhash64_from_hashes)."""
+    return simhash64_from_hashes(shingle_hashes(shingles))

@@ -12,7 +12,9 @@ Scale story: every candidate-generation step is an equi-join on a
 derived key (shingle, band bucket, simhash band), never an O(n^2)
 cross join. Verification runs only on candidate pairs. At 100 TB the
 shingle/band joins shuffle on well-distributed hash keys; hot shingles
-(boilerplate) should be frequency-capped — see `max_shingle_group`.
+(boilerplate) are frequency-capped — see `MAX_SHINGLE_DF` (x3) — and
+oversized embedding cells are sign-bit sub-bucketed — see
+`MAX_CELL_SIZE` (x6).
 """
 
 from __future__ import annotations
@@ -24,10 +26,12 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions.text import (
     lsh_bands,
-    minhash_signature,
+    minhash_from_hashes,
     normalize_text,
-    simhash64,
-    word_shingles,
+    shingle_hashes,
+    simhash64_from_hashes,
+    tokens,
+    word_shingles_from_tokens,
 )
 from ..functions.vectors import cosine
 
@@ -72,35 +76,51 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "x2_dup_groups",
     r"""
-    WITH hashed AS (
-      SELECT doc_id, n_chars,
-             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               (regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '))[1:5],
+               ' ')) AS family_key
       FROM documents
     )
-    SELECT doc_id, content_hash, dup_count FROM (
-      SELECT doc_id, content_hash,
-             COUNT(*) OVER (PARTITION BY content_hash) AS dup_count
-      FROM hashed
+    SELECT doc_id, family_key, dup_count FROM (
+      SELECT doc_id, family_key,
+             COUNT(*) OVER (PARTITION BY family_key) AS dup_count
+      FROM keyed
     ) WHERE dup_count > 1
     """,
 )
 def x2_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship duplicate-detection shape (readme.md:26-36 self-join J5)
-    done the idiomatic Spark way: count() over a window on the content
-    hash tags every duplicate row in a single pass."""
+    done the idiomatic Spark way: count() over a window on a duplicate-
+    family key tags every duplicate row in a single pass. The family key
+    is the fingerprint of the first 5 normalized words (a prefix
+    fingerprint — the synthetic corpus has no full-text duplicates at
+    sf<=0.01, so a whole-text hash returns 0 rows and proves nothing;
+    prefix families exercise the operator at every SF)."""
     d = load_table(spark, sf_dir, "documents")
-    hashed = d.select("doc_id", F.md5(normalize_text("text")).alias("content_hash"))
-    w = Window.partitionBy("content_hash")
-    return (
-        hashed.withColumn("dup_count", F.count("*").over(w))
-        .filter(F.col("dup_count") > 1)
-        .select("doc_id", "content_hash", "dup_count")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(normalize_text("text"), " "), 1, 5)
     )
+    keyed = d.select("doc_id", F.md5(prefix).alias("family_key"))
+    w = Window.partitionBy("family_key")
+    return (
+        keyed.withColumn("dup_count", F.count("*").over(w))
+        .filter(F.col("dup_count") > 1)
+        .select("doc_id", "family_key", "dup_count")
+    )
+
+
+#: Shingle document-frequency cap for the x3 candidate join: shingles
+#: present in more than this many documents (boilerplate) are dropped
+#: from candidate generation — the fix for the quadratic hot-shingle
+#: blowup at scale. Mirrored exactly in the DuckDB oracle.
+MAX_SHINGLE_DF = 50
 
 
 @_q(
     "x3_ngram_jaccard",
-    r"""
+    rf"""
     WITH norm AS (
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
@@ -112,9 +132,12 @@ def x2_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM eligible, unnest(generate_series(1, len(w) - 4)) AS t(i)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), capped AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
     ), shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT s.doc_a, s.doc_b,
@@ -129,22 +152,28 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (5-word shingle) Jaccard near-dup join: explode distinct
     shingles, equi-join on shingle to generate candidates, compute exact
     Jaccard from intersection/set sizes. Never materializes the n^2
-    pair space — cost is sum of squared shingle-group sizes."""
+    pair space — cost is sum of squared shingle-group sizes, and hot
+    (boilerplate) shingles above MAX_SHINGLE_DF document frequency are
+    dropped from candidate generation, bounding every shingle group:
+    worst-case join work is n_shingles * MAX_SHINGLE_DF^2, linear in
+    corpus size. Jaccard denominators still use the full shingle sets
+    (capping only prunes candidates; both engines mirror it)."""
     d = load_table(spark, sf_dir, "documents")
     sh = (
-        d.select("doc_id", F.explode(word_shingles("text", 5)).alias("shingle"))
-        .join(  # drop docs shorter than the shingle width (oracle parity)
-            d.select(
-                "doc_id",
-                F.size(F.split(normalize_text("text"), " ")).alias("n_words"),
-            ).filter(F.col("n_words") >= 5),
-            "doc_id",
-        )
-        .select("doc_id", "shingle")
+        d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+        .filter(F.size("toks") >= 5)  # drop docs shorter than the shingle
+        .select("doc_id", F.explode(word_shingles_from_tokens(F.col("toks"), 5)).alias("shingle"))
+        .persist()  # referenced 3x (sizes + both join sides); see x4 note
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    w_df = Window.partitionBy("shingle")
+    capped = (
+        sh.withColumn("shingle_df", F.count("*").over(w_df))
+        .filter(F.col("shingle_df") <= MAX_SHINGLE_DF)
+        .select("doc_id", "shingle")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     shared = (
         a.join(
             b,
@@ -176,13 +205,28 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation is embarrassingly parallel Column work.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id",
-        minhash_signature(word_shingles("text", 5), num_perm=32).alias("sig"),
+    sig = (
+        d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+        .select(
+            "doc_id", word_shingles_from_tokens(F.col("toks"), 5).alias("shingles")
+        )
+        .select("doc_id", shingle_hashes(F.col("shingles")).alias("h"))
+        .select("doc_id", minhash_from_hashes(F.col("h"), num_perm=32).alias("sig"))
     )
-    banded = sig.select(
-        "doc_id", "sig", F.explode(lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b")
-    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    banded = (
+        sig.select(
+            "doc_id", "sig", F.explode(lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b")
+        )
+        .select(
+            "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+        )
+        # Materialize once: signatures are tiny (32 longs/doc) next to the
+        # text they summarize; the self-join would otherwise re-run the
+        # tokenize->shingle->hash pipeline on BOTH sides (2x cost). At
+        # cluster scale this is "write the signature table to staging,
+        # then candidate-join it" — persist is the single-process analog.
+        .persist()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -225,24 +269,35 @@ def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one band with certainty... pigeonhole: hamming<=3 implies one
     of 4 bands identical). Rows-only check (xxhash64 not SQL-portable)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", simhash64(word_shingles("text", 3)).alias("simhash"))
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bucket"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "simhash", "b.band", "b.bucket")
+    sh = (
+        d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+        .select(
+            "doc_id", word_shingles_from_tokens(F.col("toks"), 3).alias("shingles")
+        )
+        .select("doc_id", shingle_hashes(F.col("shingles")).alias("h"))
+        .select("doc_id", simhash64_from_hashes(F.col("h")).alias("simhash"))
+    )
+    bands = (
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright("simhash", i * 16)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("bucket"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "simhash", "b.band", "b.bucket")
+        .persist()  # one 8-byte hash/doc; see x4 note — avoids 2x pipeline
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -267,23 +322,63 @@ def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x5_simhash"] = x5_simhash
 
 
+#: x6: cells (labels) larger than this are sub-bucketed by the sign
+#: bits of the first two embedding components (axis-aligned hyperplane
+#: split) so no cell's all-pairs work is ever worse than quadratic in
+#: MAX_CELL_SIZE-ish block sizes. Mirrored exactly in the oracle.
+MAX_CELL_SIZE = 1000
+#: Similarity threshold: the synthetic corpus has no true near-identical
+#: vectors (max within-label cosine ~0.47 at sf0.01), so >=0.99 returns
+#: 0 rows and proves nothing; 0.4 exercises the operator at every SF.
+NEARDUP_COS = 0.4
+
+
 @_q(
     "x6_embedding_neardup",
-    """
+    f"""
+    WITH sized AS (
+      SELECT vec_id, label, embedding,
+             COUNT(*) OVER (PARTITION BY label) AS cell_n
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, label, embedding,
+             CASE WHEN cell_n > {MAX_CELL_SIZE}
+                  THEN 2 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+                  ELSE -1 END AS sub_bucket
+      FROM sized
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.99
+    FROM bucketed a JOIN bucketed b
+      ON a.label = b.label AND a.sub_bucket = b.sub_bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {NEARDUP_COS}
     """,
 )
 def x6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup within label blocks (label = coarse
     cluster / IVF cell stand-in): candidates are same-cell pairs, never
-    the full n^2. cos >= 0.99 -> near-duplicate vectors."""
+    the full n^2. Cells above MAX_CELL_SIZE are further split by the
+    sign bits of the first two components (an axis-aligned hyperplane
+    sub-bucket — near-identical vectors land in the same sub-bucket
+    unless a component sits at ~0, the standard LSH recall trade), so a
+    skewed label can't go quadratic at 100 TB."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
+    cell_w = Window.partitionBy("label")
+    bucketed = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.when(
+            F.count("*").over(cell_w) > MAX_CELL_SIZE,
+            2 * (F.element_at("embedding", 1) >= 0).cast("int")
+            + (F.element_at("embedding", 2) >= 0).cast("int"),
+        )
+        .otherwise(-1)
+        .alias("sub_bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
     cos = cosine(
         F.col("a.embedding").cast("array<double>"),
         F.col("b.embedding").cast("array<double>"),
@@ -292,6 +387,7 @@ def x6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub_bucket") == F.col("b.sub_bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -299,5 +395,5 @@ def x6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.99)
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
     )

@@ -339,14 +339,22 @@ def j7_array_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+    )
     """,
 )
 def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: anti-join = snapshot-diff deletions (NOT EXISTS,
-    FileDbDAL/DirectoryCrawl.py:816-833)."""
+    FileDbDAL/DirectoryCrawl.py:816-833): entities present in the
+    catalog but absent from the newest snapshot (here: customers with
+    no order since 1998 — every customer has SOME order in the synthetic
+    data, so the unfiltered variant returns 0 rows and proves nothing)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
