@@ -1,9 +1,17 @@
-from . import dedup, events, multimodal, relational, similarity, textops  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    events,
+    filedb_catalog,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
 
 #: merged {name: (spark, sf_dir) -> DataFrame} across all operator modules
 QUERIES = {}
 #: merged {name: duckdb-SQL} — omit a key for non-SQL-expressible ops
 ORACLES = {}
-for _m in (relational, events, textops, dedup, similarity, multimodal):
+for _m in (relational, events, textops, dedup, similarity, multimodal, filedb_catalog):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -1,0 +1,342 @@
+r"""Oracle-backed registry queries for the file_db catalog domain:
+views (vw_ll / vw_file_detail / dir_detail / vwf_*) and the search API
+(wildcard, full-path probe, suffix, flagship duplicate search), all over
+the deterministic domain fixtures (filedb/fixtures.py = FIXTURES.md §A).
+
+Each oracle prepends the shared fixture CTEs so DuckDB constructs the
+identical catalog, then mirrors the view/search semantics in ANSI SQL.
+DuckDB's RE2 lacks lookbehind, so basepath is emulated with a capture
+group — identical output on all fixture paths (see `_BP`).
+
+Sizes surface as DOUBLE in every projection (exact here; avoids
+decimal-dtype mismatches between the two pandas bridges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..filedb import fixtures, search, views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _catalog(spark: SparkSession, sf_dir: str):
+    d = fixtures.fixture_directory(spark, sf_dir)
+    f = fixtures.fixture_file(spark, sf_dir)
+    h = fixtures.fixture_hash(spark, sf_dir)
+    fc = fixtures.fixture_file_category(spark)
+    return d, f, h, fc
+
+
+def _listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, f, h, _ = _catalog(spark, sf_dir)
+    return views.vw_ll(d, f, h)
+
+
+# DuckDB basepath emulation (no lookbehind in RE2): capture the char
+# before the final separator; then the drive-root recovery.
+_BP = (
+    "CASE WHEN regexp_replace({p}, '(.)[/\\\\][^/\\\\]+$', '\\1') LIKE '%:' "
+    "THEN regexp_replace({p}, '(.)[/\\\\][^/\\\\]+$', '\\1') || '\\' "
+    "ELSE regexp_replace({p}, '(.)[/\\\\][^/\\\\]+$', '\\1') END"
+)
+
+# vw_ll as a DuckDB CTE over the fixture CTEs (mirrors views.vw_ll).
+_VW_LL_CTE = f"""
+vw_ll AS (
+  SELECT 'file' AS type, d.dir_path || '\\' || f.name AS full_path,
+         f.id AS file_id, f.name, f.dir_id, f.size, f.ctime, f.mtime,
+         f.atime, h.md5_hash, h.sha1_hash, d.dir_path
+  FROM fx_file f
+  JOIN fx_directory d ON f.dir_id = d.id
+  LEFT JOIN fx_hash h ON h.file_id = f.id
+  UNION ALL
+  SELECT 'dir' AS type, c.dir_path AS full_path,
+         CAST(NULL AS BIGINT) AS file_id,
+         regexp_replace(c.dir_path, '^.+[/\\\\]', '') AS name,
+         p.id AS dir_id, CAST(NULL AS DECIMAL(18,6)) AS size,
+         c.ctime, c.mtime, CAST(NULL AS TIMESTAMP) AS atime,
+         CAST(NULL AS VARCHAR) AS md5_hash, CAST(NULL AS VARCHAR) AS sha1_hash,
+         {_BP.format(p="c.dir_path")} AS dir_path
+  FROM fx_directory c
+  JOIN fx_directory p ON {_BP.format(p="c.dir_path")} = p.dir_path
+)
+"""
+
+_LL_COLS = (
+    "type, full_path, file_id, name, dir_id, CAST(size AS DOUBLE) AS size, "
+    "ctime, mtime, atime, md5_hash, sha1_hash, dir_path"
+)
+
+
+def _ll_cols(df: DataFrame) -> DataFrame:
+    return df.withColumn("size", F.col("size").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# c1-c5: the derived views
+# ---------------------------------------------------------------------------
+@_q(
+    "c1_vw_ll",
+    f"WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE} SELECT {_LL_COLS} FROM vw_ll",
+)
+def c1_vw_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+J1+J2: the union listing relation (SQLUtil.py:223-248)."""
+    return _ll_cols(_listing(spark, sf_dir))
+
+
+@_q(
+    "c2_vw_file_detail",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}
+    SELECT f.id AS file_id, f.name, d.dir_path || '\\' || f.name AS full_path,
+           f.dir_id, d.dir_path, CAST(f.size AS DOUBLE) AS size,
+           f.ctime, f.mtime, f.atime, h.md5_hash, h.sha1_hash, fc.category
+    FROM fx_file f
+    JOIN fx_directory d ON f.dir_id = d.id
+    LEFT JOIN fx_hash h ON h.file_id = f.id
+    LEFT JOIN fx_file_category fc
+      ON fc.extension = lower(regexp_replace(f.name, '^.+\\.', ''))
+    """,
+)
+def c2_vw_file_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3: file detail with category via the derived extension key
+    (SQLUtil.py:252-266; dotless names categorize as NULL — F3 quirk)."""
+    d, f, h, fc = _catalog(spark, sf_dir)
+    return views.vw_file_detail(d, f, h, fc).withColumn(
+        "size", F.col("size").cast("double")
+    )
+
+
+@_q(
+    "c3_dir_detail",
+    f"""
+    WITH {fixtures.FIXTURE_CTES},
+    sub AS (
+      SELECT {_BP.format(p="dir_path")} AS parent_path, COUNT(*) AS subdir_count
+      FROM fx_directory GROUP BY 1
+    ),
+    fagg AS (
+      SELECT dir_id, COUNT(*) AS file_count,
+             SUM(COALESCE(size, 0)) AS total_size,
+             MIN(ctime) AS min_file_ctime, MAX(ctime) AS max_file_ctime,
+             MIN(mtime) AS min_file_mtime, MAX(mtime) AS max_file_mtime
+      FROM fx_file GROUP BY dir_id
+    )
+    SELECT d.id AS dir_id, d.dir_path,
+           CAST(COALESCE(CASE WHEN {_BP.format(p="d.dir_path")} = d.dir_path
+                     THEN s.subdir_count - 1 ELSE s.subdir_count END, 0) AS BIGINT)
+             AS subdir_count,
+           CAST(COALESCE(f.file_count, 0) AS BIGINT) AS file_count,
+           CAST(COALESCE(f.total_size, 0) AS DOUBLE) AS total_size,
+           f.min_file_ctime, f.max_file_ctime, f.min_file_mtime, f.max_file_mtime
+    FROM fx_directory d
+    LEFT JOIN sub s ON d.dir_path = s.parent_path
+    LEFT JOIN fagg f ON d.id = f.dir_id
+    """,
+)
+def c3_dir_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-directory rollup (SQLUtil.py:269-286)."""
+    d, f, _, _ = _catalog(spark, sf_dir)
+    return views.dir_detail(d, f).withColumn(
+        "total_size", F.col("total_size").cast("double")
+    )
+
+
+@_q(
+    "c4_dir_contents",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE}
+    SELECT {_LL_COLS} FROM vw_ll WHERE dir_id IN (1, 2, 3)
+    """,
+)
+def c4_dir_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vwf_dir_contents (SQLUtil.py:295-339): parameterized listing."""
+    d, f, h, _ = _catalog(spark, sf_dir)
+    return _ll_cols(views.vwf_dir_contents(d, f, h, [1, 2, 3]))
+
+
+@_q(
+    "c5_directory_activity",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}
+    SELECT dir_id, MIN(ctime) AS min_ctime, MAX(ctime) AS max_ctime,
+           MIN(mtime) AS min_mtime, MAX(mtime) AS max_mtime
+    FROM fx_file WHERE dir_id IN (1,2,3,4,5,6,7,8,9,10)
+    GROUP BY dir_id
+    """,
+)
+def c5_directory_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vwf_directory_activity (SQLUtil.py:360-383)."""
+    _, f, _, _ = _catalog(spark, sf_dir)
+    return views.vwf_directory_activity(f, list(range(1, 11)))
+
+
+# ---------------------------------------------------------------------------
+# c6-c12: the search API
+# ---------------------------------------------------------------------------
+@_q(
+    "c6_search_file",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE}
+    SELECT {_LL_COLS} FROM vw_ll
+    WHERE type = 'file' AND name LIKE 'doc\\_1%' ESCAPE '\\'
+    """,
+)
+def c6_search_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+F8: wildcard file search, 'doc_1*' -> LIKE with escaped '_'
+    (Search.py:157-186)."""
+    return _ll_cols(search.search_file(_listing(spark, sf_dir), "doc_1*"))
+
+
+@_q(
+    "c7_search_full_path",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE},
+    probes AS (
+      SELECT probe_path, {_BP.format(p="probe_path")} AS p_dir,
+             regexp_replace(probe_path, '^.+[/\\\\]', '') AS p_name
+      FROM (VALUES ('/corpus/src2\\doc_2.txt'),
+                   ('C:\\corpus\\src9\\same_name.txt'),
+                   ('/corpus/src4'),
+                   ('/nope/missing.txt')) AS t(probe_path)
+    )
+    SELECT {_LL_COLS}, probe_path FROM vw_ll
+    JOIN probes ON vw_ll.dir_path = probes.p_dir AND vw_ll.name = probes.p_name
+    """,
+)
+def c7_search_full_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 array-probe join (Search.py:125-154). Probe paths use the
+    view's backslash-join quirk; '/corpus/src1' resolves as a dir row."""
+    out = search.search_full_path(
+        spark,
+        _listing(spark, sf_dir),
+        [
+            "/corpus/src2\\doc_2.txt",
+            "C:\\corpus\\src9\\same_name.txt",
+            "/corpus/src4",
+            "/nope/missing.txt",
+        ],
+    )
+    return _ll_cols(out)
+
+
+@_q(
+    "c8_duplicate_search",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE},
+    files AS (SELECT * FROM vw_ll WHERE type = 'file'),
+    needles AS (
+      SELECT file_id AS n_file_id, name AS n_name, size AS n_size,
+             md5_hash AS n_md5, sha1_hash AS n_sha1
+      FROM files WHERE file_id IN (12, 6, 4)
+    ),
+    matched AS (
+      SELECT n.n_file_id, f.* FROM files f JOIN needles n
+        ON f.sha1_hash = n.n_sha1 AND f.size = n.n_size
+      UNION
+      SELECT n.n_file_id, f.* FROM files f JOIN needles n
+        ON n.n_sha1 IS NULL AND f.md5_hash = n.n_md5 AND f.size = n.n_size
+      UNION
+      SELECT n.n_file_id, f.* FROM files f JOIN needles n ON f.name = n.n_name
+    )
+    SELECT n_file_id AS needle_file_id, type, full_path, file_id, name, dir_id,
+           CAST(size AS DOUBLE) AS size, md5_hash, sha1_hash, dir_path
+    FROM matched WHERE file_id <> n_file_id
+    """,
+)
+def c8_duplicate_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship duplicate search (readme.md:26-36), id overload,
+    three needles: 12 (sha1+size triple -> 2 matches), 6 (sha1 NULL ->
+    MD5-fallback pair -> 1 match), 4 (same sha1, different size -> no
+    match). J6 decomposed into unioned equi-joins."""
+    out = search.search_duplicate_files_by_id(_listing(spark, sf_dir), [12, 6, 4])
+    return out.withColumn("size", F.col("size").cast("double")).drop(
+        "ctime", "mtime", "atime"
+    )
+
+
+@_q(
+    "c9_duplicate_groups",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE}
+    SELECT full_path, file_id, name, dir_id, CAST(size AS DOUBLE) AS size,
+           sha1_hash, duplicate_count
+    FROM (
+      SELECT *, COUNT(*) OVER (PARTITION BY sha1_hash, size) AS duplicate_count
+      FROM vw_ll
+      WHERE type = 'file' AND sha1_hash IS NOT NULL AND size IS NOT NULL
+    ) WHERE duplicate_count >= 2
+    """,
+)
+def c9_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/A2 as a window count (SURVEY §2.5) — the whole-catalog
+    duplicate report."""
+    out = search.duplicate_groups(_listing(spark, sf_dir), min_count=2)
+    return out.withColumn("size", F.col("size").cast("double")).withColumn(
+        "duplicate_count", F.col("duplicate_count").cast("bigint")
+    )
+
+
+@_q(
+    "c10_path_probes",
+    f"""
+    WITH {fixtures.FIXTURE_CTES},
+    probes AS (SELECT * FROM (VALUES ('/corpus'), ('C:\\'), ('/corpus/src5'),
+                                     ('/nope')) AS t(probe_path))
+    SELECT p.probe_path, CAST(COUNT(d.id) AS BIGINT) AS n_matches
+    FROM probes p LEFT JOIN fx_directory d ON d.dir_path = p.probe_path
+    GROUP BY p.probe_path
+    """,
+)
+def c10_path_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 exact dir-path probes as a set query (Directory.py:181-193)."""
+    d, _, _, _ = _catalog(spark, sf_dir)
+    probes = spark.createDataFrame(
+        [("/corpus",), ("C:\\",), ("/corpus/src5",), ("/nope",)],
+        "probe_path string",
+    )
+    return (
+        probes.join(F.broadcast(d), d.dir_path == probes.probe_path, "left")
+        .groupBy("probe_path")
+        .agg(F.count(d.id).alias("n_matches"))
+    )
+
+
+@_q(
+    "c11_search_suffix",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE}
+    SELECT {_LL_COLS} FROM vw_ll
+    WHERE type = 'file' AND name LIKE '%.t\\_t' ESCAPE '\\'
+    """,
+)
+def c11_search_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 suffix search (reverse-index semantics, File.py:215,224)."""
+    return _ll_cols(search.search_file_suffix(_listing(spark, sf_dir), ".t_t"))
+
+
+@_q(
+    "c12_search_dir",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE}
+    SELECT {_LL_COLS} FROM vw_ll
+    WHERE type = 'dir' AND name LIKE '%1%'
+    """,
+)
+def c12_search_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard directory search (Search.py:189-218)."""
+    return _ll_cols(search.search_dir(_listing(spark, sf_dir), "*1*"))
