@@ -1,0 +1,241 @@
+"""Engine orchestrator — the Spark expression of the reference's server
+pipeline (SURVEY.md §3.1): stages 2-5 of the reference's 9-process
+topology collapse into one batch job per crawl wave, the hash loop into
+a second job. Continuous mode = `run_until_idle` (the reference's
+Server/__init__.py loop; Structured Streaming foreachBatch at cluster
+scale — see streaming/).
+
+    eng = Engine(spark, root_path)
+    eng.install()                # empty tables, declared schemas
+    eng.add_root('/some/tree')   # seed directory + control (install.py:66-72)
+    eng.crawl_once()             # claim due dirs -> scan -> M1+M2+M3
+    eng.hash_once()              # claim smallest files -> S6 -> M4
+    eng.listing()                # vw_ll over the live catalog
+    eng.duplicate_report()       # flagship duplicate groups
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.paths import basepath, strip_trailing_slashes
+from . import merge, scan, scheduler, schemas, search, views
+from .hashing import hash_files
+from .store import TableStore
+
+__all__ = ["Engine"]
+
+_SCHEMAS = {
+    "directory": schemas.DIRECTORY,
+    "file": schemas.FILE,
+    "hash": schemas.HASH,
+    "file_category": schemas.FILE_CATEGORY,
+    "drive": schemas.DRIVE,
+    "directory_archive": schemas.DIRECTORY_ARCHIVE,
+    "file_archive": schemas.FILE_ARCHIVE,
+    "directory_control": schemas.DIRECTORY_CONTROL,
+    "hash_control": schemas.HASH_CONTROL,
+}
+
+
+def _utcnow() -> datetime:
+    return datetime.now(tz=timezone.utc).replace(tzinfo=None)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.store = TableStore(spark, root, _SCHEMAS)
+
+    # -- bootstrap (§3.3) --------------------------------------------------
+    def install(self) -> None:
+        for name in _SCHEMAS:
+            if self.store._current(name) is None:
+                self.store.replace(name, self.spark.createDataFrame([], _SCHEMAS[name]))
+
+    def add_root(self, path: str, now: datetime | None = None) -> None:
+        """Seed a crawl root: a directory row + a due control row
+        (install.py:66-72 intended semantics)."""
+        now = now or _utcnow()
+        path = strip_trailing_slashes(path) or path
+        row = self.spark.createDataFrame(
+            [(None, path, None, None, now, now)], schemas.DIRECTORY
+        ).withColumn("id", F.xxhash64("dir_path"))
+        existing = self.store.read("directory")
+        self.store.replace(
+            "directory",
+            existing.unionByName(
+                row.join(existing.select("dir_path"), "dir_path", "left_anti")
+            ),
+        )
+        self.store.replace(
+            "drive",
+            self.store.read("drive")
+            .unionByName(
+                row.select(
+                    F.col("id"), "dir_path", F.col("inserted_on")
+                ).join(self.store.read("drive").select("dir_path"), "dir_path", "left_anti")
+            ),
+        )
+        self.store.replace(
+            "directory_control",
+            scheduler.seed_control_for_dirs(
+                self.store.read("directory_control"),
+                row.select("id", "dir_path"),
+                now,
+            ),
+        )
+
+    # -- crawl wave (§3.1 stages 2-5) --------------------------------------
+    def crawl_once(
+        self, now: datetime | None = None, limit: int = 10, process_id: int = 1
+    ) -> int:
+        """One crawl wave: claim due dirs (T1), scan them (S1), merge
+        listings (M1+M2), update the schedule (M3). Returns the number
+        of directories crawled (0 = idle)."""
+        now = now or _utcnow()
+        control = self.store.read("directory_control")
+        work, control = scheduler.get_dirs_to_crawl(control, now, limit, process_id)
+        frontier = [r["dir_path"] for r in work.collect()]
+        if not frontier:
+            return 0
+
+        listing = scan.scan_dirs(self.spark, frontier).persist()
+        staged_dirs, staged_files = scan.listing_to_catalog_rows(listing)
+        crawled = self.spark.createDataFrame([(p,) for p in frontier], "dir_path string")
+        missing = listing.where(F.col("error").isNotNull()).select("dir_path").distinct()
+
+        d_res = merge.merge_directories(
+            self.store.read("directory"), staged_dirs, crawled, now
+        )
+        # resolve staged file dir_ids against the catalog (scan produced
+        # xxhash64(dir_path) which matches ONLY dirs first seen by scan;
+        # roots seeded via add_root share the same deterministic id)
+        # vanished-file scope = the crawled frontier itself (NOT the dirs
+        # that still have files — a dir emptied since last crawl must
+        # still diff to "all its files vanished")
+        f_res = merge.merge_files(
+            self.store.read("file"),
+            staged_files.drop("dir_path"),
+            crawled.select(F.xxhash64("dir_path").alias("dir_id")),
+            self.store.read("hash_control"),
+            now,
+        )
+        stats = (
+            listing.where(F.col("error").isNull())
+            .groupBy("dir_path")
+            .agg(
+                F.sum((F.col("entry_type") == "file").cast("int")).alias("file_count"),
+                F.sum((F.col("entry_type") == "dir").cast("int")).alias("subdir_count"),
+                F.greatest(F.max("ctime"), F.max("mtime")).alias("last_active"),
+            )
+            .withColumn("dir_id", F.xxhash64("dir_path"))
+        )
+        control = scheduler.seed_control_for_dirs(control, d_res.new_dirs, now)
+        control = merge.mark_dirs_crawled(control, stats, missing, now)
+
+        self.store.replace("directory", d_res.directory)
+        self.store.replace("file", f_res.file)
+        self.store.replace("directory_control", control)
+        self.store.append("hash_control", f_res.hash_schedule)
+        if not (d_res.removal_queue.isEmpty() and f_res.removal_queue.isEmpty()):
+            self._apply_removals(d_res.removal_queue, f_res.removal_queue, now)
+        listing.unpersist()
+        return len(frontier)
+
+    def _apply_removals(
+        self, dir_removals: DataFrame, file_removals: DataFrame, now: datetime
+    ) -> None:
+        """M8 drain, immediate mode: cascade-delete vanished entries and
+        archive them (deferred batching is the scheduler's choice at
+        scale; the atomic unit stays one crawl wave)."""
+        res = merge.delete_directories(
+            self.store.read("directory"),
+            self.store.read("file"),
+            self.store.read("hash"),
+            self.store.read("hash_control"),
+            self.store.read("directory_control"),
+            dir_removals.select("dir_id"),
+            now,
+        )
+        new_file, new_hash, new_hc, file_archive = merge.delete_files(
+            res["file"], res["hash"], res["hash_control"],
+            file_removals.select("file_id"), now,
+        )
+        self.store.replace("directory", res["directory"])
+        self.store.replace("directory_control", res["directory_control"])
+        self.store.replace("file", new_file)
+        self.store.replace("hash", new_hash)
+        self.store.replace("hash_control", new_hc)
+        self.store.append("directory_archive", res["directory_archive_rows"])
+        self.store.append(
+            "file_archive", res["file_archive_rows"].unionByName(file_archive)
+        )
+
+    # -- hash wave (§3.1 stage 6) ------------------------------------------
+    def hash_once(
+        self, now: datetime | None = None, limit: int = 5000, process_id: int = 1
+    ) -> int:
+        """One hash wave: claim smallest files (T2), hash (S6), merge
+        digests (M4). Returns the number of files hashed."""
+        now = now or _utcnow()
+        hc = self.store.read("hash_control")
+        work, hc = scheduler.get_files_to_hash(hc, now, limit, process_id)
+        # NOTE: vw_ll/vw_file_detail join full_path with a backslash
+        # (reference quirk) — rebuild with the OS separator for real IO
+        f = self.store.read("file").alias("f")
+        d = self.store.read("directory").alias("d")
+        io_paths = f.join(d, F.col("f.dir_id") == F.col("d.id")).select(
+            F.col("f.id").alias("file_id"),
+            F.concat(F.col("d.dir_path"), F.lit(os.sep), F.col("f.name")).alias(
+                "full_path"
+            ),
+        )
+        todo = work.join(io_paths, "file_id", "left")
+        n = todo.count()
+        if n == 0:
+            self.store.replace("hash_control", hc)
+            return 0
+        staged = hash_files(todo)
+        new_hash, new_hc = merge.merge_hashes(self.store.read("hash"), hc, staged, now)
+        self.store.replace("hash", new_hash)
+        self.store.replace("hash_control", new_hc)
+        return n
+
+    def run_until_idle(self, max_waves: int = 100, limit: int = 100) -> None:
+        """Continuous mode, batch flavor: crawl+hash until no work is
+        due (the reference's server loop; trigger(availableNow) shape)."""
+        for _ in range(max_waves):
+            crawled = self.crawl_once(limit=limit)
+            hashed = self.hash_once(limit=limit * 100)
+            if crawled == 0 and hashed == 0:
+                return
+
+    # -- query surface ------------------------------------------------------
+    def listing(self) -> DataFrame:
+        return views.vw_ll(
+            self.store.read("directory"),
+            self.store.read("file"),
+            self.store.read("hash"),
+        )
+
+    def file_detail(self) -> DataFrame:
+        return views.vw_file_detail(
+            self.store.read("directory"),
+            self.store.read("file"),
+            self.store.read("hash"),
+            self.store.read("file_category"),
+        )
+
+    def dir_detail(self) -> DataFrame:
+        return views.dir_detail(self.store.read("directory"), self.store.read("file"))
+
+    def duplicate_report(self, min_count: int = 2) -> DataFrame:
+        return search.duplicate_groups(self.listing(), min_count=min_count)
+
+    def search_duplicate_file(self, full_path: str) -> DataFrame:
+        return search.search_duplicate_file(self.listing(), full_path)

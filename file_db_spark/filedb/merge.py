@@ -1,0 +1,402 @@
+"""The merge engine (SURVEY.md §2.9 M1-M8) — set-based snapshot-diff
+upserts between catalog tiers, as pure DataFrame transforms.
+
+Reference semantics replicated (cited into /root/reference):
+- M1 process_staged_dirs    DirectoryCrawl.py:881-946
+- M2 process_staged_files   DirectoryCrawl.py:798-878
+- M3 mark_dirs_crawled      DirectoryCrawl.py:949-1045 (+O7 frequency)
+- M4 process_staged_hashes  DirectoryCrawl.py:772-795
+- M6 delete_file            File.py:264-344 (cascade + archive)
+- M7 delete_directory       Directory.py:196-358 (subtree via prefix)
+- M8 removal-queue drain    DirectoryCrawl.py:1111-1190 (FIFO batches)
+- O5 empty-update suppression on every upsert (848-852, 925-927)
+
+Each function returns NEW DataFrames; persistence is the caller's
+TableStore.replace (Delta MERGE on a cluster). The atomic unit is a
+crawl wave: a directory's full listing lands in one batch, which is
+what makes snapshot-diff deletion safe without the reference's
+flush-ordering guard (SURVEY §7 "what's hard").
+
+Scale: every operation is an equi-join or anti-join on id/dir_path —
+one shuffle each, AQE-skew-safe; dimension-sized sides broadcast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.paths import basepath, clamp
+
+__all__ = [
+    "DirMergeResult",
+    "FileMergeResult",
+    "merge_directories",
+    "merge_files",
+    "mark_dirs_crawled",
+    "merge_hashes",
+    "delete_files",
+    "delete_directories",
+]
+
+
+def _neq(a: Column, b: Column) -> Column:
+    """Null-safe 'differs' (the reference's `t.col <> excluded.col OR
+    ...` change-detection guards, O5)."""
+    return ~a.eqNullSafe(b)
+
+
+def _now_lit(now) -> Column:
+    return F.lit(now).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# M1 — directories
+# ---------------------------------------------------------------------------
+@dataclass
+class DirMergeResult:
+    directory: DataFrame       # new state of the entity table
+    new_dirs: DataFrame        # inserted rows (to seed control, M9)
+    removal_queue: DataFrame   # vanished dirs -> deferred delete (dir_id, dir_path)
+
+
+def merge_directories(
+    directory: DataFrame, staged_dirs: DataFrame, crawled_dir_paths: DataFrame, now
+) -> DirMergeResult:
+    """M1: upsert staged subdir listings into `directory` and detect
+    vanished subdirs of the crawled dirs (anti-join snapshot diff,
+    DirectoryCrawl.py:899-914). staged_dirs: (id, dir_path, ctime,
+    mtime); crawled_dir_paths: (dir_path) — the scanned frontier, which
+    defines the scope of the diff."""
+    staged = staged_dirs.dropDuplicates(["dir_path"])
+    ex = directory.alias("ex")
+    st = staged.alias("st")
+
+    joined = st.join(ex, F.col("st.dir_path") == F.col("ex.dir_path"), "left")
+    inserts = joined.where(F.col("ex.id").isNull()).select(
+        F.col("st.id").alias("id"),
+        F.col("st.dir_path").alias("dir_path"),
+        F.col("st.ctime").alias("ctime"),
+        F.col("st.mtime").alias("mtime"),
+        _now_lit(now).alias("inserted_on"),
+        _now_lit(now).alias("updated_on"),
+    )
+    changed = _neq(F.col("st.ctime"), F.col("ex.ctime")) | _neq(
+        F.col("st.mtime"), F.col("ex.mtime")
+    )
+    updates = joined.where(F.col("ex.id").isNotNull() & changed).select(
+        F.col("ex.id").alias("id"),
+        F.col("ex.dir_path").alias("dir_path"),
+        F.col("st.ctime").alias("ctime"),
+        F.col("st.mtime").alias("mtime"),
+        F.col("ex.inserted_on").alias("inserted_on"),
+        _now_lit(now).alias("updated_on"),
+    )
+    touched = inserts.select("dir_path").unionByName(updates.select("dir_path"))
+    untouched = ex.join(touched, "dir_path", "left_anti").select(
+        "id", "dir_path", "ctime", "mtime", "inserted_on", "updated_on"
+    )
+
+    # Vanished: known subdirs of a crawled dir that the new listing no
+    # longer contains -> deferred removal (M8 drains recursively).
+    in_scope = directory.join(
+        F.broadcast(crawled_dir_paths.select("dir_path").distinct()),
+        basepath(directory.dir_path) == crawled_dir_paths.dir_path,
+        "left_semi",
+    )
+    vanished = in_scope.join(staged, "dir_path", "left_anti").select(
+        F.col("id").alias("dir_id"), "dir_path", _now_lit(now).alias("inserted_on")
+    )
+    return DirMergeResult(
+        directory=untouched.unionByName(inserts).unionByName(updates),
+        new_dirs=inserts,
+        removal_queue=vanished,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2 — files
+# ---------------------------------------------------------------------------
+@dataclass
+class FileMergeResult:
+    file: DataFrame            # new state of the entity table
+    hash_schedule: DataFrame   # new/changed files to (re)hash (hash_control rows)
+    removal_queue: DataFrame   # vanished files -> deferred delete (file_id)
+
+
+def merge_files(
+    file: DataFrame,
+    staged_files: DataFrame,
+    crawled_dir_ids: DataFrame,
+    hash_control: DataFrame,
+    now,
+) -> FileMergeResult:
+    """M2: upsert staged file listings (PK = deterministic id =
+    xxhash64(dir_path, name)); snapshot-diff vanished files of crawled
+    dirs; schedule new/content-changed files into hash_control (the
+    inline NOT EXISTS of DirectoryCrawl.py:856-873 — implementing the
+    intended semantics of the buggy M10, SURVEY §4)."""
+    staged = staged_files.dropDuplicates(["id"])
+    ex = file.alias("ex")
+    st = staged.alias("st")
+    joined = st.join(ex, F.col("st.id") == F.col("ex.id"), "left")
+
+    inserts = joined.where(F.col("ex.id").isNull()).select(
+        F.col("st.id").alias("id"),
+        F.col("st.name").alias("name"),
+        F.col("st.dir_id").alias("dir_id"),
+        F.col("st.size").alias("size"),
+        F.col("st.ctime").alias("ctime"),
+        F.col("st.mtime").alias("mtime"),
+        F.col("st.atime").alias("atime"),
+        _now_lit(now).alias("inserted_on"),
+        _now_lit(now).alias("updated_on"),
+    )
+    content_changed = _neq(F.col("st.size"), F.col("ex.size")) | _neq(
+        F.col("st.mtime"), F.col("ex.mtime")
+    )
+    any_changed = (
+        content_changed
+        | _neq(F.col("st.ctime"), F.col("ex.ctime"))
+        | _neq(F.col("st.atime"), F.col("ex.atime"))
+    )
+    updates = joined.where(F.col("ex.id").isNotNull() & any_changed).select(
+        F.col("ex.id").alias("id"),
+        F.col("ex.name").alias("name"),
+        F.col("ex.dir_id").alias("dir_id"),
+        F.col("st.size").alias("size"),
+        F.col("st.ctime").alias("ctime"),
+        F.col("st.mtime").alias("mtime"),
+        F.col("st.atime").alias("atime"),
+        F.col("ex.inserted_on").alias("inserted_on"),
+        _now_lit(now).alias("updated_on"),
+    )
+    touched = inserts.select("id").unionByName(updates.select("id"))
+    untouched = ex.join(touched, "id", "left_anti").select(
+        "id", "name", "dir_id", "size", "ctime", "mtime", "atime",
+        "inserted_on", "updated_on",
+    )
+
+    vanished = (
+        file.join(
+            F.broadcast(crawled_dir_ids.select("dir_id").distinct()), "dir_id", "left_semi"
+        )
+        .join(staged.select("id"), "id", "left_anti")
+        .select(F.col("id").alias("file_id"), _now_lit(now).alias("inserted_on"))
+    )
+
+    rehash = joined.where(F.col("ex.id").isNotNull() & content_changed)
+    to_hash = (
+        inserts.select("id", "mtime", "size")
+        .unionByName(
+            rehash.select(
+                F.col("ex.id").alias("id"),
+                F.col("st.mtime").alias("mtime"),
+                F.col("st.size").alias("size"),
+            )
+        )
+        .join(hash_control.select("file_id"), F.col("id") == F.col("file_id"), "left_anti")
+        .select(
+            F.col("id").alias("file_id"),
+            "mtime",
+            F.col("size").alias("file_size"),
+            F.lit(None).cast("timestamp").alias("process_assigned_on"),
+            F.lit(False).alias("file_missing"),
+            _now_lit(now).alias("inserted_on"),
+        )
+    )
+    return FileMergeResult(
+        file=untouched.unionByName(inserts).unionByName(updates),
+        hash_schedule=to_hash,
+        removal_queue=vanished,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 — control update + O7 adaptive frequency
+# ---------------------------------------------------------------------------
+#: O7 constants (DirectoryCrawl.py:1011-1031, SQLUtil.py:444-508)
+FREQ_DIVISOR = 30
+FREQ_MIN_S = 900
+FREQ_MAX_S = 604_800
+NOT_FOUND_RETRY_S = 86_400
+DEFAULT_FREQ_S = 86_400
+
+
+def mark_dirs_crawled(
+    control: DataFrame,
+    crawled_stats: DataFrame,
+    missing_dirs: DataFrame,
+    now,
+) -> DataFrame:
+    """M3: per crawled dir, recompute counts + adaptive crawl frequency
+    = clamp(seconds_since_last_content_activity / 30, [15 min, 7 d]);
+    release the claim. Missing dirs retry daily with dir_missing=true.
+
+    crawled_stats: (dir_path, dir_id, file_count, subdir_count,
+    last_active) — last_active = max content ctime/mtime.
+    missing_dirs: (dir_path)."""
+    nowc = _now_lit(now)
+    freq = clamp(
+        (nowc.cast("long") - F.coalesce(F.col("last_active"), nowc).cast("long"))
+        / FREQ_DIVISOR,
+        FREQ_MIN_S,
+        FREQ_MAX_S,
+    ).cast("int")
+    cs = crawled_stats.select(
+        "dir_path",
+        "dir_id",
+        F.col("file_count").cast("int").alias("file_count"),
+        F.col("subdir_count").cast("int").alias("subdir_count"),
+        "last_active",
+        freq.alias("new_freq"),
+    ).alias("cs")
+    miss = missing_dirs.select("dir_path").withColumn("is_missing", F.lit(True)).alias("m")
+    c = control.alias("c")
+    joined = c.join(cs, "dir_path", "left").join(miss, "dir_path", "left")
+    crawled = F.col("cs.dir_id").isNotNull()
+    missing = F.col("is_missing").isNotNull()
+    return joined.select(
+        "dir_path",
+        F.coalesce(F.col("cs.dir_id"), F.col("c.dir_id")).alias("dir_id"),
+        F.when(crawled, F.col("cs.file_count")).otherwise(F.col("c.file_count")).alias("file_count"),
+        F.when(crawled, F.col("cs.subdir_count")).otherwise(F.col("c.subdir_count")).alias("subdir_count"),
+        F.when(crawled, nowc + F.make_interval(secs=F.col("cs.new_freq")))
+        .when(missing, nowc + F.expr(f"INTERVAL {NOT_FOUND_RETRY_S} SECOND"))
+        .otherwise(F.col("c.next_crawl"))
+        .alias("next_crawl"),
+        F.when(crawled, F.col("cs.new_freq"))
+        .when(missing, F.lit(NOT_FOUND_RETRY_S))
+        .otherwise(F.col("c.crawl_frequency"))
+        .alias("crawl_frequency"),
+        F.when(crawled | missing, F.lit(None).cast("int"))
+        .otherwise(F.col("c.assigned_process_id"))
+        .alias("assigned_process_id"),
+        F.when(crawled | missing, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("c.process_assigned_on"))
+        .alias("process_assigned_on"),
+        F.when(crawled | missing, nowc).otherwise(F.col("c.last_crawled")).alias("last_crawled"),
+        F.when(crawled, F.col("cs.last_active")).otherwise(F.col("c.last_active")).alias("last_active"),
+        F.when(missing, F.lit(True))
+        .when(crawled, F.lit(False))
+        .otherwise(F.col("c.dir_missing"))
+        .alias("dir_missing"),
+        F.col("c.inserted_on").alias("inserted_on"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 — hashes
+# ---------------------------------------------------------------------------
+def merge_hashes(
+    hash_df: DataFrame, hash_control: DataFrame, staged_hashes: DataFrame, now
+) -> tuple[DataFrame, DataFrame]:
+    """M4 (+ M5 change detection): upsert staged digests into `hash`
+    keyed on file_id, drop the processed control rows (including
+    file_missing ones). staged_hashes: HASH_SCHEMA rows.
+    Returns (hash, hash_control)."""
+    ok = staged_hashes.where(~F.col("file_missing")).dropDuplicates(["file_id"])
+    ex = hash_df.alias("ex")
+    st = ok.alias("st")
+    joined = st.join(ex, F.col("st.file_id") == F.col("ex.file_id"), "left")
+    inserts = joined.where(F.col("ex.file_id").isNull()).select(
+        F.col("st.file_id").alias("id"),
+        F.col("st.file_id").alias("file_id"),
+        F.col("st.md5_hash").alias("md5_hash"),
+        F.col("st.hashed_on").alias("md5_hash_time"),
+        F.col("st.sha1_hash").alias("sha1_hash"),
+        F.col("st.hashed_on").alias("sha1_hash_time"),
+    )
+    changed = _neq(F.col("st.md5_hash"), F.col("ex.md5_hash")) | _neq(
+        F.col("st.sha1_hash"), F.col("ex.sha1_hash")
+    )
+    updates = joined.where(F.col("ex.file_id").isNotNull() & changed).select(
+        F.col("ex.id").alias("id"),
+        F.col("ex.file_id").alias("file_id"),
+        F.col("st.md5_hash").alias("md5_hash"),
+        F.col("st.hashed_on").alias("md5_hash_time"),
+        F.col("st.sha1_hash").alias("sha1_hash"),
+        F.col("st.hashed_on").alias("sha1_hash_time"),
+    )
+    touched = inserts.select("file_id").unionByName(updates.select("file_id"))
+    untouched = ex.join(touched, "file_id", "left_anti").select(
+        "id", "file_id", "md5_hash", "md5_hash_time", "sha1_hash", "sha1_hash_time"
+    )
+    new_hash = untouched.unionByName(inserts).unionByName(updates)
+    processed = staged_hashes.select("file_id")  # incl. missing -> drop control
+    new_control = hash_control.join(processed, "file_id", "left_anti")
+    return new_hash, new_control
+
+
+# ---------------------------------------------------------------------------
+# M6/M7 — cascading deletes with archive
+# ---------------------------------------------------------------------------
+def delete_files(
+    file: DataFrame, hash_df: DataFrame, hash_control: DataFrame,
+    victim_file_ids: DataFrame, now,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """M6 cascade: drop hash + hash_control + file rows for the victim
+    set; archived file rows carry lineage (File.py:264-344).
+    Returns (file, hash, hash_control, file_archive_rows)."""
+    victims = victim_file_ids.select("file_id").distinct()
+    vf = file.join(victims, file.id == victims.file_id, "left_semi")
+    archive_rows = vf.select(
+        "id", "name", "dir_id", "size", "ctime", "mtime", "atime",
+        F.col("inserted_on").alias("original_inserted_on"),
+        F.col("updated_on").alias("original_updated_on"),
+        _now_lit(now).alias("deleted_on"),
+    )
+    new_file = file.join(victims, file.id == victims.file_id, "left_anti")
+    new_hash = hash_df.join(victims, "file_id", "left_anti")
+    new_hc = hash_control.join(victims, "file_id", "left_anti")
+    return new_file, new_hash, new_hc, archive_rows
+
+
+def delete_directories(
+    directory: DataFrame, file: DataFrame, hash_df: DataFrame,
+    hash_control: DataFrame, directory_control: DataFrame,
+    victim_dir_ids: DataFrame, now, recursive: bool = True,
+) -> dict[str, DataFrame]:
+    """M7: delete directories (+ subtree when recursive, via the
+    dir_path prefix — no recursion needed in set-land, Directory.py:
+    196-358), cascade to their files (M6), archive everything.
+    Returns dict of new tables + archive row batches."""
+    victims = directory.join(
+        victim_dir_ids.select("dir_id").distinct(),
+        directory.id == F.col("dir_id"),
+        "left_semi",
+    )
+    if recursive:
+        roots = victims.select(F.col("dir_path").alias("root_path"))
+        sub = directory.join(
+            F.broadcast(roots),
+            directory.dir_path.startswith(F.concat(F.col("root_path"), F.lit("/")))
+            | directory.dir_path.startswith(F.concat(F.col("root_path"), F.lit("\\")))
+            | (directory.dir_path == F.col("root_path")),
+            "left_semi",
+        )
+        victims = sub
+    victim_ids = victims.select(F.col("id").alias("dir_id"))
+    dir_archive = victims.select(
+        "id", "dir_path", "ctime", "mtime",
+        F.col("inserted_on").alias("original_inserted_on"),
+        F.col("updated_on").alias("original_updated_on"),
+        _now_lit(now).alias("deleted_on"),
+    )
+    victim_files = file.join(victim_ids, "dir_id", "left_semi").select(
+        F.col("id").alias("file_id")
+    )
+    new_file, new_hash, new_hc, file_archive = delete_files(
+        file, hash_df, hash_control, victim_files, now
+    )
+    return {
+        "directory": directory.join(victim_ids, directory.id == victim_ids.dir_id, "left_anti"),
+        "file": new_file,
+        "hash": new_hash,
+        "hash_control": new_hc,
+        "directory_control": directory_control.join(victim_ids, "dir_id", "left_anti"),
+        "directory_archive_rows": dir_archive,
+        "file_archive_rows": file_archive,
+    }

@@ -1,0 +1,173 @@
+"""S1 filesystem scan source (SURVEY.md §2.1): distributed directory
+listing — the Spark expression of the reference's one-dir crawl step
+(FileDbDAL/DirectoryCrawl.py:62-85; stat mapping FileDbDAL/File.py:25-41,
+FileDbDAL/Directory.py:19-26).
+
+Shape: the input is a DataFrame (or list) of directory paths — the
+crawl frontier. `mapInPandas` fans the frontier out across executors;
+each task `os.scandir`s its directories and emits one row per entry.
+At cluster scale the frontier is repartitioned so each executor scans a
+disjoint slice of the tree; a full-tree crawl is the breadth-first loop
+`frontier -> scan -> subdirs -> next frontier` (see crawl_tree).
+
+Replicated semantics:
+- size is MB = bytes/1e6 (File.py:35);
+- names that cannot encode to UTF-8 are dropped (F15,
+  DirectoryCrawl.py:87-115);
+- ctime is Windows-only in the reference (File.py:29-31) — captured
+  here from st_ctime on every OS, documented divergence: on POSIX this
+  is inode-change time;
+- unreadable/vanished dirs yield a row with error set (the reference
+  marks dir_missing, DirectoryCrawl.py:536).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Iterator, Sequence
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["SCAN_SCHEMA", "scan_dirs", "crawl_tree", "listing_to_catalog_rows"]
+
+SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("dir_path", T.StringType()),
+        T.StructField("entry_type", T.StringType()),  # 'file' | 'dir'
+        T.StructField("name", T.StringType()),
+        T.StructField("size_mb", T.DoubleType()),
+        T.StructField("ctime", T.TimestampType()),
+        T.StructField("mtime", T.TimestampType()),
+        T.StructField("atime", T.TimestampType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _ts(epoch: float) -> datetime:
+    # naive UTC to match the catalog's timestamp convention
+    return datetime.fromtimestamp(epoch, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _scan_one(dir_path: str) -> Iterator[dict]:
+    try:
+        entries = list(os.scandir(dir_path))
+    except OSError as exc:
+        yield {
+            "dir_path": dir_path, "entry_type": "dir", "name": None,
+            "size_mb": None, "ctime": None, "mtime": None, "atime": None,
+            "error": f"{type(exc).__name__}: {exc}",
+        }
+        return
+    for e in entries:
+        try:
+            e.name.encode("utf8")  # F15: drop unencodable names
+        except UnicodeEncodeError:
+            continue
+        try:
+            st = e.stat(follow_symlinks=False)
+            is_dir = e.is_dir(follow_symlinks=False)
+        except OSError:
+            continue  # vanished between scandir and stat
+        yield {
+            "dir_path": dir_path,
+            "entry_type": "dir" if is_dir else "file",
+            "name": e.name,
+            "size_mb": None if is_dir else st.st_size / 1e6,
+            "ctime": _ts(st.st_ctime),
+            "mtime": _ts(st.st_mtime),
+            "atime": _ts(st.st_atime),
+            "error": None,
+        }
+
+
+def scan_dirs(
+    spark: SparkSession, dirs: DataFrame | Sequence[str], partitions: int | None = None
+) -> DataFrame:
+    """Scan a frontier of directories in parallel. `dirs` is a DataFrame
+    with a dir_path column or a list of paths. Output: SCAN_SCHEMA rows.
+
+    The scandir work runs inside mapInPandas (Arrow-batched, executor-
+    side); nothing but the frontier paths passes through the driver."""
+    import pandas as pd
+
+    if not isinstance(dirs, DataFrame):
+        dirs = spark.createDataFrame([(p,) for p in dirs], "dir_path string")
+    dirs = dirs.select("dir_path").distinct()
+    if partitions:
+        dirs = dirs.repartition(partitions)
+
+    def scan_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [r for p in pdf["dir_path"] for r in _scan_one(p)]
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in SCAN_SCHEMA.fields],
+            )
+
+    return dirs.mapInPandas(scan_batches, SCAN_SCHEMA)
+
+
+def crawl_tree(
+    spark: SparkSession,
+    roots: Sequence[str],
+    max_depth: int = 64,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Breadth-first full-tree crawl: repeatedly scan the frontier and
+    feed discovered subdirs back in. Each level is one distributed scan
+    job; the union of levels is the full listing. The frontier (paths
+    only) is collected per level — it is the work queue, not the data,
+    mirroring the reference's crawl queue (Server/__init__.py:228-261)."""
+    all_levels: list[DataFrame] = []
+    frontier = list(dict.fromkeys(roots))
+    depth = 0
+    while frontier and depth < max_depth:
+        listing = scan_dirs(spark, frontier, partitions=partitions)
+        listing = listing.persist()
+        all_levels.append(listing)
+        sep = os.sep
+        frontier = [
+            r["dir_path"].rstrip(sep) + sep + r["name"]
+            for r in listing.where(
+                (F.col("entry_type") == "dir") & F.col("error").isNull()
+            )
+            .select("dir_path", "name")
+            .collect()
+        ]
+        depth += 1
+    if not all_levels:
+        return spark.createDataFrame([], SCAN_SCHEMA)
+    out = all_levels[0]
+    for df in all_levels[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def listing_to_catalog_rows(listing: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shape a scan listing into staged `directory` and `file` rows with
+    deterministic ids (xxhash64 of the identity key — stable across
+    re-crawls, SURVEY §7 'upsert identity'). Returns (staged_dirs,
+    staged_files)."""
+    sep = os.sep
+    ok = listing.where(F.col("error").isNull() & F.col("name").isNotNull())
+    staged_dirs = ok.where(F.col("entry_type") == "dir").select(
+        F.xxhash64(F.concat(F.col("dir_path"), F.lit(sep), F.col("name"))).alias("id"),
+        F.concat(F.col("dir_path"), F.lit(sep), F.col("name")).alias("dir_path"),
+        "ctime",
+        "mtime",
+    )
+    staged_files = ok.where(F.col("entry_type") == "file").select(
+        F.xxhash64(F.col("dir_path"), F.col("name")).alias("id"),
+        F.col("name"),
+        F.xxhash64(F.col("dir_path")).alias("dir_id"),
+        F.col("dir_path"),
+        F.col("size_mb").cast("decimal(18,6)").alias("size"),
+        "ctime",
+        "mtime",
+        "atime",
+    )
+    return staged_dirs, staged_files

@@ -1,0 +1,130 @@
+"""Scheduler (SURVEY.md §2.6 T1/T2, §2.9 M9-M11, §4 O7/O8): priority
+work claiming over the control tables.
+
+Reference semantics:
+- T1 get_dirs_to_crawl     DirectoryCrawl.py:641-687 — due dirs ranked
+  by hours-overdue + round(file_count/100) + round(subdir_count/100),
+  ordered ASCENDING (the written semantics — replicated quirk, §4),
+  LIMIT n, then claimed (assigned_process_id + process_assigned_on).
+- T2 get_files_to_hash     DirectoryCrawl.py:705-718 — smallest first.
+- M9 schedule_subdirectories  DirectoryCrawl.py:1048-1076 (implements
+  the intended semantics of the never-defined name install.py:71 calls).
+- M11 reset                SQLUtil.py:407-441 — null all claims.
+
+Claims are a control-table recompute (join + conditional update), not
+an in-place UPDATE...RETURNING: Spark tasks own partitions natively,
+so the claim columns exist for schedule-view parity and crash hygiene,
+not correctness (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "get_dirs_to_crawl",
+    "get_files_to_hash",
+    "seed_control_for_dirs",
+    "reset_claims",
+]
+
+
+def get_dirs_to_crawl(
+    control: DataFrame, now, limit: int = 10, process_id: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """T1: pick + claim up to `limit` due directories. Returns
+    (claimed_work, new_control). Global top-k compiles to
+    TakeOrderedAndProject — no full sort at scale."""
+    nowc = F.lit(now).cast("timestamp")
+    due = control.where(
+        (F.col("next_crawl") <= nowc) & F.col("assigned_process_id").isNull()
+    )
+    score = (
+        (nowc.cast("long") - F.col("next_crawl").cast("long")) / 3600.0
+        + F.round(F.col("file_count") / 100)
+        + F.round(F.col("subdir_count") / 100)
+    )
+    work = (
+        due.withColumn("priority_score", score)
+        .orderBy(F.col("priority_score").asc(), F.col("dir_path").asc())
+        .limit(limit)
+        .select("dir_path", "dir_id", "priority_score")
+    )
+    claimed = work.select("dir_path").withColumn("claimed", F.lit(True))
+    new_control = (
+        control.join(F.broadcast(claimed), "dir_path", "left")
+        .withColumn(
+            "assigned_process_id",
+            F.when(F.col("claimed"), F.lit(process_id)).otherwise(
+                F.col("assigned_process_id")
+            ),
+        )
+        .withColumn(
+            "process_assigned_on",
+            F.when(F.col("claimed"), nowc).otherwise(F.col("process_assigned_on")),
+        )
+        .drop("claimed")
+    )
+    return work, new_control
+
+
+def get_files_to_hash(
+    hash_control: DataFrame, now, limit: int = 5000, process_id: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """T2: claim the smallest unclaimed files first (hash cheapest
+    first, DirectoryCrawl.py:714-718). Returns (work, new_control)."""
+    nowc = F.lit(now).cast("timestamp")
+    work = (
+        hash_control.where(
+            F.col("process_assigned_on").isNull() & ~F.coalesce("file_missing", F.lit(False))
+        )
+        .orderBy(F.col("file_size").asc(), F.col("file_id").asc())
+        .limit(limit)
+        .select("file_id", "file_size")
+    )
+    claimed = work.select("file_id").withColumn("claimed", F.lit(True))
+    new_control = (
+        hash_control.join(F.broadcast(claimed), "file_id", "left")
+        .withColumn(
+            "process_assigned_on",
+            F.when(F.col("claimed"), nowc).otherwise(F.col("process_assigned_on")),
+        )
+        .drop("claimed")
+    )
+    return work, new_control
+
+
+def seed_control_for_dirs(
+    control: DataFrame, new_dirs: DataFrame, now, crawl_frequency: int = 86_400
+) -> DataFrame:
+    """M9: insert-if-absent control rows for newly discovered dirs —
+    due immediately (next_crawl = now), default frequency 1 day
+    (DirectoryCrawl.py:536,1048-1076)."""
+    nowc = F.lit(now).cast("timestamp")
+    seeds = (
+        new_dirs.select(F.col("dir_path"), F.col("id").alias("dir_id"))
+        .join(control.select("dir_path"), "dir_path", "left_anti")
+        .select(
+            "dir_path",
+            "dir_id",
+            F.lit(None).cast("int").alias("file_count"),
+            F.lit(None).cast("int").alias("subdir_count"),
+            nowc.alias("next_crawl"),
+            F.lit(crawl_frequency).cast("int").alias("crawl_frequency"),
+            F.lit(None).cast("int").alias("assigned_process_id"),
+            F.lit(None).cast("timestamp").alias("process_assigned_on"),
+            F.lit(None).cast("timestamp").alias("last_crawled"),
+            F.lit(None).cast("timestamp").alias("last_active"),
+            F.lit(False).alias("dir_missing"),
+            nowc.alias("inserted_on"),
+        )
+    )
+    return control.unionByName(seeds)
+
+
+def reset_claims(control: DataFrame) -> DataFrame:
+    """M11 crash recovery: null out all claims (idempotent restart)."""
+    return control.withColumn(
+        "assigned_process_id", F.lit(None).cast("int")
+    ).withColumn("process_assigned_on", F.lit(None).cast("timestamp"))

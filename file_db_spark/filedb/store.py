@@ -1,0 +1,78 @@
+"""Parquet-backed table store for the catalog (SURVEY.md §1.3).
+
+Each table lives under `<root>/<name>/` as parquet. Writes go to a
+fresh generation directory and swap in atomically (write-new-then-
+rename), so a reader never sees a half-written table and the input of a
+merge is never clobbered mid-plan. On a cluster this role is played by
+Delta/Iceberg MERGE + snapshot isolation; the generation-swap is the
+dependency-free single-box analog with the same read-after-write
+semantics. The reference's counterpart is Postgres heap tables with
+staging tiers (FileDbDAL/__init__.py:40-48).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["TableStore"]
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str, schemas: dict[str, T.StructType]):
+        self.spark = spark
+        self.root = root
+        self.schemas = schemas
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _current(self, name: str) -> str | None:
+        d = self._dir(name)
+        gens = sorted(g for g in os.listdir(d)) if os.path.isdir(d) else []
+        return os.path.join(d, gens[-1]) if gens else None
+
+    def read(self, name: str) -> DataFrame:
+        """Current generation of the table; empty (declared schema) if
+        the table has never been written."""
+        cur = self._current(name)
+        if cur is None:
+            return self.spark.createDataFrame([], self.schemas[name])
+        return self.spark.read.schema(self.schemas[name]).parquet(cur)
+
+    def replace(self, name: str, df: DataFrame) -> None:
+        """Write a new generation; superseded generations stay on disk
+        until vacuum(). Lazy DataFrames handed out before the swap (a
+        merge result executed later, a listing() a caller still holds)
+        keep reading their snapshot — the single-box analog of snapshot
+        isolation; Delta/Iceberg time travel + VACUUM play this role on
+        a cluster. Generations are a few KB of parquet here; vacuum()
+        is the explicit retention knob."""
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        gen = os.path.join(d, f"gen-{time.time_ns()}")
+        cols = [f.name for f in self.schemas[name].fields]
+        df.select(*cols).write.mode("overwrite").parquet(gen)
+
+    def vacuum(self, retain: int = 1) -> None:
+        """Drop all but the newest `retain` generations of every table.
+        Call only when no lazy plans over older snapshots are alive."""
+        for name in self.schemas:
+            d = self._dir(name)
+            if not os.path.isdir(d):
+                continue
+            gens = sorted(os.listdir(d))
+            for g in gens[: max(0, len(gens) - retain)]:
+                shutil.rmtree(os.path.join(d, g), ignore_errors=True)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        """Append rows (archive/removal-queue semantics): current rows
+        plus the new ones become the next generation."""
+        cur = self.read(name)
+        cols = [f.name for f in self.schemas[name].fields]
+        self.replace(name, cur.unionByName(df.select(*cols)))

@@ -1,0 +1,164 @@
+"""Pipeline round-trip tests (SURVEY §5 item 3): crawl a real temp
+tree -> assert catalog state; mutate the tree (add / remove / touch /
+empty a dir) -> re-crawl -> assert snapshot-diff merge semantics
+(M1-M4) including archive lineage and empty-update suppression; then
+hash waves (S6+M4) and the flagship duplicate query on real digests."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_db_spark.filedb.engine import Engine
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    root = tmp_path / "tree"
+    (root / "sub1").mkdir(parents=True)
+    (root / "sub2" / "nested").mkdir(parents=True)
+    (root / "a.txt").write_text("alpha")
+    (root / "sub1" / "b.txt").write_text("bravo")
+    (root / "sub1" / "dup1.bin").write_bytes(b"same-content")
+    (root / "sub2" / "dup2.bin").write_bytes(b"same-content")
+    (root / "sub2" / "nested" / "c.txt").write_text("charlie")
+    return root
+
+
+def _mk_engine(spark, tmp_path) -> Engine:
+    eng = Engine(spark, str(tmp_path / "catalog"))
+    eng.install()
+    return eng
+
+
+def test_crawl_builds_catalog(spark, tmp_path, tree):
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    eng.run_until_idle()
+
+    dirs = {r["dir_path"] for r in eng.store.read("directory").collect()}
+    assert dirs == {
+        str(tree),
+        str(tree / "sub1"),
+        str(tree / "sub2"),
+        str(tree / "sub2" / "nested"),
+    }
+    files = eng.store.read("file")
+    names = {r["name"] for r in files.collect()}
+    assert names == {"a.txt", "b.txt", "dup1.bin", "dup2.bin", "c.txt"}
+    # size unit: MB = bytes/1e6 (File.py:35)
+    a = files.where(F.col("name") == "a.txt").collect()[0]
+    assert float(a["size"]) == pytest.approx(5 / 1e6)
+    # every file hashed after run_until_idle
+    assert eng.store.read("hash").count() == 5
+    assert eng.store.read("hash_control").count() == 0
+
+
+def test_real_digests_and_duplicate_search(spark, tmp_path, tree):
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    eng.run_until_idle()
+
+    h = {r["file_id"]: r for r in eng.store.read("hash").collect()}
+    files = {r["name"]: r for r in eng.store.read("file").collect()}
+    dup_id = files["dup1.bin"]["id"]
+    expect_md5 = hashlib.md5(b"same-content").hexdigest()
+    expect_sha1 = hashlib.sha1(b"same-content").hexdigest()
+    assert h[dup_id]["md5_hash"] == expect_md5
+    assert h[dup_id]["sha1_hash"] == expect_sha1
+
+    report = eng.duplicate_report().collect()
+    assert sorted(r["name"] for r in report) == ["dup1.bin", "dup2.bin"]
+    assert all(r["duplicate_count"] == 2 for r in report)
+
+    matches = eng.search_duplicate_file(str(tree / "sub1") + "/dup1.bin").collect()
+    assert [m["name"] for m in matches] == ["dup2.bin"]
+
+
+def test_recrawl_snapshot_diff(spark, tmp_path, tree):
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    eng.run_until_idle()
+    file_t0 = {r["name"]: r for r in eng.store.read("file").collect()}
+
+    # mutate: add, remove, touch-with-new-content, vanish a subtree
+    (tree / "new.txt").write_text("delta")
+    (tree / "a.txt").unlink()
+    time.sleep(0.02)
+    (tree / "sub1" / "b.txt").write_text("bravo-changed!")
+    os.utime(tree / "sub1" / "b.txt")
+    import shutil
+
+    shutil.rmtree(tree / "sub2" / "nested")
+
+    # force everything due again, then recrawl
+    control = eng.store.read("directory_control").withColumn(
+        "next_crawl", F.expr("timestamp'2000-01-01 00:00:00'")
+    )
+    eng.store.replace("directory_control", control)
+    eng.run_until_idle()
+
+    file_t1 = {r["name"]: r for r in eng.store.read("file").collect()}
+    assert "new.txt" in file_t1 and "a.txt" not in file_t1
+    # changed file: content change -> new size/mtime, inserted_on kept (O5)
+    assert file_t1["b.txt"]["inserted_on"] == file_t0["b.txt"]["inserted_on"]
+    assert file_t1["b.txt"]["updated_on"] != file_t0["b.txt"]["updated_on"]
+    assert float(file_t1["b.txt"]["size"]) == pytest.approx(14 / 1e6)
+    # NOTE: dup1.bin also updates at t1 — hashing bumped its atime, and
+    # the reference's change detection includes atime
+    # (DirectoryCrawl.py:848-852). Empty-update suppression is asserted
+    # on the third, genuinely-idle wave below.
+    # vanished subtree: dir + its file gone, archived with lineage
+    dirs = {r["dir_path"] for r in eng.store.read("directory").collect()}
+    assert str(tree / "sub2" / "nested") not in dirs
+    d_arch = eng.store.read("directory_archive").collect()
+    assert any(r["dir_path"] == str(tree / "sub2" / "nested") for r in d_arch)
+    f_arch = {r["name"] for r in eng.store.read("file_archive").collect()}
+    assert {"a.txt", "c.txt"} <= f_arch
+    arch_a = [
+        r for r in eng.store.read("file_archive").collect() if r["name"] == "a.txt"
+    ][0]
+    assert arch_a["original_inserted_on"] == file_t0["a.txt"]["inserted_on"]
+    assert arch_a["deleted_on"] is not None
+    # rehash scheduled ONLY for the new/changed files, then drained
+    assert eng.store.read("hash_control").count() == 0
+    h = {r["file_id"]: r for r in eng.store.read("hash").collect()}
+    assert h[file_t1["b.txt"]["id"]]["sha1_hash"] == hashlib.sha1(
+        b"bravo-changed!"
+    ).hexdigest()
+
+    # third wave with zero filesystem changes: O5 empty-update
+    # suppression -> rows untouched
+    control = eng.store.read("directory_control").withColumn(
+        "next_crawl", F.expr("timestamp'2000-01-01 00:00:00'")
+    )
+    eng.store.replace("directory_control", control)
+    eng.run_until_idle()
+    file_t2 = {r["name"]: r for r in eng.store.read("file").collect()}
+    # (new.txt/b.txt were read by wave-2 hashing -> atime moved again;
+    # dup1.bin was not re-read, so it must be untouched)
+    assert file_t2["dup1.bin"]["updated_on"] == file_t1["dup1.bin"]["updated_on"]
+
+
+def test_scheduler_claims_and_reset(spark, tmp_path, tree):
+    from datetime import datetime
+
+    from file_db_spark.filedb import scheduler
+
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    control = eng.store.read("directory_control")
+    now = datetime(2030, 1, 1)
+    work, claimed = scheduler.get_dirs_to_crawl(control, now, limit=5, process_id=7)
+    assert work.count() == 1  # only the root is known pre-crawl
+    row = claimed.collect()[0]
+    assert row["assigned_process_id"] == 7
+    assert row["process_assigned_on"] is not None
+    # M11 reset nulls the claim
+    reset = scheduler.reset_claims(claimed).collect()[0]
+    assert reset["assigned_process_id"] is None
+    assert reset["process_assigned_on"] is None

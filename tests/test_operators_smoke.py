@@ -1,0 +1,30 @@
+"""Registry smoke: every queries() entry runs at sf0.001 and returns a
+DataFrame with a stable schema; the m2 multimodal decode pipeline is
+run twice in one session (pinned repro for the round-1 flake)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def test_contract_shape():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) >= 50
+    assert set(o) <= set(q)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_runs(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    assert df.columns  # schema resolves
+    assert df.count() >= 0
+
+
+def test_m2_decode_twice_same_session(spark, sf_dir):
+    fn = entrymod.queries()["m2_decode_features"]
+    n1 = fn(spark, sf_dir).count()
+    n2 = fn(spark, sf_dir).count()
+    assert n1 == n2
