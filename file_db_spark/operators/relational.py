@@ -469,6 +469,76 @@ def t2_topk_smallest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t3_fifo_batch",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def t3_fifo_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: FIFO batch drain — oldest-first LIMIT batch (the removal
+    queues' ORDER BY inserted_on LIMIT 10000,
+    FileDbDAL/DirectoryCrawl.py:1120-1125)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@_q(
+    "t5_display_cap",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    ORDER BY p_partkey ASC
+    LIMIT 50
+    """,
+)
+def t5_display_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: the CLI's 50-row display cap (CLI/__init__.py:150-152) as a
+    deterministic ordered LIMIT."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .orderBy(F.col("p_partkey").asc())
+        .limit(50)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@_q(
+    "u3_null_safe_switch",
+    """
+    SELECT 'requested' AS branch, n_nationkey, n_name
+    FROM nation WHERE n_nationkey IN (1, 3, 5)
+    UNION ALL
+    SELECT 'all' AS branch, n_nationkey, n_name FROM nation
+    """,
+)
+def u3_null_safe_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: the 'requested set, or everything when the argument is null'
+    input switch (crawl_frequency_last_ctime_calculate,
+    FileDbDAL/SQLUtil.py:467-480). In Spark the branch is a plain
+    Python conditional choosing the DataFrame — both branches shown
+    here, labeled, so the oracle can verify each."""
+
+    def switch(keys):
+        n = load_table(spark, sf_dir, "nation")
+        return n.where(F.col("n_nationkey").isin(*keys)) if keys else n
+
+    requested = switch([1, 3, 5]).select(
+        F.lit("requested").alias("branch"), "n_nationkey", "n_name"
+    )
+    everything = switch(None).select(
+        F.lit("all").alias("branch"), "n_nationkey", "n_name"
+    )
+    return requested.unionByName(everything)
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

@@ -1,0 +1,146 @@
+"""Streaming event analytics (SURVEY.md §2.10 "new capability, no
+reference analog"): the streaming builds of operators/events.py e1/e4/e5
+— same logical transformations, declared over an unbounded source with
+watermarks bounding state.
+
+Usage shape:
+    src = events_source(spark, sf_dir)          # file stream over the
+                                                # events parquet
+    q = (tumbling_counts(src)
+         .writeStream.outputMode('append')
+         .trigger(availableNow=True)
+         .format('memory').queryName('t').start())
+
+State story at scale: the 10-minute watermark bounds every window /
+dedup state store; late rows beyond it are dropped (the batch oracle
+sees all rows, so tests compare on availableNow over a static dir where
+nothing is late). Session analytics use session_window (native state
+merge) instead of the batch lag/cumsum idiom.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "events_source",
+    "tumbling_counts",
+    "sliding_purchases",
+    "stateful_dedup",
+    "session_counts",
+    "run_to_memory",
+]
+
+#: events.parquet schema with ts as long nanos (the session reads
+#: TIMESTAMP(NANOS) via nanosAsLong — see session.py); converted to a
+#: proper timestamp in events_source.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_source(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream over the events parquet — the standing-query analog
+    of the batch scan. maxFilesPerTrigger is the backpressure knob (the
+    reference's queue caps, config.json:24-29)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the file-stream source wants a directory; select the events
+    # parquet out of the shared sf_dir with a glob
+    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming e1: watermarked 1-hour tumbling window counts/sums."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def sliding_purchases(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming e5: 1-hour window sliding every 30 minutes."""
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_purchases", "total_value")
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming e4: keyed dedup with watermark-bounded state —
+    dropDuplicates on (user_id, event_type) emits each key's first
+    event; state for keys older than the watermark is evicted."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming e2: native session windows with a 30-minute gap —
+    state-merged sessionization (the batch form is the lag/cumsum
+    idiom; session_window is its streaming-native equivalent)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DataFrame with trigger(availableNow) into an
+    in-memory table and return it as a batch DataFrame (test/dev sink;
+    production sinks are parquet/kafka foreachBatch).
+
+    Append mode only emits windows the watermark has closed — the final
+    window of a drained static source stays open, so use
+    output_mode='complete' when comparing an aggregation against its
+    batch oracle."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,97 @@
+"""Streaming semantics tests (SURVEY §2.10): each streaming builder,
+drained with trigger(availableNow) over the static events table, must
+agree with its batch counterpart; the continuous crawl stream must
+crawl a mutating tree without restarts."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from file_db_spark.operators import events as batch_events
+from file_db_spark.streaming import events_stream as es
+
+
+def test_tumbling_matches_batch(spark, sf_dir):
+    src = es.events_source(spark, sf_dir)
+    got = es.run_to_memory(es.tumbling_counts(src), "t_tumbling", output_mode="complete")
+    want = batch_events.QUERIES["e1_tumbling_window"](spark, sf_dir)
+    assert got.count() == want.count()
+    diff = got.exceptAll(want)
+    assert diff.count() == 0
+
+
+def test_sliding_matches_batch(spark, sf_dir):
+    src = es.events_source(spark, sf_dir)
+    got = es.run_to_memory(es.sliding_purchases(src), "t_sliding", output_mode="complete")
+    want = batch_events.QUERIES["e5_sliding_window"](spark, sf_dir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stateful_dedup_one_row_per_key(spark, sf_dir):
+    src = es.events_source(spark, sf_dir)
+    got = es.run_to_memory(es.stateful_dedup(src), "t_dedup")
+    # exactly one event per (user_id, event_type) key present in input
+    keys_in = (
+        es.run_to_memory(es.events_source(spark, sf_dir), "t_raw")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got.count() == keys_in
+    assert got.groupBy("user_id", "event_type").count().where("count > 1").count() == 0
+
+
+def test_session_counts_total_preserved(spark, sf_dir):
+    src = es.events_source(spark, sf_dir)
+    got = es.run_to_memory(es.session_counts(src), "t_sessions", output_mode="complete")
+    total_events = spark.table("t_raw").count() if spark.catalog.tableExists("t_raw") else None
+    if total_events is None:
+        total_events = es.run_to_memory(
+            es.events_source(spark, sf_dir), "t_raw2"
+        ).count()
+    # every event lands in exactly one session
+    assert got.agg(F.sum("n_events")).collect()[0][0] == total_events
+    # sessions per user >= 1 and session bounds are ordered
+    bad = got.where(F.col("session_end") < F.col("session_start"))
+    assert bad.count() == 0
+
+
+def test_continuous_crawl_stream(spark, tmp_path):
+    from file_db_spark.filedb.engine import Engine
+    from file_db_spark.streaming.crawl_stream import continuous_crawl
+
+    tree = tmp_path / "stream_tree"
+    tree.mkdir()
+    (tree / "one.txt").write_text("first")
+
+    eng = Engine(spark, str(tmp_path / "cat"))
+    eng.install()
+    eng.add_root(str(tree))
+    q = continuous_crawl(
+        spark, eng, interval="1 seconds",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if eng.store.read("hash").count() >= 1:
+                break
+            time.sleep(1)
+        assert eng.store.read("file").count() == 1
+        # mutate while the stream runs; force the root due again
+        (tree / "two.txt").write_text("second")
+        control = eng.store.read("directory_control").withColumn(
+            "next_crawl", F.expr("timestamp'2000-01-01 00:00:00'")
+        )
+        eng.store.replace("directory_control", control)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if eng.store.read("file").count() == 2:
+                break
+            time.sleep(1)
+        assert eng.store.read("file").count() == 2
+    finally:
+        q.stop()
