@@ -35,6 +35,7 @@ HEADLINE = [
     "x4_minhash_lsh",
     "d1_token_stats",
     "v2_ann_lsh",
+    "c9_duplicate_groups",
 ]
 
 

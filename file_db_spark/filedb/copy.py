@@ -30,7 +30,14 @@ from pyspark.sql import types as T
 
 from .hashing import _hash_one
 
-__all__ = ["COPY_FILE", "COPY_RESULT", "queue_copy", "claim_copy_jobs", "perform_copies"]
+__all__ = [
+    "COPY_FILE",
+    "COPY_RESULT",
+    "queue_copy",
+    "claim_copy_jobs",
+    "resolve_copy_paths",
+    "perform_copies",
+]
 
 COPY_FILE = T.StructType(
     [
@@ -96,6 +103,22 @@ def claim_copy_jobs(
         .drop("claimed")
     )
     return work, new_queue
+
+
+def resolve_copy_paths(work: DataFrame, file_detail: DataFrame) -> DataFrame:
+    """J12: resolve queued jobs against the catalog — copy_file ⟕
+    vw_file_detail on the source path with
+    coalesce(catalog_path, queued_path) (FileHandler.py:144-162). Jobs
+    whose source is cataloged gain its canonical full_path; uncataloged
+    sources fall back to the queued literal path."""
+    fd = file_detail.select(
+        F.col("full_path").alias("cat_path"), F.col("file_id").alias("cat_file_id")
+    )
+    return (
+        work.join(fd, work.file_path == fd.cat_path, "left")
+        .withColumn("file_path", F.coalesce(F.col("cat_path"), F.col("file_path")))
+        .drop("cat_path")
+    )
 
 
 def _copy_one(src: str, dst: str, overwrite: str, verify: bool, move: bool) -> tuple[bool, str]:

@@ -37,6 +37,7 @@ __all__ = [
     "merge_files",
     "mark_dirs_crawled",
     "merge_hashes",
+    "upsert_hash",
     "delete_files",
     "delete_directories",
 ]
@@ -328,6 +329,36 @@ def merge_hashes(
     processed = staged_hashes.select("file_id")  # incl. missing -> drop control
     new_control = hash_control.join(processed, "file_id", "left_anti")
     return new_hash, new_control
+
+
+def upsert_hash(
+    hash_df: DataFrame,
+    listing: DataFrame,
+    file_id: int,
+    md5_hash: str | None,
+    sha1_hash: str | None,
+    now,
+) -> DataFrame:
+    """M5 point upsert with the file-existence guard
+    (hash_insert_if_file_exists, Hash.py:147-179): the row lands only
+    if the file exists in the catalog listing; change detection as in
+    merge_hashes. CLI-path convenience — bulk flows use merge_hashes."""
+    spark = hash_df.sparkSession
+    exists = (
+        listing.where((F.col("type") == "file") & (F.col("file_id") == file_id))
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not exists:
+        return hash_df
+    staged = spark.createDataFrame(
+        [(int(file_id), md5_hash, sha1_hash, now, False)],
+        "file_id long, md5_hash string, sha1_hash string, hashed_on timestamp, file_missing boolean",
+    )
+    empty_control = spark.createDataFrame([], "file_id long")
+    new_hash, _ = merge_hashes(hash_df, empty_control, staged, now)
+    return new_hash
 
 
 # ---------------------------------------------------------------------------

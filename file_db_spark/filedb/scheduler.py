@@ -24,10 +24,23 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "get_dirs_to_crawl",
+    "get_drives_to_crawl",
     "get_files_to_hash",
     "seed_control_for_dirs",
     "reset_claims",
 ]
+
+
+def get_drives_to_crawl(drive: DataFrame, control: DataFrame, limit: int = 10) -> DataFrame:
+    """S2/J11: crawl roots not yet under schedule control — drive LEFT
+    ANTI control (the reference's LEFT JOIN ... WHERE dc IS NULL idiom,
+    DirectoryCrawl.py:424-450), ordered, limited."""
+    return (
+        drive.join(control.select("dir_path"), "dir_path", "left_anti")
+        .orderBy(F.col("dir_path").asc())
+        .limit(limit)
+        .select("id", "dir_path")
+    )
 
 
 def get_dirs_to_crawl(
