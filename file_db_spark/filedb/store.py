@@ -22,6 +22,19 @@ from pyspark.sql import types as T
 __all__ = ["TableStore"]
 
 
+#: Sort-on-write keys per table: parquet row-group min/max stats then
+#: prune point lookups on these columns (the reference's B-tree indexes
+#: on sha1_hash / (dir_id,name) / dir_path, FileDbDAL/Hash.py:94-103,
+#: File.py:203-229 — columnar skipping is the Spark-native equivalent;
+#: Z-order on a real lakehouse).
+SORT_KEYS: dict[str, list[str]] = {
+    "hash": ["sha1_hash"],
+    "file": ["dir_id", "name"],
+    "directory": ["dir_path"],
+    "hash_control": ["file_size"],
+}
+
+
 class TableStore:
     def __init__(self, spark: SparkSession, root: str, schemas: dict[str, T.StructType]):
         self.spark = spark
@@ -57,7 +70,10 @@ class TableStore:
         os.makedirs(d, exist_ok=True)
         gen = os.path.join(d, f"gen-{time.time_ns()}")
         cols = [f.name for f in self.schemas[name].fields]
-        df.select(*cols).write.mode("overwrite").parquet(gen)
+        out = df.select(*cols)
+        if name in SORT_KEYS:
+            out = out.sortWithinPartitions(*SORT_KEYS[name])
+        out.write.mode("overwrite").parquet(gen)
 
     def vacuum(self, retain: int = 1) -> None:
         """Drop all but the newest `retain` generations of every table.

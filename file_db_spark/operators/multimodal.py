@@ -100,3 +100,91 @@ def m2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["m2_decode_features"] = m2_decode_features
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def m3_resize(spark: SparkSession, sf_dir: str, target: int = 32) -> DataFrame:
+    """Multimodal resize over binary payloads (mapInPandas): emit a
+    fixed-budget thumbnail per payload. The resample kernel is a
+    deterministic STUB (stride-sampled bytes — a real deployment plugs
+    PIL.Image.resize here); the Spark plumbing — binary in, binary out,
+    Arrow batches, no driver materialization — is the real pattern.
+    Rows-only check."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w, out_h, thumbs = [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                stride = max(1, len(b) // (target * target))
+                thumbs.append(b[:: stride][: target * target])
+                out_w.append(target)
+                out_h.append(target)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "thumb": thumbs,
+                }
+            )
+
+    return d.mapInPandas(resize_batches, schema=_RESIZE_SCHEMA)
+
+
+QUERIES["m3_resize"] = m3_resize
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def m4_frame_sample(
+    spark: SparkSession, sf_dir: str, frame_bytes: int = 1024, every: int = 4
+) -> DataFrame:
+    """Multimodal frame sampling (1:N explode): treat each payload as a
+    'video' of fixed-size frames, keep every `every`-th frame with its
+    offset and a feature. Kernel is a STUB (a real deployment plugs
+    ffmpeg/pyav keyframe extraction); the shape — one input row fanning
+    out to N output rows inside mapInPandas, offsets preserved for
+    random access — is the production pattern. Rows-only check."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+                for i in range(0, n, every):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    mean = (sum(chunk) / max(1, len(chunk))) / 255.0
+                    rows.append((int(doc_id), i, i * frame_bytes, mean))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_offset", "frame_mean"]
+            )
+
+    return d.mapInPandas(frames, schema=_FRAME_SCHEMA)
+
+
+QUERIES["m4_frame_sample"] = m4_frame_sample
