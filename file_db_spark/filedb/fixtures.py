@@ -26,7 +26,7 @@ hashing.py computes true MD5+SHA1 per FileHandler/HashFile.py:6-51).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -38,9 +38,6 @@ __all__ = [
     "fixture_file_category",
     "FIXTURE_CTES",
 ]
-
-_TS = "timestamp'{}'".format
-
 
 def _lit_ts(s: str) -> Column:
     return F.expr(f"timestamp'{s}'")
@@ -92,7 +89,10 @@ def fixture_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lit_ts("2023-12-31 00:00:00").alias("mtime"),
         _lit_ts("2024-06-01 00:00:00").alias("inserted_on"),
         _lit_ts("2024-06-02 00:00:00").alias("updated_on"),
-    )
+    ).persist()  # ~21 rows, referenced by fixture_file AND every view
+    # side of a catalog query — persist kills the repeated global-window
+    # distinct scan (the global row_number is fixture-only; the real
+    # engine's ids are deterministic hashes, never a global sort)
 
 
 def fixture_file(spark: SparkSession, sf_dir: str) -> DataFrame:
