@@ -117,11 +117,9 @@ def x2_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: blowup at scale. Mirrored exactly in the DuckDB oracle.
 MAX_SHINGLE_DF = 50
 
-
-@_q(
-    "x3_ngram_jaccard",
-    rf"""
-    WITH norm AS (
+#: The x3 pair-generation pipeline as reusable CTE bodies (shared by
+#: the x3 oracle and the x7 connected-components oracle).
+_X3_PAIR_CTES = r"""norm AS (
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
       FROM documents
@@ -134,19 +132,24 @@ MAX_SHINGLE_DF = 50
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
     ), capped AS (
       SELECT doc_id, shingle FROM sh
-      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {cap}
     ), shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
       FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT s.doc_a, s.doc_b,
-           CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) AS jaccard
-    FROM shared s
-    JOIN sizes sa ON sa.doc_id = s.doc_a
-    JOIN sizes sb ON sb.doc_id = s.doc_b
-    WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.2
-    """,
+    ), pairs AS (
+      SELECT s.doc_a, s.doc_b,
+             CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) AS jaccard
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.doc_a
+      JOIN sizes sb ON sb.doc_id = s.doc_b
+      WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.2
+    )""".replace("{cap}", str(MAX_SHINGLE_DF))
+
+
+@_q(
+    "x3_ngram_jaccard",
+    f"WITH {_X3_PAIR_CTES}\n    SELECT doc_a, doc_b, jaccard FROM pairs",
 )
 def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (5-word shingle) Jaccard near-dup join: explode distinct
@@ -396,4 +399,64 @@ def x6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
+@_q(
+    "x7_dup_components",
+    f"""
+    WITH RECURSIVE {_X3_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, lab) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+    )
+    SELECT v AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+    FROM reach GROUP BY v
+    """,
+)
+def x7_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the x3
+    near-dup pair graph via min-label propagation — the step that turns
+    pairwise candidates into dedup groups (keep min doc_id per
+    component). component_id = smallest doc_id reachable.
+
+    Shape: iterative join+min-aggregate until a fixpoint, each round
+    one shuffle on the vertex id; converges in graph-diameter rounds
+    (near-dup clusters are shallow — single digits). The oracle is the
+    same fixpoint as a recursive CTE. At 100 TB scale the same loop
+    runs with large-star/small-star contraction and per-round
+    checkpointing; the driver-side part is only the convergence scalar.
+    """
+    pairs = x3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    ).persist()
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+    for _ in range(20):  # bound >> diameter of near-dup clusters
+        prop = labels.join(edges, labels.v == edges.a).select(
+            F.col("b").alias("v"), "lab"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("v").agg(F.min("lab").alias("lab"))
+        ).persist()
+        new_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # monotone non-increasing -> fixpoint
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lab").cast("bigint").alias("component_id")
     )

@@ -32,7 +32,7 @@ def _q(name: str, oracle: str | None = None):
 @_q(
     "e1_tumbling_window",
     """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events
@@ -133,7 +133,7 @@ def e3_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "e4_stateful_dedup",
     """
-    SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id FROM (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS first_ts, event_id AS first_event_id FROM (
       SELECT user_id, event_type, ts, event_id,
              ROW_NUMBER() OVER (
                PARTITION BY user_id, event_type ORDER BY ts, event_id

@@ -171,3 +171,74 @@ def d5_fingerprint64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["d5_fingerprint64"] = d5_fingerprint64
+
+
+# Portable md5-hex -> int bucket: decode the first 4 hex chars by
+# positional lookup — instr() agrees on both engines, so the split is
+# engine-independent AND decorrelated from doc_id ordering (the reason
+# hash-splits beat modulo-splits for train/val leakage).
+_HEX_BUCKET = (
+    "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 4, 1)) - 1)) % 1000"
+)
+
+
+@_q(
+    "d6_train_split",
+    f"""
+    WITH bucketed AS (
+      SELECT doc_id, {_HEX_BUCKET} AS bucket FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """,
+)
+def d6_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/validation/test split (90/5/5):
+    the standard pipeline op for leakage-free splits. Bucket = first 16
+    bits of md5(doc_id) mod 1000 — identical in both engines, stable
+    across runs/partitions, uncorrelated with id order."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_HEX_BUCKET)
+    return d.select(
+        "doc_id",
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket < 900, "train")
+        .when(bucket < 950, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@_q(
+    "d7_token_histogram",
+    r"""
+    WITH tok AS (
+      SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(least(n_tokens // 10, 20) AS BIGINT) AS bucket,
+           CAST(least(n_tokens // 10, 20) * 10 AS BIGINT) AS bucket_min_tokens,
+           COUNT(*) AS n_docs
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def d7_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (data-mix reporting): 10-token buckets
+    capped at 200+. One map-side-combined shuffle on a tiny key."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    bucket = F.least(F.floor(n_tokens / 10), F.lit(20)).cast("bigint")
+    return (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bucket", (F.col("bucket") * 10).cast("bigint").alias("bucket_min_tokens"), "n_docs"
+        )
+    )
