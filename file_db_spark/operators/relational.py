@@ -335,6 +335,45 @@ def j7_array_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j13_salted_join",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def j13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join — the manual skew playbook: the fact side gets a
+    random-ish salt (deterministic here: pmod(xxhash64(orderkey,line),
+    SALT) so the oracle matches), the dim side is replicated SALT ways,
+    and the join key becomes (key, salt), splitting a hot key's rows
+    across SALT reducers. Results are identical to the plain join (the
+    oracle IS the plain join). Use when a single key dominates beyond
+    what AQE skew-split handles (AQE splits partitions, not one giant
+    key-group in a shuffle hash join at 100 TB)."""
+    SALT = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    salts = spark.range(SALT).select(F.col("id").cast("bigint").alias("salt"))
+    s_rep = s.crossJoin(F.broadcast(salts))
+    return (
+        li.join(
+            s_rep,
+            (li.l_suppkey == s_rep.s_suppkey) & (li.salt == s_rep.salt),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            _dsum(_d2(F.col("l_quantity"))).alias("sum_qty"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
     "j8_anti_join",
     """
     SELECT c.c_custkey, c.c_name

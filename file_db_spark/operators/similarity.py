@@ -148,54 +148,166 @@ def _embedding_dim(sf_dir: str) -> int:
     return len(batch.column("embedding")[0])
 
 
-def v2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: 8 sign bits -> 256 buckets; queries
-    probe only their own bucket, then exact cosine re-rank inside it.
-    Recall < 1 by design (approximate) -> rows-only check; determinism
-    from the fixed hyperplane seed.
+#: Multi-table LSH geometry: L independent tables of B sign bits each.
+#: For a pair at angle θ, P(same bucket in one table) = (1-θ/π)^B and
+#: P(candidate) = 1-(1-(1-θ/π)^B)^L — 4 tables × 4 bits puts ~cos 0.4
+#: neighbors at ~50% recall where a single 8-bit table gives ~2.5%
+#: (recall floor pinned in tests/test_similarity_quality.py).
+LSH_TABLES = 4
+LSH_BITS = 4
 
-    Scale: bucket id is a derived column — repartition/bucket the
-    corpus by it once, and every query touches 1/256 of the data.
-    Corpus/query bucket columns carry distinct names (c_bucket /
-    q_bucket) so the join condition is unambiguous.
+
+def v2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane multi-table LSH ANN: L=4 tables of 4 sign bits
+    (16 buckets each); a corpus vector is indexed once per table, a
+    query probes its bucket in every table, candidates are unioned
+    across tables, then exact-cosine re-ranked top-k. Recall < 1 by
+    design (approximate) -> rows-only check; determinism from the fixed
+    hyperplane seed.
+
+    Scale: the (table, bucket) pair is a derived column — explode the
+    corpus L ways, repartition/bucket by it once, and each query probes
+    L small buckets instead of scanning the corpus. Multi-table is the
+    standard recall lever (union of independent hashings), and the
+    explode factor L is the storage/recall knob.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes(8, _embedding_dim(sf_dir))
+    planes = _hyperplanes(LSH_TABLES * LSH_BITS, _embedding_dim(sf_dir))
 
-    def bucket_of(emb_col):
-        bits = [
-            F.when(
-                dot(
-                    emb_col.cast("array<double>"),
-                    F.array(*[F.lit(float(v)) for v in plane]),
-                )
-                >= 0,
-                1 << i,
-            ).otherwise(0)
-            for i, plane in enumerate(planes)
-        ]
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
-        return out
+    def table_buckets(emb_col):
+        """array<struct<tbl:int, bucket:int>> — one entry per table."""
+        entries = []
+        for t in range(LSH_TABLES):
+            bucket = F.lit(0)
+            for i in range(LSH_BITS):
+                plane = planes[t * LSH_BITS + i]
+                bit = F.when(
+                    dot(
+                        emb_col.cast("array<double>"),
+                        F.array(*[F.lit(float(v)) for v in plane]),
+                    )
+                    >= 0,
+                    1 << i,
+                ).otherwise(0)
+                bucket = bucket + bit
+            entries.append(
+                F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+            )
+        return F.array(*entries)
 
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        bucket_of(F.col("embedding")).alias("c_bucket"),
+        F.explode(table_buckets(F.col("embedding"))).alias("tb"),
+    ).select(
+        "neighbor_id",
+        "c_emb",
+        F.col("tb.tbl").alias("c_tbl"),
+        F.col("tb.bucket").alias("c_bucket"),
     )
     q = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            bucket_of(F.col("embedding")).alias("q_bucket"),
+            F.explode(table_buckets(F.col("embedding"))).alias("tb"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            F.col("tb.tbl").alias("q_tbl"),
+            F.col("tb.bucket").alias("q_bucket"),
         )
     )
+    cand = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("c_tbl") == F.col("q_tbl"))
+            & (F.col("c_bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
+    )
     cos = cosine(F.col("q_emb").cast("array<double>"), F.col("c_emb").cast("array<double>"))
-    scored = corpus.join(
-        F.broadcast(q),
-        (F.col("c_bucket") == F.col("q_bucket"))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+QUERIES["v2_ann_lsh"] = v2_ann_lsh
+
+
+def v4_ivf_nprobe(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
+    """IVF with true centroid routing: compute each cell's centroid
+    (elementwise mean via posexplode -> groupBy(label, pos) -> rebuild),
+    route each query to its `nprobe` closest centroids, probe only those
+    cells, exact-cosine re-rank. v3 probes the query's own cell (the
+    oracle-checked skeleton); this is the recall lever — nprobe trades
+    scan fraction for recall, the standard IVF knob.
+
+    Rows-only check: centroid means are float sums whose partition
+    order differs between engines, so near-tie cell routing isn't
+    bit-reproducible in SQL — quality is pinned by the recall-floor
+    test instead.
+
+    Scale: centroids are |cells| tiny rows (broadcast); the probe is a
+    partition-prunable equi-join on the cell id; posexplode of the
+    corpus happens once per (re)build, not per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim_pos = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    centroids = (
+        dim_pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cent_label"),
+            F.transform("pc", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    routed = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_label",
+        "q_emb",
+        "cent_label",
+        cosine(F.col("q_emb").cast("array<double>"), F.col("centroid")).alias("cent_cos"),
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_label").asc()
+    )
+    # A query's OWN cell is always probed (in centroid-assigned IVF the
+    # nearest centroid IS the own cell; with arbitrary label cells the
+    # centroid routing alone can miss it) + the nprobe nearest centroids.
+    probes = (
+        routed.withColumn("cell_rank", F.row_number().over(w_route))
+        .filter(
+            (F.col("cell_rank") <= nprobe) | (F.col("cent_label") == F.col("q_label"))
+        )
+        .select("query_id", "q_emb", F.col("cent_label").alias("probe_label"))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cos = cosine(F.col("q_emb").cast("array<double>"), F.col("c_emb").cast("array<double>"))
+    scored = c.join(
+        F.broadcast(probes),
+        (F.col("c_label") == F.col("probe_label"))
         & (F.col("neighbor_id") != F.col("query_id")),
     ).select("query_id", "neighbor_id", cos.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
@@ -208,4 +320,4 @@ def v2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["v2_ann_lsh"] = v2_ann_lsh
+QUERIES["v4_ivf_nprobe"] = v4_ivf_nprobe

@@ -1,0 +1,43 @@
+"""ANN quality metrics: the approximate paths (v2 LSH, v3 IVF) are
+rows-only for the driver (recall < 1 by design) — these tests pin the
+quality floor against the exact v1 baseline so a regression in the
+bucketing logic shows up as a recall drop, not silently."""
+
+from __future__ import annotations
+
+from file_db_spark.operators import similarity as sim
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ann_recall_floor(spark):
+    sf_dir = "/root/testdata/sf0.01"  # 500 vectors: buckets non-trivial
+    exact = _topk_sets(sim.QUERIES["v1_knn_bruteforce"](spark, sf_dir))
+    lsh = _topk_sets(sim.QUERIES["v2_ann_lsh"](spark, sf_dir))
+    ivf1 = _topk_sets(sim.QUERIES["v3_ivf_topk"](spark, sf_dir))
+    ivf2 = _topk_sets(sim.QUERIES["v4_ivf_nprobe"](spark, sf_dir))
+    assert set(exact) == {0, 1, 2, 3, 4}
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    # The synthetic embeddings are near-noise (top neighbors at cos~0.4),
+    # so absolute recall is modest by construction. The floors catch
+    # structural breakage (empty buckets, self-matches, join regressions)
+    # and pin the designed ordering: multi-table LSH and nprobe IVF must
+    # beat-or-match the single-cell probe.
+    r_lsh, r_ivf1, r_ivf2 = recall(lsh), recall(ivf1), recall(ivf2)
+    assert r_lsh >= 0.2
+    assert r_ivf2 >= r_ivf1
+    assert r_ivf2 >= 0.1
+    # approximate results must never contain a self-match
+    for approx in (lsh, ivf1, ivf2):
+        for q, ns in approx.items():
+            assert q not in ns
