@@ -12,11 +12,19 @@ three-function contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from file_db_spark import operators as _ops
+# robust under any loader: make the repo importable even when this
+# module is loaded by file path with a different working directory
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from file_db_spark import operators as _ops  # noqa: E402
 
 FLAGSHIP = "a1_pricing_summary"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
