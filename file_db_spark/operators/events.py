@@ -160,6 +160,163 @@ def e4_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "e6_asof_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)
+def e6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join — an operator Spark lacks natively: each
+    purchase matched to the user's most recent STRICTLY-prior click.
+    The oracle is DuckDB's native ASOF JOIN; the Spark plan is the
+    scale-safe union+window formulation: tag both sides, single shuffle
+    on user_id, carry the last click forward with last(ignorenulls) —
+    NO join at all, so there is no range-join blowup to mitigate.
+    Equal timestamps sort purchase-first so a same-instant click is
+    correctly invisible (strict >)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),  # same-ts clicks sort AFTER purchases
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return (
+        tagged.where(F.col("purchase_id").isNotNull() & F.col("last_click_id").isNotNull())
+        .select(
+            F.col("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("last_click_id").alias("click_id"),
+            F.col("last_click_ts").alias("click_ts"),
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("gap_us"),
+        )
+    )
+
+
+@_q(
+    "e7_range_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_5min
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+      AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    GROUP BY 1, 2
+    """,
+)
+def e7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — clicks within the 5 minutes before each
+    purchase, per user. A naive theta-join is a BroadcastNestedLoopJoin
+    that dies at scale; the Spark plan is the BINNED range join: both
+    sides bucketed into 5-minute bins, purchases probe bins {b, b-1}
+    (every qualifying click is in one of the two), the candidate join
+    is a plain equi-join on (user_id, bin), and the exact interval
+    predicate filters candidates. Join work is bounded by bin
+    co-occupancy, not |P|x|C|."""
+    BIN_US = 300_000_000  # 5 minutes in microseconds
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.expr(f"unix_micros(ts) div {BIN_US}").alias("c_bin"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.expr(f"unix_micros(ts) div {BIN_US}").alias("p_bin"),
+    )
+    probed = purchases.select(
+        "*", F.explode(F.array(F.col("p_bin"), F.col("p_bin") - 1)).alias("probe_bin")
+    )
+    hits = (
+        probed.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user")) & (F.col("probe_bin") == F.col("c_bin")),
+        )
+        .where(
+            (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 5 MINUTE"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+        .groupBy("purchase_id")
+        .agg(F.countDistinct("c_id").alias("n_hits"))
+    )
+    return (
+        purchases.join(hits, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_clicks_5min"),
+        )
+    )
+
+
+@_q(
+    "e8_rollup_cascade",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e8_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: the daily rollup
+    is computed FROM the hourly aggregate (sum of partial sums), not
+    from raw events — the pattern that makes multi-resolution rollups
+    O(hours) instead of O(events) per refresh. The oracle aggregates
+    raw events directly; equality holds because decimal partial sums
+    are exact."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("total_value"),
+        )
+    )
+
+
+@_q(
     "e5_sliding_window",
     """
     WITH halves AS (
