@@ -403,6 +403,35 @@ def x6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x8_text_embedding_join",
+    """
+    SELECT d.doc_id, d.lang,
+           CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens,
+           sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS emb_norm,
+           e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def x8_text_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text features alongside the document's
+    embedding (doc_id = vec_id) — the shape every multimodal training
+    pipeline needs (pair the text table with its vector table before
+    filtering/packing). Equi-join on the shared id; at 100 TB both
+    sides bucketed on the id makes it shuffle-free."""
+    from ..functions.vectors import l2_norm
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        l2_norm(F.col("embedding").cast("array<double>")).alias("emb_norm"),
+        "label",
+    )
+
+
+@_q(
     "x7_dup_components",
     f"""
     WITH RECURSIVE {_X3_PAIR_CTES},

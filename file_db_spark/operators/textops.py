@@ -216,6 +216,28 @@ def d6_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "d8_stratified_sample",
+    f"""
+    WITH bucketed AS (
+      SELECT doc_id, source, {_HEX_BUCKET} AS bucket FROM documents
+    )
+    SELECT doc_id, source FROM bucketed
+    WHERE bucket < CASE WHEN source IN ('src0','src1','src2') THEN 500 ELSE 100 END
+    """,
+)
+def d8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates (50% for
+    the three 'head' sources, 10% for the tail) applied via the same
+    md5 bucket as d6 — reproducible across runs/engines/partitionings,
+    unlike rand()-based sampleBy. The data-mix rebalancing primitive:
+    at 100 TB the filter rides the scan (no shuffle at all)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_HEX_BUCKET)
+    rate = F.when(F.col("source").isin("src0", "src1", "src2"), 500).otherwise(100)
+    return d.where(bucket < rate).select("doc_id", "source")
+
+
+@_q(
     "d7_token_histogram",
     r"""
     WITH tok AS (
