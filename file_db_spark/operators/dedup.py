@@ -489,3 +489,69 @@ def x7_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lab").cast("bigint").alias("component_id")
     )
+
+
+@_q(
+    "x9_contamination",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS bucket,
+             list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, bucket,
+             CASE WHEN len(toks) >= 4
+                  THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM norm
+    ), test_grams AS (
+      SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE bucket >= 950
+    )
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE bucket < 950) s
+    JOIN test_grams t ON s.g = t.g
+    GROUP BY s.doc_id
+    """,
+)
+def x9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train-split documents sharing any
+    word 4-gram with the held-out test split (the d6 hash split —
+    bucket >= 950 is 'test'). Output = contaminated train doc ->
+    distinct overlapping shingle count.
+
+    Scale: the test split's distinct 4-gram set is tiny next to the
+    corpus (benchmarks always are) -> broadcast it; the probe is then a
+    map-side hash join against the exploded train shingles, no shuffle
+    of the corpus beyond the final per-doc count. At 100 TB, hash the
+    shingles to longs (xxhash64) before the join to shrink the
+    broadcast — string shingles kept here for SQL-oracle portability.
+    """
+    from .textops import _HEX_BUCKET
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.expr(_HEX_BUCKET).alias("bucket"),
+        tokens(normalize_text("text")).alias("toks"),
+    )
+    sh = staged.select(
+        "doc_id", "bucket", word_shingles_from_tokens(F.col("toks"), 4).alias("shingles")
+    )
+    test_grams = (
+        sh.where(F.col("bucket") >= 950)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    train = sh.where(F.col("bucket") < 950).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    return (
+        train.join(F.broadcast(test_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import fingerprint64, normalize_text
+from ..functions.text import fingerprint64, normalize_text, tokens
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -263,4 +263,148 @@ def d7_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bucket", (F.col("bucket") * 10).cast("bigint").alias("bucket_min_tokens"), "n_docs"
         )
+    )
+
+
+@_q(
+    "d9_repetition_quality",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(toks) - len(list_distinct(toks)) AS rep_uni,
+             CASE WHEN len(toks) >= 2 THEN (len(toks) - 1) - len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) ELSE 0 END AS rep_bi,
+             CASE WHEN len(toks) >= 2 THEN len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) ELSE 0 END AS adj_rep
+      FROM tok
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN n_tokens > 0 THEN CAST(rep_uni AS DOUBLE) / n_tokens ELSE 0.0 END AS rep_unigram_frac,
+           CASE WHEN n_tokens >= 2 THEN CAST(rep_bi AS DOUBLE) / (n_tokens - 1) ELSE 0.0 END AS rep_bigram_frac,
+           CASE WHEN n_tokens >= 2 THEN CAST(adj_rep AS DOUBLE) / (n_tokens - 1) ELSE 0.0 END AS adjacent_repeat_frac,
+           (CASE WHEN n_tokens >= 2 THEN CAST(rep_bi AS DOUBLE) / (n_tokens - 1) ELSE 0.0 END) > 0.1 AS is_repetitive
+    FROM feat
+    """,
+)
+def d9_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: repeated-unigram
+    fraction, repeated-bigram fraction (the classic boilerplate/loop
+    detector), adjacent-token repeat fraction, and a flag at the
+    empirical p99 (0.1) of the bigram fraction.
+
+    Scale: all signals are array HOFs over a per-row token array —
+    zero shuffle, zero Python; the 100 TB plan is a bare scan+project.
+    Token/bigram arrays are staged as real columns between selects so
+    HOF lambdas don't re-capture the tokenize pipeline per element.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+    n = F.size("toks")
+    with_bigrams = staged.select(
+        "doc_id",
+        "toks",
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bigrams"),
+    )
+    nb = F.size("bigrams")
+    adj = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: a == b,
+            ),
+            lambda eq: eq,
+        )
+    )
+    feat = with_bigrams.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (n - F.size(F.array_distinct("toks"))).alias("rep_uni"),
+        (nb - F.size(F.array_distinct("bigrams"))).alias("rep_bi"),
+        F.when(n >= 2, adj).otherwise(F.lit(0)).alias("adj_rep"),
+    )
+    nt = F.col("n_tokens")
+    rep_bigram_frac = F.when(
+        nt >= 2, F.col("rep_bi").cast("double") / (nt - 1)
+    ).otherwise(F.lit(0.0))
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        F.when(nt > 0, F.col("rep_uni").cast("double") / nt)
+        .otherwise(F.lit(0.0))
+        .alias("rep_unigram_frac"),
+        rep_bigram_frac.alias("rep_bigram_frac"),
+        F.when(nt >= 2, F.col("adj_rep").cast("double") / (nt - 1))
+        .otherwise(F.lit(0.0))
+        .alias("adjacent_repeat_frac"),
+        (rep_bigram_frac > 0.1).alias("is_repetitive"),
+    )
+
+
+# Sequence length for d10 packing (tiny next to real 2k/8k contexts so
+# the sf0.01 fixture actually produces multi-sequence bins).
+_SEQ_LEN = 512
+
+
+@_q(
+    "d10_seq_packing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, ({_HEX_BUCKET}) % 8 AS pack_bucket,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, pack_bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM tok
+    )
+    SELECT doc_id, CAST(pack_bucket AS BIGINT) AS pack_bucket, n_tokens,
+           CAST((cum - n_tokens) // {_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % {_SEQ_LEN} AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+)
+def d10_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (concat-and-chunk, the standard
+    pretraining batcher): documents are streamed in doc_id order within
+    a hash-derived pack bucket, token counts cumulated, and each doc
+    assigned the training sequence (seq_id) and offset where it starts.
+
+    Scale: the window runs per pack_bucket — raise the bucket count
+    (mod 8 here; thousands at 100 TB) and every bucket packs in
+    parallel with one shuffle and no global sort. Integer arithmetic
+    end-to-end, so the oracle matches exactly.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        (F.expr(_HEX_BUCKET) % 8).cast("bigint").alias("pack_bucket"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return staged.select(
+        "doc_id",
+        "pack_bucket",
+        "n_tokens",
+        F.floor(start / _SEQ_LEN).cast("bigint").alias("seq_id"),
+        (start % _SEQ_LEN).cast("bigint").alias("seq_offset"),
     )

@@ -1,0 +1,106 @@
+"""Semantic tests for the training-pipeline operators added in round 2:
+d9 repetition signals, d10 sequence packing, x9 contamination. The
+oracle gate (tools/check.py) proves value parity with DuckDB; these
+pin the *invariants* that make the operators correct at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from file_db_spark.operators.dedup import x9_contamination
+from file_db_spark.operators.textops import (
+    _HEX_BUCKET,
+    _SEQ_LEN,
+    d9_repetition_quality,
+    d10_seq_packing,
+)
+
+
+def test_d9_fraction_bounds(spark, sf_dir):
+    df = d9_repetition_quality(spark, sf_dir)
+    bad = df.where(
+        (F.col("rep_unigram_frac") < 0)
+        | (F.col("rep_unigram_frac") > 1)
+        | (F.col("rep_bigram_frac") < 0)
+        | (F.col("rep_bigram_frac") > 1)
+        | (F.col("adjacent_repeat_frac") < 0)
+        | (F.col("adjacent_repeat_frac") > 1)
+    ).count()
+    assert bad == 0
+    # Flag is exactly the bigram threshold, no drift between columns.
+    assert (
+        df.where(F.col("is_repetitive") != (F.col("rep_bigram_frac") > 0.1)).count()
+        == 0
+    )
+
+
+def test_d9_known_values(spark):
+    rows = [(1, "a a a a"), (2, "w x y z"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("t")
+    # Route through the same column pipeline by monkey-building a tiny
+    # frame: reuse the operator's internals via a temp parquet dir.
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in d9_repetition_quality(spark, tmp).collect()
+        }
+    # "a a a a": 4 tokens, 3 repeated unigrams, 3 bigrams all "a a"
+    # (2 repeated), 3 adjacent equal pairs.
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["rep_unigram_frac"] == 0.75
+    assert abs(out[1]["rep_bigram_frac"] - 2 / 3) < 1e-12
+    assert out[1]["adjacent_repeat_frac"] == 1.0
+    assert out[1]["is_repetitive"]
+    # All-distinct doc: every signal zero.
+    assert out[2]["rep_unigram_frac"] == 0.0
+    assert out[2]["rep_bigram_frac"] == 0.0
+    assert not out[2]["is_repetitive"]
+    # Single token: guarded divisions, zero everywhere.
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["rep_bigram_frac"] == 0.0
+
+
+def test_d10_packing_invariants(spark, sf_dir):
+    df = d10_seq_packing(spark, sf_dir).persist()
+    try:
+        # Offsets live inside a sequence; seq ids start at 0 per bucket.
+        assert df.where((F.col("seq_offset") < 0) | (F.col("seq_offset") >= _SEQ_LEN)).count() == 0
+        firsts = df.groupBy("pack_bucket").agg(F.min("seq_id").alias("m"))
+        assert firsts.where(F.col("m") != 0).count() == 0
+        # Within a bucket, seq_id is non-decreasing in doc_id order and
+        # never skips more than the largest doc can span.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("pack_bucket").orderBy("doc_id")
+        lagged = df.withColumn("prev_seq", F.lag("seq_id").over(w))
+        assert lagged.where(F.col("prev_seq") > F.col("seq_id")).count() == 0
+        # Token conservation: total packed tokens == total corpus tokens.
+        from file_db_spark.catalog import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        corpus = d.select(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")).alias("s")
+        ).collect()[0]["s"]
+        packed = df.agg(F.sum("n_tokens").alias("s")).collect()[0]["s"]
+        assert packed == corpus
+    finally:
+        df.unpersist()
+
+
+def test_x9_only_train_docs_flagged(spark, sf_dir):
+    from file_db_spark.catalog import load_table
+
+    out = x9_contamination(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HEX_BUCKET).alias("bucket")
+    )
+    joined = out.join(docs, "doc_id")
+    # Contamination reports train-split docs only, with positive overlap.
+    assert joined.where(F.col("bucket") >= 950).count() == 0
+    assert out.where(F.col("n_overlap") <= 0).count() == 0
