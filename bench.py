@@ -33,7 +33,10 @@ HEADLINE = [
     "e2_sessionize",
     "x1_exact_dedup",
     "x4_minhash_lsh",
+    "x9_contamination",
     "d1_token_stats",
+    "d9_repetition_quality",
+    "d10_seq_packing",
     "v2_ann_lsh",
     "c9_duplicate_groups",
 ]

@@ -51,6 +51,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # InferFiltersFromGenerate copies the exploded-array expression
+        # into an inferred `size(arr)>0 AND isnotnull(arr)` filter that
+        # predicate-pushdown then re-expands BELOW the projections that
+        # staged the array — the whole tokenize->shingle pipeline runs
+        # ~3x per row (measured 28.9s -> 1.3s on the contamination
+        # probe at sf0.1). Every explode in this engine is over a
+        # provably non-empty array (shingle/band builders emit a
+        # fallback element), so the inferred filter can never prune a
+        # row and is pure re-computation; exclude the rule.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # --- python interchange is always Arrow ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
