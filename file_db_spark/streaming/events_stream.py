@@ -32,6 +32,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_purchases",
     "stateful_dedup",
+    "user_spend_monitor",
     "session_counts",
     "run_to_memory",
 ]
@@ -144,3 +145,58 @@ def run_to_memory(
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def user_spend_monitor(
+    events: DataFrame, threshold: float = 500.0, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running purchase totals with a derived alert level — how many
+    multiples of `threshold` the user's cumulative spend has crossed.
+    This is the shape Spark's built-in windows can't express: state is
+    a running scalar per key, emitted on every update, independent of
+    event-time windows.
+
+    State story at scale: one (count, sum) pair per user in the state
+    store — O(distinct users) memory, partitioned by the groupBy key;
+    Arrow-batched transfer only for the updated keys each trigger.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_purchases long, total_spend double, alert_level long"
+    )
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            vals = pdf["value"].fillna(0.0).astype("float64")
+            n += len(pdf)
+            total += float(vals.sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_purchases": n,
+                    "total_spend": total,
+                    "alert_level": int(total // threshold),
+                }
+            ]
+        )
+
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

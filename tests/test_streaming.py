@@ -95,3 +95,31 @@ def test_continuous_crawl_stream(spark, tmp_path):
         assert eng.store.read("file").count() == 2
     finally:
         q.stop()
+
+
+def test_user_spend_monitor_matches_batch(spark, sf_dir):
+    from file_db_spark.catalog import load_table
+
+    src = es.events_source(spark, sf_dir)
+    got = es.run_to_memory(
+        es.user_spend_monitor(src, threshold=500.0), "t_spend", output_mode="update"
+    )
+    # update mode over a drained static source: the last emit per user
+    # carries the final running state == the batch aggregate.
+    want = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_spend"),
+        )
+    )
+    g = {r["user_id"]: r for r in got.collect()}
+    w = {r["user_id"]: r for r in want.collect()}
+    assert set(g) == set(w)
+    for uid, wr in w.items():
+        gr = g[uid]
+        assert gr["n_purchases"] == wr["n_purchases"]
+        assert abs(gr["total_spend"] - wr["total_spend"]) < 1e-6
+        assert gr["alert_level"] == int(gr["total_spend"] // 500.0)
