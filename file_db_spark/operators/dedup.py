@@ -555,3 +555,50 @@ def x9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_overlap"))
     )
+
+
+@_q(
+    "x10_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_X3_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, lab) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (
+      SELECT v AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+      FROM reach GROUP BY v
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS keeper_id,
+           (COALESCE(c.component_id, d.doc_id) <> d.doc_id) AS is_duplicate
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+)
+def x10_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's deliverable: every document mapped to its
+    canonical keeper (the min-id member of its near-dup family from
+    x7; singletons keep themselves) plus the drop flag — `WHERE NOT
+    is_duplicate` is the surviving training corpus.
+
+    Scale: the component table is tiny next to the corpus (only docs
+    in dup families appear) -> broadcast left join against the full
+    corpus; no new shuffle of the documents table.
+    """
+    labels = x7_dup_components(spark, sf_dir).withColumnRenamed(
+        "component_id", "keeper_raw"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    keeper = F.coalesce(F.col("keeper_raw"), F.col("doc_id"))
+    return d.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        keeper.cast("bigint").alias("keeper_id"),
+        (keeper != F.col("doc_id")).alias("is_duplicate"),
+    )

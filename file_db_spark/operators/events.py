@@ -345,3 +345,94 @@ def e5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_purchases", "total_value")
     )
+
+
+@_q(
+    "e9_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def e9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view, first click strictly
+    after that view, first purchase strictly after that click — the
+    strict event-ordering semantics a naive per-type min() gets wrong.
+
+    Scale: three aggregations and two joins, all keyed on user_id —
+    one logical shuffle key end-to-end, so AQE reuses the exchange;
+    no window over the full event stream.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )
+
+
+@_q(
+    "e10_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           date_diff('day', f.cohort_day, a.d) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def e10_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users grouped by first-activity day,
+    counted on each later active day offset — the standard cohort
+    triangle.
+
+    Scale: one shuffle on user_id for the first-day aggregate and the
+    distinct-activity dedup (same key), then a count on the tiny
+    (cohort, offset) key. The distinct prunes each user's events to
+    active days before the join fans anything out.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    activity = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_day", F.datediff("d", "cohort_day").alias("day_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .withColumn("cohort_day", F.col("cohort_day").cast("timestamp"))
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.text import fingerprint64, normalize_text, tokens
@@ -407,4 +408,48 @@ def d10_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(start / _SEQ_LEN).cast("bigint").alias("seq_id"),
         (start % _SEQ_LEN).cast("bigint").alias("seq_offset"),
+    )
+
+
+@_q(
+    "d11_mix_report",
+    r"""
+    WITH tok AS (
+      SELECT source, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), grouped AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM tok GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS token_share
+    FROM grouped
+    """,
+)
+def d11_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix governance report: per (source, lang) document and
+    token counts plus each cell's share of the whole corpus — the
+    table a training-mix rebalance (d8's rates) is decided from.
+
+    Scale: one map-side-combined shuffle onto the tiny (source, lang)
+    key; the global share denominator is a window over the already-
+    aggregated table (hundreds of rows), not the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    grouped = tok.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(
+        Window.partitionBy()
+    )
+    return grouped.select(
+        "source", "lang", "n_docs", "total_tokens", share.alias("token_share")
     )
