@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     multimodal,
     relational,
     similarity,
+    streaming_queries,
     textops,
 )
 
@@ -12,6 +13,15 @@ from . import (  # noqa: F401
 QUERIES = {}
 #: merged {name: duckdb-SQL} — omit a key for non-SQL-expressible ops
 ORACLES = {}
-for _m in (relational, events, textops, dedup, similarity, multimodal, filedb_catalog):
+for _m in (
+    relational,
+    events,
+    textops,
+    dedup,
+    similarity,
+    multimodal,
+    filedb_catalog,
+    streaming_queries,
+):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

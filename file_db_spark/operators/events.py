@@ -372,32 +372,38 @@ def e9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     after that view, first purchase strictly after that click — the
     strict event-ordering semantics a naive per-type min() gets wrong.
 
-    Scale: three aggregations and two joins, all keyed on user_id —
-    one logical shuffle key end-to-end, so AQE reuses the exchange;
-    no window over the full event stream.
+    Scale: ONE scan and ONE shuffle. The aggregate-then-join
+    formulation reads `events` seven times (Spark plans have no
+    common-subtree reuse across composed DataFrames); instead, three
+    whole-partition window mins over user_id — each conditioned on the
+    previous stage's timestamp — share a single exchange, and the
+    final per-user collapse groups on the same key, so no second
+    shuffle. Events outside the funnel types are dropped at the scan.
     """
     e = load_table(spark, sf_dir, "events")
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    w = Window.partitionBy("user_id")
+    ts, typ = F.col("ts"), F.col("event_type")
+    staged = (
+        e.where(typ.isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+        .withColumn("t_view", F.min(F.when(typ == "view", ts)).over(w))
+        .withColumn(
+            "t_click",
+            F.min(F.when((typ == "click") & (ts > F.col("t_view")), ts)).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(F.when((typ == "purchase") & (ts > F.col("t_click")), ts)).over(w),
+        )
     )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t_view"))
+    return (
+        staged.where(F.col("t_view").isNotNull())
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
-        "user_id", "t_view", "t_click", "t_purchase"
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
     )
 
 

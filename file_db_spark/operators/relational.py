@@ -530,6 +530,41 @@ def t3_fifo_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "t4_sanitized_order_by",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def t4_sanitized_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: hostile user sort input -> sql_sanitize_order_by
+    (API/Util.py:60-90) -> Column sorts. The injection attempt and the
+    unknown/odd tokens are dropped; only the valid (column, direction)
+    survives, and the engine appends a unique-key tiebreak so the
+    LIMIT is deterministic. No SQL text is ever built from user input.
+    """
+    from ..functions.paths import sql_sanitize_order_by
+
+    orders = load_table(spark, sf_dir, "orders")
+    user_input = (
+        "o_totalprice desc, o_orderkey; drop table orders, nosuch asc, "
+        "o_orderdate sideways"
+    )
+    sanitized = sql_sanitize_order_by(user_input, orders.columns)
+    assert sanitized == [("o_totalprice", "desc")]
+    sorts = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in sanitized
+    ]
+    return (
+        orders.orderBy(*sorts, F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@_q(
     "t5_display_cap",
     """
     SELECT p_partkey, p_name, p_retailprice

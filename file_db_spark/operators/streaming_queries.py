@@ -1,0 +1,47 @@
+"""Streaming operators surfaced in the driver-graded registry
+(rows-only: a Structured Streaming drain is not SQL-expressible, so
+there is no DuckDB oracle — the batch-parity proofs live in
+tests/test_streaming.py, where each builder is compared against its
+batch twin under trigger(availableNow)).
+
+Each entry drains the stream into a uniquely-named memory sink and
+returns the result as a batch DataFrame, so the driver can count/hash
+it like any other query.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import events_stream as es
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _drain(stream_df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    return es.run_to_memory(
+        stream_df, f"{prefix}_{uuid.uuid4().hex[:8]}", output_mode=output_mode
+    )
+
+
+def s1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming e1: watermarked 1-hour tumbling windows drained with
+    availableNow (complete mode, so the final open window is emitted;
+    equals e1_tumbling_window — pinned in tests)."""
+    src = es.events_source(spark, sf_dir)
+    return _drain(es.tumbling_counts(src), "s1", "complete")
+
+
+def s2_stream_spend_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running purchase totals + threshold alert level; final emit per
+    user equals the batch aggregate — pinned in tests."""
+    src = es.events_source(spark, sf_dir)
+    return _drain(es.user_spend_monitor(src), "s2", "update")
+
+
+QUERIES["s1_stream_tumbling"] = s1_stream_tumbling
+QUERIES["s2_stream_spend_monitor"] = s2_stream_spend_monitor
