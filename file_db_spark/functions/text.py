@@ -27,6 +27,14 @@ __all__ = [
     "lsh_bands",
     "simhash64",
     "simhash64_from_hashes",
+    "PORTABLE_PRIME",
+    "MINHASH_PERMS",
+    "SIMHASH_PERMS",
+    "portable_fingerprint60",
+    "portable_shingle_hashes",
+    "portable_minhash_from_hashes",
+    "portable_lsh_bands",
+    "portable_simhash_bands",
 ]
 
 _WS = r"\s+"
@@ -194,6 +202,132 @@ def simhash64_from_hashes(hashes: Column) -> Column:
     for i in range(64):
         out = out.bitwiseOR(F.shiftleft(bit(i), i))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Portable (cross-engine) hash family
+#
+# xxhash64 is a JVM intrinsic DuckDB doesn't implement, so the queries
+# built on it can only get a rows-only correctness check. This family
+# trades it for md5 (RFC-identical in every engine) + a universal-hash
+# permutation h_i(x) = (A_i*x + B_i) mod P over the md5-derived base
+# value — every step is exact 64-bit integer arithmetic both engines
+# agree on, so MinHash/SimHash/fingerprint queries become fully
+# hash-verifiable against a DuckDB oracle. Cost is comparable to the
+# xxhash64 path: ONE md5 per shingle, then num_perm cheap integer ops
+# (vs num_perm xxhash64 re-hashes).
+
+#: Mersenne prime 2^31 - 1: keeps A*h + B < 2^63, so ANSI mode (Spark 4
+#: default) never sees an overflow, and DuckDB BIGINT math is identical.
+PORTABLE_PRIME = 2147483647
+
+
+def _perm_constants(n: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (A, B) pairs for the universal-hash permutations —
+    a fixed-seed LCG so Spark Columns and generated oracle SQL embed the
+    exact same constants (no RNG libraries, reproducible forever)."""
+    state, out = seed, []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (PORTABLE_PRIME - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % PORTABLE_PRIME
+        out.append((a, b))
+    return out
+
+
+MINHASH_PERMS = _perm_constants(32, seed=0x5EED)
+SIMHASH_PERMS = _perm_constants(64, seed=0xC0FFEE)
+
+#: DuckDB expression template for the portable base hash of a string
+#: expression {s}: first 32 bits of md5, reduced mod P.
+DUCKDB_BASE_HASH = (
+    "(CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT) % " + str(PORTABLE_PRIME) + ")"
+)
+
+
+def portable_base_hash(s: Column) -> Column:
+    """First 32 bits of md5(s) mod P — the cross-engine base hash.
+    Verified equal to DUCKDB_BASE_HASH for ASCII and empty strings."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % PORTABLE_PRIME
+
+
+def portable_fingerprint60(col: Column | str) -> Column:
+    """60-bit integer fingerprint of the normalized text (first 15 md5
+    hex chars). Oracle-portable sibling of fingerprint64 (xxhash64),
+    which engine-internal paths keep for speed."""
+    return F.conv(F.substring(F.md5(normalize_text(col)), 1, 15), 16, 10).cast("long")
+
+
+def portable_shingle_hashes(shingles: Column) -> Column:
+    """Portable base hash of each shingle (array<long>, values in
+    [0, P)). Materialize as a real column before deriving permutations
+    (HOF lambdas capture by expression — see word_shingles_from_tokens)."""
+    return F.transform(shingles, portable_base_hash)
+
+
+def portable_minhash_from_hashes(hashes: Column, num_perm: int = 32) -> Column:
+    """MinHash signature via the (A*h + B) mod P universal family over
+    pre-computed portable base hashes. Bit-identical to the generated
+    DuckDB oracle CTE (see operators/dedup.py)."""
+    def perm(a: int, b: int):
+        # closure factory, NOT default args: pyspark counts defaulted
+        # params in the lambda arity and would reject a 3-arg lambda
+        return lambda h: (h * F.lit(a) + F.lit(b)) % PORTABLE_PRIME
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, perm(a, b)))
+            for (a, b) in MINHASH_PERMS[:num_perm]
+        ]
+    )
+
+
+def portable_lsh_bands(signature: Column, bands: int, rows: int) -> Column:
+    """Band keys as '_'-joined value strings (portable: both engines
+    format a bigint identically) -> array<struct<band:int, key:string>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.element_at(signature, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def portable_simhash_bands(hashes: Column, bands: int = 4, bits_per_band: int = 16) -> Column:
+    """SimHash as `bands` integers of `bits_per_band` bits each, from
+    portable base hashes: bit j votes +1/-1 by parity of the j-th
+    universal permutation, sign of the sum sets the bit. Band-valued
+    (not one 64-bit long) so band equality AND hamming distance are
+    exact integer ops in both engines. Returns array<long> of length
+    `bands`."""
+
+    def bit(j: int) -> Column:
+        a, b = SIMHASH_PERMS[j]
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(((h * F.lit(a) + F.lit(b)) % PORTABLE_PRIME) % 2 == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    def band(k: int) -> Column:
+        out = F.lit(0).cast("long")
+        for r in range(bits_per_band):
+            out = out + F.shiftleft(bit(k * bits_per_band + r), r)
+        return out
+
+    return F.array(*[band(k) for k in range(bands)])
 
 
 def simhash64(shingles: Column) -> Column:

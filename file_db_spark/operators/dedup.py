@@ -25,11 +25,15 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.text import (
-    lsh_bands,
-    minhash_from_hashes,
+    DUCKDB_BASE_HASH,
+    MINHASH_PERMS,
+    PORTABLE_PRIME,
+    SIMHASH_PERMS,
     normalize_text,
-    shingle_hashes,
-    simhash64_from_hashes,
+    portable_lsh_bands,
+    portable_minhash_from_hashes,
+    portable_shingle_hashes,
+    portable_simhash_bands,
     tokens,
     word_shingles_from_tokens,
 )
@@ -199,13 +203,80 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x4 oracle: the portable MinHash family, generated from the SAME
+# constants the Spark Columns embed (functions/text.py MINHASH_PERMS).
+_P = PORTABLE_PRIME
+_X4_SHINGLE_CTES = r"""norm AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {n}
+                  THEN list_distinct(list_transform(range(1, len(toks) - {nm2}),
+                       i -> {concat}))
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM norm
+    ), hashed AS (
+      SELECT doc_id, {base} AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    )"""
+
+
+def _x4_shingle_ctes(n: int) -> str:
+    concat = " || ' ' || ".join(f"toks[i+{r}]" if r else "toks[i]" for r in range(n))
+    return (
+        _X4_SHINGLE_CTES.replace("{n}", str(n))
+        .replace("{nm2}", str(n - 2))
+        .replace("{concat}", concat)
+        .replace("{base}", DUCKDB_BASE_HASH.format(s="s"))
+    )
+
+
+_X4_MINS = ",\n             ".join(
+    f"MIN((h * {a} + {b}) % {_P}) AS m{i}" for i, (a, b) in enumerate(MINHASH_PERMS)
+)
+_X4_SIG = "[" + ", ".join(f"m{i}" for i in range(32)) + "]"
+_X4_BANDS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, {k} AS band, "
+    + " || '_' || ".join(f"CAST(m{4 * k + r} AS VARCHAR)" for r in range(4))
+    + " AS key FROM mins"
+    for k in range(8)
+)
+_X4_ORACLE = f"""
+    WITH {_x4_shingle_ctes(5)}, mins AS (
+      SELECT doc_id,
+             {_X4_MINS}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {_X4_SIG} AS sig FROM mins
+    ), banded AS (
+      {_X4_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 >= 0.5
+    """
+
+
+@_q("x4_minhash_lsh", _X4_ORACLE)
 def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands x 4 rows) near-dup candidates,
-    verified by MinHash-estimated Jaccard >= 0.5. xxhash64-based (JVM
-    intrinsic) — not SQL-portable, driver records rows-only.
+    verified by MinHash-estimated Jaccard >= 0.5. Uses the portable
+    md5-based universal-hash family (functions/text.py) so the DuckDB
+    oracle reproduces the signatures bit-for-bit — full hash-verified
+    correctness for an LSH pipeline, not just a rows-only check.
 
-    Scale: the banded join is an equi-join on (band, bucket); signature
-    computation is embarrassingly parallel Column work.
+    Scale: the banded join is an equi-join on (band, key); signature
+    computation is embarrassingly parallel Column work — one md5 per
+    shingle plus 32 integer permutations, all inside codegen.
     """
     d = load_table(spark, sf_dir, "documents")
     sig = (
@@ -213,15 +284,19 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", word_shingles_from_tokens(F.col("toks"), 5).alias("shingles")
         )
-        .select("doc_id", shingle_hashes(F.col("shingles")).alias("h"))
-        .select("doc_id", minhash_from_hashes(F.col("h"), num_perm=32).alias("sig"))
+        .select("doc_id", portable_shingle_hashes(F.col("shingles")).alias("h"))
+        .select(
+            "doc_id", portable_minhash_from_hashes(F.col("h"), num_perm=32).alias("sig")
+        )
     )
     banded = (
         sig.select(
-            "doc_id", "sig", F.explode(lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b")
+            "doc_id",
+            "sig",
+            F.explode(portable_lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b"),
         )
         .select(
-            "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+            "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.key").alias("key")
         )
         # Materialize once: signatures are tiny (32 longs/doc) next to the
         # text they summarize; the self-join would otherwise re-run the
@@ -236,7 +311,7 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -263,47 +338,95 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["x4_minhash_lsh"] = x4_minhash_lsh
+# --- x5 oracle: portable SimHash, generated from SIMHASH_PERMS.
+_X5_SUMS = ",\n             ".join(
+    f"SUM(CASE WHEN ((h * {a} + {b}) % {_P}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j, (a, b) in enumerate(SIMHASH_PERMS)
+)
+_X5_BANDVALS = ",\n             ".join(
+    " + ".join(
+        f"(CASE WHEN s{16 * k + r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(16)
+    )
+    + f" AS b{k}"
+    for k in range(4)
+)
+_X5_BANDS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, {k} AS band, b{k} AS bucket FROM sims" for k in range(4)
+)
+_X5_HAMMING = " + ".join(f"bit_count(xor(sa.b{k}, sb.b{k}))" for k in range(4))
+_X5_ORACLE = f"""
+    WITH {_x4_shingle_ctes(3)}, sums AS (
+      SELECT doc_id,
+             {_X5_SUMS}
+      FROM hashed GROUP BY doc_id
+    ), sims AS (
+      SELECT doc_id,
+             {_X5_BANDVALS}
+      FROM sums
+    ), banded AS (
+      {_X5_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, CAST({_X5_HAMMING} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sims sa ON sa.doc_id = c.doc_a
+    JOIN sims sb ON sb.doc_id = c.doc_b
+    WHERE {_X5_HAMMING} <= 3
+    """
 
 
+@_q("x5_simhash", _X5_ORACLE)
 def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit sign hash, candidates = equal 16-bit
-    band (4 bands -> catches pairs within hamming distance 3 in at
-    least one band with certainty... pigeonhole: hamming<=3 implies one
-    of 4 bands identical). Rows-only check (xxhash64 not SQL-portable)."""
+    """SimHash near-dup: 64-bit sign hash held as 4x16-bit band values,
+    candidates = equal band (pigeonhole: hamming<=3 implies one of 4
+    bands identical). Portable universal-hash bits (functions/text.py
+    SIMHASH_PERMS) make the DuckDB oracle bit-exact — full hash-verified
+    correctness.
+
+    Scale: band explode + equi-join on (band, bucket); the 64 per-bit
+    vote aggregations are per-row array ops inside codegen, and the
+    persisted band table is 4 small ints per doc."""
     d = load_table(spark, sf_dir, "documents")
     sh = (
         d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
         .select(
             "doc_id", word_shingles_from_tokens(F.col("toks"), 3).alias("shingles")
         )
-        .select("doc_id", shingle_hashes(F.col("shingles")).alias("h"))
-        .select("doc_id", simhash64_from_hashes(F.col("h")).alias("simhash"))
+        .select("doc_id", portable_shingle_hashes(F.col("shingles")).alias("h"))
+        .select("doc_id", portable_simhash_bands(F.col("h")).alias("bands"))
     )
     bands = (
         sh.select(
             "doc_id",
-            "simhash",
+            "bands",
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(i).alias("band"),
-                            F.shiftright("simhash", i * 16)
-                            .bitwiseAND(F.lit(0xFFFF))
-                            .alias("bucket"),
+                            F.element_at("bands", i + 1).alias("bucket"),
                         )
                         for i in range(4)
                     ]
                 )
             ).alias("b"),
         )
-        .select("doc_id", "simhash", "b.band", "b.bucket")
-        .persist()  # one 8-byte hash/doc; see x4 note — avoids 2x pipeline
+        .select("doc_id", "bands", "b.band", "b.bucket")
+        .persist()  # four 16-bit ints/doc; see x4 note — avoids 2x pipeline
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = sum(
+        F.bit_count(
+            F.element_at(F.col("a.bands"), k + 1).bitwiseXOR(
+                F.element_at(F.col("b.bands"), k + 1)
+            )
+        )
+        for k in range(4)
+    )
     return (
         a.join(
             b,
@@ -314,15 +437,12 @@ def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            ham.cast("bigint").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
-
-
-QUERIES["x5_simhash"] = x5_simhash
 
 
 #: x6: cells (labels) larger than this are sub-bucketed by the sign

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.text import fingerprint64, normalize_text, tokens
+from ..functions.text import normalize_text, portable_fingerprint60, tokens
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -164,14 +164,23 @@ def d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
 
 
+@_q(
+    "d5_fingerprint64",
+    r"""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp60
+    FROM documents
+    """,
+)
 def d5_fingerprint64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 64-bit fingerprint (xxhash64) — engine-native, used by
-    shuffle-free dedup paths; no SQL oracle (rows-only check)."""
+    """Integer document fingerprint: 60 bits of md5 of the normalized
+    text, portable across engines (hash-verified oracle). Engine-
+    internal shuffle-free dedup paths keep the faster xxhash64 variant
+    (functions.text.fingerprint64); this query surface uses the
+    portable one so correctness is provable, with identical collision
+    behavior at any realistic corpus size (2^60 space)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint64("text").alias("fp64"))
-
-
-QUERIES["d5_fingerprint64"] = d5_fingerprint64
+    return d.select("doc_id", portable_fingerprint60("text").alias("fp60"))
 
 
 # Portable md5-hex -> int bucket: decode the first 4 hex chars by
