@@ -284,20 +284,20 @@ def portable_minhash_from_hashes(hashes: Column, num_perm: int = 32) -> Column:
 
 
 def portable_lsh_bands(signature: Column, bands: int, rows: int) -> Column:
-    """Band keys as '_'-joined value strings (portable: both engines
-    format a bigint identically) -> array<struct<band:int, key:string>>."""
+    """Band keys as a portable integer fold over the band's signature
+    values: key = fold(k -> (k*31 + m) mod P). Integer shuffle keys are
+    cheaper than concatenated strings, and both engines compute the
+    identical fold -> array<struct<band:int, key:long>>."""
+
+    def band_key(b: int) -> Column:
+        key = F.element_at(signature, b * rows + 1)
+        for r in range(1, rows):
+            key = (key * 31 + F.element_at(signature, b * rows + r + 1)) % PORTABLE_PRIME
+        return key
+
     return F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.element_at(signature, b * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ],
-                ).alias("key"),
-            )
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
             for b in range(bands)
         ]
     )

@@ -237,11 +237,17 @@ _X4_MINS = ",\n             ".join(
     f"MIN((h * {a} + {b}) % {_P}) AS m{i}" for i, (a, b) in enumerate(MINHASH_PERMS)
 )
 _X4_SIG = "[" + ", ".join(f"m{i}" for i in range(32)) + "]"
+
+
+def _x4_band_key(k: int) -> str:
+    key = f"m{4 * k}"
+    for r in range(1, 4):
+        key = f"(({key}) * 31 + m{4 * k + r}) % {_P}"
+    return key
+
+
 _X4_BANDS = "\n      UNION ALL\n      ".join(
-    f"SELECT doc_id, {k} AS band, "
-    + " || '_' || ".join(f"CAST(m{4 * k + r} AS VARCHAR)" for r in range(4))
-    + " AS key FROM mins"
-    for k in range(8)
+    f"SELECT doc_id, {k} AS band, {_x4_band_key(k)} AS key FROM mins" for k in range(8)
 )
 _X4_ORACLE = f"""
     WITH {_x4_shingle_ctes(5)}, mins AS (
@@ -288,23 +294,20 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", portable_minhash_from_hashes(F.col("h"), num_perm=32).alias("sig")
         )
-    )
-    banded = (
-        sig.select(
-            "doc_id",
-            "sig",
-            F.explode(portable_lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b"),
-        )
-        .select(
-            "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.key").alias("key")
-        )
         # Materialize once: signatures are tiny (32 longs/doc) next to the
-        # text they summarize; the self-join would otherwise re-run the
-        # tokenize->shingle->hash pipeline on BOTH sides (2x cost). At
+        # text they summarize; the downstream joins would otherwise re-run
+        # the tokenize->shingle->hash pipeline per reference (3x cost). At
         # cluster scale this is "write the signature table to staging,
         # then candidate-join it" — persist is the single-process analog.
         .persist()
     )
+    # Band table carries ONLY (doc_id, band, key) — the candidate
+    # self-join and pair-dedup shuffle 3 scalars per row, not the
+    # 32-long signature arrays (those rejoin after dedup, when the pair
+    # set is small).
+    banded = sig.select(
+        "doc_id", F.explode(portable_lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -317,22 +320,24 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
     est_jac = (
         F.size(
             F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.zip_with("sa.sig", "sb.sig", lambda x, y: (x == y).cast("int")),
                 lambda v: v == 1,
             )
         ).cast("double")
         / 32.0
     )
     return (
-        cand.select("doc_a", "doc_b", est_jac.alias("est_jaccard"))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", est_jac.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
@@ -661,7 +666,7 @@ def x9_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = staged.select(
         "doc_id", "bucket", word_shingles_from_tokens(F.col("toks"), 4).alias("shingles")
-    )
+    ).persist()  # referenced by BOTH the test-gram set and the train probe
     test_grams = (
         sh.where(F.col("bucket") >= 950)
         .select(F.explode("shingles").alias("g"))
