@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the scale story of every headline
+operator is a claim about the PLAN (what shuffles, what broadcasts,
+what reaches the scan) — these pin it so a refactor can't silently
+regress a scan-riding filter into a shuffle or a broadcast join into a
+sort-merge join. Value correctness is the oracle gate's job; plan shape
+is this file's.
+"""
+
+from __future__ import annotations
+
+import re
+
+from file_db_spark import operators as ops
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return ops.QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return len(
+        re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan)
+    )
+
+
+def test_a1_single_shuffle_with_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a1_pricing_summary")
+    # partial agg map-side, one shuffle on the group key, filter pushed
+    # into the parquet scan
+    assert _shuffles(plan) == 1
+    assert "PushedFilters" in plan and "PushedFilters: []" not in plan
+
+
+def test_j1_dim_side_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j1_broadcast_equi_join")
+    assert "BroadcastHashJoin" in plan
+    # never a sort-merge join of fact vs dim
+    assert "SortMergeJoin" not in plan
+
+
+def test_d8_filter_rides_the_scan(spark, sf_dir):
+    # deterministic sampling is a pure filter: NO exchange of any kind —
+    # at 100 TB this plan touches each input split exactly once
+    plan = _plan(spark, sf_dir, "d8_stratified_sample")
+    assert _shuffles(plan) == 0
+    assert "BroadcastExchange" not in plan
+
+
+def test_x1_exact_dedup_one_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x1_exact_dedup")
+    assert _shuffles(plan) == 1
+
+
+def test_x9_test_grams_broadcast(spark, sf_dir):
+    # the held-out split's gram set broadcasts; the corpus-side probe is
+    # a map-side hash join (corpus shuffles only for the final count)
+    plan = _plan(spark, sf_dir, "x9_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert _shuffles(plan) <= 2
+
+
+def test_d13_funnel_single_pass(spark, sf_dir):
+    # one corpus scan: content-hash window shuffle + global single-row
+    # agg; a UNION-per-stage implementation would triple the scan count
+    plan = _plan(spark, sf_dir, "d13_clean_funnel")
+    assert _shuffles(plan) <= 2
+    assert plan.count("FileScan") == 1
+
+
+def test_d12_vocab_agg_before_rank(spark, sf_dir):
+    # term agg shuffle + vocab-table rank shuffle; the rank window must
+    # sit ABOVE the aggregate (vocab-sized), never over the raw tokens
+    plan = _plan(spark, sf_dir, "d12_vocab_topk")
+    assert _shuffles(plan) == 2
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # executedPlan prints top-down: the Window operator appears before
+    # (above) the aggregate that feeds it
+    assert win_pos < agg_pos
