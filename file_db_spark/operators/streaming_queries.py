@@ -45,3 +45,24 @@ def s2_stream_spend_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s1_stream_tumbling"] = s1_stream_tumbling
 QUERIES["s2_stream_spend_monitor"] = s2_stream_spend_monitor
+
+# The drained streams ARE deterministic batch results (availableNow over
+# a static source = exactly one micro-batch): s1 in complete mode equals
+# the batch tumbling aggregation, s2's single final emit per user equals
+# the batch per-user rollup — so both get full value-hash oracles, not
+# just rows-only checks. (Stream-vs-batch equality is ALSO pinned in
+# tests/test_streaming.py; this makes the driver's gate see it too.)
+ORACLES["s1_stream_tumbling"] = """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """
+ORACLES["s2_stream_spend_monitor"] = """
+    SELECT user_id, COUNT(*) AS n_purchases,
+           SUM(COALESCE(value, 0)) AS total_spend,
+           CAST(FLOOR(SUM(COALESCE(value, 0)) / 500.0) AS BIGINT) AS alert_level
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """
