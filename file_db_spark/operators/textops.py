@@ -562,6 +562,48 @@ def d13_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "d14_length_quantiles",
+    r"""
+    WITH tok AS (
+      SELECT source, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT source,
+           quantile_cont(n, 0.5) AS p50,
+           quantile_cont(n, 0.9) AS p90,
+           quantile_cont(n, 0.99) AS p99,
+           CAST(MAX(n) AS BIGINT) AS max_tokens
+    FROM tok GROUP BY source
+    """,
+)
+def d14_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length quantiles (p50/p90/p99/max) — the table
+    length-filter and packing thresholds are read from. Spark's exact
+    `percentile` and DuckDB's `quantile_cont` share linear
+    interpolation, so the oracle hash-matches.
+
+    Scale: exact percentile buffers each group's values — fine for the
+    verifiable registry query (one value per doc, few groups); the
+    100 TB path swaps in `approx_percentile` (mergeable t-digest, same
+    plan shape, map-side partials) where a bounded-error answer is the
+    right trade."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    return (
+        d.select("source", n_tokens.alias("n"))
+        .groupBy("source")
+        .agg(F.expr("percentile(n, array(0.5, 0.9, 0.99))").alias("q"), F.max("n").alias("max_tokens"))
+        .select(
+            "source",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p90"),
+            F.col("q")[2].alias("p99"),
+            "max_tokens",
+        )
+    )
+
+
+@_q(
     "d11_mix_report",
     r"""
     WITH tok AS (
