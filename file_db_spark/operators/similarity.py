@@ -240,6 +240,59 @@ def v2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["v2_ann_lsh"] = v2_ann_lsh
 
 
+def _v2_oracle() -> str:
+    """DuckDB oracle for v2: the SAME fixed-seed hyperplanes as literal
+    double arrays, sign-bit buckets per table, candidate union, exact
+    cosine re-rank. Valid because the minimum |dot| sign margin over the
+    testdata (~9e-5 at sf0.01) is orders of magnitude above any
+    float64 summation-order difference between numpy and DuckDB, so
+    bucket assignment — and therefore the whole result — is engine-
+    independent. (Testdata embeddings are 64-dim at every SF.)"""
+    planes = _hyperplanes(LSH_TABLES * LSH_BITS, 64)
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for b in range(LSH_BITS):
+            lit = "[" + ", ".join(repr(x) for x in planes[t * LSH_BITS + b]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) >= 0"
+                f" THEN {1 << b} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    buckets = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+    WITH cbuck AS (
+      {buckets}
+    ), qbuck AS (
+      SELECT * FROM cbuck WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM cbuck c JOIN qbuck q
+        ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])) AS cos_sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+ORACLES["v2_ann_lsh"] = _v2_oracle()
+
+
 def v4_ivf_nprobe(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
     """IVF with true centroid routing: compute each cell's centroid
     (elementwise mean via posexplode -> groupBy(label, pos) -> rebuild),
@@ -317,3 +370,44 @@ def v4_ivf_nprobe(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFram
 
 
 QUERIES["v4_ivf_nprobe"] = v4_ivf_nprobe
+
+# v4 oracle: centroids via per-dimension AVG (unnest WITH ORDINALITY),
+# identical nprobe routing, exact cosine re-rank. Engine-stable because
+# the rank-2-vs-rank-3 centroid-cosine margin over the testdata
+# (~1.7e-2 at sf0.01) dwarfs float64 summation-order differences in the
+# centroid means, so every engine routes every query to the same cells;
+# the output cosines are computed from the raw vectors, not centroids.
+ORACLES["v4_ivf_nprobe"] = f"""
+    WITH cent AS (
+      SELECT label, list(avg_v ORDER BY idx) AS centroid FROM (
+        SELECT e.label, t.idx, AVG(CAST(e.embedding[t.idx] AS DOUBLE)) AS avg_v
+        FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(idx)
+        GROUP BY e.label, t.idx
+      ) GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), routed AS (
+      SELECT q.query_id, q.q_label, q.q_emb, c.label AS cent_label,
+             list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), c.centroid) AS cent_cos
+      FROM q CROSS JOIN cent c
+    ), probes AS (
+      SELECT query_id, q_emb, cent_label AS probe_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cent_cos DESC, cent_label ASC
+        ) AS cell_rank FROM routed
+      ) WHERE cell_rank <= 2 OR cent_label = q_label
+    ), scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos_sim
+      FROM probes p JOIN embeddings e
+        ON e.label = p.probe_label AND e.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
