@@ -203,6 +203,15 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LSH bucket-size cap for x4/x5 candidate generation: a bucket of K
+#: members yields K^2/2 candidate pairs, so a degenerate boilerplate
+#: bucket (mass-duplicated docs all sharing every band) would go
+#: quadratic at 100 TB exactly like x3's hot shingles. Buckets above
+#: the cap are dropped from candidate generation (their members still
+#: pair via their other, less-degenerate bands). Mirrored exactly in
+#: both oracles.
+MAX_LSH_BUCKET = 100
+
 # --- x4 oracle: the portable MinHash family, generated from the SAME
 # constants the Spark Columns embed (functions/text.py MINHASH_PERMS).
 _P = PORTABLE_PRIME
@@ -258,9 +267,12 @@ _X4_ORACLE = f"""
       SELECT doc_id, {_X4_SIG} AS sig FROM mins
     ), banded AS (
       {_X4_BANDS}
+    ), capped AS (
+      SELECT doc_id, band, key FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {MAX_LSH_BUCKET}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
@@ -304,10 +316,20 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Band table carries ONLY (doc_id, band, key) — the candidate
     # self-join and pair-dedup shuffle 3 scalars per row, not the
     # 32-long signature arrays (those rejoin after dedup, when the pair
-    # set is small).
-    banded = sig.select(
-        "doc_id", F.explode(portable_lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    # set is small). Oversized buckets (> MAX_LSH_BUCKET) are dropped
+    # before the self-join; the cap's window shuffle partitions by the
+    # same (band, key) the join needs, so Catalyst reuses the exchange.
+    w_bucket = Window.partitionBy("band", "key")
+    banded = (
+        sig.select(
+            "doc_id",
+            F.explode(portable_lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b"),
+        )
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        .withColumn("bucket_n", F.count("*").over(w_bucket))
+        .filter(F.col("bucket_n") <= MAX_LSH_BUCKET)
+        .drop("bucket_n")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -370,9 +392,12 @@ _X5_ORACLE = f"""
       FROM sums
     ), banded AS (
       {_X5_BANDS}
+    ), capped AS (
+      SELECT doc_id, band, bucket FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {MAX_LSH_BUCKET}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b, CAST({_X5_HAMMING} AS BIGINT) AS hamming
@@ -403,6 +428,7 @@ def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", portable_shingle_hashes(F.col("shingles")).alias("h"))
         .select("doc_id", portable_simhash_bands(F.col("h")).alias("bands"))
     )
+    w_bucket = Window.partitionBy("band", "bucket")
     bands = (
         sh.select(
             "doc_id",
@@ -420,6 +446,10 @@ def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
         .select("doc_id", "bands", "b.band", "b.bucket")
+        # degenerate-bucket cap, same rationale + exchange reuse as x4
+        .withColumn("bucket_n", F.count("*").over(w_bucket))
+        .filter(F.col("bucket_n") <= MAX_LSH_BUCKET)
+        .drop("bucket_n")
         .persist()  # four 16-bit ints/doc; see x4 note — avoids 2x pipeline
     )
     a = bands.alias("a")

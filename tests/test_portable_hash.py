@@ -126,3 +126,34 @@ def test_fingerprint60_range_and_normalization(spark):
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
     assert all(0 <= v < 2**60 for v in fps.values())
+
+
+def _docs_dir(spark, tmp_path, rows):
+    import os
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+def test_x4_bucket_cap_fires(spark, tmp_path):
+    """MAX_LSH_BUCKET drops degenerate buckets: mass-duplicated docs
+    share every band, so above the cap they generate NO candidate pairs
+    (the quadratic-blowup guard), while below the cap they all pair."""
+    from file_db_spark.operators.dedup import MAX_LSH_BUCKET, x4_minhash_lsh
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    over = _docs_dir(
+        spark,
+        tmp_path / "over",
+        [(i, text) for i in range(MAX_LSH_BUCKET + 10)],
+    )
+    assert x4_minhash_lsh(spark, over).count() == 0
+
+    n_small = 12
+    small = _docs_dir(
+        spark, tmp_path / "small", [(i, text) for i in range(n_small)]
+    )
+    # all-identical docs below the cap: every unordered pair survives
+    assert x4_minhash_lsh(spark, small).count() == n_small * (n_small - 1) // 2
