@@ -189,8 +189,9 @@ def v2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16 buckets each); a corpus vector is indexed once per table, a
     query probes its bucket in every table, candidates are unioned
     across tables, then exact-cosine re-ranked top-k. Recall < 1 by
-    design (approximate) -> rows-only check; determinism from the fixed
-    hyperplane seed.
+    design (approximate), but the result is deterministic (fixed
+    hyperplane seed) and the oracle reproduces it exactly — see
+    _v2_oracle for the sign-margin argument.
 
     Scale: the (table, bucket) pair is a derived column — explode the
     corpus L ways, repartition/bucket by it once, and each query probes
@@ -301,10 +302,11 @@ def v4_ivf_nprobe(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFram
     oracle-checked skeleton); this is the recall lever — nprobe trades
     scan fraction for recall, the standard IVF knob.
 
-    Rows-only check: centroid means are float sums whose partition
-    order differs between engines, so near-tie cell routing isn't
-    bit-reproducible in SQL — quality is pinned by the recall-floor
-    test instead.
+    Oracle-verified: centroid means are float sums whose partition
+    order differs between engines, but the testdata's routing margins
+    (rank-2 vs rank-3 centroid cosine ~1.7e-2) dwarf summation-order
+    noise, so both engines route identically — see the ORACLES entry;
+    quality is additionally pinned by the recall-floor test.
 
     Scale: centroids are |cells| tiny rows (broadcast); the probe is a
     partition-prunable equi-join on the cell id; posexplode of the

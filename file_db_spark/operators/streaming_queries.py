@@ -1,8 +1,9 @@
-"""Streaming operators surfaced in the driver-graded registry
-(rows-only: a Structured Streaming drain is not SQL-expressible, so
-there is no DuckDB oracle — the batch-parity proofs live in
-tests/test_streaming.py, where each builder is compared against its
-batch twin under trigger(availableNow)).
+"""Streaming operators surfaced in the driver-graded registry.
+
+Both entries carry full DuckDB value-hash oracles: trigger(availableNow)
+over a static source is exactly one micro-batch, so the drained result
+IS its batch aggregate (see ORACLES below). Stream-vs-batch equality is
+additionally pinned in tests/test_streaming.py.
 
 Each entry drains the stream into a uniquely-named memory sink and
 returns the result as a batch DataFrame, so the driver can count/hash

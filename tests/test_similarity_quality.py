@@ -1,7 +1,8 @@
-"""ANN quality metrics: the approximate paths (v2 LSH, v3 IVF) are
-rows-only for the driver (recall < 1 by design) — these tests pin the
-quality floor against the exact v1 baseline so a regression in the
-bucketing logic shows up as a recall drop, not silently."""
+"""ANN quality metrics: the approximate paths (v2 LSH, v3/v4 IVF) are
+hash-verified against deterministic oracles, but recall < 1 by design —
+these tests pin the quality floor against the exact v1 baseline so a
+regression in the bucketing logic shows up as a recall drop, not
+silently."""
 
 from __future__ import annotations
 
