@@ -188,3 +188,58 @@ def m4_frame_sample(
 
 
 QUERIES["m4_frame_sample"] = m4_frame_sample
+
+
+# --- Oracles for the stub kernels -------------------------------------
+#
+# The decode kernels are deterministic byte arithmetic over the payload
+# and the corpus is pure ASCII at every SF (verified: strlen == length
+# for all docs), so ord(substr(text, i, 1)) IS the payload byte and
+# DuckDB can mirror each kernel exactly. These oracles don't make the
+# stubs real decoders — they prove the mapInPandas plumbing (schema,
+# Arrow round-trip, 1:N fan-out, binary output) is byte-exact, which is
+# precisely what a rows-only check can't see.
+
+#: sum of payload bytes [lo, lo+cnt) as a DuckDB expression (0 if empty)
+def _byte_sum(lo: str, cnt: str) -> str:
+    return (
+        f"COALESCE(list_sum(list_transform(range({lo} + 1, {lo} + {cnt} + 1),"
+        f" j -> ord(substr(text, j, 1)))), 0)"
+    )
+
+
+ORACLES["m2_decode_features"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n FROM documents
+    )
+    SELECT doc_id, n AS n_bytes,
+           CAST(64 + (n % 512) AS INTEGER) AS width,
+           CAST(64 + ({_byte_sum("0", "least(n, 16)")} % 512) AS INTEGER) AS height,
+           CAST({_byte_sum("0", "least(n, 256)")} AS DOUBLE)
+             / greatest(1, least(n, 256)) / 255.0 AS mean_intensity
+    FROM b
+    """
+
+# m3 stays rows-only on purpose: its deliverable is a BINARY column,
+# and the two pandas bridges disagree on binary repr (bytes vs
+# bytearray) under the value-hash normalization — the thumbnail bytes
+# are pinned exactly in tests/test_pipeline_ops.py instead.
+
+ORACLES["m4_frame_sample"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len,
+             greatest(1, CAST(ceil(strlen(text) / 1024.0) AS BIGINT)) AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, text, CAST(i AS INTEGER) AS frame_no,
+             CAST(i * 1024 AS BIGINT) AS frame_offset,
+             least(len - i * 1024, 1024) AS chunk_len
+      FROM b, unnest(range(0, nf, 4)) AS t(i)
+    )
+    SELECT doc_id, frame_no, frame_offset,
+           CASE WHEN chunk_len > 0
+                THEN CAST({_byte_sum("frame_offset", "chunk_len")} AS DOUBLE)
+                     / chunk_len / 255.0
+                ELSE 0.0 END AS frame_mean
+    FROM fr
+    """

@@ -104,3 +104,25 @@ def test_x9_only_train_docs_flagged(spark, sf_dir):
     # Contamination reports train-split docs only, with positive overlap.
     assert joined.where(F.col("bucket") >= 950).count() == 0
     assert out.where(F.col("n_overlap") <= 0).count() == 0
+
+
+def test_m3_thumb_bytes_exact(spark, sf_dir):
+    """m3's binary thumbnail pinned against the kernel spec computed
+    independently in Python (its DuckDB oracle is withheld on purpose:
+    the pandas bridges disagree on binary repr, so the byte-exactness
+    proof lives here instead)."""
+    from file_db_spark.catalog import load_table
+    from file_db_spark.operators.multimodal import m3_resize
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    out = m3_resize(spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    target = 32
+    for r in out:
+        b = docs[r["doc_id"]].encode("utf-8")
+        stride = max(1, len(b) // (target * target))
+        assert bytes(r["thumb"]) == b[::stride][: target * target]
+        assert r["out_width"] == target and r["out_height"] == target
