@@ -603,6 +603,60 @@ def d14_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d15: per-source token budget (greedy prefix in deterministic
+#: hash order). Sized so sf0.01 selects a strict, non-empty subset.
+_TOKEN_BUDGET = 1000
+
+
+@_q(
+    "d15_token_budget_sample",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+)
+def d15_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: greedily take documents per source, in
+    deterministic md5(doc_id) order, until the source's token budget is
+    filled — the 'give me ~N tokens of each source' data-mix primitive
+    (d8 rates by fraction; this budgets by absolute token count).
+
+    Scale: one shuffle partitioned by source; the running sum is a
+    per-partition window in hash order (no global sort). Hash order
+    makes the prefix a uniform sample AND reproducible across engines,
+    runs, and partitionings."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tok.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
 @_q(
     "d11_mix_report",
     r"""
