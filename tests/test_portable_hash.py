@@ -157,3 +157,30 @@ def test_x4_bucket_cap_fires(spark, tmp_path):
     )
     # all-identical docs below the cap: every unordered pair survives
     assert x4_minhash_lsh(spark, small).count() == n_small * (n_small - 1) // 2
+
+
+def test_base_hash_matches_duckdb_randomized(spark):
+    """Parity sweep over 200 deterministic pseudo-random ASCII strings
+    (printable chars incl. quotes/backslashes, lengths 0-80) — one
+    Spark job, one DuckDB pass, byte-for-byte agreement."""
+    import random
+    import string
+
+    rng = random.Random(20260813)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + " \t"
+    strs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 81)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strs)], "i long, s string")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", portable_base_hash(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(strs)))
+    want = dict(
+        con.execute("SELECT i, " + DUCKDB_BASE_HASH.format(s="s") + " FROM t").fetchall()
+    )
+    assert got == want
