@@ -73,17 +73,22 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run surfaces errors
 
+    # two timed runs per query, min taken: single samples on a busy
+    # 32-thread box swing ~25%, the min is the stable steady-state
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = ops.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
+        dt = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            run = time.perf_counter() - t0
+            dt = run if dt is None else min(dt, run)
+        timings[name] = round(dt, 3)
+        total += timings[name]
 
     print(
         json.dumps(
