@@ -442,3 +442,37 @@ def e10_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .withColumn("cohort_day", F.col("cohort_day").cast("timestamp"))
     )
+
+
+@_q(
+    "e11_value_outliers",
+    """
+    WITH thresh AS (
+      SELECT event_type, quantile_cont(value, 0.99) AS p99
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.user_id, e.event_type, e.value, t.p99
+    FROM events e JOIN thresh t ON e.event_type = t.event_type
+    WHERE e.value IS NOT NULL AND e.value > t.p99
+    """,
+)
+def e11_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value-outlier screen: flag events whose value exceeds
+    their event type's p99 — the anomaly/fraud triage shape. Exact
+    percentile matches DuckDB's quantile_cont (linear interpolation,
+    as in d14).
+
+    Scale: the threshold table is one row per event type (tiny) —
+    aggregate once, broadcast back, so the corpus is scanned twice but
+    never shuffled; at 100 TB swap approx_percentile into the same
+    plan for a single-pass sketch."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    thresh = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.99)").alias("p99")
+    )
+    return (
+        e.join(F.broadcast(thresh), "event_type")
+        .where(F.col("value") > F.col("p99"))
+        .select("event_id", "user_id", "event_type", "value", "p99")
+    )
