@@ -4,7 +4,10 @@ shingling/MinHash building blocks).
 
 Everything is native Column expressions — no Python UDFs — so the hot
 path stays inside whole-stage codegen and scales to 100 TB of text.
-MinHash uses xxhash64 (JVM intrinsic) with per-permutation seeds.
+Two hash families: the PORTABLE family (md5-derived universal hashing,
+bit-identical in DuckDB — what the oracle-verified registry queries
+use) and the xxhash64 fast path (JVM intrinsic, ~cheaper per string —
+for engine-internal pipelines that never need SQL parity).
 """
 
 from __future__ import annotations
@@ -149,11 +152,16 @@ def minhash_from_hashes(hashes: Column, num_perm: int = 32) -> Column:
     instead of num_perm full string hashes per shingle (~3x on the sf0.1
     bench). Integer multiply-shift would be cheaper still but ANSI mode
     (Spark 4 default) rejects the deliberate overflow. All JVM-side."""
+
+    def perm(i: int):
+        # closure factory, NOT a default arg: pyspark counts defaulted
+        # params in the lambda arity, so `lambda h, i=i:` binds i to the
+        # ELEMENT INDEX (2-arg HOF form) and every permutation collapses
+        # to the same expression — a degenerate 1-distinct signature
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     return F.array(
-        *[
-            F.array_min(F.transform(hashes, lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(num_perm)
-        ]
+        *[F.array_min(F.transform(hashes, perm(i))) for i in range(num_perm)]
     )
 
 

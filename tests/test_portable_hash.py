@@ -184,3 +184,35 @@ def test_base_hash_matches_duckdb_randomized(spark):
         con.execute("SELECT i, " + DUCKDB_BASE_HASH.format(s="s") + " FROM t").fetchall()
     )
     assert got == want
+
+
+def test_xxhash64_fast_path_contract(spark):
+    """The engine-internal xxhash64 family (the non-portable fast path)
+    keeps the same structural contract as the portable one: 32-long
+    signatures, identical inputs -> identical signatures, banded keys."""
+    from file_db_spark.functions.text import (
+        lsh_bands,
+        minhash_signature,
+        simhash64,
+    )
+
+    rows = [(1, ["a b", "b c"]), (2, ["a b", "b c"]), (3, ["x y", "y z"])]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    out = {
+        r["doc_id"]: (r["sig"], r["sh"], r["bands"])
+        for r in df.select(
+            "doc_id",
+            minhash_signature(F.col("shingles")).alias("sig"),
+            simhash64(F.col("shingles")).alias("sh"),
+            lsh_bands(minhash_signature(F.col("shingles")), bands=8, rows=4).alias(
+                "bands"
+            ),
+        ).collect()
+    }
+    assert len(out[1][0]) == 32 and out[1][0] == out[2][0]
+    # permutations must be genuinely distinct functions — the regression
+    # here was `lambda h, i=i` binding i to the element index, collapsing
+    # all 32 permutations into one (1-distinct degenerate signature)
+    assert len(set(out[1][0])) > 1
+    assert out[1][1] == out[2][1] and out[1][1] != out[3][1]
+    assert len(out[1][2]) == 8 and out[1][2] == out[2][2]
