@@ -459,6 +459,50 @@ def a5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+@_q(
+    "a6_rollup_totals",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a6_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals: per (returnflag, linestatus), per returnflag,
+    and grand total in one pass — the OLAP subtotal operator (Spark
+    `rollup` == SQL GROUP BY ROLLUP), with grouping flags to
+    disambiguate subtotal rows.
+
+    Scale: Spark expands rollup into a grouping-set union over ONE
+    shuffle of the (tiny) grouping key space with map-side partials —
+    no extra corpus passes per subtotal level."""
+    lt = load_table(spark, sf_dir, "lineitem")
+    return (
+        lt.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k
 # ---------------------------------------------------------------------------
