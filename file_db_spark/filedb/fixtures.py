@@ -95,8 +95,6 @@ def fixture_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     file_dirs = _file_paths(d).select("dir_path").where(
         F.col("dir_path") != "/orphan/nowhere"
@@ -104,10 +102,21 @@ def _build_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
     roots = spark.createDataFrame(
         [("/corpus",), ("C:\\corpus",), ("C:\\",)], "dir_path string"
     )
-    dirs = file_dirs.unionByName(roots).distinct()
-    w = Window.orderBy("dir_path")
+    # id = 1-based rank in dir_path order over the ~21-row dir set.
+    # Computed via coalesce(1) + sortWithinPartitions +
+    # monotonically_increasing_id (0..n-1 on the single partition)
+    # instead of an unpartitioned row_number window, so the fixture
+    # doesn't spam every driver/bench log with 'WindowExec: No
+    # Partition Defined' — keeping that warning meaningful for real
+    # regressions. Equivalent to ROW_NUMBER() OVER (ORDER BY dir_path).
+    dirs = (
+        file_dirs.unionByName(roots)
+        .distinct()
+        .coalesce(1)
+        .sortWithinPartitions("dir_path")
+    )
     return dirs.select(
-        F.row_number().over(w).cast("long").alias("id"),
+        (F.monotonically_increasing_id() + 1).cast("long").alias("id"),
         "dir_path",
         F.when(F.length("dir_path") % 5 < 2, F.lit(None).cast("timestamp"))
         .otherwise(_lit_ts("2023-12-31 00:00:00"))

@@ -614,9 +614,15 @@ def x7_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: iterative join+min-aggregate until a fixpoint, each round
     one shuffle on the vertex id; converges in graph-diameter rounds
     (near-dup clusters are shallow — single digits). The oracle is the
-    same fixpoint as a recursive CTE. At 100 TB scale the same loop
-    runs with large-star/small-star contraction and per-round
-    checkpointing; the driver-side part is only the convergence scalar.
+    same fixpoint as a recursive CTE. Each round's label table is
+    localCheckpoint()ed: without it the plan nests one level per round
+    (Catalyst re-analyzes a 20-deep tree and an executor loss recomputes
+    the whole chain); with it lineage is truncated to the materialized
+    blocks, so plan depth — pinned in tests/test_dedup_scale.py — stays
+    constant across rounds. At 100 TB the same loop adds
+    large-star/small-star contraction and checkpoints to durable
+    storage instead; the driver-side part is only the convergence
+    scalar.
     """
     pairs = x3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
@@ -624,9 +630,14 @@ def x7_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .persist()
     )
-    labels = edges.select(F.col("a").alias("v")).distinct().select(
-        "v", F.col("v").alias("lab")
-    ).persist()
+    # eager localCheckpoint: materializes AND truncates lineage (persist
+    # alone keeps the logical plan growing round over round)
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lab"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
     for _ in range(20):  # bound >> diameter of near-dup clusters
         prop = labels.join(edges, labels.v == edges.a).select(
@@ -634,9 +645,8 @@ def x7_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_labels = (
             labels.unionByName(prop).groupBy("v").agg(F.min("lab").alias("lab"))
-        ).persist()
+        ).localCheckpoint()
         new_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # monotone non-increasing -> fixpoint
             break

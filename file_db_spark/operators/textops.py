@@ -444,10 +444,12 @@ def d12_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-list primitive of a training pipeline. Deterministic rank
     (df desc, term asc) so the oracle matches exactly.
 
-    Scale: one map-side-combined shuffle onto the term key; the global
-    rank window runs over the already-aggregated vocab table (vocab
-    size, not corpus size), and a top-K over it is a driver-light
-    TakeOrdered at any corpus scale."""
+    Scale: one map-side-combined shuffle onto the term key; the top-K
+    itself is orderBy+limit — TakeOrderedAndProject, a per-partition
+    heap-k then a 200-row merge, NEVER a global single-partition window
+    over the vocab (at web scale the distinct-term table is 1e7-1e8
+    rows). Rank is then assigned by a window over the already-limited
+    200-row result, which is O(K) regardless of corpus size."""
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
     tok = staged.select("doc_id", F.explode("toks").alias("term"))
@@ -455,10 +457,11 @@ def d12_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("df"),
         F.count("*").alias("total_count"),
     )
-    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    order = [F.col("df").desc(), F.col("term").asc()]
+    topk = vocab.orderBy(*order).limit(200)
+    w = Window.orderBy(*order)
     return (
-        vocab.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 200)
+        topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("term", "df", "total_count", "rank")
     )
 

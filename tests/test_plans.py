@@ -67,14 +67,29 @@ def test_d13_funnel_single_pass(spark, sf_dir):
     assert plan.count("FileScan") == 1
 
 
-def test_d12_vocab_agg_before_rank(spark, sf_dir):
-    # term agg shuffle + vocab-table rank shuffle; the rank window must
-    # sit ABOVE the aggregate (vocab-sized), never over the raw tokens
+def test_x7_components_lineage_truncated(spark, sf_dir):
+    # each label-propagation round localCheckpoints, so the final plan
+    # must be a shallow scan of the checkpointed table — NOT a
+    # 20-round-deep union/agg tree (unbounded lineage = re-analysis
+    # cost per round and full-chain recompute on executor loss)
+    df = ops.ALL_QUERIES["x7_dup_components"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().numberedTreeString()
+    assert len(plan.splitlines()) <= 5
+    assert "LogicalRDD" in plan
+
+
+def test_d12_vocab_topk_is_take_ordered(spark, sf_dir):
+    # the top-K must be TakeOrderedAndProject (per-partition heap-k +
+    # 200-row merge), NEVER a single-partition window over the whole
+    # vocab table; the rank window sits above the 200-row limit
     plan = _plan(spark, sf_dir, "d12_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    # only the distinct-count agg shuffles; no SinglePartition exchange
     assert _shuffles(plan) == 2
+    assert "Exchange SinglePartition" not in plan
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
+    take_pos = plan.find("TakeOrderedAndProject")
     assert agg_pos != -1 and win_pos != -1
-    # executedPlan prints top-down: the Window operator appears before
-    # (above) the aggregate that feeds it
-    assert win_pos < agg_pos
+    # executedPlan prints top-down: Window above TakeOrdered above agg
+    assert win_pos < take_pos < agg_pos
