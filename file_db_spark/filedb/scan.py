@@ -27,11 +27,20 @@ import os
 from collections.abc import Iterable, Iterator, Sequence
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["SCAN_SCHEMA", "scan_dirs", "crawl_tree", "listing_to_catalog_rows"]
+from ..functions.paths import strip_trailing_slashes, strip_trailing_slashes_col
+
+__all__ = [
+    "SCAN_SCHEMA",
+    "scan_dirs",
+    "crawl_tree",
+    "listing_to_catalog_rows",
+    "child_path",
+    "child_path_col",
+]
 
 SCAN_SCHEMA = T.StructType(
     [
@@ -129,9 +138,8 @@ def crawl_tree(
         listing = scan_dirs(spark, frontier, partitions=partitions)
         listing = listing.persist()
         all_levels.append(listing)
-        sep = os.sep
         frontier = [
-            r["dir_path"].rstrip(sep) + sep + r["name"]
+            child_path(r["dir_path"], r["name"])
             for r in listing.where(
                 (F.col("entry_type") == "dir") & F.col("error").isNull()
             )
@@ -147,23 +155,48 @@ def crawl_tree(
     return out
 
 
+def child_path(dir_path: str, name: str, sep: str = os.sep) -> str:
+    """Canonical child path: ONE rule shared by crawl_tree's frontier
+    and listing_to_catalog_rows' identity keys, so the deterministic
+    xxhash64 ids line up across waves even for trailing-separator
+    roots ('/' -> '/name', 'C:\\' -> 'C:\\name', never '//name')."""
+    return strip_trailing_slashes(dir_path) + sep + name
+
+
+def child_path_col(dir_col: Column | str, name_col: Column | str) -> Column:
+    """Column twin of child_path (strip_trailing_slashes_col matches the
+    python strip exactly, incl. the drive-root colon guard)."""
+    d = F.col(dir_col) if isinstance(dir_col, str) else dir_col
+    n = F.col(name_col) if isinstance(name_col, str) else name_col
+    return F.concat(strip_trailing_slashes_col(d), F.lit(os.sep), n)
+
+
+def _canon_dir_col(col: str) -> Column:
+    """Canonical form of a scanned dir_path (normal frontier paths are
+    already canonical; this also fixes hand-fed trailing-slash roots).
+    Empty-after-strip roots ('/') keep their original spelling, same as
+    engine.add_root."""
+    stripped = strip_trailing_slashes_col(col)
+    return F.when(stripped == "", F.col(col)).otherwise(stripped)
+
+
 def listing_to_catalog_rows(listing: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shape a scan listing into staged `directory` and `file` rows with
     deterministic ids (xxhash64 of the identity key — stable across
-    re-crawls, SURVEY §7 'upsert identity'). Returns (staged_dirs,
-    staged_files)."""
-    sep = os.sep
+    re-crawls, SURVEY §7 'upsert identity'). Identity paths go through
+    child_path/_canon_dir_col, the same rule crawl_tree uses for its
+    frontier. Returns (staged_dirs, staged_files)."""
     ok = listing.where(F.col("error").isNull() & F.col("name").isNotNull())
     staged_dirs = ok.where(F.col("entry_type") == "dir").select(
-        F.xxhash64(F.concat(F.col("dir_path"), F.lit(sep), F.col("name"))).alias("id"),
-        F.concat(F.col("dir_path"), F.lit(sep), F.col("name")).alias("dir_path"),
+        F.xxhash64(child_path_col("dir_path", "name")).alias("id"),
+        child_path_col("dir_path", "name").alias("dir_path"),
         "ctime",
         "mtime",
     )
     staged_files = ok.where(F.col("entry_type") == "file").select(
-        F.xxhash64(F.col("dir_path"), F.col("name")).alias("id"),
+        F.xxhash64(_canon_dir_col("dir_path"), F.col("name")).alias("id"),
         F.col("name"),
-        F.xxhash64(F.col("dir_path")).alias("dir_id"),
+        F.xxhash64(_canon_dir_col("dir_path")).alias("dir_id"),
         F.col("dir_path"),
         F.col("size_mb").cast("decimal(18,6)").alias("size"),
         "ctime",

@@ -167,7 +167,13 @@ def e4_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
            CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (
+      -- same-(user, ts) clicks collapse to the max event_id so the tie
+      -- resolves identically to the Spark window's click_id ordering
+      -- (ASOF alone breaks exact-ts ties arbitrarily)
+      SELECT user_id, ts, MAX(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts > c.ts
     """,
 )
@@ -197,9 +203,13 @@ def e6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("click_ts"),
         F.col("event_id").alias("purchase_id"),
     )
+    # click_id tie-break: two clicks on the same ts (possible after the
+    # nanos->micros truncation) would otherwise make last() depend on
+    # partition order; max event_id wins, mirrored in the oracle's
+    # per-(user, ts) MAX(event_id) collapse.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "click_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = clicks.unionByName(purchases).select(

@@ -1,0 +1,657 @@
+r"""Oracle-backed registry entries for the merge engine (SURVEY §2.9,
+the computational heart of the reference: FileDbDAL/DirectoryCrawl.py
+772-1045, File.py:264-344, Directory.py:196-358).
+
+Each entry stages a deterministic "second crawl wave" derived from the
+domain fixtures (filedb/fixtures.py), pushes it through the REAL merge
+engine (filedb/merge.py — imported, not re-written), and returns the
+labeled union of the resulting table states / queues / archives. The
+DuckDB oracle re-derives the identical wave and mirrors the merge
+semantics (upsert + O5 change suppression, snapshot-diff vanish,
+cascade + archive) as plain SQL over the same fixture CTEs, so a green
+row certifies the engine's set logic value-for-value.
+
+Scale: every stage inside merge.py is one equi-/anti-join shuffle on
+id/dir_path with dimension sides broadcast; the wave here is fixture-
+sized but the plans are the production plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..filedb import fixtures, merge
+from .filedb_catalog import _BP
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+NOW = "2024-07-01 00:00:00"
+_NOW_SQL = "TIMESTAMP '2024-07-01'"
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _ep_sql(col: str) -> str:
+    return f"CAST(epoch_us({col}) // 1000000 AS BIGINT)"
+
+
+def _ep(col) -> F.Column:
+    return col.cast("long")
+
+
+def _bn():
+    return F.lit(None).cast("bigint")
+
+
+def _sn():
+    return F.lit(None).cast("string")
+
+
+def _dn():
+    return F.lit(None).cast("double")
+
+
+def _ts(s: str) -> F.Column:
+    return F.expr(f"timestamp'{s}'")
+
+
+# ---------------------------------------------------------------------------
+# g1: M1 + M2 + O5 + M8-queue production — a recrawl wave of the two
+# corpus roots (dirs) and the src0 dirs (files).
+#
+# Wave definition (mirrored EXACTLY in the oracle):
+# - staged dirs  = every file-dir except '/corpus/src0' (=> vanished),
+#   mtime +1h when length(dir_path) is even (=> update), plus a brand
+#   new '/corpus/src_new' id 900001 (=> insert).
+# - staged files = files of the two src0 dirs except id%11==0
+#   (=> vanished); id%3==0 gets size+0.001 & mtime+1h (content change
+#   => rehash), id%5==0 gets atime+1h (metadata-only change => update
+#   but NO rehash); plus new file id 900002 (=> insert + rehash).
+# - hash_control already holds id%9==0 (=> NOT-EXISTS guard suppresses
+#   those from the new schedule).
+# ---------------------------------------------------------------------------
+_G1_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+roots(p) AS (VALUES ('/corpus'), ('C:\\corpus'), ('C:\\')),
+subdirs AS (
+  SELECT * FROM fx_directory WHERE dir_path NOT IN (SELECT p FROM roots)
+),
+staged_dirs AS (
+  SELECT id, dir_path, ctime,
+         CASE WHEN length(dir_path) % 2 = 0 THEN mtime + INTERVAL 1 HOUR
+              ELSE mtime END AS mtime
+  FROM subdirs WHERE dir_path <> '/corpus/src0'
+  UNION ALL
+  SELECT 900001, '/corpus/src_new', TIMESTAMP '2024-06-30', TIMESTAMP '2024-06-30'
+),
+dir_ins AS (
+  SELECT s.id, s.dir_path, s.ctime, s.mtime,
+         {_NOW_SQL} AS inserted_on, {_NOW_SQL} AS updated_on
+  FROM staged_dirs s LEFT JOIN fx_directory e ON s.dir_path = e.dir_path
+  WHERE e.id IS NULL
+),
+dir_upd AS (
+  SELECT e.id, e.dir_path, s.ctime, s.mtime, e.inserted_on,
+         {_NOW_SQL} AS updated_on
+  FROM staged_dirs s JOIN fx_directory e ON s.dir_path = e.dir_path
+  WHERE s.ctime IS DISTINCT FROM e.ctime OR s.mtime IS DISTINCT FROM e.mtime
+),
+dir_state AS (
+  SELECT * FROM dir_ins
+  UNION ALL SELECT * FROM dir_upd
+  UNION ALL
+  SELECT e.* FROM fx_directory e
+  WHERE e.dir_path NOT IN (SELECT dir_path FROM dir_ins
+                           UNION ALL SELECT dir_path FROM dir_upd)
+),
+dir_gone AS (
+  -- mirror merge_directories' scope rule exactly: a dir is in the
+  -- vanish scope iff basepath(dir_path) is a crawled frontier path.
+  -- Root quirk mirrored too: basepath('/corpus') = '/corpus' (F1 needs
+  -- a char before the separator), so a crawled depth-1 root that the
+  -- staging wave doesn't re-list is flagged vanished alongside its
+  -- missing children.
+  SELECT d.id AS dir_id, d.dir_path FROM fx_directory d
+  WHERE {_BP.format(p="d.dir_path")} IN ('/corpus', 'C:\\corpus')
+    AND d.dir_path NOT IN (SELECT dir_path FROM staged_dirs)
+),
+src0 AS (
+  SELECT id AS dir_id FROM fx_directory
+  WHERE dir_path IN ('/corpus/src0', 'C:\\corpus\\src0')
+),
+scoped AS (SELECT f.* FROM fx_file f JOIN src0 USING (dir_id)),
+staged_files AS (
+  SELECT id, name, dir_id,
+         CASE WHEN id % 3 = 0 THEN size + CAST('0.001' AS DECIMAL(4,3))
+              ELSE size END AS size,
+         ctime,
+         CASE WHEN id % 3 = 0 THEN mtime + INTERVAL 1 HOUR ELSE mtime END AS mtime,
+         CASE WHEN id % 5 = 0 THEN atime + INTERVAL 1 HOUR ELSE atime END AS atime
+  FROM scoped WHERE id % 11 <> 0
+  UNION ALL
+  SELECT 900002, 'new_file.txt',
+         (SELECT id FROM fx_directory WHERE dir_path = '/corpus/src0'),
+         CAST('0.123' AS DECIMAL(18,6)), TIMESTAMP '2024-06-30',
+         TIMESTAMP '2024-06-30', TIMESTAMP '2024-06-30'
+),
+hc AS (SELECT id AS file_id FROM scoped WHERE id % 9 = 0),
+f_ins AS (
+  SELECT s.* FROM staged_files s LEFT JOIN fx_file e ON s.id = e.id
+  WHERE e.id IS NULL
+),
+f_upd AS (
+  SELECT e.id, e.name, e.dir_id, s.size, s.ctime, s.mtime, s.atime,
+         e.inserted_on
+  FROM staged_files s JOIN fx_file e ON s.id = e.id
+  WHERE s.size IS DISTINCT FROM e.size OR s.mtime IS DISTINCT FROM e.mtime
+     OR s.ctime IS DISTINCT FROM e.ctime OR s.atime IS DISTINCT FROM e.atime
+),
+f_state AS (
+  SELECT id, name, mtime, {_NOW_SQL} AS updated_on, size FROM f_ins
+  UNION ALL
+  SELECT id, name, mtime, {_NOW_SQL}, size FROM f_upd
+  UNION ALL
+  SELECT e.id, e.name, e.mtime, e.updated_on, e.size FROM fx_file e
+  WHERE e.id NOT IN (SELECT id FROM f_ins UNION ALL SELECT id FROM f_upd)
+),
+f_gone AS (
+  SELECT f.id AS file_id FROM scoped f
+  WHERE f.id NOT IN (SELECT id FROM staged_files)
+),
+f_sched AS (
+  SELECT id AS file_id, mtime, size AS file_size FROM f_ins
+  UNION ALL
+  SELECT e.id, s.mtime, s.size FROM staged_files s JOIN fx_file e ON s.id = e.id
+  WHERE s.size IS DISTINCT FROM e.size OR s.mtime IS DISTINCT FROM e.mtime
+),
+f_sched2 AS (
+  SELECT * FROM f_sched WHERE file_id NOT IN (SELECT file_id FROM hc)
+)
+SELECT 'dir_state' AS part, CAST(id AS BIGINT) AS k1, dir_path AS s1,
+       {_ep_sql('mtime')} AS k2, {_ep_sql('updated_on')} AS k3,
+       CAST(NULL AS DOUBLE) AS v1
+FROM dir_state
+UNION ALL
+SELECT 'dir_new', id, dir_path, {_ep_sql('mtime')}, {_ep_sql('inserted_on')}, NULL
+FROM dir_ins
+UNION ALL
+SELECT 'dir_gone', dir_id, dir_path, NULL, {_ep_sql(_NOW_SQL)}, NULL FROM dir_gone
+UNION ALL
+SELECT 'file_state', id, name, {_ep_sql('mtime')}, {_ep_sql('updated_on')},
+       CAST(size AS DOUBLE)
+FROM f_state
+UNION ALL
+SELECT 'file_sched', file_id, NULL, {_ep_sql('mtime')}, {_ep_sql(_NOW_SQL)},
+       CAST(file_size AS DOUBLE)
+FROM f_sched2
+UNION ALL
+SELECT 'file_gone', file_id, NULL, NULL, {_ep_sql(_NOW_SQL)}, NULL FROM f_gone
+"""
+
+
+@_q("g1_merge_recrawl", _G1_ORACLE)
+def g1_merge_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2 recrawl merge (DirectoryCrawl.py:798-946) through the real
+    engine: upserts with O5 change suppression, snapshot-diff vanish
+    queues (M8 feed), and the NOT-EXISTS-guarded rehash schedule."""
+    dirs = fixtures.fixture_directory(spark, sf_dir)
+    file = fixtures.fixture_file(spark, sf_dir)
+    roots = ["/corpus", "C:\\corpus", "C:\\"]
+    subdirs = dirs.where(~F.col("dir_path").isin(roots))
+    staged_dirs = (
+        subdirs.where(F.col("dir_path") != "/corpus/src0")
+        .select(
+            "id",
+            "dir_path",
+            "ctime",
+            F.when(
+                F.length("dir_path") % 2 == 0,
+                F.col("mtime") + F.expr("INTERVAL 1 HOUR"),
+            )
+            .otherwise(F.col("mtime"))
+            .alias("mtime"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(900001).cast("long").alias("id"),
+                F.lit("/corpus/src_new").alias("dir_path"),
+                _ts("2024-06-30 00:00:00").alias("ctime"),
+                _ts("2024-06-30 00:00:00").alias("mtime"),
+            )
+        )
+    )
+    crawled = spark.createDataFrame([("/corpus",), ("C:\\corpus",)], "dir_path string")
+    dm = merge.merge_directories(dirs, staged_dirs, crawled, NOW)
+
+    src0 = dirs.where(
+        F.col("dir_path").isin("/corpus/src0", "C:\\corpus\\src0")
+    ).select(F.col("id").alias("dir_id"))
+    scoped = file.join(F.broadcast(src0), "dir_id", "left_semi")
+    fid = F.col("id")
+    new_file = dirs.where(F.col("dir_path") == "/corpus/src0").select(
+        F.lit(900002).cast("long").alias("id"),
+        F.lit("new_file.txt").alias("name"),
+        F.col("id").alias("dir_id"),
+        F.lit("0.123").cast("decimal(18,6)").alias("size"),
+        _ts("2024-06-30 00:00:00").alias("ctime"),
+        _ts("2024-06-30 00:00:00").alias("mtime"),
+        _ts("2024-06-30 00:00:00").alias("atime"),
+    )
+    staged_files = (
+        scoped.where(fid % 11 != 0)
+        .select(
+            "id",
+            "name",
+            "dir_id",
+            F.when(fid % 3 == 0, F.col("size") + F.lit("0.001").cast("decimal(4,3)"))
+            .otherwise(F.col("size"))
+            .alias("size"),
+            "ctime",
+            F.when(fid % 3 == 0, F.col("mtime") + F.expr("INTERVAL 1 HOUR"))
+            .otherwise(F.col("mtime"))
+            .alias("mtime"),
+            F.when(fid % 5 == 0, F.col("atime") + F.expr("INTERVAL 1 HOUR"))
+            .otherwise(F.col("atime"))
+            .alias("atime"),
+        )
+        .unionByName(new_file.select(
+            "id", "name", "dir_id", "size", "ctime", "mtime", "atime"
+        ))
+    )
+    hash_control = scoped.where(fid % 9 == 0).select(fid.alias("file_id"))
+    fm = merge.merge_files(file, staged_files, src0, hash_control, NOW)
+
+    out_dir_state = dm.directory.select(
+        F.lit("dir_state").alias("part"),
+        F.col("id").cast("bigint").alias("k1"),
+        F.col("dir_path").alias("s1"),
+        _ep(F.col("mtime")).alias("k2"),
+        _ep(F.col("updated_on")).alias("k3"),
+        _dn().alias("v1"),
+    )
+    out_dir_new = dm.new_dirs.select(
+        F.lit("dir_new").alias("part"),
+        F.col("id").cast("bigint").alias("k1"),
+        F.col("dir_path").alias("s1"),
+        _ep(F.col("mtime")).alias("k2"),
+        _ep(F.col("inserted_on")).alias("k3"),
+        _dn().alias("v1"),
+    )
+    out_dir_gone = dm.removal_queue.select(
+        F.lit("dir_gone").alias("part"),
+        F.col("dir_id").cast("bigint").alias("k1"),
+        F.col("dir_path").alias("s1"),
+        _bn().alias("k2"),
+        _ep(F.col("inserted_on")).alias("k3"),
+        _dn().alias("v1"),
+    )
+    out_file_state = fm.file.select(
+        F.lit("file_state").alias("part"),
+        F.col("id").cast("bigint").alias("k1"),
+        F.col("name").alias("s1"),
+        _ep(F.col("mtime")).alias("k2"),
+        _ep(F.col("updated_on")).alias("k3"),
+        F.col("size").cast("double").alias("v1"),
+    )
+    out_sched = fm.hash_schedule.select(
+        F.lit("file_sched").alias("part"),
+        F.col("file_id").cast("bigint").alias("k1"),
+        _sn().alias("s1"),
+        _ep(F.col("mtime")).alias("k2"),
+        _ep(F.col("inserted_on")).alias("k3"),
+        F.col("file_size").cast("double").alias("v1"),
+    )
+    out_file_gone = fm.removal_queue.select(
+        F.lit("file_gone").alias("part"),
+        F.col("file_id").cast("bigint").alias("k1"),
+        _sn().alias("s1"),
+        _bn().alias("k2"),
+        _ep(F.col("inserted_on")).alias("k3"),
+        _dn().alias("v1"),
+    )
+    out = out_dir_state
+    for p in (out_dir_new, out_dir_gone, out_file_state, out_sched, out_file_gone):
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# g2: M4 + M5 change detection + M6 + M7 — hash-wave merge and the
+# cascading deletes with archive lineage.
+#
+# Hash wave (mirrored in the oracle): id%10==7 -> fresh digests
+# (insert), id%10==1 -> changed digests (update), id%10==2 -> identical
+# digests (O5 no-op), id%10==9 -> file_missing (control drop only).
+# hash_control pre-holds id%9==0. M6 victims: id%13==0. M7 victim:
+# '/corpus/src1' recursive.
+# ---------------------------------------------------------------------------
+_G2_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+staged AS (
+  SELECT id AS file_id,
+         CASE WHEN id % 10 = 7 THEN md5('new' || CAST(id AS VARCHAR))
+              WHEN id % 10 = 1 THEN md5('upd' || CAST(id AS VARCHAR))
+              WHEN id % 10 = 2 THEN md5(CAST(id % 200 AS VARCHAR))
+              ELSE NULL END AS md5_hash,
+         CASE WHEN id % 10 = 7 THEN sha256('new' || CAST(id AS VARCHAR))
+              WHEN id % 10 = 1 THEN sha256('upd' || CAST(id AS VARCHAR))
+              WHEN id % 10 = 2 THEN sha256(CAST(id % 200 AS VARCHAR))
+              ELSE NULL END AS sha1_hash,
+         {_NOW_SQL} AS hashed_on,
+         (id % 10 = 9) AS file_missing
+  FROM fx_file WHERE id % 10 IN (1, 2, 7, 9)
+),
+ok AS (SELECT * FROM staged WHERE NOT file_missing),
+h_ins AS (
+  SELECT s.file_id AS id, s.file_id, s.md5_hash,
+         s.hashed_on AS md5_hash_time, s.sha1_hash,
+         s.hashed_on AS sha1_hash_time
+  FROM ok s LEFT JOIN fx_hash e ON s.file_id = e.file_id
+  WHERE e.file_id IS NULL
+),
+h_upd AS (
+  SELECT e.id, e.file_id, s.md5_hash, s.hashed_on, s.sha1_hash, s.hashed_on
+  FROM ok s JOIN fx_hash e ON s.file_id = e.file_id
+  WHERE s.md5_hash IS DISTINCT FROM e.md5_hash
+     OR s.sha1_hash IS DISTINCT FROM e.sha1_hash
+),
+hash_state AS (
+  SELECT * FROM h_ins UNION ALL SELECT * FROM h_upd
+  UNION ALL
+  SELECT e.* FROM fx_hash e
+  WHERE e.file_id NOT IN (SELECT file_id FROM h_ins
+                          UNION ALL SELECT file_id FROM h_upd)
+),
+hc AS (SELECT id AS file_id FROM fx_file WHERE id % 9 = 0),
+ctl_left AS (
+  SELECT file_id FROM hc WHERE file_id NOT IN (SELECT file_id FROM staged)
+),
+victims AS (SELECT id AS file_id FROM fx_file WHERE id % 13 = 0),
+m6_arch AS (
+  SELECT f.id, f.name, f.size, f.inserted_on AS orig_ins,
+         {_NOW_SQL} AS deleted_on
+  FROM fx_file f JOIN victims v ON f.id = v.file_id
+),
+m6_file_left AS (
+  SELECT f.id, f.name, f.size, f.updated_on FROM fx_file f
+  WHERE f.id NOT IN (SELECT file_id FROM victims)
+),
+m6_hash_left AS (
+  SELECT h.file_id, h.md5_hash, h.sha1_hash FROM fx_hash h
+  WHERE h.file_id NOT IN (SELECT file_id FROM victims)
+),
+vd AS (SELECT * FROM fx_directory WHERE dir_path = '/corpus/src1'),
+m7_vfiles AS (SELECT f.* FROM fx_file f JOIN vd ON f.dir_id = vd.id)
+SELECT 'hash_state' AS part, CAST(file_id AS BIGINT) AS k1,
+       md5_hash AS s1, sha1_hash AS s2,
+       {_ep_sql('md5_hash_time')} AS k2, CAST(NULL AS BIGINT) AS k3,
+       CAST(NULL AS DOUBLE) AS v1
+FROM hash_state
+UNION ALL
+SELECT 'ctl_left', file_id, NULL, NULL, NULL, NULL, NULL FROM ctl_left
+UNION ALL
+SELECT 'm6_file_left', id, name, NULL, {_ep_sql('updated_on')}, NULL,
+       CAST(size AS DOUBLE)
+FROM m6_file_left
+UNION ALL
+SELECT 'm6_arch', id, name, NULL, {_ep_sql('deleted_on')},
+       {_ep_sql('orig_ins')}, CAST(size AS DOUBLE)
+FROM m6_arch
+UNION ALL
+SELECT 'm6_hash_left', file_id, md5_hash, sha1_hash, NULL, NULL, NULL
+FROM m6_hash_left
+UNION ALL
+SELECT 'm7_dir_left', id, dir_path, NULL, {_ep_sql('updated_on')}, NULL, NULL
+FROM fx_directory WHERE dir_path <> '/corpus/src1'
+UNION ALL
+SELECT 'm7_dir_arch', id, dir_path, NULL, {_ep_sql(_NOW_SQL)},
+       {_ep_sql('inserted_on')}, NULL
+FROM vd
+UNION ALL
+SELECT 'm7_file_arch', id, name, NULL, {_ep_sql(_NOW_SQL)},
+       {_ep_sql('inserted_on')}, CAST(size AS DOUBLE)
+FROM m7_vfiles
+"""
+
+
+@_q("g2_hash_lifecycle", _G2_ORACLE)
+def g2_hash_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 staged-hash merge with M5/O5 change detection
+    (DirectoryCrawl.py:772-795), M6 file-delete cascade + archive
+    (File.py:264-344), M7 recursive directory delete (Directory.py:
+    196-358) — all through the real merge engine."""
+    dirs = fixtures.fixture_directory(spark, sf_dir)
+    file = fixtures.fixture_file(spark, sf_dir)
+    hash_df = fixtures.fixture_hash(spark, sf_dir)
+    fid = F.col("id")
+
+    staged = file.where((fid % 10).isin(1, 2, 7, 9)).select(
+        fid.alias("file_id"),
+        F.when(fid % 10 == 7, F.md5(F.concat(F.lit("new"), fid.cast("string"))))
+        .when(fid % 10 == 1, F.md5(F.concat(F.lit("upd"), fid.cast("string"))))
+        .when(fid % 10 == 2, F.md5((fid % 200).cast("string")))
+        .otherwise(F.lit(None))
+        .alias("md5_hash"),
+        F.when(fid % 10 == 7, F.sha2(F.concat(F.lit("new"), fid.cast("string")), 256))
+        .when(fid % 10 == 1, F.sha2(F.concat(F.lit("upd"), fid.cast("string")), 256))
+        .when(fid % 10 == 2, F.sha2((fid % 200).cast("string"), 256))
+        .otherwise(F.lit(None))
+        .alias("sha1_hash"),
+        _ts(NOW).alias("hashed_on"),
+        (fid % 10 == 9).alias("file_missing"),
+    )
+    hash_control = file.where(fid % 9 == 0).select(fid.alias("file_id"))
+    new_hash, new_control = merge.merge_hashes(hash_df, hash_control, staged, NOW)
+
+    victims = file.where(fid % 13 == 0).select(fid.alias("file_id"))
+    m6_file, m6_hash, _m6_hc, m6_arch = merge.delete_files(
+        file, hash_df, hash_control, victims, NOW
+    )
+
+    vdir = dirs.where(F.col("dir_path") == "/corpus/src1").select(
+        F.col("id").alias("dir_id")
+    )
+    dir_control = dirs.select(F.col("id").alias("dir_id"))
+    m7 = merge.delete_directories(
+        dirs, file, hash_df, hash_control, dir_control, vdir, NOW, recursive=True
+    )
+
+    parts = [
+        new_hash.select(
+            F.lit("hash_state").alias("part"),
+            F.col("file_id").cast("bigint").alias("k1"),
+            F.col("md5_hash").alias("s1"),
+            F.col("sha1_hash").alias("s2"),
+            _ep(F.col("md5_hash_time")).alias("k2"),
+            _bn().alias("k3"),
+            _dn().alias("v1"),
+        ),
+        new_control.select(
+            F.lit("ctl_left").alias("part"),
+            F.col("file_id").cast("bigint").alias("k1"),
+            _sn().alias("s1"),
+            _sn().alias("s2"),
+            _bn().alias("k2"),
+            _bn().alias("k3"),
+            _dn().alias("v1"),
+        ),
+        m6_file.select(
+            F.lit("m6_file_left").alias("part"),
+            F.col("id").cast("bigint").alias("k1"),
+            F.col("name").alias("s1"),
+            _sn().alias("s2"),
+            _ep(F.col("updated_on")).alias("k2"),
+            _bn().alias("k3"),
+            F.col("size").cast("double").alias("v1"),
+        ),
+        m6_arch.select(
+            F.lit("m6_arch").alias("part"),
+            F.col("id").cast("bigint").alias("k1"),
+            F.col("name").alias("s1"),
+            _sn().alias("s2"),
+            _ep(F.col("deleted_on")).alias("k2"),
+            _ep(F.col("original_inserted_on")).alias("k3"),
+            F.col("size").cast("double").alias("v1"),
+        ),
+        m6_hash.select(
+            F.lit("m6_hash_left").alias("part"),
+            F.col("file_id").cast("bigint").alias("k1"),
+            F.col("md5_hash").alias("s1"),
+            F.col("sha1_hash").alias("s2"),
+            _bn().alias("k2"),
+            _bn().alias("k3"),
+            _dn().alias("v1"),
+        ),
+        m7["directory"].select(
+            F.lit("m7_dir_left").alias("part"),
+            F.col("id").cast("bigint").alias("k1"),
+            F.col("dir_path").alias("s1"),
+            _sn().alias("s2"),
+            _ep(F.col("updated_on")).alias("k2"),
+            _bn().alias("k3"),
+            _dn().alias("v1"),
+        ),
+        m7["directory_archive_rows"].select(
+            F.lit("m7_dir_arch").alias("part"),
+            F.col("id").cast("bigint").alias("k1"),
+            F.col("dir_path").alias("s1"),
+            _sn().alias("s2"),
+            _ep(F.col("deleted_on")).alias("k2"),
+            _ep(F.col("original_inserted_on")).alias("k3"),
+            _dn().alias("v1"),
+        ),
+        m7["file_archive_rows"].select(
+            F.lit("m7_file_arch").alias("part"),
+            F.col("id").cast("bigint").alias("k1"),
+            F.col("name").alias("s1"),
+            _sn().alias("s2"),
+            _ep(F.col("deleted_on")).alias("k2"),
+            _ep(F.col("original_inserted_on")).alias("k3"),
+            F.col("size").cast("double").alias("v1"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# g3: M3 mark_dirs_crawled + O7 adaptive crawl frequency — per-dir
+# content stats recomputed from the file table, frequency =
+# clamp(idle_seconds/30, [15 min, 7 d]), claims released, missing root
+# marked for daily retry. freq values are exact integers (all fixture
+# mtimes are whole hours), so Spark's truncating int-cast and the
+# oracle's FLOOR agree exactly.
+# ---------------------------------------------------------------------------
+_G3_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+ctl AS (
+  SELECT dir_path, id AS dir_id, 0 AS file_count, 0 AS subdir_count,
+         TIMESTAMP '2024-06-30' AS next_crawl, 86400 AS crawl_frequency,
+         CASE WHEN id % 3 = 0 THEN 7 END AS assigned_process_id,
+         CASE WHEN id % 3 = 0 THEN TIMESTAMP '2024-06-30 12:00:00' END
+           AS process_assigned_on,
+         CAST(NULL AS TIMESTAMP) AS last_crawled,
+         CAST(NULL AS TIMESTAMP) AS last_active,
+         FALSE AS dir_missing
+  FROM fx_directory
+),
+stats AS (
+  SELECT d.dir_path, f.dir_id, COUNT(*) AS file_count, 0 AS subdir_count,
+         MAX(f.mtime) AS last_active,
+         CAST(FLOOR(LEAST(GREATEST(
+           ({_ep_sql(_NOW_SQL)} - {_ep_sql("MAX(f.mtime)")}) / 30.0,
+           900), 604800)) AS BIGINT) AS new_freq
+  FROM fx_file f JOIN fx_directory d ON f.dir_id = d.id
+  GROUP BY d.dir_path, f.dir_id
+),
+missing(dir_path) AS (VALUES ('C:\\'))
+SELECT c.dir_id AS k1, c.dir_path AS s1,
+       CAST(CASE WHEN s.dir_id IS NOT NULL THEN s.file_count
+                 ELSE c.file_count END AS BIGINT) AS n_files,
+       CAST(CASE WHEN s.dir_id IS NOT NULL THEN s.new_freq
+                 WHEN m.dir_path IS NOT NULL THEN 86400
+                 ELSE c.crawl_frequency END AS BIGINT) AS freq,
+       CASE WHEN s.dir_id IS NOT NULL THEN {_ep_sql(_NOW_SQL)} + s.new_freq
+            WHEN m.dir_path IS NOT NULL THEN {_ep_sql(_NOW_SQL)} + 86400
+            ELSE {_ep_sql('c.next_crawl')} END AS next_ep,
+       CASE WHEN s.dir_id IS NOT NULL OR m.dir_path IS NOT NULL
+            THEN {_ep_sql(_NOW_SQL)} END AS lc_ep,
+       CASE WHEN s.dir_id IS NOT NULL THEN {_ep_sql('s.last_active')} END AS la_ep,
+       CAST(CASE WHEN m.dir_path IS NOT NULL THEN TRUE
+                 WHEN s.dir_id IS NOT NULL THEN FALSE
+                 ELSE c.dir_missing END AS BOOLEAN) AS miss,
+       CAST(CASE WHEN s.dir_id IS NOT NULL OR m.dir_path IS NOT NULL THEN NULL
+                 ELSE c.assigned_process_id END AS BIGINT) AS pid
+FROM ctl c
+LEFT JOIN stats s ON c.dir_path = s.dir_path
+LEFT JOIN missing m ON c.dir_path = m.dir_path
+"""
+
+
+@_q("g3_mark_crawled", _G3_ORACLE)
+def g3_mark_crawled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 control update + O7 adaptive frequency (DirectoryCrawl.py:
+    949-1045, SQLUtil.py:444-508) through the real engine: stats
+    aggregated from the file table, clamp(idle/30) frequency, claim
+    release, missing-dir daily retry."""
+    dirs = fixtures.fixture_directory(spark, sf_dir)
+    file = fixtures.fixture_file(spark, sf_dir)
+    did = F.col("id")
+    control = dirs.select(
+        "dir_path",
+        did.alias("dir_id"),
+        F.lit(0).cast("int").alias("file_count"),
+        F.lit(0).cast("int").alias("subdir_count"),
+        _ts("2024-06-30 00:00:00").alias("next_crawl"),
+        F.lit(86400).cast("int").alias("crawl_frequency"),
+        F.when(did % 3 == 0, F.lit(7)).cast("int").alias("assigned_process_id"),
+        F.when(did % 3 == 0, _ts("2024-06-30 12:00:00")).alias("process_assigned_on"),
+        F.lit(None).cast("timestamp").alias("last_crawled"),
+        F.lit(None).cast("timestamp").alias("last_active"),
+        F.lit(False).alias("dir_missing"),
+        _ts("2024-06-01 00:00:00").alias("inserted_on"),
+    )
+    stats = (
+        file.where(F.col("dir_id").isNotNull())
+        .groupBy("dir_id")
+        .agg(
+            F.count("*").alias("file_count"),
+            F.max("mtime").alias("last_active"),
+        )
+        .join(
+            F.broadcast(dirs.select(did.alias("dir_id"), "dir_path")),
+            "dir_id",
+        )
+        .select(
+            "dir_path",
+            "dir_id",
+            "file_count",
+            F.lit(0).alias("subdir_count"),
+            "last_active",
+        )
+    )
+    missing = spark.createDataFrame([("C:\\",)], "dir_path string")
+    out = merge.mark_dirs_crawled(control, stats, missing, NOW)
+    return out.select(
+        F.col("dir_id").cast("bigint").alias("k1"),
+        F.col("dir_path").alias("s1"),
+        F.col("file_count").cast("bigint").alias("n_files"),
+        F.col("crawl_frequency").cast("bigint").alias("freq"),
+        _ep(F.col("next_crawl")).alias("next_ep"),
+        _ep(F.col("last_crawled")).alias("lc_ep"),
+        _ep(F.col("last_active")).alias("la_ep"),
+        F.col("dir_missing").alias("miss"),
+        F.col("assigned_process_id").cast("bigint").alias("pid"),
+    )

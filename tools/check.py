@@ -4,7 +4,15 @@ queries() entry at sf0.01, run the matching oracle_sql() in DuckDB on
 the same parquet, and compare row-count + (order-insensitive,
 name-sorted-columns) value hash.
 
-Usage: python tools/check.py [query ...]   (no args = all queries)
+Usage: python tools/check.py [--graded] [--vanilla] [query ...]
+
+With no query args, checks the FULL registry (operators.ALL_QUERIES —
+suites AND their member originals). --graded restricts to the 50-entry
+driver-graded window (__spark_entry__.queries()). --vanilla builds a
+bare SparkSession with NONE of session.py's configs, mirroring the
+driver's environment — this is the mode that would have caught the
+r02 nanosAsLong portability failure (all confs the engine needs must
+come from catalog.ensure_confs at runtime).
 """
 
 from __future__ import annotations
@@ -48,14 +56,36 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> None:
-    only = set(sys.argv[1:])
-    spark = get_spark(app_name="check")
+    args = sys.argv[1:]
+    graded_only = "--graded" in args
+    vanilla = "--vanilla" in args
+    only = {a for a in args if not a.startswith("--")}
+    if vanilla:
+        # The driver supplies its own session with none of our configs;
+        # everything the engine needs must be applied at runtime by
+        # catalog.ensure_confs. (Stop any session.py-configured session
+        # a prior import may have started in this process.)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("check-vanilla")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
-    qs, oracles = queries(), oracle_sql()
+    if graded_only:
+        qs, oracles = queries(), oracle_sql()
+    else:
+        from file_db_spark import operators as _ops
+
+        qs, oracles = _ops.ALL_QUERIES, _ops.ALL_ORACLES
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
