@@ -23,7 +23,9 @@ from file_db_spark import operators as ops
 from file_db_spark.session import get_spark
 
 # Headline queries: one per major operator family (agg, join chain,
-# window, events, dedup exact, minhash-LSH, text stats, ANN).
+# window, events incl. as-of/range join, dedup exact + minhash-LSH +
+# connected components, text stats, ANN). Resolved against ALL_QUERIES
+# (the full per-operator registry), not the packed graded window.
 HEADLINE = [
     "a1_pricing_summary",
     "j1_broadcast_equi_join",
@@ -31,8 +33,11 @@ HEADLINE = [
     "w2_window_dupcount",
     "e1_tumbling_window",
     "e2_sessionize",
+    "e6_asof_join",
+    "e7_range_join",
     "x1_exact_dedup",
     "x4_minhash_lsh",
+    "x7_dup_components",
     "x9_contamination",
     "d1_token_stats",
     "d9_repetition_quality",
@@ -60,13 +65,13 @@ def main() -> None:
     # - the fixture catalog tables — in the reference these are
     #   pre-existing database state (a populated Postgres), so building
     #   them is setup, not query latency.
-    ops.QUERIES["a5_distinct"](spark, sf_dir).count()
+    ops.ALL_QUERIES["a5_distinct"](spark, sf_dir).count()
     from file_db_spark.operators.filedb_catalog import _listing
 
     _listing(spark, sf_dir).count()
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
-        fn = ops.QUERIES.get(name)
+        fn = ops.ALL_QUERIES.get(name)
         if fn is not None and os.path.isdir(warm_dir):
             try:
                 fn(spark, warm_dir).count()
@@ -78,7 +83,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = ops.QUERIES.get(name)
+        fn = ops.ALL_QUERIES.get(name)
         if fn is None:
             continue
         dt = None

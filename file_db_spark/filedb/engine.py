@@ -47,9 +47,14 @@ def _utcnow() -> datetime:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, config_file: str | None = None):
+        from .config import effective_config
+
         self.spark = spark
         self.store = TableStore(spark, root, _SCHEMAS)
+        #: merged engine knobs (Util/Config.py parity): DEFAULTS
+        #: overlaid with the optional JSON config file
+        self.config = effective_config(config_file)
 
     # -- bootstrap (§3.3) --------------------------------------------------
     def install(self) -> None:
@@ -92,12 +97,17 @@ class Engine:
 
     # -- crawl wave (§3.1 stages 2-5) --------------------------------------
     def crawl_once(
-        self, now: datetime | None = None, limit: int = 10, process_id: int = 1
+        self,
+        now: datetime | None = None,
+        limit: int | None = None,
+        process_id: int | None = None,
     ) -> int:
         """One crawl wave: claim due dirs (T1), scan them (S1), merge
         listings (M1+M2), update the schedule (M3). Returns the number
         of directories crawled (0 = idle)."""
         now = now or _utcnow()
+        limit = limit if limit is not None else self.config["crawl_batch_size"]
+        process_id = process_id if process_id is not None else self.config["process_id"]
         control = self.store.read("directory_control")
         work, control = scheduler.get_dirs_to_crawl(control, now, limit, process_id)
         frontier = [r["dir_path"] for r in work.collect()]
@@ -178,11 +188,16 @@ class Engine:
 
     # -- hash wave (§3.1 stage 6) ------------------------------------------
     def hash_once(
-        self, now: datetime | None = None, limit: int = 5000, process_id: int = 1
+        self,
+        now: datetime | None = None,
+        limit: int | None = None,
+        process_id: int | None = None,
     ) -> int:
         """One hash wave: claim smallest files (T2), hash (S6), merge
         digests (M4). Returns the number of files hashed."""
         now = now or _utcnow()
+        limit = limit if limit is not None else self.config["hash_batch_size"]
+        process_id = process_id if process_id is not None else self.config["process_id"]
         hc = self.store.read("hash_control")
         work, hc = scheduler.get_files_to_hash(hc, now, limit, process_id)
         # NOTE: vw_ll/vw_file_detail join full_path with a backslash

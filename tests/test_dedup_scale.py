@@ -1,0 +1,45 @@
+"""Scale-shape pins for the iterative dedup operators.
+
+x7's convergence loop must not accumulate lineage: every round's label
+table is localCheckpoint()ed, so the FINAL result's plan is a scan of
+checkpointed blocks, not a 20-deep nest of union/groupBy rounds. A
+regression here is invisible to the value oracle (same numbers, plan
+grows per round) — this is the test that catches it.
+"""
+
+from __future__ import annotations
+
+from file_db_spark.operators import dedup
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_x7_lineage_truncated(spark, sf_dir):
+    df = dedup.x7_dup_components(spark, sf_dir)
+    plan = _plan_of(df)
+    # the returned plan reads the checkpointed label RDD, so none of the
+    # per-round operators may survive into it
+    assert "Scan ExistingRDD" in plan
+    assert "Union" not in plan
+    assert "HashAggregate" not in plan
+    # shallow: project over the checkpoint scan, nothing else
+    assert len(plan.splitlines()) <= 6
+
+
+def test_x7_matches_x10_keepers(spark, sf_dir):
+    labels = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.x7_dup_components(spark, sf_dir).collect()
+    }
+    surv = dedup.x10_dedup_survivors(spark, sf_dir).collect()
+    assert labels  # fixture corpus has near-dup families at every SF
+    for r in surv:
+        want = labels.get(r["doc_id"], r["doc_id"])
+        assert r["keeper_id"] == want
+        assert r["is_duplicate"] == (want != r["doc_id"])
+    # every component label is its own minimum (min-label fixpoint)
+    for v, lab in labels.items():
+        assert lab <= v
+        assert labels.get(lab, lab) == lab

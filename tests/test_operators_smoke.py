@@ -7,24 +7,29 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+from file_db_spark import operators as ops
 
 
 def test_contract_shape():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert len(q) >= 50
+    # the driver grades the first 50 entries in insertion order: the
+    # graded surface must be EXACTLY 50 so nothing registered is
+    # invisible to the gate
+    assert len(q) == 50
     assert set(o) <= set(q)
+    assert set(q) <= set(ops.ALL_QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+@pytest.mark.parametrize("name", sorted(ops.ALL_QUERIES))
 def test_query_runs(spark, sf_dir, name):
-    df = entrymod.queries()[name](spark, sf_dir)
+    df = ops.ALL_QUERIES[name](spark, sf_dir)
     assert df.columns  # schema resolves
     assert df.count() >= 0
 
 
 def test_m2_decode_twice_same_session(spark, sf_dir):
-    fn = entrymod.queries()["m2_decode_features"]
+    fn = ops.ALL_QUERIES["m2_decode_features"]
     n1 = fn(spark, sf_dir).count()
     n2 = fn(spark, sf_dir).count()
     assert n1 == n2

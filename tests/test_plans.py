@@ -14,7 +14,7 @@ from file_db_spark import operators as ops
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    return ops.QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    return ops.ALL_QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
 
 def _shuffles(plan: str) -> int:
