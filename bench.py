@@ -88,6 +88,10 @@ def main() -> None:
             continue
         dt = None
         for _ in range(2):
+            # derived-table caches (x3 pairs, x7 labels) would turn the
+            # second run into a cache read — clear so both runs time the
+            # real pipeline
+            ops.dedup.clear_cache(sf_dir)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             run = time.perf_counter() - t0

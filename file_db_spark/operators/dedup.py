@@ -42,6 +42,34 @@ from ..functions.vectors import cosine
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
+# Derived-result cache, same pattern as filedb/fixtures.py: the x3
+# pair table and x7 component labels are deterministic functions of
+# (session, sf_dir) and feed several registry entries in one grading
+# run (x3, x7, x10, x710 suite) — re-deriving them repeats the whole
+# shingle pipeline / convergence loop for identical small results. On
+# a cluster these are materialized intermediate tables.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    df = _CACHE.get(key)
+    if df is None:
+        df = build()
+        _CACHE[key] = df
+    return df
+
+
+def clear_cache(sf_dir: str | None = None) -> None:
+    """Drop cached derived tables (bench uses this between timed runs so
+    x3/x7 timings measure the real pipeline, not a cache read)."""
+    for key in [k for k in _CACHE if sf_dir is None or k[1] == sf_dir]:
+        df = _CACHE.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # checkpointed frames have nothing to unpersist
+
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
@@ -164,7 +192,16 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped from candidate generation, bounding every shingle group:
     worst-case join work is n_shingles * MAX_SHINGLE_DF^2, linear in
     corpus size. Jaccard denominators still use the full shingle sets
-    (capping only prunes candidates; both engines mirror it)."""
+    (capping only prunes candidates; both engines mirror it).
+
+    The pair table is cached per (session, sf_dir) and persisted: x7,
+    x10 and the x710 suite all consume it in the same grading run."""
+    return _cached(
+        spark, sf_dir, "x3_pairs", lambda: _build_x3_pairs(spark, sf_dir).persist()
+    )
+
+
+def _build_x3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = (
         d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
@@ -623,7 +660,14 @@ def x7_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star contraction and checkpoints to durable
     storage instead; the driver-side part is only the convergence
     scalar.
+
+    The converged label table is cached per (session, sf_dir): x10 and
+    the x710 suite re-read it instead of re-running the loop.
     """
+    return _cached(spark, sf_dir, "x7_labels", lambda: _build_x7_labels(spark, sf_dir))
+
+
+def _build_x7_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = x3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
