@@ -19,6 +19,14 @@ def test_contract_shape():
     assert len(q) == 50
     assert set(o) <= set(q)
     assert set(q) <= set(ops.ALL_QUERIES)
+    # insertion order IS the grading order: catalog + events first,
+    # merge-engine waves last — and every family inside the window
+    names = list(q)
+    assert names[0] == "c1_vw_ll" and names[11] == "c12_search_dir"
+    assert names[12] == "e1_tumbling_window" and names[22] == "e11_value_outliers"
+    assert names[-3:] == ["g1_merge_recrawl", "g2_hash_lifecycle", "g3_mark_crawled"]
+    prefixes = {n.split("_")[0][0] for n in names}
+    assert {"c", "e", "a", "r", "d", "x", "v", "m", "s", "g"} <= prefixes
 
 
 @pytest.mark.parametrize("name", sorted(ops.ALL_QUERIES))
