@@ -12,6 +12,7 @@ staging tiers (FileDbDAL/__init__.py:40-48).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import time
@@ -34,13 +35,40 @@ SORT_KEYS: dict[str, list[str]] = {
     "hash_control": ["file_size"],
 }
 
+#: Bucket-on-write specs: (num_buckets, keys). `file` and `hash` share
+#: a bucket count and are bucketed on their JOIN keys, so the hot
+#: catalog joins — merge_files' staged⋈existing upsert probe on
+#: file.id and vw_ll's file⟕hash on file_id — read co-located buckets
+#: and plan with NO Exchange on the stored side (pinned in
+#: tests/test_store_bucketing.py). This is the Spark-native analog of
+#: the reference's PK B-trees as *physical layout*; at 100 TB the
+#: bucket count scales with cluster width and the same specs move to
+#: Delta/Iceberg table properties.
+BUCKET_SPECS: dict[str, tuple[int, list[str]]] = {
+    "file": (8, ["id"]),
+    "hash": (8, ["file_id"]),
+}
+
 
 class TableStore:
-    def __init__(self, spark: SparkSession, root: str, schemas: dict[str, T.StructType]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schemas: dict[str, T.StructType],
+        bucketing: bool = True,
+    ):
         self.spark = spark
         self.root = root
         self.schemas = schemas
+        self.bucketing = bucketing
+        #: stable identifier prefix for this store's catalog entries
+        self._ident = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:8]
         os.makedirs(root, exist_ok=True)
+
+    def _table_name(self, name: str, gen_dir: str) -> str:
+        gen = os.path.basename(gen_dir).replace("gen-", "")
+        return f"fdb_{self._ident}_{name}_{gen}"
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -52,10 +80,21 @@ class TableStore:
 
     def read(self, name: str) -> DataFrame:
         """Current generation of the table; empty (declared schema) if
-        the table has never been written."""
+        the table has never been written. Bucketed tables read through
+        the session catalog (bucket metadata lives there — that's what
+        lets the planner skip the Exchange); a session that didn't
+        write the generation falls back to the plain path read, which
+        is value-identical but re-shuffles on join."""
         cur = self._current(name)
         if cur is None:
             return self.spark.createDataFrame([], self.schemas[name])
+        if self.bucketing and name in BUCKET_SPECS:
+            tbl = self._table_name(name, cur)
+            try:
+                if self.spark.catalog.tableExists(tbl):
+                    return self.spark.table(tbl)
+            except Exception:
+                pass
         return self.spark.read.schema(self.schemas[name]).parquet(cur)
 
     def replace(self, name: str, df: DataFrame) -> None:
@@ -71,6 +110,17 @@ class TableStore:
         gen = os.path.join(d, f"gen-{time.time_ns()}")
         cols = [f.name for f in self.schemas[name].fields]
         out = df.select(*cols)
+        if self.bucketing and name in BUCKET_SPECS:
+            n, keys = BUCKET_SPECS[name]
+            (
+                out.write.mode("overwrite")
+                .format("parquet")
+                .option("path", gen)
+                .bucketBy(n, *keys)
+                .sortBy(*keys)
+                .saveAsTable(self._table_name(name, gen))
+            )
+            return
         if name in SORT_KEYS:
             out = out.sortWithinPartitions(*SORT_KEYS[name])
         out.write.mode("overwrite").parquet(gen)
@@ -84,7 +134,15 @@ class TableStore:
                 continue
             gens = sorted(os.listdir(d))
             for g in gens[: max(0, len(gens) - retain)]:
-                shutil.rmtree(os.path.join(d, g), ignore_errors=True)
+                gen_dir = os.path.join(d, g)
+                if name in BUCKET_SPECS:
+                    try:
+                        self.spark.sql(
+                            f"DROP TABLE IF EXISTS {self._table_name(name, gen_dir)}"
+                        )
+                    except Exception:
+                        pass
+                shutil.rmtree(gen_dir, ignore_errors=True)
 
     def append(self, name: str, df: DataFrame) -> None:
         """Append rows (archive/removal-queue semantics): current rows

