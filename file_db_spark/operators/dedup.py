@@ -695,6 +695,12 @@ def _build_x7_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:  # monotone non-increasing -> fixpoint
             break
         prev_sum = new_sum
+    else:
+        # Returning pre-fixpoint labels would be a SILENTLY wrong
+        # result (components split in two). Near-dup graphs converge in
+        # single digits; hitting the bound means the input isn't one —
+        # fail loudly (at 100 TB: switch to star-contraction rounds).
+        raise RuntimeError("x7: label propagation did not converge in 20 rounds")
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lab").cast("bigint").alias("component_id")
     )
