@@ -48,8 +48,9 @@ class FileDbShell:
         return handler(arg)
 
     def _show(self, df: DataFrame) -> str:
-        pdf = df.limit(DISPLAY_ROW_CAP).toPandas()
-        return pdf.to_string(index=False, max_rows=DISPLAY_ROW_CAP)
+        cap = int(self.engine.config.get("display_row_cap", DISPLAY_ROW_CAP))
+        pdf = df.limit(cap).toPandas()
+        return pdf.to_string(index=False, max_rows=cap)
 
     def _abs(self, path: str) -> str:
         if not path:

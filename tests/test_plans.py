@@ -93,3 +93,32 @@ def test_d12_vocab_topk_is_take_ordered(spark, sf_dir):
     assert agg_pos != -1 and win_pos != -1
     # executedPlan prints top-down: Window above TakeOrdered above agg
     assert win_pos < take_pos < agg_pos
+
+
+def test_e6_asof_is_join_free(spark, sf_dir):
+    # the as-of join is the union+window formulation: ONE shuffle on
+    # user_id, no join operator at all (no range-join blowup to exist)
+    plan = _plan(spark, sf_dir, "e6_asof_join")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert _shuffles(plan) == 1
+
+
+def test_e7_range_join_is_binned_equi_join(spark, sf_dir):
+    # the interval join must plan as a hash equi-join on (user, bin) —
+    # never a nested-loop/cartesian theta join
+    plan = _plan(spark, sf_dir, "e7_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_x4_signature_table_reused(spark, sf_dir):
+    # the minhash signature table is persisted and reused by the band
+    # builder and both rejoin sides — the plan must read the cached
+    # table, not recompute the tokenize->shingle->hash pipeline 3x
+    plan = _plan(spark, sf_dir, "x4_minhash_lsh")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
