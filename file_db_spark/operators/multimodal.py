@@ -144,7 +144,23 @@ def m3_resize(spark: SparkSession, sf_dir: str, target: int = 32) -> DataFrame:
     return d.mapInPandas(resize_batches, schema=_RESIZE_SCHEMA)
 
 
-QUERIES["m3_resize"] = m3_resize
+def _m3_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry projection of m3_resize: the binary thumb surfaces as
+    an md5 digest (the pandas bridges disagree on raw-binary repr under
+    the driver's hash normalization — bytes vs bytearray — so the
+    VALUE check rides the digest; the raw bytes stay pinned exactly in
+    tests/test_pipeline_ops.py and the binary API is m3_resize itself).
+    The oracle recomputes the stride-sample from the ASCII corpus and
+    digests the same bytes — full value verification for the resize
+    plumbing."""
+    import pyspark.sql.functions as F
+
+    return m3_resize(spark, sf_dir).select(
+        "doc_id", "out_width", "out_height", F.md5("thumb").alias("thumb_md5")
+    )
+
+
+QUERIES["m3_resize"] = _m3_registry
 
 
 _FRAME_SCHEMA = T.StructType(
@@ -220,10 +236,24 @@ ORACLES["m2_decode_features"] = f"""
     FROM b
     """
 
-# m3 stays rows-only on purpose: its deliverable is a BINARY column,
-# and the two pandas bridges disagree on binary repr (bytes vs
-# bytearray) under the value-hash normalization — the thumbnail bytes
-# are pinned exactly in tests/test_pipeline_ops.py instead.
+ORACLES["m3_resize"] = """
+    WITH b AS (
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len,
+             greatest(1, CAST(strlen(text) AS BIGINT) // 1024) AS stride
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text, stride,
+             least(1024, (len + stride - 1) // stride) AS n_out
+      FROM b
+    )
+    SELECT doc_id, CAST(32 AS INTEGER) AS out_width,
+           CAST(32 AS INTEGER) AS out_height,
+           md5(array_to_string(
+             list_transform(range(0, n_out),
+                            i -> substr(text, CAST(1 + i * stride AS BIGINT), 1)),
+             '')) AS thumb_md5
+    FROM s
+    """
 
 ORACLES["m4_frame_sample"] = f"""
     WITH b AS (

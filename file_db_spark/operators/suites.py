@@ -736,9 +736,9 @@ def v34_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # m124: multimodal metadata + stub decode + stub frame sampling
-# (m3_resize stays in ALL_QUERIES: its deliverable is a binary column,
-# pinned byte-exact in tests — the pandas bridges disagree on binary
-# repr under the driver's hash normalization.)
+# (m3_resize stays in ALL_QUERIES with its own digest-projected
+# oracle; the binary API and byte-exact pin live in multimodal.py /
+# tests/test_pipeline_ops.py.)
 # ---------------------------------------------------------------------------
 @_q(
     "m124_multimodal",
