@@ -740,3 +740,79 @@ def d16_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("n_tokens_bpe"),
         (bpe.cast("double") / ws).alias("bpe_per_ws"),
     )
+
+
+# --- d17: winnowing fingerprint (k-gram rolling hash + window minima) ---
+#: k-gram size / winnow window / polynomial base & modulus. Base 131
+#: keeps the largest unreduced term sum < 2e17 (ANSI-safe in BIGINT on
+#: both engines), so the k-gram hash is a closed-form polynomial sum —
+#: bit-identical across engines with no sequential fold.
+WINNOW_K, WINNOW_W = 8, 4
+
+_SPARK_KGRAMS = (
+    "CASE WHEN length(norm) >= 8 THEN "
+    "transform(sequence(1, length(norm) - 7), i -> (cast(ascii(substring(norm, i + 0, 1)) as bigint) * 1 + cast(ascii(substring(norm, i + 1, 1)) as bigint) * 131 + cast(ascii(substring(norm, i + 2, 1)) as bigint) * 17161 + cast(ascii(substring(norm, i + 3, 1)) as bigint) * 2248091 + cast(ascii(substring(norm, i + 4, 1)) as bigint) * 294499921 + cast(ascii(substring(norm, i + 5, 1)) as bigint) * 38579489651 + cast(ascii(substring(norm, i + 6, 1)) as bigint) * 5053913144281 + cast(ascii(substring(norm, i + 7, 1)) as bigint) * 662062621900811) % 2147483647) "
+    "ELSE cast(array() as array<bigint>) END"
+)
+_SPARK_MINS = (
+    "CASE WHEN size(hs) >= 4 THEN "
+    "transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))) "
+    "ELSE cast(array() as array<bigint>) END"
+)
+
+
+@_q(
+    "d17_winnow_fingerprint",
+    r"""
+    WITH nrm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             CASE WHEN strlen(norm) >= 8 THEN
+               list_transform(range(1, CAST(strlen(norm) AS BIGINT) - 6),
+                              i -> (CAST(ascii(substr(norm, CAST(i + 0 AS BIGINT), 1)) AS BIGINT) * 1 + CAST(ascii(substr(norm, CAST(i + 1 AS BIGINT), 1)) AS BIGINT) * 131 + CAST(ascii(substr(norm, CAST(i + 2 AS BIGINT), 1)) AS BIGINT) * 17161 + CAST(ascii(substr(norm, CAST(i + 3 AS BIGINT), 1)) AS BIGINT) * 2248091 + CAST(ascii(substr(norm, CAST(i + 4 AS BIGINT), 1)) AS BIGINT) * 294499921 + CAST(ascii(substr(norm, CAST(i + 5 AS BIGINT), 1)) AS BIGINT) * 38579489651 + CAST(ascii(substr(norm, CAST(i + 6 AS BIGINT), 1)) AS BIGINT) * 5053913144281 + CAST(ascii(substr(norm, CAST(i + 7 AS BIGINT), 1)) AS BIGINT) * 662062621900811) % 2147483647)
+             ELSE [] END AS hs
+      FROM nrm
+    ), mn AS (
+      SELECT doc_id, hs,
+             CASE WHEN len(hs) >= 4 THEN
+               list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3]))
+             ELSE [] END AS mins
+      FROM hs
+    )
+    SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_kgrams,
+           CAST(len(list_distinct(mins)) AS BIGINT) AS n_fp,
+           md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_digest
+    FROM mn
+    """,
+)
+def d17_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via ROLLING HASH + winnowing (the MOSS
+    scheme): polynomial hash of every 8-char k-gram of the normalized
+    text, then the minimum of every 4-hash window; the distinct sorted
+    minima are the document's fingerprint (digested for comparison).
+    Near-identical documents share most minima — the classic
+    plagiarism/near-dup signature that, unlike d4/d5's whole-document
+    hashes, survives local edits.
+
+    Scale: pure Column HOFs riding the documents scan, zero shuffle.
+    The k-gram loop is O(K·n) codegen arithmetic; at 100 TB the same
+    expression runs unchanged per split (an Arrow kernel is the
+    drop-in if profiling demands true O(n) rolling updates). Arrays
+    are staged as real columns between HOF stages (closure-capture
+    gotcha, functions/text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", normalize_text("text").alias("norm"))
+    hs = staged.select("doc_id", F.expr(_SPARK_KGRAMS).alias("hs"))
+    mn = hs.select("doc_id", "hs", F.expr(_SPARK_MINS).alias("mins"))
+    fp = F.array_sort(F.array_distinct("mins"))
+    return mn.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_kgrams"),
+        F.size(F.array_distinct("mins")).cast("bigint").alias("n_fp"),
+        F.md5(F.array_join(F.transform(fp, lambda x: x.cast("string")), ",")).alias(
+            "fp_digest"
+        ),
+    )
