@@ -55,11 +55,41 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
+def _fresh_main(names: list[str], vanilla: bool) -> None:
+    """Strictest driver mirror: each query runs in its OWN subprocess
+    (fresh JVM, fresh session) so no query can lean on another's
+    session state, caches, or registered views."""
+    import subprocess
+
+    n_pass = n_fail = 0
+    for name in names:
+        cmd = [sys.executable, os.path.abspath(__file__), name]
+        if vanilla:
+            cmd.append("--vanilla")
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        ok = res.returncode == 0
+        n_pass += ok
+        n_fail += not ok
+        print(f"{'PASS' if ok else 'FAIL'}  {name} (fresh proc)")
+        if not ok:
+            print("\n".join(res.stdout.splitlines()[-8:]))
+    print(f"\n{n_pass} pass, {n_fail} fail (fresh-process mode)")
+    sys.exit(1 if n_fail else 0)
+
+
 def main() -> None:
     args = sys.argv[1:]
     graded_only = "--graded" in args
     vanilla = "--vanilla" in args
     only = {a for a in args if not a.startswith("--")}
+    if "--fresh" in args:
+        from file_db_spark import operators as _ops
+
+        names = sorted(only) if only else (
+            list(_ops.GRADED) if graded_only else list(_ops.ALL_QUERIES)
+        )
+        _fresh_main(names, vanilla)
+        return
     if vanilla:
         # The driver supplies its own session with none of our configs;
         # everything the engine needs must be applied at runtime by
