@@ -145,3 +145,124 @@ ORACLES["s5_stream_sessions"] = """
            user_id, COUNT(*) AS n_events
     FROM numbered GROUP BY user_id, session_no
     """
+
+
+# ---------------------------------------------------------------------------
+# s6: streaming near-dup admission — incoming docs minhash-banded
+# in-stream and probed against the existing corpus's capped LSH bucket
+# table (stream-static equi-join). The production shape for
+# incremental dedup: the base signature table is the materialized
+# artifact, each arriving micro-batch only computes ITS OWN signatures
+# and joins. Split: doc_id % 10 == 0 streams in, the rest is corpus.
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.text import (
+    normalize_text,
+    portable_lsh_bands,
+    portable_minhash_from_hashes,
+    portable_shingle_hashes,
+    tokens,
+    word_shingles_from_tokens,
+)
+from . import dedup as _dedup
+
+
+def _doc_sigs(df: DataFrame) -> DataFrame:
+    """documents -> (doc_id, sig): the SAME portable minhash pipeline
+    x4 uses (Column exprs only, so it runs unchanged on a stream)."""
+    return (
+        df.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+        .select("doc_id", word_shingles_from_tokens(F.col("toks"), 5).alias("shingles"))
+        .select("doc_id", portable_shingle_hashes(F.col("shingles")).alias("h"))
+        .select("doc_id", portable_minhash_from_hashes(F.col("h"), num_perm=32).alias("sig"))
+    )
+
+
+def s6_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fuzzy-dedup admission: new docs (doc_id%10==0) arrive
+    as a file stream, minhash-band in-flight, and stream-static-join
+    the corpus's capped bucket table; candidates are verified by
+    signature agreement (est Jaccard >= 0.5). Append mode, drained via
+    availableNow — the drained result is the deterministic batch
+    equivalent (the oracle).
+
+    Scale: the static side is slim (doc_id, band, key) with the
+    MAX_LSH_BUCKET cap applied BEFORE the join (sigs rejoin after pair
+    dedup); per micro-batch work is the batch's own signatures plus a
+    bucket-key equi-join probe — no recomputation of corpus state."""
+    base = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 0)
+    base_sig = _doc_sigs(base).persist()
+    w = Window.partitionBy("band", "key")
+    base_capped = (
+        base_sig.select(
+            F.col("doc_id").alias("dup_of"),
+            F.explode(portable_lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b"),
+        )
+        .select("dup_of", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        .withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= _dedup.MAX_LSH_BUCKET)
+        .drop("bucket_n")
+    )
+    src = es.documents_source(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    new_banded = (
+        _doc_sigs(src)
+        .select(
+            F.col("doc_id").alias("new_doc_id"),
+            F.col("sig").alias("new_sig"),
+            F.explode(portable_lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b"),
+        )
+        .select("new_doc_id", "new_sig", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    )
+    cand = (
+        new_banded.join(base_capped, ["band", "key"])
+        .select("new_doc_id", "new_sig", "dup_of")
+        .dropDuplicates(["new_doc_id", "dup_of"])
+    )
+    paired = cand.join(
+        base_sig.select(F.col("doc_id").alias("dup_of"), F.col("sig").alias("base_sig")),
+        "dup_of",
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("new_sig", "base_sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / 32.0
+    )
+    out = paired.select("new_doc_id", "dup_of", est.alias("est_jaccard")).where(
+        est >= 0.5
+    )
+    return _drain(out, "s6", "append")
+
+
+QUERIES["s6_stream_neardup"] = s6_stream_neardup
+
+ORACLES["s6_stream_neardup"] = f"""
+    WITH {_dedup._x4_shingle_ctes(5)}, mins AS (
+      SELECT doc_id,
+             {_dedup._X4_MINS}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {_dedup._X4_SIG} AS sig FROM mins
+    ), banded AS (
+      {_dedup._X4_BANDS}
+    ), base_capped AS (
+      SELECT doc_id, band, key FROM banded WHERE doc_id % 10 <> 0
+      QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {_dedup.MAX_LSH_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc_id, b.doc_id AS dup_of
+      FROM (SELECT doc_id, band, key FROM banded WHERE doc_id % 10 = 0) n
+      JOIN base_capped b ON n.band = b.band AND n.key = b.key
+    )
+    SELECT c.new_doc_id, c.dup_of,
+           CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.new_doc_id
+    JOIN sigs sb ON sb.doc_id = c.dup_of
+    WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 >= 0.5
+    """

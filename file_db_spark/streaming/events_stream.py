@@ -200,3 +200,26 @@ def user_spend_monitor(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: documents.parquet schema (streaming file source needs it declared)
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_source(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream over the documents parquet — the ingestion side of
+    the streaming near-dup admission pipeline (s6)."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
