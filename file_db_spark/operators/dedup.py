@@ -675,11 +675,13 @@ def _build_x7_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     # eager localCheckpoint: materializes AND truncates lineage (persist
-    # alone keeps the logical plan growing round over round)
+    # alone keeps the logical plan growing round over round).
+    # Seed = min(self, neighbors): the first propagation step folds into
+    # the initial aggregate's shuffle, saving one full round.
     labels = (
-        edges.select(F.col("a").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("lab"))
+        edges.select(F.col("a").alias("v"), F.least("a", "b").alias("cand"))
+        .groupBy("v")
+        .agg(F.min("cand").alias("lab"))
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
