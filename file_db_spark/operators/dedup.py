@@ -6,6 +6,7 @@ first-class training-data-pipeline components.
 - n-gram Jaccard       shingle-explode candidate join + exact verify
 - MinHash + LSH        signature -> banded buckets -> candidate join
 - SimHash              64-bit sign-aggregated hash, hamming buckets
+- winnow near-dup      shared winnowing-minima join (char-level, x11)
 - embedding near-dup   cosine over candidate pairs
 
 Scale story: every candidate-generation step is an equi-join on a
@@ -818,4 +819,101 @@ def x10_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         keeper.cast("bigint").alias("keeper_id"),
         (keeper != F.col("doc_id")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x11: winnow-fingerprint near-dup join — candidate pairs from shared
+# d17 winnowing minima (the MOSS matching step). A 4th independent
+# candidate generator next to shingle-Jaccard (x3), MinHash-LSH (x4)
+# and SimHash (x5): char-level, so it catches near-dups that word-level
+# shingles miss (joined/split words, heavy punctuation edits).
+# ---------------------------------------------------------------------------
+#: minima shared by more than this many documents are boilerplate
+#: (same role as MAX_SHINGLE_DF in x3 — bounds every join bucket)
+MAX_WINNOW_DF = 50
+
+_X11_SPARK_OVERLAP_MIN = 0.5
+
+
+def _winnow_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, minima array<bigint>) via d17's staged expressions."""
+    from . import textops as _t
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", normalize_text("text").alias("norm"))
+    hs = staged.select("doc_id", F.expr(_t._SPARK_KGRAMS).alias("hs"))
+    return hs.select(
+        "doc_id", F.array_distinct(F.expr(_t._SPARK_MINS)).alias("minima")
+    )
+
+
+def _x11_oracle() -> str:
+    from . import textops as _t
+
+    d17 = _t.ORACLES["d17_winnow_fingerprint"]
+    # reuse d17's WITH chain up to `mn` (nrm/hs/mins CTEs), then join
+    ctes = d17[d17.index("WITH") : d17.index(")\n    SELECT doc_id, CAST(len(hs)")] + ")"
+    return f"""
+    {ctes}, fp AS (
+      SELECT doc_id, list_distinct(mins) AS minima FROM mn
+    ), ex AS (
+      SELECT doc_id, unnest(minima) AS m FROM fp
+    ), capped AS (
+      SELECT doc_id, m FROM ex
+      QUALIFY COUNT(*) OVER (PARTITION BY m) <= {MAX_WINNOW_DF}
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM capped a JOIN capped b ON a.m = b.m AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(s.n_shared AS DOUBLE) / least(len(fa.minima), len(fb.minima)) AS overlap
+    FROM shared s
+    JOIN fp fa ON fa.doc_id = s.doc_a
+    JOIN fp fb ON fb.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE) / least(len(fa.minima), len(fb.minima)) >= {_X11_SPARK_OVERLAP_MIN}
+    """
+
+
+@_q("x11_winnow_neardup", _x11_oracle())
+def x11_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from shared winnowing minima: explode each
+    document's fingerprint, cap boilerplate minima (MAX_WINNOW_DF),
+    equi-join on the minimum value, verify by containment overlap
+    n_shared / min(|fp_a|, |fp_b|) >= 0.5.
+
+    Scale: identical shape to x3 — the join key is a well-distributed
+    32-bit hash, every bucket is bounded by the cap, fingerprints are
+    ~|doc|/W values so the exploded table is a fraction of the k-gram
+    count. One shuffle for the cap window (reused by the join), one
+    pair aggregate."""
+    fp = _winnow_minima(spark, sf_dir).persist()
+    ex = fp.select("doc_id", F.explode("minima").alias("m"))
+    w_m = Window.partitionBy("m")
+    capped = (
+        ex.withColumn("df", F.count("*").over(w_m))
+        .filter(F.col("df") <= MAX_WINNOW_DF)
+        .drop("df")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    shared = (
+        a.join(b, (F.col("a.m") == F.col("b.m")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.size("minima").alias("n_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.size("minima").alias("n_b"))
+    overlap = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+    return (
+        shared.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            overlap.alias("overlap"),
+        )
+        .filter(F.col("overlap") >= _X11_SPARK_OVERLAP_MIN)
     )
