@@ -917,3 +917,88 @@ def x11_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("overlap") >= _X11_SPARK_OVERLAP_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# x13: chunk-level partial-duplicate detection.
+
+#: non-overlapping chunk width in tokens. 8 tokens ~= one clause; real
+#: pipelines use 50-100-token chunks — the knob trades granularity for
+#: chunk-table size (corpus_tokens / CHUNK_TOKENS rows).
+CHUNK_TOKENS = 8
+
+_X13_TOKS_DUCK = (
+    r"list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace("
+    r"lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+
+@_q(
+    "x13_chunk_dedup",
+    f"""
+    WITH staged AS (
+      SELECT doc_id, {_X13_TOKS_DUCK} AS toks FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS INT)),
+               i -> md5(array_to_string(
+                      toks[i*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}+{CHUNK_TOKENS}], ' '))
+             )) AS chunk_hash
+      FROM staged WHERE len(toks) > 0
+    ), cf AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS chunk_df
+      FROM ch GROUP BY chunk_hash
+    )
+    SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN cf.chunk_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+           CAST(SUM(CASE WHEN cf.chunk_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS shared_frac,
+           (CAST(SUM(CASE WHEN cf.chunk_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) < 0.5) AS keep
+    FROM ch JOIN cf ON ch.chunk_hash = cf.chunk_hash
+    GROUP BY ch.doc_id
+    """,
+)
+def x13_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level partial-duplicate detection: split each document
+    into fixed-width non-overlapping token chunks, hash each chunk,
+    and score each document by the fraction of its chunks that ALSO
+    appear in at least one other document (cross-document chunk df >=
+    2). Catches partially-copied documents that whole-document hashing
+    (x1) misses and shingle-Jaccard (x3) under-weights — the
+    boilerplate/partial-mirror remover of a training pipeline.
+
+    Scale: explode to the chunk table (corpus_tokens / CHUNK_TOKENS
+    rows), map-side-combined count per chunk_hash, one equi-join back
+    on chunk_hash (the natural, well-distributed key — md5 output),
+    per-doc agg. No window, no all-pairs stage; the join key
+    distribution is uniform by construction so no salting needed."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", tokens(normalize_text("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    chunks = staged.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks) / {CHUNK_TOKENS}) as int) - 1),"
+                f" i -> md5(concat_ws(' ', slice(toks, i*{CHUNK_TOKENS}+1, {CHUNK_TOKENS}))))"
+            )
+        ).alias("chunk_hash"),
+    )
+    cf = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("chunk_df")
+    )
+    shared = F.sum(F.when(F.col("chunk_df") >= 2, 1).otherwise(0))
+    n = F.count("*")
+    return (
+        chunks.join(cf, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_chunks"),
+            shared.cast("bigint").alias("n_shared_chunks"),
+            (shared.cast("double") / n).alias("shared_frac"),
+            ((shared.cast("double") / n) < 0.5).alias("keep"),
+        )
+    )

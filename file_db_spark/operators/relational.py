@@ -801,3 +801,49 @@ def f1_path_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         basename("full_path").alias("base_name"),
         extension("full_path").alias("ext"),
     )
+
+
+@_q(
+    "w3_window_suite",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS BIGINT) AS spend_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w3_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 breadth: the full analytic-window surface beyond w1/w2 —
+    lag/lead, ntile quartiles, percent_rank, cume_dist, and a running
+    ROWS-frame sum, all over one (customer, order-date) window.
+
+    Determinism: the window orders by (o_orderdate, o_orderkey) — a
+    total order — so lag/lead/ntile and the running double sum are
+    reproducible and engine-identical (the running sum adds in a fixed
+    sequence; percent_rank/cume_dist are exact rational divisions).
+
+    Scale: ONE shuffle on o_custkey serves every window function
+    (identical partitioning + ordering -> a single WindowExec); frames
+    are ROWS-bounded so state is O(1) per row."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("bigint").alias("spend_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.sum("o_totalprice").over(wrun).alias("running_spend"),
+    )

@@ -816,3 +816,217 @@ def d17_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_digest"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d18: deterministic shard/shuffle export — the training-export primitive.
+
+N_SHARDS = 64
+
+#: 16-bit salted md5 of doc_id — same hex-decode trick as _HEX_BUCKET
+#: but salted so the shard split is independent of the d6 train split.
+_SHARD_SQL_SPARK = (
+    "CAST(conv(substr(md5(concat('shard|', CAST(doc_id AS STRING))), 1, 4), 16, 10)"
+    " AS BIGINT)"
+)
+_SHARD_SQL_DUCK = (
+    "CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+)
+
+
+@_q(
+    "d18_shard_export",
+    f"""
+    WITH h AS (
+      SELECT doc_id, {_SHARD_SQL_DUCK} AS h16 FROM documents
+    )
+    SELECT doc_id, CAST(h16 % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY h16 % {N_SHARDS} ORDER BY h16, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def d18_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding for training export:
+    shard = salted-hash(doc_id) mod N, position within shard = rank of
+    the hash. The standard pre-training step — a reproducible global
+    shuffle (hash order is uncorrelated with id/source order) split
+    into N equal-sized shards that can be written as N files.
+
+    Scale: one hash-partition exchange on `shard`, then a per-shard
+    window. Shard count is the parallelism knob: at 100 TB you raise
+    N_SHARDS to O(10k) so each window partition stays ~10 GB; the
+    window itself is a sort within each shard — exactly the sort
+    a sorted-file write needs anyway (sortWithinPartitions on write)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.expr(_SHARD_SQL_SPARK).alias("h16"))
+    staged = staged.withColumn("shard", (F.col("h16") % N_SHARDS).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("h16", "doc_id")
+    return staged.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d19: TF-IDF keyword extraction (ratio idf).
+
+TFIDF_TOP = 3
+
+#: normalized-token pipeline shared with the dedup oracles (see
+#: dedup.py x3) — identical in both engines.
+_TOKS_DUCK = (
+    r"list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace("
+    r"lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+
+@_q(
+    "d19_tfidf_keywords",
+    f"""
+    WITH staged AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS term
+      FROM staged WHERE len(toks) > 0
+    ), tf AS (
+      SELECT doc_id, term, doc_len, COUNT(*) AS tf_count
+      FROM tok GROUP BY doc_id, term, doc_len
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM staged WHERE len(toks) > 0
+    ), dft AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(tf.tf_count AS DOUBLE) / tf.doc_len)
+               * (CAST(n.n_docs AS DOUBLE) / dft.df) AS tfidf
+      FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {TFIDF_TOP}
+    """,
+)
+def d19_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF. The idf factor is the
+    exact ratio N/df rather than ln(N/df): ln is not IEEE-mandated to
+    be correctly rounded, so libm results can differ across engines in
+    the last ulp; the ratio is a single exact-rounded division with the
+    SAME ranking for a fixed document (ln is monotone in the ratio), so
+    correctness is provable value-for-value. Swap `F.log` in if a
+    downstream consumer needs log-scaled scores.
+
+    Scale: explode -> map-side-combined (doc,term) count -> one shuffle
+    on term to attach df (the vocab table is the natural join key; at
+    web scale it's 1e7-1e8 rows, far too big to broadcast, and the
+    shuffle is on the same key the df agg already produced) -> per-doc
+    top-3 window partitioned by doc_id. No global window, no collect;
+    the 1-row corpus count broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", tokens(normalize_text("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    tok = staged.select(
+        "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term", "doc_len").agg(F.count("*").alias("tf_count"))
+    n = staged.agg(F.count("*").alias("n_docs"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dft, "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        (
+            (F.col("tf_count").cast("double") / F.col("doc_len"))
+            * (F.col("n_docs").cast("double") / F.col("df"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d20: PII detection + redaction.
+
+#: portable regex subset: no lookarounds, no \w shorthand differences —
+#: verified to match identically under Java regex and DuckDB's RE2.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+#: the corpus is synthetic word-soup with no real PII, so the query
+#: SEEDS deterministic spans first (doc_id%7==0 gains an email + an
+#: IPv4) — in BOTH engines — then detects and redacts them. The regex
+#: machinery, counts, and redacted digests are what's verified; on a
+#: real corpus you drop the seeding stage.
+_SEED_DUCK = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'"
+    " ELSE text END"
+)
+
+
+@_q(
+    "d20_pii_scrub",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id, {_SEED_DUCK} AS text2 FROM documents
+    ), scanned AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text2, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text2, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+             md5(regexp_replace(regexp_replace(text2, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_IPV4_RE}', '<IP>', 'g')) AS redacted_digest
+      FROM seeded
+    )
+    SELECT doc_id, n_emails, n_ips, (n_emails + n_ips > 0) AS has_pii,
+           redacted_digest
+    FROM scanned
+    """,
+)
+def d20_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: count email / IPv4
+    spans and emit the md5 digest of the redacted text (digest rather
+    than the full text keeps the verified result row small). See
+    _SEED_DUCK for why spans are seeded deterministically first.
+
+    Scale: pure Column regex work — map-only, rides the scan, zero
+    shuffle, zero Python. Additional PII classes (phone, SSN, IBAN)
+    are additional regexp_replace stages on the same scan."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    n_emails = F.regexp_count("text2", F.lit(PII_EMAIL_RE)).cast("bigint")
+    n_ips = F.regexp_count("text2", F.lit(PII_IPV4_RE)).cast("bigint")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text2", PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+    )
+    return seeded.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        ((n_emails + n_ips) > 0).alias("has_pii"),
+        F.md5(redacted).alias("redacted_digest"),
+    )
