@@ -122,3 +122,80 @@ def test_x4_signature_table_reused(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x4_minhash_lsh")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_w3_single_window_exchange(spark, sf_dir):
+    # every window function shares one (partitionBy, orderBy) spec ->
+    # exactly one shuffle on o_custkey feeds them all
+    plan = _plan(spark, sf_dir, "w3_window_suite")
+    assert _shuffles(plan) == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_d18_one_shard_exchange(spark, sf_dir):
+    # shard + in-shard rank: one hash exchange on the shard key, never
+    # a global (single-partition) sort
+    plan = _plan(spark, sf_dir, "d18_shard_export")
+    assert _shuffles(plan) == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_x13_no_cartesian_chunk_join(spark, sf_dir):
+    # chunk df attaches via an equi-join on chunk_hash (uniform md5
+    # key); the whole pipeline is hash exchanges only
+    plan = _plan(spark, sf_dir, "x13_chunk_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_d19_vocab_join_not_single_partition(spark, sf_dir):
+    # df attaches by shuffle equi-join on term (vocab too big to
+    # broadcast at scale); only the 1-row corpus count broadcasts
+    plan = _plan(spark, sf_dir, "d19_tfidf_keywords")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the 1-row n_docs aggregate
+
+
+def test_v5_stage1_reads_quantized_codes(spark, sf_dir):
+    # stage 1 must score the int8 code column (map-side vs broadcast
+    # queries); the only window partitions by query_id
+    plan = _plan(spark, sf_dir, "v5_sq_rerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+#: broadcast joins with a non-equi condition (id != id against a tiny
+#: broadcast side) legitimately plan as BroadcastNestedLoopJoin — the
+#: loop side is the broadcast few-row table, not data x data
+_BNLJ_OK = {
+    "v1_knn_bruteforce",
+    "v3_ivf_topk",
+    "v5_sq_rerank",
+    "v34_ivf",
+    "j13_salted_join",  # salt-explode dimension is a literal range table
+    "rq2_join_suite",  # carries j13 (same literal salt-range cross join)
+    # M7 subtree deletion: dir_path-startsWith-root semi-join against the
+    # broadcast vanished-roots list (few rows per wave); prefix matching
+    # is inherently non-equi and the loop side is the tiny broadcast
+    "g2_hash_lifecycle",
+}
+
+
+def test_graded_registry_no_cartesian_sweep(spark, sf_dir):
+    # every driver-graded plan: no data x data cartesian, and nested-
+    # loop joins only where the loop side is a broadcast few-row table
+    import __spark_entry__ as entrymod
+
+    bad: dict[str, str] = {}
+    for name in entrymod.queries():
+        try:
+            plan = _plan(spark, sf_dir, name)
+        except Exception:
+            continue  # streaming/stateful entries build their own runs
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            bad[name] = "BroadcastNestedLoopJoin"
+    assert not bad, bad
