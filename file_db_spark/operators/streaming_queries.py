@@ -266,3 +266,98 @@ ORACLES["s6_stream_neardup"] = f"""
     JOIN sigs sb ON sb.doc_id = c.dup_of
     WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 >= 0.5
     """
+
+
+# ---------------------------------------------------------------------------
+# s7: incremental rollup maintenance via foreachBatch MERGE — the
+# streaming counterpart of e8's hypertable cascade and the Structured-
+# Streaming analog of the reference's continuous staging->merge loop
+# (Server/__init__.py queue timers -> FileDbDAL/DirectoryCrawl.py
+# process_staged_*).
+
+
+def s7_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the stream's update-mode
+    hourly aggregation is MERGED into a persistent hourly store by
+    foreachBatch (delete-matching-keys + append — update mode re-emits
+    the full new total per changed key, so upsert = replace), and the
+    daily rollup is then served FROM the maintained hourly partials,
+    never from raw events — O(changed hours) per refresh at 100 TB.
+
+    The store is a scratch parquet table using the engine's
+    generation-swap write (atomic overwrite); availableNow drains the
+    static source so the final store equals the batch hourly aggregate,
+    which is why the e8-style daily oracle hash-matches exactly
+    (decimal partials are exact under re-aggregation)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    store_root = tempfile.mkdtemp(prefix="s7_rollup_")
+    data_dir = os.path.join(store_root, "hourly")
+    ckpt_dir = os.path.join(store_root, "_ckpt")
+
+    src = es.events_source(spark, sf_dir)
+    hourly = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            if os.path.isdir(data_dir):
+                existing = spark.read.parquet(data_dir)
+                keys = b.select("hour", "event_type")
+                kept = existing.join(keys, ["hour", "event_type"], "left_anti")
+                merged = kept.unionByName(b)
+            else:
+                merged = b
+            # generation swap: write the new generation next to the old,
+            # then atomic-rename — a crash mid-write never corrupts the
+            # serving store (mirrors filedb/store.py's table swap)
+            tmp = data_dir + f".gen{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(data_dir):
+                import shutil
+
+                shutil.rmtree(data_dir)
+            os.rename(tmp, data_dir)
+        finally:
+            b.unpersist()
+
+    q = (
+        hourly.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    stored = spark.read.parquet(data_dir)
+    return (
+        stored.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("total_value"),
+        )
+    )
+
+
+QUERIES["s7_stream_rollup_upsert"] = s7_stream_rollup_upsert
+
+# The maintained hourly store after an availableNow drain equals the
+# batch hourly aggregate, so the daily-from-partials result equals the
+# e8 daily rollup computed straight off raw events.
+ORACLES["s7_stream_rollup_upsert"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """
