@@ -43,6 +43,9 @@ HEADLINE = [
     "d9_repetition_quality",
     "d10_seq_packing",
     "v2_ann_lsh",
+    "v5_sq_rerank",
+    "x13_chunk_dedup",
+    "x14_semantic_dedup",
     "c9_duplicate_groups",
 ]
 

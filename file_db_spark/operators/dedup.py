@@ -668,17 +668,17 @@ def x7_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(spark, sf_dir, "x7_labels", lambda: _build_x7_labels(spark, sf_dir))
 
 
-def _build_x7_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = x3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .persist()
-    )
-    # eager localCheckpoint: materializes AND truncates lineage (persist
-    # alone keeps the logical plan growing round over round).
-    # Seed = min(self, neighbors): the first propagation step folds into
-    # the initial aggregate's shuffle, saving one full round.
+def _propagate_min_labels(edges: DataFrame, what: str, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation to a fixpoint over a symmetric edge table
+    (columns a, b; both directions present). Returns (v, lab).
+
+    Each round is one shuffle on the vertex id; eager localCheckpoint
+    materializes AND truncates lineage (persist alone keeps the logical
+    plan growing round over round). Seed = min(self, neighbors): the
+    first propagation step folds into the initial aggregate's shuffle,
+    saving one full round. Convergence detector is the 1-row label-sum
+    scalar (monotone non-increasing -> fixpoint)."""
+    edges = edges.persist()
     labels = (
         edges.select(F.col("a").alias("v"), F.least("a", "b").alias("cand"))
         .groupBy("v")
@@ -686,7 +686,7 @@ def _build_x7_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
-    for _ in range(20):  # bound >> diameter of near-dup clusters
+    for _ in range(max_rounds):  # bound >> diameter of near-dup clusters
         prop = labels.join(edges, labels.v == edges.a).select(
             F.col("b").alias("v"), "lab"
         )
@@ -695,7 +695,7 @@ def _build_x7_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         new_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
         labels = new_labels
-        if new_sum == prev_sum:  # monotone non-increasing -> fixpoint
+        if new_sum == prev_sum:
             break
         prev_sum = new_sum
     else:
@@ -703,7 +703,16 @@ def _build_x7_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # result (components split in two). Near-dup graphs converge in
         # single digits; hitting the bound means the input isn't one —
         # fail loudly (at 100 TB: switch to star-contraction rounds).
-        raise RuntimeError("x7: label propagation did not converge in 20 rounds")
+        raise RuntimeError(f"{what}: label propagation did not converge in {max_rounds} rounds")
+    return labels
+
+
+def _build_x7_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = x3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    labels = _propagate_min_labels(edges, "x7")
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lab").cast("bigint").alias("component_id")
     )
@@ -1000,5 +1009,76 @@ def x13_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared.cast("bigint").alias("n_shared_chunks"),
             (shared.cast("double") / n).alias("shared_frac"),
             ((shared.cast("double") / n) < 0.5).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x14: semantic dedup (SemDeDup-style) — cluster the x6 cosine-neardup
+# graph, keep one representative per semantic cluster.
+
+
+@_q(
+    "x14_semantic_dedup",
+    f"""
+    WITH RECURSIVE sized AS (
+      SELECT vec_id, label, embedding,
+             COUNT(*) OVER (PARTITION BY label) AS cell_n
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, label, embedding,
+             CASE WHEN cell_n > {MAX_CELL_SIZE}
+                  THEN 2 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+                  ELSE -1 END AS sub_bucket
+      FROM sized
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bucketed a JOIN bucketed b
+        ON a.label = b.label AND a.sub_bucket = b.sub_bucket AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {NEARDUP_COS}
+    ), edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION ALL
+      SELECT vec_b AS a, vec_a AS b FROM pairs
+    ), verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, lab) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+    ), comp AS (
+      SELECT v, MIN(lab) AS lab FROM reach GROUP BY v
+    )
+    SELECT e.vec_id, CAST(COALESCE(c.lab, e.vec_id) AS BIGINT) AS cluster_id,
+           (COALESCE(c.lab, e.vec_id) = e.vec_id) AS keep
+    FROM embeddings e LEFT JOIN comp c ON c.v = e.vec_id
+    """,
+)
+def x14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    arXiv:2303.09540): connected components over the embedding-cosine
+    near-dup graph (x6: same-cell candidates, cos >= NEARDUP_COS), one
+    representative (min vec_id) kept per semantic cluster; vectors with
+    no near neighbor are their own singleton cluster and survive.
+
+    Scale: candidate generation inherits x6's cell + sub-bucket caps
+    (never all-pairs); clustering is the shared min-label-propagation
+    loop (see _propagate_min_labels: per-round shuffle on the vertex
+    id, localCheckpoint lineage truncation, diameter-bounded rounds);
+    the final left join broadcasts nothing and shuffles on vec_id. The
+    keep flag is what a 100 TB pipeline filters on before training."""
+    pairs = x6_embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")).unionByName(
+        pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"))
+    )
+    labels = _propagate_min_labels(edges, "x14")
+    e = load_table(spark, sf_dir, "embeddings")
+    cluster = F.coalesce(F.col("lab"), F.col("vec_id"))
+    return (
+        e.join(labels, e.vec_id == labels.v, "left")
+        .select(
+            "vec_id",
+            cluster.cast("bigint").alias("cluster_id"),
+            (cluster == F.col("vec_id")).alias("keep"),
         )
     )
