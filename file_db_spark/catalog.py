@@ -81,15 +81,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # With spark.sql.legacy.parquet.nanosAsLong=true the TIMESTAMP
-        # (NANOS) column arrives as long epoch-nanos. Convert with
-        # integer division (`div`, exact — a double round-trip would
-        # lose precision at 1e18 ns) to match DuckDB's native
-        # TIMESTAMP_NS view truncated to Spark's microsecond unit.
+        # Normalize `ts` to a session-UTC TIMESTAMP regardless of how
+        # the generator wrote it (it has shipped both):
+        # - TIMESTAMP(NANOS) parquet + nanosAsLong=true -> long
+        #   epoch-nanos; convert with integer division (`div`, exact —
+        #   a double round-trip would lose precision at 1e18 ns).
+        # - TIMESTAMP(MICROS, not UTC-adjusted) -> TIMESTAMP_NTZ; cast
+        #   to TIMESTAMP (value-preserving: ensure_confs pinned the
+        #   session timezone to UTC above, matching DuckDB's naive
+        #   timestamps).
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "normalize_text",
+    "portable_hash60",
     "tokens",
     "token_count",
     "word_shingles",
@@ -277,6 +278,14 @@ def portable_base_hash(s: Column) -> Column:
     """First 32 bits of md5(s) mod P — the cross-engine base hash.
     Verified equal to DUCKDB_BASE_HASH for ASCII and empty strings."""
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % PORTABLE_PRIME
+
+
+def portable_hash60(s: Column) -> Column:
+    """60-bit integer hash of an arbitrary string column (first 15 md5
+    hex chars) — the wide cross-engine hash for sketches that need more
+    than the 31-bit base hash (HLL bucket+rho split). DuckDB twin:
+    ``CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
 def portable_fingerprint60(col: Column | str) -> Column:

@@ -37,13 +37,13 @@ __all__ = [
     "run_to_memory",
 ]
 
-#: events.parquet schema with ts as long nanos (the session reads
-#: TIMESTAMP(NANOS) via nanosAsLong — see session.py); converted to a
-#: proper timestamp in events_source.
+#: events.parquet schema: ts arrives as TIMESTAMP(MICROS, not
+#: UTC-adjusted) -> TIMESTAMP_NTZ; events_source casts it to a
+#: session-UTC TIMESTAMP to match the batch path (catalog.load_table).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -58,13 +58,16 @@ def events_source(
     """File-stream over the events parquet — the standing-query analog
     of the batch scan. maxFilesPerTrigger is the backpressure knob (the
     reference's queue caps, config.json:24-29)."""
+    from ..catalog import ensure_confs
+
+    ensure_confs(spark)  # session timezone must be UTC for the NTZ cast
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # the file-stream source wants a directory; select the events
     # parquet out of the shared sf_dir with a glob
     df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
