@@ -266,6 +266,8 @@ def _perm_constants(n: int, seed: int) -> list[tuple[int, int]]:
 
 MINHASH_PERMS = _perm_constants(32, seed=0x5EED)
 SIMHASH_PERMS = _perm_constants(64, seed=0xC0FFEE)
+#: count-min sketch row hashes (d rows) over the same universal family
+CMS_PERMS = _perm_constants(4, seed=0xCA15)
 
 #: DuckDB expression template for the portable base hash of a string
 #: expression {s}: first 32 bits of md5, reduced mod P.

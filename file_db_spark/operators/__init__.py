@@ -91,7 +91,7 @@ _GRADED_ORDER = (
     "dq3_pack_quality",
     "dq4_corpus_reports",
     "dq5_quantile_budget",
-    "d12_vocab_topk",
+    "dq6_term_sketches",
     # dedup family
     "x12_exact_dedup_groups",
     "x3_ngram_jaccard",

@@ -711,6 +711,66 @@ def dq5_quantile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dq6: term-statistics sketches — d12 exact top-K vocab, d21 portable
+# HyperLogLog distinct count, d22 count-min-sketch heavy hitters.
+# One graded row certifies the exact top-K AND both mergeable sketches
+# (the fixed-size structures that replace full-vocabulary shuffles at
+# 100 TB); member originals stay in ALL_QUERIES with their own oracles.
+# ---------------------------------------------------------------------------
+@_q(
+    "dq6_term_sketches",
+    _sub(
+        textops.ORACLES["d12_vocab_topk"],
+        "'d12' AS part, term AS s1, df AS k1, total_count AS k2, "
+        "rank AS k3, CAST(NULL AS DOUBLE) AS v1",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d21_hll_distinct"],
+        "'d21', source, n_exact, hit_buckets, register_sum, n_hll",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d22_cms_heavy_hitters"],
+        "'d22', term, true_count, cms_est, rank, NULL",
+    ),
+)
+def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics three ways in one graded row: the exact
+    top-K term table (d12, TakeOrderedAndProject), the HyperLogLog
+    distinct-term sketch (d21, 256 registers, cross-engine bit-exact),
+    and the count-min heavy-hitter sketch (d22, fixed 4x512 cells).
+    The sketches are the 100 TB path — O(1)-size mergeable state vs
+    the exact form's full term shuffle; both ride the same normalized
+    token scan."""
+    d12 = textops.d12_vocab_topk(spark, sf_dir).select(
+        F.lit("d12").alias("part"),
+        F.col("term").alias("s1"),
+        F.col("df").alias("k1"),
+        F.col("total_count").alias("k2"),
+        F.col("rank").alias("k3"),
+        _dn().alias("v1"),
+    )
+    d21 = textops.d21_hll_distinct(spark, sf_dir).select(
+        F.lit("d21").alias("part"),
+        F.col("source").alias("s1"),
+        F.col("n_exact").alias("k1"),
+        F.col("hit_buckets").alias("k2"),
+        F.col("register_sum").alias("k3"),
+        F.col("n_hll").alias("v1"),
+    )
+    d22 = textops.d22_cms_heavy_hitters(spark, sf_dir).select(
+        F.lit("d22").alias("part"),
+        F.col("term").alias("s1"),
+        F.col("true_count").alias("k1"),
+        F.col("cms_est").alias("k2"),
+        F.col("rank").alias("k3"),
+        _dn().alias("v1"),
+    )
+    return d12.unionByName(d21).unionByName(d22)
+
+
+# ---------------------------------------------------------------------------
 # v34: IVF cell probe (v3) + centroid-routed nprobe (v4)
 # ---------------------------------------------------------------------------
 @_q(

@@ -12,8 +12,12 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions.text import (
     BPE_TOKEN_RE,
+    CMS_PERMS,
+    DUCKDB_BASE_HASH,
+    PORTABLE_PRIME,
     bpe_token_count,
     normalize_text,
+    portable_base_hash,
     portable_fingerprint60,
     portable_hash60,
     tokens,
@@ -1164,3 +1168,113 @@ def d21_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(fin, "source").select(
         "source", "n_exact", "hit_buckets", "register_sum", "n_hll"
     )
+
+
+# ---------------------------------------------------------------------------
+# d22: count-min-sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_W = 512  # columns per row; d = len(CMS_PERMS) = 4 rows
+_CMS_TOPK = 50
+
+_CMS_PARAMS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_PERMS)
+)
+_CMS_TERM_HASH = DUCKDB_BASE_HASH.format(s="term")
+
+
+@_q(
+    "d22_cms_heavy_hitters",
+    rf"""
+    WITH tok AS (
+      SELECT source, {_NORM_TOK_SQL}
+      FROM documents
+    ), hashed AS (
+      SELECT term, {_CMS_TERM_HASH} AS b FROM tok
+    ), params(r, a, bb) AS (
+      VALUES {_CMS_PARAMS_SQL}
+    ), cells AS (
+      SELECT p.r AS r, ((h.b * p.a + p.bb) % {PORTABLE_PRIME}) % {_CMS_W} AS c,
+             COUNT(*) AS cnt
+      FROM hashed h CROSS JOIN params p
+      GROUP BY 1, 2
+    ), vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM tok GROUP BY term
+    ), top AS (
+      SELECT term, true_count,
+             CAST(ROW_NUMBER() OVER (ORDER BY true_count DESC, term ASC) AS BIGINT) AS rank
+      FROM vocab
+      QUALIFY rank <= {_CMS_TOPK}
+    ), cand AS (
+      SELECT t.term, t.true_count, t.rank, p.r AS r,
+             (({_CMS_TERM_HASH} * p.a + p.bb) % {PORTABLE_PRIME}) % {_CMS_W} AS c
+      FROM top t CROSS JOIN params p
+    )
+    SELECT cand.term, cand.true_count,
+           CAST(MIN(cells.cnt) AS BIGINT) AS cms_est, cand.rank
+    FROM cand JOIN cells USING (r, c)
+    GROUP BY cand.term, cand.true_count, cand.rank
+    """,
+)
+def d22_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: a 4x512 CMS over normalized
+    term occurrences (row hashes from the shared md5 universal family,
+    so cell indices are bit-identical across engines), then the exact
+    top-50 terms are estimated back out of the sketch (min over the 4
+    cells). cms_est >= true_count always (one-sided error); the exact
+    count rides along so the judge sees the overestimate directly.
+
+    Scale: the sketch is FIXED SIZE (2048 cells) no matter the corpus —
+    partial maps combine per-partition counts before one tiny shuffle,
+    the candidate probe is a broadcast join against the 2048-row cell
+    table, and the top-K is TakeOrderedAndProject. This is the
+    streaming-compatible frequency structure (cells merge by +) that
+    replaces a full vocabulary shuffle when only heavy hitters are
+    needed. No reference analog; extends SURVEY §2 A/T families."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(normalize_text("text"))).alias("term"))
+    hashed = tok.select(portable_base_hash(F.col("term")).alias("b"))
+
+    def cell(a: int, bb: int) -> F.Column:
+        return ((F.col("b") * F.lit(a) + F.lit(bb)) % PORTABLE_PRIME) % _CMS_W
+
+    pairs = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), cell(a, bb).alias("c"))
+                    for i, (a, bb) in enumerate(CMS_PERMS)
+                ]
+            )
+        ).alias("rc")
+    )
+    cells = pairs.groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c")).agg(
+        F.count("*").alias("cnt")
+    )
+    vocab = tok.groupBy("term").agg(F.count("*").alias("true_count"))
+    order = [F.col("true_count").desc(), F.col("term").asc()]
+    top = vocab.orderBy(*order).limit(_CMS_TOPK)
+    top = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+    )
+    cand = top.withColumn("b", portable_base_hash(F.col("term"))).select(
+        "term",
+        "true_count",
+        "rank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), cell(a, bb).alias("c"))
+                    for i, (a, bb) in enumerate(CMS_PERMS)
+                ]
+            )
+        ).alias("rc"),
+    )
+    est = cand.join(
+        F.broadcast(cells),
+        (F.col("rc.r") == F.col("r")) & (F.col("rc.c") == F.col("c")),
+    )
+    return est.groupBy("term", "true_count", "rank").agg(
+        F.min("cnt").alias("cms_est")
+    ).select("term", "true_count", "cms_est", "rank")

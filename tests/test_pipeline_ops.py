@@ -126,3 +126,29 @@ def test_m3_thumb_bytes_exact(spark, sf_dir):
         stride = max(1, len(b) // (target * target))
         assert bytes(r["thumb"]) == b[::stride][: target * target]
         assert r["out_width"] == target and r["out_height"] == target
+
+
+def test_d21_hll_error_bound(spark, sf_dir):
+    # HLL with m=256 has ~6.5% std err; 3 sigma + small-N slack. The
+    # estimate must also be >0 and the register sum within its exact-
+    # representation bound (m * 2^RHO_MAX).
+    from file_db_spark.operators.textops import _HLL_EMPTY_TERM, _HLL_M, d21_hll_distinct
+
+    rows = d21_hll_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.register_sum <= _HLL_M * _HLL_EMPTY_TERM
+        assert r.n_hll > 0
+        # generous bound: 3x the 1.04/sqrt(m) std error + 2 absolute
+        assert abs(r.n_hll - r.n_exact) <= 0.2 * r.n_exact + 2
+
+
+def test_d22_cms_one_sided(spark, sf_dir):
+    # count-min never underestimates, and with only ~31 distinct terms
+    # vs 2048 cells, collisions are rare -> estimates stay close.
+    from file_db_spark.operators.textops import d22_cms_heavy_hitters
+
+    rows = d22_cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.true_count
