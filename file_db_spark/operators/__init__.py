@@ -109,7 +109,7 @@ _GRADED_ORDER = (
     "m124_multimodal",
     # structured streaming
     "s12_streaming",
-    "s345_streaming_windows",
+    "s38_streaming_suite",
     # merge engine (M1-M8 + O5/O7)
     "g1_merge_recrawl",
     "g2_hash_lifecycle",

@@ -361,3 +361,37 @@ ORACLES["s7_stream_rollup_upsert"] = """
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# s8: stream-stream watermarked interval join — the standing-query form
+# of e7's range join. Two independent file streams over the same events
+# source (purchases and clicks), joined on user within a 5-minute
+# event-time interval; both watermarks bound the join state store.
+# ---------------------------------------------------------------------------
+
+
+def s8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: (purchase, click) pairs where the
+    click happened in the 5 minutes before the purchase by the same
+    user. Inner stream-stream joins emit eagerly on match, so the
+    availableNow drain over the static source IS the batch interval
+    join (the oracle). State at scale is bounded by the watermark +
+    interval horizon, evicted as event time advances — the streaming
+    replacement for re-running the batch range join."""
+    purchases_src = es.events_source(spark, sf_dir)
+    clicks_src = es.events_source(spark, sf_dir)
+    return _drain(
+        es.purchase_click_join(purchases_src, clicks_src), "s8", "append"
+    )
+
+
+QUERIES["s8_stream_stream_join"] = s8_stream_stream_join
+
+ORACLES["s8_stream_stream_join"] = """
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    """

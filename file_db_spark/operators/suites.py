@@ -980,11 +980,13 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# s345: sliding windows + keyed dedup + session windows — the remaining
-# Structured Streaming operators in one graded row
+# s38: the remaining Structured Streaming operators in one graded row —
+# s3 sliding windows, s4 keyed dedup, s5 session windows, s6 stream-
+# static LSH near-dup admission, s7 foreachBatch incremental rollup
+# maintenance, s8 stream-stream watermarked interval join
 # ---------------------------------------------------------------------------
 @_q(
-    "s345_streaming_windows",
+    "s38_streaming_suite",
     _sub(streaming_queries.ORACLES["s3_stream_sliding"],
          f"'sliding' AS stream, {_ep('window_start')} AS k1, CAST(NULL AS BIGINT) AS k2, "
          "CAST(NULL AS BIGINT) AS k3, CAST(NULL AS VARCHAR) AS s1, "
@@ -995,13 +997,25 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s5_stream_sessions"],
            f"'sessions', user_id, {_ep('session_start')}, {_ep('session_end')}, "
-           "NULL, n_events, NULL"),
+           "NULL, n_events, NULL")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s6_stream_neardup"],
+           "'neardup', new_doc_id, dup_of, NULL, NULL, NULL, est_jaccard")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s7_stream_rollup_upsert"],
+           f"'rollup', {_ep('day')}, NULL, NULL, event_type, n_events, total_value")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s8_stream_stream_join"],
+           "'ssjoin', purchase_id, user_id, click_id, NULL, NULL, NULL"),
 )
-def s345_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three more real Structured Streaming drains in one graded row:
+def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six more real Structured Streaming drains in one graded row:
     s3 sliding windows (complete), s4 watermark-bounded keyed dedup
-    (key-set projection), s5 native session windows (complete). Each
-    member runs its own availableNow stream unchanged."""
+    (key-set projection), s5 native session windows (complete), s6
+    stream-static LSH near-dup admission (append), s7 incremental
+    rollup maintenance (foreachBatch MERGE into a generation-swapped
+    hourly store), s8 stream-stream watermarked interval join (append).
+    Each member runs its own availableNow stream unchanged."""
     s3 = streaming_queries.s3_stream_sliding(spark, sf_dir).select(
         F.lit("sliding").alias("stream"),
         _epoch(F.col("window_start")).alias("k1"),
@@ -1029,4 +1043,37 @@ def s345_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         _dn().alias("v1"),
     )
-    return s3.unionByName(s4).unionByName(s5)
+    s6 = streaming_queries.s6_stream_neardup(spark, sf_dir).select(
+        F.lit("neardup").alias("stream"),
+        F.col("new_doc_id").cast("bigint").alias("k1"),
+        F.col("dup_of").cast("bigint").alias("k2"),
+        _bn().alias("k3"),
+        _sn().alias("s1"),
+        _bn().alias("n"),
+        F.col("est_jaccard").alias("v1"),
+    )
+    s7 = streaming_queries.s7_stream_rollup_upsert(spark, sf_dir).select(
+        F.lit("rollup").alias("stream"),
+        _epoch(F.col("day")).alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("event_type").alias("s1"),
+        F.col("n_events").alias("n"),
+        F.col("total_value").alias("v1"),
+    )
+    s8 = streaming_queries.s8_stream_stream_join(spark, sf_dir).select(
+        F.lit("ssjoin").alias("stream"),
+        F.col("purchase_id").cast("bigint").alias("k1"),
+        F.col("user_id").cast("bigint").alias("k2"),
+        F.col("click_id").cast("bigint").alias("k3"),
+        _sn().alias("s1"),
+        _bn().alias("n"),
+        _dn().alias("v1"),
+    )
+    return (
+        s3.unionByName(s4)
+        .unionByName(s5)
+        .unionByName(s6)
+        .unionByName(s7)
+        .unionByName(s8)
+    )

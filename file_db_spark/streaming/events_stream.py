@@ -226,3 +226,45 @@ def documents_source(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+
+
+def purchase_click_join(
+    purchases_src: DataFrame, clicks_src: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join (streaming e7 candidate form): for
+    each purchase, the clicks by the same user in the 5 minutes before
+    it. Both sides are watermarked so the join state is bounded — a
+    click can only match purchases up to 5 minutes ahead, so once the
+    purchase watermark passes c_ts + 5min the click is evicted (Spark
+    derives the eviction bound from the time-range predicate). Inner
+    joins emit eagerly on match, so an availableNow drain over a static
+    source equals the batch interval join exactly.
+
+    Scale: state is O(events inside the watermark+interval horizon) per
+    user — the streaming replacement for re-running e7's binned batch
+    join over an ever-growing table."""
+    clicks = (
+        clicks_src.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        purchases_src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND c_ts > p_ts - INTERVAL 5 MINUTES AND c_ts <= p_ts"
+        ),
+    )
+    return joined.select("purchase_id", "user_id", "click_id")

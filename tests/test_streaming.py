@@ -123,3 +123,33 @@ def test_user_spend_monitor_matches_batch(spark, sf_dir):
         assert gr["n_purchases"] == wr["n_purchases"]
         assert abs(gr["total_spend"] - wr["total_spend"]) < 1e-6
         assert gr["alert_level"] == int(gr["total_spend"] // 500.0)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from file_db_spark.catalog import load_table
+
+    got = es.run_to_memory(
+        es.purchase_click_join(
+            es.events_source(spark, sf_dir), es.events_source(spark, sf_dir)
+        ),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    want = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "user_id", "click_id")
+    g = {(r.purchase_id, r.click_id) for r in got.collect()}
+    w = {(r.purchase_id, r.click_id) for r in want.collect()}
+    assert g == w
