@@ -104,7 +104,7 @@ _GRADED_ORDER = (
     # similarity search
     "v1_knn_bruteforce",
     "v2_ann_lsh",
-    "v34_ivf",
+    "v346_ivf_kmeans",
     # multimodal plumbing
     "m124_multimodal",
     # structured streaming

@@ -524,3 +524,132 @@ def v5_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "sq_score", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v6: deterministic k-means refinement (Lloyd's) — iterative clustering
+# as a first-class distributed operator.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _km_centroids(assigned: DataFrame) -> DataFrame:
+    """(cell, emb) -> (cell, centroid): elementwise mean via posexplode
+    -> groupBy(cell, pos) -> rebuild (the v4 centroid pattern)."""
+    dim_pos = assigned.select(
+        "cell", F.posexplode(F.col("emb")).alias("pos", "v")
+    )
+    return (
+        dim_pos.groupBy("cell", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+
+
+def v6_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus: k=8 cells
+    seeded by the deterministic hash split (vec_id % k), refined by
+    KMEANS_ITERS assign/recompute rounds with cosine affinity and a
+    (cos DESC, cell ASC) argmax tie-break — every step deterministic,
+    so the unrolled-CTE DuckDB oracle hash-matches. This is the
+    centroid TRAINING step that v3/v4's IVF index consumes (the
+    label-cell IVF is the query path; this is how real cells get built).
+
+    Scale: each iteration is one tiny broadcast (k x dim centroids, a
+    few KB) against a map-only scored pass + one (vec_id)-keyed window
+    for the argmax, then a (cell, pos)-keyed partial-agg mean — no
+    all-pairs stage, no driver-side loop state beyond k rows per round;
+    iterations are a fixed small count (2), so plan depth is bounded
+    without checkpointing (contrast x7's data-dependent loop, which
+    localCheckpoints per round)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("vec_id") % KMEANS_K).alias("cell"),
+    )
+    assigned = pts
+    for _ in range(KMEANS_ITERS):
+        cents = _km_centroids(assigned).withColumnRenamed("cell", "c_cell")
+        scored = (
+            assigned.select("vec_id", "emb")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "emb",
+                F.col("c_cell").alias("cand_cell"),
+                cosine(F.col("emb"), F.col("centroid")).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cand_cell").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id", "emb", F.col("cand_cell").alias("cell"), "cos"
+            )
+        )
+    return assigned.select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.round("cos", 6).alias("cos_to_centroid"),
+    )
+
+
+def _v6_oracle() -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs — same seed, same
+    tie-break, same rounding."""
+
+    def cent(src: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT cell, list(avg_v ORDER BY idx) AS centroid FROM (
+        SELECT s.cell, t.idx, AVG(s.emb[t.idx]) AS avg_v
+        FROM {src} s, unnest(range(1, len(s.emb) + 1)) AS t(idx)
+        GROUP BY s.cell, t.idx
+      ) GROUP BY cell
+    )"""
+
+    def assign(cent_name: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, emb, cell, cos FROM (
+        SELECT p.vec_id, p.emb, c.cell,
+               list_cosine_similarity(p.emb, c.centroid) AS cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(p.emb, c.centroid) DESC, c.cell ASC
+               ) AS rn
+        FROM pts p CROSS JOIN {cent_name} c
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             vec_id % {KMEANS_K} AS cell
+      FROM embeddings
+    )"""
+    ]
+    src = "pts"
+    for i in range(KMEANS_ITERS):
+        parts.append(cent(src, f"cent{i}"))
+        parts.append(assign(f"cent{i}", f"asg{i}"))
+        src = f"asg{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           round(cos, 6) AS cos_to_centroid
+    FROM {src}
+    """
+    )
+
+
+QUERIES["v6_kmeans_refine"] = v6_kmeans_refine
+ORACLES["v6_kmeans_refine"] = _v6_oracle()

@@ -774,24 +774,35 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # v34: IVF cell probe (v3) + centroid-routed nprobe (v4)
 # ---------------------------------------------------------------------------
 @_q(
-    "v34_ivf",
+    "v346_ivf_kmeans",
     _sub(similarity.ORACLES["v3_ivf_topk"],
          "'v3' AS variant, query_id, neighbor_id, cos_sim, rank")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v4_ivf_nprobe"],
-           "'v4', query_id, neighbor_id, cos_sim, rank"),
+           "'v4', query_id, neighbor_id, cos_sim, rank")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v6_kmeans_refine"],
+           "'v6', vec_id, cell, cos_to_centroid, NULL"),
 )
-def v34_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN both ways in one graded row: v3 own-cell probe and v4
-    centroid-routed nprobe=2 (the recall knob). Same output schema, so
-    the union is direct with a variant tag."""
+def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index lifecycle in one graded row: v6 trains cells
+    (deterministic Lloyd k-means refinement), v3 probes the query's own
+    cell, v4 routes to the nprobe closest centroids (the recall knob).
+    Same normalized schema with a variant tag."""
     v3 = similarity.v3_ivf_topk(spark, sf_dir).select(
         F.lit("v3").alias("variant"), "query_id", "neighbor_id", "cos_sim", "rank"
     )
     v4 = similarity.v4_ivf_nprobe(spark, sf_dir).select(
         F.lit("v4").alias("variant"), "query_id", "neighbor_id", "cos_sim", "rank"
     )
-    return v3.unionByName(v4)
+    v6 = similarity.v6_kmeans_refine(spark, sf_dir).select(
+        F.lit("v6").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("neighbor_id"),
+        F.col("cos_to_centroid").alias("cos_sim"),
+        _bn().alias("rank"),
+    )
+    return v3.unionByName(v4).unionByName(v6)
 
 
 # ---------------------------------------------------------------------------

@@ -173,7 +173,7 @@ _BNLJ_OK = {
     "v1_knn_bruteforce",
     "v3_ivf_topk",
     "v5_sq_rerank",
-    "v34_ivf",
+    "v346_ivf_kmeans",
     "j13_salted_join",  # salt-explode dimension is a literal range table
     "rq2_join_suite",  # carries j13 (same literal salt-range cross join)
     # M7 subtree deletion: dir_path-startsWith-root semi-join against the
