@@ -44,6 +44,9 @@ HEADLINE = [
     "d10_seq_packing",
     "v2_ann_lsh",
     "v5_sq_rerank",
+    "v6_kmeans_refine",
+    "d21_hll_distinct",
+    "d22_cms_heavy_hitters",
     "x13_chunk_dedup",
     "x14_semantic_dedup",
     "c9_duplicate_groups",

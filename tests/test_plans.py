@@ -199,3 +199,32 @@ def test_graded_registry_no_cartesian_sweep(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
             bad[name] = "BroadcastNestedLoopJoin"
     assert not bad, bad
+
+
+def test_d21_hll_no_global_window(spark, sf_dir):
+    # the sketch aggregates on (source, bucket) then (source): keyed
+    # exchanges only, the final estimate join broadcast — never a
+    # single-partition stage over the term table
+    plan = _plan(spark, sf_dir, "d21_hll_distinct")
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_d22_cms_take_ordered_and_broadcast_probe(spark, sf_dir):
+    # candidates come from TakeOrderedAndProject (heap-k), the sketch
+    # probe is a broadcast join against the 2048-cell table, and no
+    # single-partition exchange exists anywhere
+    plan = _plan(spark, sf_dir, "d22_cms_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_v6_kmeans_broadcast_rounds(spark, sf_dir):
+    # every Lloyd round broadcasts the k x dim centroid table (a few
+    # KB); assignment is a vec_id-keyed window, never a global one
+    plan = _plan(spark, sf_dir, "v6_kmeans_refine")
+    assert plan.count("BroadcastExchange") >= 2  # one per iteration
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
