@@ -1061,40 +1061,42 @@ _NORM_TOK_SQL = r"""unnest(list_filter(regexp_split_to_array(trim(regexp_replace
     WITH tok AS (
       SELECT source, {_NORM_TOK_SQL}
       FROM documents
+    ), st AS (
+      SELECT DISTINCT source, term FROM tok
     ), hashed AS (
       SELECT source, CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
-      FROM tok
+      FROM st
     ), staged AS (
       SELECT source, h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM hashed
     ), reg AS (
       SELECT source, bucket,
              MAX(CASE WHEN w = 0 THEN {_HLL_RHO_MAX}
                       ELSE least(CAST(round(log2(w & (-w))) AS INT) + 1,
-                                 {_HLL_RHO_MAX}) END) AS m_j
+                                 {_HLL_RHO_MAX}) END) AS m_j,
+             COUNT(*) AS bucket_n
       FROM staged GROUP BY source, bucket
     ), per AS (
       SELECT source, COUNT(*) AS hit,
-             SUM(CAST(power(2, {_HLL_RHO_MAX} - m_j) AS BIGINT)) AS s_hit
+             SUM(CAST(power(2, {_HLL_RHO_MAX} - m_j) AS BIGINT)) AS s_hit,
+             CAST(SUM(bucket_n) AS BIGINT) AS n_exact
       FROM reg GROUP BY source
     ), est AS (
-      SELECT source, hit,
+      SELECT source, hit, n_exact,
              s_hit + ({_HLL_M} - hit) * {_HLL_EMPTY_TERM} AS register_sum
       FROM per
     ), fin AS (
-      SELECT source, hit, register_sum,
+      SELECT source, hit, n_exact, register_sum,
              CASE WHEN ({_HLL_M} - hit) > 0
                        AND ({_HLL_ALPHA_NUM} / CAST(register_sum AS DOUBLE)) <= {2.5 * _HLL_M}
                   THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST({_HLL_M} - hit AS DOUBLE))
                   ELSE {_HLL_ALPHA_NUM} / CAST(register_sum AS DOUBLE) END AS raw_est
       FROM est
     )
-    SELECT f.source, e.n_exact,
-           CAST(f.hit AS BIGINT) AS hit_buckets,
-           CAST(f.register_sum AS BIGINT) AS register_sum,
-           round(f.raw_est, 2) AS n_hll
-    FROM fin f
-    JOIN (SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_exact
-          FROM tok GROUP BY source) e USING (source)
+    SELECT source, n_exact,
+           CAST(hit AS BIGINT) AS hit_buckets,
+           CAST(register_sum AS BIGINT) AS register_sum,
+           round(raw_est, 2) AS n_hll
+    FROM fin
     """,
 )
 def d21_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1109,18 +1111,24 @@ def d21_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     was verified identical across libm/JVM for all 256 possible inputs.
     The exact COUNT(DISTINCT) rides along for judge-visible error.
 
-    Scale: THE mergeable-sketch pattern for 100 TB — the register table
-    is at most m rows per source after the map-side combine, so the
-    shuffle carries O(sources * 256) rows regardless of corpus size
-    (vs COUNT(DISTINCT)'s full term shuffle). Registers from disjoint
-    partitions/days merge by MAX — the streaming/incremental form is
-    the same aggregate. No reference analog (sketchless Postgres);
-    extends SURVEY §2 A-family as a first-class engine addition."""
+    Scale: THE mergeable-sketch pattern for 100 TB — over raw term
+    occurrences the register table is at most m rows per source after
+    the map-side combine, so the sketch alone shuffles O(sources * 256)
+    rows regardless of corpus size; registers from disjoint
+    partitions/days merge by MAX (the streaming/incremental form is the
+    same aggregate). THIS query also carries the exact count for
+    judge-visible error, so it runs both off ONE shared
+    (source, term)-distinct exchange (ReusedExchange in the plan — one
+    corpus scan, one corpus-sized shuffle, pinned in test_plans); drop
+    the exact branch and the distinct disappears with it. No reference
+    analog (sketchless Postgres); extends SURVEY §2 A-family as a
+    first-class engine addition."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "source", F.explode(tokens(normalize_text("text"))).alias("term")
     )
-    hashed = tok.select("source", portable_hash60(F.col("term")).alias("h"))
+    st = tok.distinct()
+    hashed = st.select("source", portable_hash60(F.col("term")).alias("h"))
     staged = hashed.select(
         "source",
         (F.col("h") % _HLL_M).alias("bucket"),
@@ -1135,17 +1143,19 @@ def d21_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = (
         staged.select("source", "bucket", rho.alias("rho"))
         .groupBy("source", "bucket")
-        .agg(F.max("rho").alias("m_j"))
+        .agg(F.max("rho").alias("m_j"), F.count("*").alias("bucket_n"))
     )
     per = reg.groupBy("source").agg(
         F.count("*").alias("hit"),
         F.sum(F.expr(f"CAST(power(2, {_HLL_RHO_MAX} - m_j) AS BIGINT)")).alias(
             "s_hit"
         ),
+        F.sum("bucket_n").cast("bigint").alias("n_exact"),
     )
     est = per.select(
         "source",
         "hit",
+        "n_exact",
         (F.col("s_hit") + (F.lit(_HLL_M) - F.col("hit")) * F.lit(_HLL_EMPTY_TERM)).alias(
             "register_sum"
         ),
@@ -1156,17 +1166,12 @@ def d21_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v > 0) & (e_raw <= F.lit(2.5 * _HLL_M)),
         F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
     ).otherwise(e_raw)
-    fin = est.select(
+    return est.select(
         "source",
+        "n_exact",
         F.col("hit").cast("bigint").alias("hit_buckets"),
         F.col("register_sum").cast("bigint").alias("register_sum"),
         F.round(raw_est, 2).alias("n_hll"),
-    )
-    exact = tok.groupBy("source").agg(
-        F.countDistinct("term").alias("n_exact")
-    )
-    return exact.join(fin, "source").select(
-        "source", "n_exact", "hit_buckets", "register_sum", "n_hll"
     )
 
 
@@ -1189,18 +1194,18 @@ _CMS_TERM_HASH = DUCKDB_BASE_HASH.format(s="term")
     WITH tok AS (
       SELECT source, {_NORM_TOK_SQL}
       FROM documents
-    ), hashed AS (
-      SELECT term, {_CMS_TERM_HASH} AS b FROM tok
     ), params(r, a, bb) AS (
       VALUES {_CMS_PARAMS_SQL}
-    ), cells AS (
-      SELECT p.r AS r, ((h.b * p.a + p.bb) % {PORTABLE_PRIME}) % {_CMS_W} AS c,
-             COUNT(*) AS cnt
-      FROM hashed h CROSS JOIN params p
-      GROUP BY 1, 2
     ), vocab AS (
       SELECT term, CAST(COUNT(*) AS BIGINT) AS true_count
       FROM tok GROUP BY term
+    ), hashed AS (
+      SELECT term, true_count, {_CMS_TERM_HASH} AS b FROM vocab
+    ), cells AS (
+      SELECT p.r AS r, ((h.b * p.a + p.bb) % {PORTABLE_PRIME}) % {_CMS_W} AS c,
+             CAST(SUM(h.true_count) AS BIGINT) AS cnt
+      FROM hashed h CROSS JOIN params p
+      GROUP BY 1, 2
     ), top AS (
       SELECT term, true_count,
              CAST(ROW_NUMBER() OVER (ORDER BY true_count DESC, term ASC) AS BIGINT) AS rank
@@ -1234,12 +1239,22 @@ def d22_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed. No reference analog; extends SURVEY §2 A/T families."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens(normalize_text("text"))).alias("term"))
-    hashed = tok.select(portable_base_hash(F.col("term")).alias("b"))
+    # one corpus shuffle: the vocab aggregate; the sketch cells derive
+    # from it occurrence-weighted (sum(true_count) per cell == count of
+    # raw occurrences). vocab is referenced twice (cells + top-K), so
+    # persist it — the distinct-term table is orders of magnitude
+    # smaller than the corpus (the x4 signature-table pattern); without
+    # it each branch would re-scan and re-shuffle the full corpus.
+    vocab = tok.groupBy("term").agg(F.count("*").alias("true_count")).persist()
+    hashed = vocab.select(
+        "true_count", portable_base_hash(F.col("term")).alias("b")
+    )
 
     def cell(a: int, bb: int) -> F.Column:
         return ((F.col("b") * F.lit(a) + F.lit(bb)) % PORTABLE_PRIME) % _CMS_W
 
     pairs = hashed.select(
+        "true_count",
         F.explode(
             F.array(
                 *[
@@ -1247,12 +1262,11 @@ def d22_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i, (a, bb) in enumerate(CMS_PERMS)
                 ]
             )
-        ).alias("rc")
+        ).alias("rc"),
     )
     cells = pairs.groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c")).agg(
-        F.count("*").alias("cnt")
+        F.sum("true_count").alias("cnt")
     )
-    vocab = tok.groupBy("term").agg(F.count("*").alias("true_count"))
     order = [F.col("true_count").desc(), F.col("term").asc()]
     top = vocab.orderBy(*order).limit(_CMS_TOPK)
     top = top.withColumn(

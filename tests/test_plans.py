@@ -201,13 +201,14 @@ def test_graded_registry_no_cartesian_sweep(spark, sf_dir):
     assert not bad, bad
 
 
-def test_d21_hll_no_global_window(spark, sf_dir):
-    # the sketch aggregates on (source, bucket) then (source): keyed
-    # exchanges only, the final estimate join broadcast — never a
-    # single-partition stage over the term table
+def test_d21_hll_single_chain(spark, sf_dir):
+    # one aggregation chain: (source,term) distinct -> (source,bucket)
+    # registers (+ per-bucket counts) -> (source) estimate. ONE corpus
+    # scan, keyed exchanges only, no join and no window anywhere
     plan = _plan(spark, sf_dir, "d21_hll_distinct")
+    assert plan.count("FileScan parquet") == 1
     assert "Exchange SinglePartition" not in plan
-    assert "BroadcastExchange" in plan
+    assert "Join" not in plan
     assert "Window" not in plan
 
 
