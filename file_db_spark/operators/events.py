@@ -486,3 +486,42 @@ def e11_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value") > F.col("p99"))
         .select("event_id", "user_id", "event_type", "value", "p99")
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_q(
+    "e12_pivot_daily",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {', '.join(f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)},
+           COUNT(*) AS n_total
+    FROM events GROUP BY 1
+    """,
+)
+def e12_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: the daily event-type activity matrix — one row per day,
+    one count column per event type (the wide report shape every
+    dashboard export needs; reference has no pivot operator at all).
+
+    Scale: pivot values are DECLARED (not discovered), so there is no
+    extra distinct-scan job and the whole pivot is ONE map-side-combined
+    hash aggregate on the day key with literal-predicate counters —
+    identical plan shape to a plain groupBy; the DuckDB oracle is the
+    equivalent FILTER conditional aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    total = sum(
+        (F.coalesce(F.col(t), F.lit(0)).cast("bigint") for t in _EVENT_TYPES),
+        F.lit(0).cast("bigint"),
+    )
+    return wide.select("day", *cols, total.alias("n_total"))

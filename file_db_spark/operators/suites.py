@@ -733,16 +733,22 @@ def dq5_quantile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(
         textops.ORACLES["d22_cms_heavy_hitters"],
         "'d22', term, true_count, cms_est, rank, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d23_source_divergence"],
+        "'d23', source, n_src_terms, NULL, NULL, jsd",
     ),
 )
 def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary statistics three ways in one graded row: the exact
-    top-K term table (d12, TakeOrderedAndProject), the HyperLogLog
+    """Term statistics four ways in one graded row: the exact top-K
+    term table (d12, TakeOrderedAndProject), the HyperLogLog
     distinct-term sketch (d21, 256 registers, cross-engine bit-exact),
-    and the count-min heavy-hitter sketch (d22, fixed 4x512 cells).
-    The sketches are the 100 TB path — O(1)-size mergeable state vs
-    the exact form's full term shuffle; both ride the same normalized
-    token scan."""
+    the count-min heavy-hitter sketch (d22, fixed 4x512 cells), and the
+    per-source Jensen-Shannon divergence vs the corpus distribution
+    (d23, closed-form absent-term tail). The sketches are the 100 TB
+    path — O(1)-size mergeable state vs the exact form's full term
+    shuffle."""
     d12 = textops.d12_vocab_topk(spark, sf_dir).select(
         F.lit("d12").alias("part"),
         F.col("term").alias("s1"),
@@ -767,7 +773,15 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("k3"),
         _dn().alias("v1"),
     )
-    return d12.unionByName(d21).unionByName(d22)
+    d23 = textops.d23_source_divergence(spark, sf_dir).select(
+        F.lit("d23").alias("part"),
+        F.col("source").alias("s1"),
+        F.col("n_src_terms").alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("jsd").alias("v1"),
+    )
+    return d12.unionByName(d21).unionByName(d22).unionByName(d23)
 
 
 # ---------------------------------------------------------------------------

@@ -1292,3 +1292,90 @@ def d22_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.groupBy("term", "true_count", "rank").agg(
         F.min("cnt").alias("cms_est")
     ).select("term", "true_count", "cms_est", "rank")
+
+
+# ---------------------------------------------------------------------------
+# d23: source-vs-corpus distribution divergence (Jensen-Shannon)
+# ---------------------------------------------------------------------------
+
+#: ln(2) as one shared literal — the absent-term tail constant.
+_LN2 = repr(__import__("math").log(2.0))
+
+
+@_q(
+    "d23_source_divergence",
+    rf"""
+    WITH tok AS (
+      SELECT source, {_NORM_TOK_SQL}
+      FROM documents
+    ), src_cnt AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, term
+    ), src_tot AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM src_cnt GROUP BY source
+    ), vocab AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM src_cnt GROUP BY term
+    ), total AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM vocab
+    ), scored AS (
+      SELECT s.source,
+             CAST(s.c_st AS DOUBLE) / t.n_s AS p,
+             CAST(v.c_t AS DOUBLE) / total.n AS q
+      FROM src_cnt s
+      JOIN vocab v USING (term)
+      JOIN src_tot t USING (source)
+      CROSS JOIN total
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_src_terms,
+           round(SUM(0.5 * p * ln(p / ((p + q) / 2))
+                     + 0.5 * q * ln(q / ((p + q) / 2)))
+                 + 0.5 * {_LN2} * (1 - SUM(q)), 6) AS jsd
+    FROM scored GROUP BY source
+    """,
+)
+def d23_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix drift analysis: Jensen-Shannon divergence between each
+    source's term distribution P and the corpus distribution Q. Terms
+    ABSENT from a source are never materialized — their entire JSD
+    contribution reduces to the closed form 0.5*ln2*(1 - sum_present q)
+    (for p=0: 0.5*q*ln(q/(q/2)) = 0.5*q*ln2), so the computation is a
+    term-keyed equi-join over PRESENT (source, term) pairs only, never
+    a source x vocabulary grid.
+
+    Scale: one corpus scan into the (source, term) count (persisted —
+    three consumers: the join side, the per-source totals, and the
+    corpus vocab derived by re-aggregating it rather than rescanning
+    the corpus); the join shuffles on term (the vocab is too big to
+    broadcast at web scale), per-source totals broadcast back. ln noise
+    across engines is ~1 ulp per term, drowned by round(6)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(tokens(normalize_text("text"))).alias("term")
+    )
+    src_cnt = (
+        tok.groupBy("source", "term").agg(F.count("*").alias("c_st")).persist()
+    )
+    src_tot = src_cnt.groupBy("source").agg(
+        F.sum("c_st").cast("bigint").alias("n_s")
+    )
+    vocab = src_cnt.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    total = vocab.agg(F.sum("c_t").cast("bigint").alias("n"))
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n")
+    scored = (
+        src_cnt.join(vocab, "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(total))
+        .select("source", p.alias("p"), q.alias("q"))
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = 0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(
+        F.col("q") / m
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_src_terms"),
+        F.round(
+            F.sum(contrib) + 0.5 * F.lit(float(_LN2)) * (1 - F.sum("q")), 6
+        ).alias("jsd"),
+    )

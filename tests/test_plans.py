@@ -174,6 +174,10 @@ _BNLJ_OK = {
     "v3_ivf_topk",
     "v5_sq_rerank",
     "v346_ivf_kmeans",
+    # d23's corpus-total is a broadcast 1-row cross join (the scalar
+    # denominator of the q distribution)
+    "dq6_term_sketches",
+    "d23_source_divergence",
     "j13_salted_join",  # salt-explode dimension is a literal range table
     "rq2_join_suite",  # carries j13 (same literal salt-range cross join)
     # M7 subtree deletion: dir_path-startsWith-root semi-join against the
