@@ -76,7 +76,7 @@ _GRADED_ORDER = (
     "e5_sliding_window",
     "e6_asof_join",
     "e7_range_join",
-    "e8_rollup_cascade",
+    "e812_rollup_pivot",
     "e9_funnel",
     "e10_retention",
     "e11_value_outliers",
@@ -94,7 +94,7 @@ _GRADED_ORDER = (
     "dq6_term_sketches",
     # dedup family
     "x12_exact_dedup_groups",
-    "x3_ngram_jaccard",
+    "x311_chargram_neardup",
     "x4_minhash_lsh",
     "x5_simhash",
     "x6_embedding_neardup",

@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.text import BPE_TOKEN_RE, bpe_token_count, normalize_text, tokens
-from . import multimodal, relational, similarity, streaming_queries, textops
+from . import events, multimodal, relational, similarity, streaming_queries, textops
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -272,6 +272,19 @@ _RQ3_PARTS = {
         "'f1', doc_id, NULL, NULL, "
         "full_path || '#' || parent_dir || '#' || base_name || '#' || ext, NULL",
     ),
+    # w3's five doubles don't fit one v1 slot; the four bounded ones are
+    # packed into s1 as EXACT integers (money -> cents, ranks -> micros;
+    # both engines compute the same double and both round half-up for
+    # positives, so the strings are bit-identical), running_spend rides v1.
+    "w3": (
+        "w3_window_suite",
+        "'w3', o_custkey, o_orderkey, spend_quartile, "
+        "CAST(CAST(COALESCE(ROUND(prev_price * 100), -1) AS BIGINT) AS VARCHAR)"
+        " || '#' || CAST(CAST(COALESCE(ROUND(next_price * 100), -1) AS BIGINT) AS VARCHAR)"
+        " || '#' || CAST(CAST(ROUND(pct_rank * 1000000) AS BIGINT) AS VARCHAR)"
+        " || '#' || CAST(CAST(ROUND(cume * 1000000) AS BIGINT) AS VARCHAR), "
+        "running_spend",
+    ),
 }
 
 
@@ -282,9 +295,11 @@ _RQ3_PARTS = {
     ),
 )
 def rq3_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3/A5/A6, T1-T5, U1-U3, W1/W2, F1 in one graded row. Members run
+    """A3/A5/A6, T1-T5, U1-U3, W1-W3, F1 in one graded row. Members run
     unchanged (TakeOrderedAndProject top-k, keyed windows, sanitized
-    ORDER BY, rollup grouping flags, path scalar library)."""
+    ORDER BY, rollup grouping flags, path scalar library, and w3's full
+    analytic-window surface: lag/lead/ntile/percent_rank/cume_dist/
+    running frame)."""
 
     def norm(df, probe, k1=None, k2=None, k3=None, s1=None, v1=None):
         return df.select(
@@ -328,6 +343,18 @@ def rq3_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              k2=c("l_linenumber"), k3=c("lines_in_order")),
         norm(r.f1_path_scalars(spark, sf_dir), "f1", k1=c("doc_id"),
              s1=F.concat_ws("#", "full_path", "parent_dir", "base_name", "ext")),
+        norm(
+            r.w3_window_suite(spark, sf_dir), "w3",
+            k1=c("o_custkey"), k2=c("o_orderkey"), k3=c("spend_quartile"),
+            s1=F.concat_ws(
+                "#",
+                F.coalesce(F.round(c("prev_price") * 100), F.lit(-1)).cast("bigint").cast("string"),
+                F.coalesce(F.round(c("next_price") * 100), F.lit(-1)).cast("bigint").cast("string"),
+                F.round(c("pct_rank") * 1000000).cast("bigint").cast("string"),
+                F.round(c("cume") * 1000000).cast("bigint").cast("string"),
+            ),
+            v1=c("running_spend"),
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -415,32 +442,48 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bucketed AS (
       SELECT doc_id, source, {textops._HEX_BUCKET} AS bucket FROM documents
     )
-    SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+    SELECT 'd6d8' AS part, doc_id, source, CAST(bucket AS BIGINT) AS k1,
+           CAST(CAST(bucket < CASE WHEN source IN ('src0','src1','src2')
+                              THEN 500 ELSE 100 END AS INTEGER) AS BIGINT) AS k2,
            CASE WHEN bucket < 900 THEN 'train'
                 WHEN bucket < 950 THEN 'validation'
-                ELSE 'test' END AS split,
-           CAST(bucket < CASE WHEN source IN ('src0','src1','src2')
-                              THEN 500 ELSE 100 END AS INTEGER) AS in_sample
+                ELSE 'test' END AS s1
     FROM bucketed
-    """,
+    UNION ALL
+    """
+    + _sub(
+        textops.ORACLES["d18_shard_export"],
+        "'d18', doc_id, CAST(NULL AS VARCHAR), shard, pos, CAST(NULL AS VARCHAR)",
+    ),
 )
 def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d6 train/val/test hash split + d8 stratified-sample membership in
-    one scan-riding projection (no shuffle; both decisions read the same
-    md5 bucket)."""
+    """d6 train/val/test hash split + d8 stratified-sample membership
+    (one scan-riding projection, no shuffle — both decisions read the
+    same md5 bucket) plus d18's deterministic training-shard export
+    (salted-hash shard + in-shard position) in one graded row."""
     d = load_table(spark, sf_dir, "documents")
     bucket = F.expr(textops._HEX_BUCKET)
     rate = F.when(F.col("source").isin("src0", "src1", "src2"), 500).otherwise(100)
-    return d.select(
+    d6d8 = d.select(
+        F.lit("d6d8").alias("part"),
         "doc_id",
         "source",
-        bucket.cast("bigint").alias("bucket"),
+        bucket.cast("bigint").alias("k1"),
+        (bucket < rate).cast("int").cast("bigint").alias("k2"),
         F.when(bucket < 900, "train")
         .when(bucket < 950, "validation")
         .otherwise("test")
-        .alias("split"),
-        (bucket < rate).cast("int").alias("in_sample"),
+        .alias("s1"),
     )
+    d18 = textops.d18_shard_export(spark, sf_dir).select(
+        F.lit("d18").alias("part"),
+        "doc_id",
+        _sn().alias("source"),
+        F.col("shard").alias("k1"),
+        F.col("pos").alias("k2"),
+        _sn().alias("s1"),
+    )
+    return d6d8.unionByName(d18)
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +616,19 @@ _DQ4_PARTS = {
         "d13_clean_funnel",
         "'funnel', CAST(stage_ord AS VARCHAR), stage, n_docs, total_tokens, NULL, NULL",
     ),
+    "d17": (
+        "d17_winnow_fingerprint",
+        "'winnow', CAST(doc_id AS VARCHAR), fp_digest, n_kgrams, n_fp, NULL, NULL",
+    ),
+    "d19": (
+        "d19_tfidf_keywords",
+        "'tfidf', CAST(doc_id AS VARCHAR), term, rank, NULL, tfidf, NULL",
+    ),
+    "d20": (
+        "d20_pii_scrub",
+        "'pii', CAST(doc_id AS VARCHAR), redacted_digest, n_emails, n_ips, "
+        "CAST(CAST(has_pii AS INTEGER) AS DOUBLE), NULL",
+    ),
 }
 
 
@@ -583,10 +639,13 @@ _DQ4_PARTS = {
     ),
 )
 def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """d1+d7+d11+d13 — the tiny-output corpus governance reports
-    (per-lang token stats, length histogram, data-mix shares, cleaning
-    funnel) as one graded row. Each member stays a map-side-combined
-    aggregate onto a tiny key."""
+    """d1+d7+d11+d13 corpus governance reports (per-lang token stats,
+    length histogram, data-mix shares, cleaning funnel) plus the
+    per-document analyses d17 (winnowing fingerprint), d19 (TF-IDF
+    keywords) and d20 (PII scrub) as one graded row. The report members
+    stay map-side-combined aggregates onto tiny keys; the per-document
+    members are scan-riding projections (d17/d20) and one term join
+    (d19)."""
     t = textops
     d1 = t.d1_token_stats(spark, sf_dir).select(
         F.lit("lang_stats").alias("report"),
@@ -624,7 +683,41 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dn().alias("v1"),
         _dn().alias("v2"),
     )
-    return d1.unionByName(d7).unionByName(d11).unionByName(d13)
+    d17 = t.d17_winnow_fingerprint(spark, sf_dir).select(
+        F.lit("winnow").alias("report"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("fp_digest").alias("k2"),
+        F.col("n_kgrams").alias("n_docs"),
+        F.col("n_fp").alias("total_tokens"),
+        _dn().alias("v1"),
+        _dn().alias("v2"),
+    )
+    d19 = t.d19_tfidf_keywords(spark, sf_dir).select(
+        F.lit("tfidf").alias("report"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("term").alias("k2"),
+        F.col("rank").alias("n_docs"),
+        _bn().alias("total_tokens"),
+        F.col("tfidf").alias("v1"),
+        _dn().alias("v2"),
+    )
+    d20 = t.d20_pii_scrub(spark, sf_dir).select(
+        F.lit("pii").alias("report"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("redacted_digest").alias("k2"),
+        F.col("n_emails").alias("n_docs"),
+        F.col("n_ips").alias("total_tokens"),
+        F.col("has_pii").cast("int").cast("double").alias("v1"),
+        _dn().alias("v2"),
+    )
+    return (
+        d1.unionByName(d7)
+        .unionByName(d11)
+        .unionByName(d13)
+        .unionByName(d17)
+        .unionByName(d19)
+        .unionByName(d20)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -795,19 +888,27 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(similarity.ORACLES["v4_ivf_nprobe"],
            "'v4', query_id, neighbor_id, cos_sim, rank")
     + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v5_sq_rerank"],
+           "'v5', query_id, neighbor_id, cos_sim, rank")
+    + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v6_kmeans_refine"],
            "'v6', vec_id, cell, cos_to_centroid, NULL"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF index lifecycle in one graded row: v6 trains cells
+    """The ANN index lifecycle in one graded row: v6 trains cells
     (deterministic Lloyd k-means refinement), v3 probes the query's own
-    cell, v4 routes to the nprobe closest centroids (the recall knob).
-    Same normalized schema with a variant tag."""
+    cell, v4 routes to the nprobe closest centroids (the recall knob),
+    v5 re-ranks int8 scalar-quantized candidates with exact cosine (the
+    memory-bandwidth scale path). Same normalized schema with a variant
+    tag."""
     v3 = similarity.v3_ivf_topk(spark, sf_dir).select(
         F.lit("v3").alias("variant"), "query_id", "neighbor_id", "cos_sim", "rank"
     )
     v4 = similarity.v4_ivf_nprobe(spark, sf_dir).select(
         F.lit("v4").alias("variant"), "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    v5 = similarity.v5_sq_rerank(spark, sf_dir).select(
+        F.lit("v5").alias("variant"), "query_id", "neighbor_id", "cos_sim", "rank"
     )
     v6 = similarity.v6_kmeans_refine(spark, sf_dir).select(
         F.lit("v6").alias("variant"),
@@ -816,7 +917,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_to_centroid").alias("cos_sim"),
         _bn().alias("rank"),
     )
-    return v3.unionByName(v4).unionByName(v6)
+    return v3.unionByName(v4).unionByName(v5).unionByName(v6)
 
 
 # ---------------------------------------------------------------------------
@@ -922,28 +1023,48 @@ from . import dedup  # noqa: E402  (kept near its suites for review locality)
 @_q(
     "x12_exact_dedup_groups",
     _sub(dedup.ORACLES["x1_exact_dedup"],
-         "'x1' AS member, keeper_doc_id AS k1, content_hash AS s1, group_size AS n")
+         "'x1' AS member, keeper_doc_id AS k1, content_hash AS s1, "
+         "group_size AS n, CAST(NULL AS DOUBLE) AS v")
     + "\nUNION ALL\n"
     + _sub(dedup.ORACLES["x2_dup_groups"],
-           "'x2', doc_id, family_key, dup_count"),
+           "'x2', doc_id, family_key, dup_count, NULL")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x13_chunk_dedup"],
+           "'x13', doc_id, CAST(n_shared_chunks AS VARCHAR) || '#' || "
+           "CAST(CAST(keep AS INTEGER) AS VARCHAR), n_chunks, shared_frac"),
 )
 def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x1 exact content-hash dedup + x2 window-tagged duplicate
-    families in one graded row. Both members are single-shuffle
-    hash-partitioned passes; they run unchanged."""
+    families + x13 chunk-level partial-duplicate scoring in one graded
+    row. x1/x2 are single-shuffle hash-partitioned passes; x13 adds the
+    chunk-hash df join that catches partially-copied documents. All run
+    unchanged."""
     x1 = dedup.x1_exact_dedup(spark, sf_dir).select(
         F.lit("x1").alias("member"),
         F.col("keeper_doc_id").alias("k1"),
         F.col("content_hash").alias("s1"),
         F.col("group_size").alias("n"),
+        _dn().alias("v"),
     )
     x2 = dedup.x2_dup_groups(spark, sf_dir).select(
         F.lit("x2").alias("member"),
         F.col("doc_id").alias("k1"),
         F.col("family_key").alias("s1"),
         F.col("dup_count").alias("n"),
+        _dn().alias("v"),
     )
-    return x1.unionByName(x2)
+    x13 = dedup.x13_chunk_dedup(spark, sf_dir).select(
+        F.lit("x13").alias("member"),
+        F.col("doc_id").alias("k1"),
+        F.concat_ws(
+            "#",
+            F.col("n_shared_chunks").cast("string"),
+            F.col("keep").cast("int").cast("string"),
+        ).alias("s1"),
+        F.col("n_chunks").alias("n"),
+        F.col("shared_frac").alias("v"),
+    )
+    return x1.unionByName(x2).unionByName(x13)
 
 
 # ---------------------------------------------------------------------------
@@ -979,14 +1100,20 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT),
            CAST(COALESCE(c.component_id, d.doc_id) <> d.doc_id AS BIGINT)
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-    """,
+    UNION ALL
+    """
+    + _sub(
+        dedup.ORACLES["x14_semantic_dedup"],
+        "'x14', vec_id, cluster_id, CAST(keep AS BIGINT)",
+    ),
 )
 def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x7 min-label-propagation connected components + x10 survivor map
-    in one graded row. Members run unchanged (x10 internally re-derives
-    the labels; at the graded SF the component iteration is seconds, and
-    on a cluster the label table would be a materialized artifact both
-    read)."""
+    + x14 semantic dedup (SemDeDup: components over the embedding-cosine
+    near-dup graph) in one graded row. Members run unchanged (x10
+    internally re-derives the labels; at the graded SF the component
+    iteration is seconds, and on a cluster the label table would be a
+    materialized artifact both read)."""
     x7 = dedup.x7_dup_components(spark, sf_dir).select(
         F.lit("x7").alias("member"),
         F.col("doc_id").alias("k1"),
@@ -1001,7 +1128,13 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_id").alias("k2"),
         F.col("is_duplicate").cast("bigint").alias("flag"),
     )
-    return x7.unionByName(x10)
+    x14 = dedup.x14_semantic_dedup(spark, sf_dir).select(
+        F.lit("x14").alias("member"),
+        F.col("vec_id").alias("k1"),
+        F.col("cluster_id").alias("k2"),
+        F.col("keep").cast("bigint").alias("flag"),
+    )
+    return x7.unionByName(x10).unionByName(x14)
 
 
 # ---------------------------------------------------------------------------
@@ -1102,3 +1235,83 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s7)
         .unionByName(s8)
     )
+
+
+# ---------------------------------------------------------------------------
+# x311: char-level near-dup candidate generators — x3 word-n-gram
+# Jaccard pairs + x11 winnowing-minima pairs. Both are bucketed
+# equi-joins with hot-key caps; neither is all-pairs.
+# ---------------------------------------------------------------------------
+@_q(
+    "x311_chargram_neardup",
+    _sub(dedup.ORACLES["x3_ngram_jaccard"],
+         "'x3' AS member, doc_a, doc_b, jaccard AS score, CAST(NULL AS BIGINT) AS n")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x11_winnow_neardup"],
+           "'x11', doc_a, doc_b, overlap, n_shared"),
+)
+def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x3 word-3-gram Jaccard near-dup pairs + x11 winnowing-minima
+    (MOSS char-level rolling-hash) near-dup pairs in one graded row.
+    Two independent candidate generators over the same corpus — the
+    word-level and char-level views of the same problem; both members
+    run unchanged (shingle/minimum equi-join, MAX_*_DF hot-key caps,
+    verify-by-overlap)."""
+    x3 = dedup.x3_ngram_jaccard(spark, sf_dir).select(
+        F.lit("x3").alias("member"),
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.col("jaccard").alias("score"),
+        _bn().alias("n"),
+    )
+    x11 = dedup.x11_winnow_neardup(spark, sf_dir).select(
+        F.lit("x11").alias("member"),
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.col("overlap").alias("score"),
+        F.col("n_shared").alias("n"),
+    )
+    return x3.unionByName(x11)
+
+
+# ---------------------------------------------------------------------------
+# e812: multi-resolution rollup cascade + daily pivot matrix — the two
+# wide-report shapes over events in one graded row.
+# ---------------------------------------------------------------------------
+_E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
+
+@_q(
+    "e812_rollup_pivot",
+    _sub(events.ORACLES["e8_rollup_cascade"],
+         f"'e8' AS part, {_ep('day')} AS k1, event_type AS s1, "
+         "n_events AS n, total_value AS v1")
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e12_pivot_daily"],
+        f"'e12', {_ep('day')}, "
+        + " || '#' || ".join(f"CAST({c} AS VARCHAR)" for c in _E12_COUNT_COLS)
+        + ", n_total, NULL",
+    ),
+)
+def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e8 hypertable-style continuous-aggregate cascade (daily FROM
+    hourly partials) + e12 declared-values PIVOT daily activity matrix
+    in one graded row. e12's per-type counts are '#'-packed into s1 as
+    integers (engine-stable strings); both members run unchanged."""
+    e8 = events.e8_rollup_cascade(spark, sf_dir).select(
+        F.lit("e8").alias("part"),
+        _epoch(F.col("day")).alias("k1"),
+        F.col("event_type").alias("s1"),
+        F.col("n_events").alias("n"),
+        F.col("total_value").alias("v1"),
+    )
+    e12 = events.e12_pivot_daily(spark, sf_dir).select(
+        F.lit("e12").alias("part"),
+        _epoch(F.col("day")).alias("k1"),
+        F.concat_ws(
+            "#", *[F.col(c).cast("string") for c in _E12_COUNT_COLS]
+        ).alias("s1"),
+        F.col("n_total").alias("n"),
+        _dn().alias("v1"),
+    )
+    return e8.unionByName(e12)

@@ -178,6 +178,10 @@ _BNLJ_OK = {
     # denominator of the q distribution)
     "dq6_term_sketches",
     "d23_source_divergence",
+    # d19's corpus doc count is a broadcast 1-row cross join (the idf
+    # numerator); dq4 carries d19
+    "d19_tfidf_keywords",
+    "dq4_corpus_reports",
     "j13_salted_join",  # salt-explode dimension is a literal range table
     "rq2_join_suite",  # carries j13 (same literal salt-range cross join)
     # M7 subtree deletion: dir_path-startsWith-root semi-join against the
