@@ -447,20 +447,28 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                               THEN 500 ELSE 100 END AS INTEGER) AS BIGINT) AS k2,
            CASE WHEN bucket < 900 THEN 'train'
                 WHEN bucket < 950 THEN 'validation'
-                ELSE 'test' END AS s1
+                ELSE 'test' END AS s1,
+           CAST(NULL AS DOUBLE) AS v1
     FROM bucketed
     UNION ALL
     """
     + _sub(
         textops.ORACLES["d18_shard_export"],
-        "'d18', doc_id, CAST(NULL AS VARCHAR), shard, pos, CAST(NULL AS VARCHAR)",
+        "'d18', doc_id, CAST(NULL AS VARCHAR), shard, pos, "
+        "CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d26_temperature_mix"],
+        "'d26', doc_id, source, bucket, in_mix, CAST(NULL AS VARCHAR), rate",
     ),
 )
 def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d6 train/val/test hash split + d8 stratified-sample membership
     (one scan-riding projection, no shuffle — both decisions read the
     same md5 bucket) plus d18's deterministic training-shard export
-    (salted-hash shard + in-shard position) in one graded row."""
+    (salted-hash shard + in-shard position) and d26's temperature-
+    weighted source re-balancing (T=2 mix) in one graded row."""
     d = load_table(spark, sf_dir, "documents")
     bucket = F.expr(textops._HEX_BUCKET)
     rate = F.when(F.col("source").isin("src0", "src1", "src2"), 500).otherwise(100)
@@ -474,6 +482,7 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 950, "validation")
         .otherwise("test")
         .alias("s1"),
+        _dn().alias("v1"),
     )
     d18 = textops.d18_shard_export(spark, sf_dir).select(
         F.lit("d18").alias("part"),
@@ -482,8 +491,18 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").alias("k1"),
         F.col("pos").alias("k2"),
         _sn().alias("s1"),
+        _dn().alias("v1"),
     )
-    return d6d8.unionByName(d18)
+    d26 = textops.d26_temperature_mix(spark, sf_dir).select(
+        F.lit("d26").alias("part"),
+        "doc_id",
+        "source",
+        F.col("bucket").alias("k1"),
+        F.col("in_mix").alias("k2"),
+        _sn().alias("s1"),
+        F.col("rate").alias("v1"),
+    )
+    return d6d8.unionByName(d18).unionByName(d26)
 
 
 # ---------------------------------------------------------------------------
@@ -629,6 +648,11 @@ _DQ4_PARTS = {
         "'pii', CAST(doc_id AS VARCHAR), redacted_digest, n_emails, n_ips, "
         "CAST(CAST(has_pii AS INTEGER) AS DOUBLE), NULL",
     ),
+    "d25": (
+        "d25_lm_quality",
+        "'lm', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), n_bigrams, "
+        "NULL, avg_logprob, ppl",
+    ),
 }
 
 
@@ -642,10 +666,10 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d1+d7+d11+d13 corpus governance reports (per-lang token stats,
     length histogram, data-mix shares, cleaning funnel) plus the
     per-document analyses d17 (winnowing fingerprint), d19 (TF-IDF
-    keywords) and d20 (PII scrub) as one graded row. The report members
-    stay map-side-combined aggregates onto tiny keys; the per-document
-    members are scan-riding projections (d17/d20) and one term join
-    (d19)."""
+    keywords), d20 (PII scrub) and d25 (bigram-LM perplexity quality)
+    as one graded row. The report members stay map-side-combined
+    aggregates onto tiny keys; the per-document members are scan-riding
+    projections (d17/d20) and vocab-key joins (d19/d25)."""
     t = textops
     d1 = t.d1_token_stats(spark, sf_dir).select(
         F.lit("lang_stats").alias("report"),
@@ -710,6 +734,15 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("has_pii").cast("int").cast("double").alias("v1"),
         _dn().alias("v2"),
     )
+    d25 = t.d25_lm_quality(spark, sf_dir).select(
+        F.lit("lm").alias("report"),
+        F.col("doc_id").cast("string").alias("k1"),
+        _sn().alias("k2"),
+        F.col("n_bigrams").alias("n_docs"),
+        _bn().alias("total_tokens"),
+        F.col("avg_logprob").alias("v1"),
+        F.col("ppl").alias("v2"),
+    )
     return (
         d1.unionByName(d7)
         .unionByName(d11)
@@ -717,6 +750,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d17)
         .unionByName(d19)
         .unionByName(d20)
+        .unionByName(d25)
     )
 
 
@@ -831,17 +865,23 @@ def dq5_quantile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(
         textops.ORACLES["d23_source_divergence"],
         "'d23', source, n_src_terms, NULL, NULL, jsd",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d24_bpe_pair_stats"],
+        "'d24', pair, pair_count, n_positions, rank, NULL",
     ),
 )
 def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Term statistics four ways in one graded row: the exact top-K
+    """Term statistics five ways in one graded row: the exact top-K
     term table (d12, TakeOrderedAndProject), the HyperLogLog
     distinct-term sketch (d21, 256 registers, cross-engine bit-exact),
-    the count-min heavy-hitter sketch (d22, fixed 4x512 cells), and the
+    the count-min heavy-hitter sketch (d22, fixed 4x512 cells), the
     per-source Jensen-Shannon divergence vs the corpus distribution
-    (d23, closed-form absent-term tail). The sketches are the 100 TB
-    path — O(1)-size mergeable state vs the exact form's full term
-    shuffle."""
+    (d23, closed-form absent-term tail), and the BPE merge-pair count
+    table (d24, one tokenizer-training iteration over the distinct-word
+    frequency table). The sketches are the 100 TB path — O(1)-size
+    mergeable state vs the exact form's full term shuffle."""
     d12 = textops.d12_vocab_topk(spark, sf_dir).select(
         F.lit("d12").alias("part"),
         F.col("term").alias("s1"),
@@ -874,7 +914,20 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("k3"),
         F.col("jsd").alias("v1"),
     )
-    return d12.unionByName(d21).unionByName(d22).unionByName(d23)
+    d24 = textops.d24_bpe_pair_stats(spark, sf_dir).select(
+        F.lit("d24").alias("part"),
+        F.col("pair").alias("s1"),
+        F.col("pair_count").alias("k1"),
+        F.col("n_positions").alias("k2"),
+        F.col("rank").alias("k3"),
+        _dn().alias("v1"),
+    )
+    return (
+        d12.unionByName(d21)
+        .unionByName(d22)
+        .unionByName(d23)
+        .unionByName(d24)
+    )
 
 
 # ---------------------------------------------------------------------------

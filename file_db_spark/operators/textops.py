@@ -1379,3 +1379,203 @@ def d23_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(contrib) + 0.5 * F.lit(float(_LN2)) * (1 - F.sum("q")), 6
         ).alias("jsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d24: BPE merge-pair statistics — one iteration of byte-pair-encoding
+# tokenizer training (count adjacent character pairs over the corpus,
+# the pair with the highest count is the next merge).
+# ---------------------------------------------------------------------------
+
+BPE_PAIR_TOP = 20
+
+
+@_q(
+    "d24_bpe_pair_stats",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS_DUCK}) AS word FROM documents
+    ), wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word
+    ), pr AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                    i -> substr(word, i, 2))) AS pair, freq
+      FROM wc WHERE length(word) >= 2
+    ), pc AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+             CAST(COUNT(*) AS BIGINT) AS n_positions
+      FROM pr GROUP BY pair
+    )
+    SELECT pair, pair_count, n_positions,
+           CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair ASC)
+                AS BIGINT) AS rank
+    FROM (SELECT * FROM pc ORDER BY pair_count DESC, pair ASC
+          LIMIT {BPE_PAIR_TOP})
+    """,
+)
+def d24_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training iteration: corpus-weighted adjacent
+    character-pair counts, top-``BPE_PAIR_TOP`` by count (the highest
+    pair is the next merge rule). ``pair_count`` weights each word-type
+    pair position by the word's corpus frequency; ``n_positions`` is
+    the number of positions across distinct word types.
+
+    Scale: the classic BPE trick — pairs are counted over the DISTINCT
+    word-frequency table (Heaps' law: |types| << corpus tokens), so the
+    expensive explode runs on the vocab, not on 100 TB of raw text.
+    Two map-side-combined shuffles (word counts, pair counts) and a
+    TakeOrderedAndProject top-K; rank assigned over the K-row result
+    (same no-global-window pattern as d12)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(normalize_text("text"))).alias("word"))
+    wc = words.groupBy("word").agg(F.count("*").cast("bigint").alias("freq"))
+    pairs = wc.where(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    pc = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("pair_count"),
+        F.count("*").cast("bigint").alias("n_positions"),
+    )
+    order = [F.col("pair_count").desc(), F.col("pair").asc()]
+    topk = pc.orderBy(*order).limit(BPE_PAIR_TOP)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "pair", "pair_count", "n_positions", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d25: bigram language-model quality score (the CCNet/KenLM-style
+# perplexity filter, self-trained on the corpus).
+# ---------------------------------------------------------------------------
+@_q(
+    "d25_lm_quality",
+    f"""
+    WITH staged AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM staged WHERE len(toks) >= 2
+    ), cb AS (
+      SELECT bg, COUNT(*) AS c_ab FROM big GROUP BY bg
+    ), ca AS (
+      SELECT split_part(bg, ' ', 1) AS a, COUNT(*) AS c_a
+      FROM big GROUP BY 1
+    ), scored AS (
+      SELECT big.doc_id, ln(CAST(cb.c_ab AS DOUBLE) / ca.c_a) AS lp
+      FROM big
+      JOIN cb USING (bg)
+      JOIN ca ON split_part(big.bg, ' ', 1) = ca.a
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(SUM(lp) / COUNT(*), 6) AS avg_logprob,
+           round(exp(-(SUM(lp) / COUNT(*))), 6) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def d25_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM pseudo-perplexity per document: MLE bigram model
+    trained on the corpus itself (P(b|a) = C(ab)/C(a·), context counts
+    taken from the bigram table so each row's probabilities sum to 1),
+    each document scored by its mean log-probability and perplexity
+    exp(-avg). Low-probability (high-ppl) documents are the classic
+    quality-filter rejects (CCNet's KenLM stage, self-trained).
+
+    Scale: same shape as d19 — explode to bigrams, two
+    map-side-combined count aggregates, then equi-joins back on the
+    bigram/context keys (vocab-sized tables, never broadcast), one
+    final per-doc aggregate. No window, no collect. ln() ulp noise
+    across engines is absorbed by round-6 (d23 precedent)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+    n = F.size("toks")
+    big = (
+        staged.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n - 1),
+                    F.slice("toks", 2, n - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bg"),
+        )
+    )
+    cb = big.groupBy("bg").agg(F.count("*").alias("c_ab"))
+    ca = (
+        big.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("a"))
+        .groupBy("a")
+        .agg(F.count("*").alias("c_a"))
+    )
+    scored = (
+        big.join(cb, "bg")
+        .join(ca, F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("a"))
+        .select("doc_id", F.log(F.col("c_ab").cast("double") / F.col("c_a")).alias("lp"))
+    )
+    avg = F.sum("lp") / F.count("*")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d26: temperature-weighted mixture sampling — flatten the source
+# distribution toward uniform (T=2) for a training mix.
+# ---------------------------------------------------------------------------
+@_q(
+    "d26_temperature_mix",
+    f"""
+    WITH sc AS (
+      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ), mn AS (
+      SELECT MIN(n_s) AS n_min FROM sc
+    ), rates AS (
+      SELECT source, sqrt(CAST(n_min AS DOUBLE) / n_s) AS rate
+      FROM sc CROSS JOIN mn
+    ), b AS (
+      SELECT doc_id, source, {_HEX_BUCKET} AS bucket FROM documents
+    )
+    SELECT b.doc_id, b.source, CAST(b.bucket AS BIGINT) AS bucket,
+           r.rate AS rate,
+           CAST(CAST(b.bucket AS DOUBLE) < r.rate * 1000.0 AS BIGINT) AS in_mix
+    FROM b JOIN rates r USING (source)
+    """,
+)
+def d26_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-balancing (the multi-source training
+    mix of GPT-3/PaLM-style pipelines, T=2): per-source keep rate
+    rate_s = (n_min / n_s)^(1/2) — the rarest source keeps everything,
+    larger sources are downsampled toward a distribution proportional
+    to share^(1/T). Membership is the deterministic md5 bucket (same
+    hash as d6/d8), so the sample is reproducible and composable with
+    the split.
+
+    Determinism note: sqrt and division are IEEE exact-rounded, and the
+    normalizer is a MIN (order-free) rather than a sum, so both engines
+    compute bit-identical rates — the in_mix boundary compare is safe.
+
+    Scale: one tiny per-source count aggregate broadcast back onto a
+    scan-riding projection; no data-sized shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_min = sc.agg(F.min("n_s").alias("n_min"))
+    rates = sc.crossJoin(F.broadcast(n_min)).select(
+        "source", F.sqrt(F.col("n_min").cast("double") / F.col("n_s")).alias("rate")
+    )
+    b = d.select("doc_id", "source", F.expr(_HEX_BUCKET).cast("bigint").alias("bucket"))
+    return b.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "bucket",
+        "rate",
+        (F.col("bucket").cast("double") < F.col("rate") * 1000.0)
+        .cast("bigint")
+        .alias("in_mix"),
+    )

@@ -182,6 +182,10 @@ _BNLJ_OK = {
     # numerator); dq4 carries d19
     "d19_tfidf_keywords",
     "dq4_corpus_reports",
+    # d26's MIN-rate normalizer is a broadcast 1-row cross join; dq2
+    # carries d26
+    "d26_temperature_mix",
+    "dq2_split_sample",
     "j13_salted_join",  # salt-explode dimension is a literal range table
     "rq2_join_suite",  # carries j13 (same literal salt-range cross join)
     # M7 subtree deletion: dir_path-startsWith-root semi-join against the
