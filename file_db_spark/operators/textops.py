@@ -1485,11 +1485,16 @@ def d25_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp(-avg). Low-probability (high-ppl) documents are the classic
     quality-filter rejects (CCNet's KenLM stage, self-trained).
 
-    Scale: same shape as d19 — explode to bigrams, two
-    map-side-combined count aggregates, then equi-joins back on the
-    bigram/context keys (vocab-sized tables, never broadcast), one
-    final per-doc aggregate. No window, no collect. ln() ulp noise
-    across engines is absorbed by round-6 (d23 precedent)."""
+    Scale: same shape as d19 — explode to bigrams, one
+    map-side-combined bigram-count aggregate (the LM), then equi-joins
+    back on the bigram/context keys (vocab-sized tables, never
+    broadcast), one final per-doc aggregate. The context counts derive
+    from the ALREADY-AGGREGATED bigram table (sum of c_ab per first
+    token), not from a second corpus explode — the corpus is exploded
+    exactly twice (train the counts, score the docs); at 100 TB the
+    trained count table would be a materialized artifact and scoring
+    a single pass. No window, no collect. ln() ulp noise across
+    engines is absorbed by round-6 (d23 precedent)."""
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
     n = F.size("toks")
@@ -1506,11 +1511,14 @@ def d25_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
     )
-    cb = big.groupBy("bg").agg(F.count("*").alias("c_ab"))
+    # the trained LM table — vocab-sized, referenced by BOTH the context
+    # derivation and the scoring join; persisted so neither re-explodes
+    # the corpus (dedup.py x4-signature precedent)
+    cb = big.groupBy("bg").agg(F.count("*").alias("c_ab")).persist()
     ca = (
-        big.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("a"))
+        cb.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("a"), "c_ab")
         .groupBy("a")
-        .agg(F.count("*").alias("c_a"))
+        .agg(F.sum("c_ab").alias("c_a"))
     )
     scored = (
         big.join(cb, "bg")

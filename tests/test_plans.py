@@ -241,3 +241,33 @@ def test_v6_kmeans_broadcast_rounds(spark, sf_dir):
     assert plan.count("BroadcastExchange") >= 2  # one per iteration
     assert "Exchange SinglePartition" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_d24_bpe_pairs_takeordered_single_scan(spark, sf_dir):
+    # top-K via heap (TakeOrderedAndProject), never a global vocab
+    # window; pairs counted over the distinct-word table -> ONE corpus scan
+    plan = _plan(spark, sf_dir, "d24_bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_d25_lm_trained_counts_cached(spark, sf_dir):
+    # the trained bigram-count table is persisted and read from cache by
+    # BOTH the context derivation and the scoring join — neither may
+    # re-explode the corpus (the cached subtree's own scan prints inside
+    # each InMemoryTableScan node, so FileScan counts are not meaningful
+    # here; the cache reads are the invariant)
+    df = ops.ALL_QUERIES["d25_lm_quality"](spark, sf_dir)
+    df.count()  # materialize the persist
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d26_temperature_mix_broadcast_rates(spark, sf_dir):
+    # per-source rates broadcast onto the scan-riding projection; the
+    # doc-sized side never shuffles on source
+    plan = _plan(spark, sf_dir, "d26_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
