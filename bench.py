@@ -45,10 +45,13 @@ HEADLINE = [
     "v2_ann_lsh",
     "v5_sq_rerank",
     "v6_kmeans_refine",
+    "v7_pq_adc",
     "d21_hll_distinct",
     "d22_cms_heavy_hitters",
     "x13_chunk_dedup",
     "x14_semantic_dedup",
+    "d24_bpe_pair_stats",
+    "d25_lm_quality",
     "c9_duplicate_groups",
 ]
 

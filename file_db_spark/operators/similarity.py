@@ -653,3 +653,246 @@ def _v6_oracle() -> str:
 
 QUERIES["v6_kmeans_refine"] = v6_kmeans_refine
 ORACLES["v6_kmeans_refine"] = _v6_oracle()
+
+
+# ---------------------------------------------------------------------------
+# v7: product quantization (PQ) ANN — subspace codebooks + asymmetric
+# distance (ADC) top-k, the FAISS-style memory-compression scale path.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB_DIM = 16  # dims per subspace (4 x 16 = 64)
+PQ_K = 8  # codes per subspace codebook
+PQ_ITERS = 2  # Lloyd rounds per subspace (v6 parity)
+
+#: engine-portable squared L2 via three dot products in a FIXED
+#: expression order (dot is bit-identical across engines — the v6
+#: cosine precedent); avoids any engine-internal summation-order
+#: ambiguity a direct sum-of-squares reduction could have.
+def _d2(a, b):
+    return dot(a, a) + dot(b, b) - 2 * dot(a, b)
+
+
+def _pq_centroids(assigned: DataFrame) -> DataFrame:
+    """(m, cell, se) -> (m, cell, centroid): elementwise mean, the v6
+    _km_centroids pattern with the subspace key added."""
+    dim_pos = assigned.select("m", "cell", F.posexplode(F.col("se")).alias("pos", "v"))
+    return (
+        dim_pos.groupBy("m", "cell", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("m", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("m", "cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+
+
+def v7_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: split each 64-dim embedding into
+    PQ_M=4 subspaces of 16 dims, train a PQ_K=8-entry codebook per
+    subspace (deterministic Lloyd rounds, hash-seeded, squared-L2
+    argmin with (d2 ASC, cell ASC) tie-break), encode every vector as 4
+    one-byte codes, and answer queries by ADC — the approximate squared
+    distance is the sum of per-subspace query-to-centroid distances
+    looked up by code. 16x memory compression (64 floats -> 4 bytes)
+    is what makes 100 TB-scale ANN fit in executor memory.
+
+    Scale: codebooks are PQ_M x PQ_K x 16 doubles (a few KB, broadcast);
+    training is the v6 map-only-score + keyed-window loop per subspace
+    (one DataFrame with a subspace column — no per-subspace jobs);
+    encoding rides the same pass. The query side precomputes the
+    Q x PQ_M x PQ_K distance table (tiny, broadcast), so scoring the
+    corpus is 4 broadcast-hash code lookups + a FIXED-ORDER 4-term add
+    (deterministic across engines) and one per-query top-k window. No
+    all-pairs float math at query time at all."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    sub = pts.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "emb",
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("emb"), F.col("m") * PQ_SUB_DIM + 1, F.lit(PQ_SUB_DIM)).alias("se"),
+        ((F.col("vec_id") + F.col("m")) % PQ_K).alias("cell"),
+    )
+    assigned = sub
+    cents = None
+    for _ in range(PQ_ITERS):
+        cents = _pq_centroids(assigned).withColumnRenamed("cell", "c_cell")
+        scored = (
+            assigned.select("vec_id", "m", "se")
+            .join(F.broadcast(cents), "m")
+            .select(
+                "vec_id",
+                "m",
+                "se",
+                F.col("c_cell").alias("cand_cell"),
+                _d2(F.col("se"), F.col("centroid")).alias("d2"),
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            F.col("d2").asc(), F.col("cand_cell").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "se", F.col("cand_cell").alias("cell"))
+        )
+    # codes: one row per vector, PQ_M one-byte columns (fixed pivot)
+    codes = assigned.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == i, F.col("cell"))).alias(f"c{i}")
+            for i in range(PQ_M)
+        ]
+    )
+    # query-side distance table: Q x PQ_M x PQ_K, computed against the
+    # FINAL codebook, broadcast to the corpus scan
+    qc = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "se")
+        .join(F.broadcast(cents), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("c_cell").alias("cell"),
+            _d2(F.col("se"), F.col("centroid")).alias("pd"),
+        )
+    )
+    adc_sides = [
+        F.broadcast(
+            qc.filter(F.col("m") == i).select(
+                F.col("query_id").alias(f"q{i}"),
+                F.col("cell").alias(f"cell{i}"),
+                F.col("pd").alias(f"pd{i}"),
+            )
+        )
+        for i in range(PQ_M)
+    ]
+    joined = codes.join(adc_sides[0], F.col("c0") == F.col("cell0"))
+    for i in range(1, PQ_M):
+        joined = joined.join(
+            adc_sides[i],
+            (F.col(f"c{i}") == F.col(f"cell{i}"))
+            & (F.col(f"q{i}") == F.col("q0")),
+        )
+    # FIXED left-to-right addition order — mirrored in the oracle
+    adc = (
+        joined.filter(F.col("vec_id") != F.col("q0"))
+        .select(
+            F.col("q0").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("pd0") + F.col("pd1") + F.col("pd2") + F.col("pd3")).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def _v7_oracle() -> str:
+    """Unrolled PQ pipeline as DuckDB CTEs: same seeds, same squared-L2
+    (three-dot fixed-order form), same tie-breaks, same 4-term ADC
+    addition order."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+            f" - 2 * list_dot_product({a}, {b})"
+        )
+
+    def cent(src: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT m, cell, list(avg_v ORDER BY idx) AS centroid FROM (
+        SELECT s.m, s.cell, t.idx, AVG(s.se[t.idx]) AS avg_v
+        FROM {src} s, unnest(range(1, {PQ_SUB_DIM} + 1)) AS t(idx)
+        GROUP BY s.m, s.cell, t.idx
+      ) GROUP BY m, cell
+    )"""
+
+    def assign(cent_name: str, name: str) -> str:
+        expr = d2("s.se", "c.centroid")
+        return f"""{name} AS (
+      SELECT vec_id, m, se, cell FROM (
+        SELECT s.vec_id, s.m, s.se, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {expr} ASC, c.cell ASC
+               ) AS rn
+        FROM sub s JOIN {cent_name} c ON c.m = s.m
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )""",
+        f"""sub AS (
+      SELECT vec_id, t.m,
+             list_slice(emb, t.m * {PQ_SUB_DIM} + 1, t.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS se,
+             (vec_id + t.m) % {PQ_K} AS cell
+      FROM pts, unnest(range(0, {PQ_M})) AS t(m)
+    )""",
+    ]
+    src = "sub"
+    for i in range(PQ_ITERS):
+        parts.append(cent(src, f"cent{i}"))
+        parts.append(assign(f"cent{i}", f"asg{i}"))
+        src = f"asg{i}"
+    final_cent = f"cent{PQ_ITERS - 1}"
+    parts.append(
+        f"""codes AS (
+      SELECT vec_id,
+             {', '.join(f"MAX(CASE WHEN m = {i} THEN cell END) AS c{i}" for i in range(PQ_M))}
+      FROM {src} GROUP BY vec_id
+    )"""
+    )
+    parts.append(
+        f"""qc AS (
+      SELECT q.vec_id AS query_id, q.m, c.cell,
+             {d2('q.se', 'c.centroid')} AS pd
+      FROM sub q JOIN {final_cent} c ON c.m = q.m
+      WHERE q.vec_id < {N_QUERIES}
+    )"""
+    )
+    joins = "\n      ".join(
+        f"JOIN qc q{i} ON q{i}.m = {i} AND q{i}.cell = w.c{i}"
+        + (f" AND q{i}.query_id = q0.query_id" if i > 0 else "")
+        for i in range(PQ_M)
+    )
+    parts.append(
+        f"""adc AS (
+      SELECT q0.query_id, w.vec_id AS neighbor_id,
+             q0.pd + q1.pd + q2.pd + q3.pd AS adc
+      FROM codes w
+      {joins}
+      WHERE w.vec_id <> q0.query_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank FROM (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
+             ) AS rank
+      FROM adc
+    ) WHERE rank <= {TOP_K}
+    """
+    )
+
+
+QUERIES["v7_pq_adc"] = v7_pq_adc
+ORACLES["v7_pq_adc"] = _v7_oracle()

@@ -936,7 +936,7 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "v346_ivf_kmeans",
     _sub(similarity.ORACLES["v3_ivf_topk"],
-         "'v3' AS variant, query_id, neighbor_id, cos_sim, rank")
+         "'v3' AS variant, query_id, neighbor_id, cos_sim AS score, rank")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v4_ivf_nprobe"],
            "'v4', query_id, neighbor_id, cos_sim, rank")
@@ -945,32 +945,47 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'v5', query_id, neighbor_id, cos_sim, rank")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v6_kmeans_refine"],
-           "'v6', vec_id, cell, cos_to_centroid, NULL"),
+           "'v6', vec_id, cell, cos_to_centroid, NULL")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v7_pq_adc"],
+           "'v7', query_id, neighbor_id, adc_dist, rank"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
     (deterministic Lloyd k-means refinement), v3 probes the query's own
     cell, v4 routes to the nprobe closest centroids (the recall knob),
     v5 re-ranks int8 scalar-quantized candidates with exact cosine (the
-    memory-bandwidth scale path). Same normalized schema with a variant
-    tag."""
+    memory-bandwidth scale path), v7 answers via product-quantization
+    ADC code lookups (the memory-compression scale path). Same
+    normalized schema with a variant tag; `score` is cosine for v3-v6
+    and the ADC squared distance for v7."""
     v3 = similarity.v3_ivf_topk(spark, sf_dir).select(
-        F.lit("v3").alias("variant"), "query_id", "neighbor_id", "cos_sim", "rank"
+        F.lit("v3").alias("variant"), "query_id", "neighbor_id",
+        F.col("cos_sim").alias("score"), "rank"
     )
     v4 = similarity.v4_ivf_nprobe(spark, sf_dir).select(
-        F.lit("v4").alias("variant"), "query_id", "neighbor_id", "cos_sim", "rank"
+        F.lit("v4").alias("variant"), "query_id", "neighbor_id",
+        F.col("cos_sim").alias("score"), "rank"
     )
     v5 = similarity.v5_sq_rerank(spark, sf_dir).select(
-        F.lit("v5").alias("variant"), "query_id", "neighbor_id", "cos_sim", "rank"
+        F.lit("v5").alias("variant"), "query_id", "neighbor_id",
+        F.col("cos_sim").alias("score"), "rank"
     )
     v6 = similarity.v6_kmeans_refine(spark, sf_dir).select(
         F.lit("v6").alias("variant"),
         F.col("vec_id").alias("query_id"),
         F.col("cell").alias("neighbor_id"),
-        F.col("cos_to_centroid").alias("cos_sim"),
+        F.col("cos_to_centroid").alias("score"),
         _bn().alias("rank"),
     )
-    return v3.unionByName(v4).unionByName(v5).unionByName(v6)
+    v7 = similarity.v7_pq_adc(spark, sf_dir).select(
+        F.lit("v7").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.col("adc_dist").alias("score"),
+        "rank",
+    )
+    return v3.unionByName(v4).unionByName(v5).unionByName(v6).unionByName(v7)
 
 
 # ---------------------------------------------------------------------------

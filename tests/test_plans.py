@@ -271,3 +271,13 @@ def test_d26_temperature_mix_broadcast_rates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d26_temperature_mix")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_v7_pq_adc_broadcast_lookups(spark, sf_dir):
+    # training centroids and the Q x M x K query distance table are
+    # broadcast; ADC scoring is equi-join code lookups — never a
+    # cartesian or a data x data sort-merge join
+    plan = _plan(spark, sf_dir, "v7_pq_adc")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -22,6 +22,7 @@ def test_ann_recall_floor(spark):
     lsh = _topk_sets(sim.QUERIES["v2_ann_lsh"](spark, sf_dir))
     ivf1 = _topk_sets(sim.QUERIES["v3_ivf_topk"](spark, sf_dir))
     ivf2 = _topk_sets(sim.QUERIES["v4_ivf_nprobe"](spark, sf_dir))
+    pq = _topk_sets(sim.QUERIES["v7_pq_adc"](spark, sf_dir))
     assert set(exact) == {0, 1, 2, 3, 4}
 
     def recall(approx):
@@ -38,7 +39,14 @@ def test_ann_recall_floor(spark):
     assert r_lsh >= 0.2
     assert r_ivf2 >= r_ivf1
     assert r_ivf2 >= 0.1
+    # v7 PQ: 16x compression + L2 ADC vs the cosine baseline on
+    # near-noise vectors -> lowest designed recall; the floor catches
+    # structural breakage (wrong codes, broken lookup join), measured
+    # 0.13 at this SF
+    assert recall(pq) >= 0.05
+    assert set(pq) == {0, 1, 2, 3, 4}
+    assert all(len(ns) == 3 for ns in pq.values())
     # approximate results must never contain a self-match
-    for approx in (lsh, ivf1, ivf2):
+    for approx in (lsh, ivf1, ivf2, pq):
         for q, ns in approx.items():
             assert q not in ns
