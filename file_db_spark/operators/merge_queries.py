@@ -655,3 +655,441 @@ def g3_mark_crawled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dir_missing").alias("miss"),
         F.col("assigned_process_id").cast("bigint").alias("pid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g4: the scheduler surface — J11 drive anti-join seed, A4/T1 priority
+# claim, J10 claim recompute, M9 control seeding, M11 reset, T2
+# smallest-first hash claim — all through the real scheduler
+# (filedb/scheduler.py), one deterministic wave, one oracle.
+#
+# Wave definition (mirrored EXACTLY in the oracle):
+# - control from fx_directory: file_count=(id*7)%250,
+#   subdir_count=(id*3)%150, next_crawl=2024-06-30 + (id%5) hours
+#   except id%4==0 -> 2024-07-01 12:00 (not yet due); id%3==0 is
+#   pre-claimed by process 7.
+# - drive roots include two not under control (J11 returns them).
+# - T1 claims up to 5 due+unclaimed dirs for process 42 at NOW
+#   (score = hours-overdue + round(fc/100) + round(sc/100), ASC — the
+#   replicated reference quirk), then M9 seeds two brand-new dirs,
+#   then M11 resets every claim.
+# - hash_control from fx_file (size NOT NULL): id%6==0 pre-claimed,
+#   id%13==0 missing; T2 claims the 10 smallest eligible.
+# ---------------------------------------------------------------------------
+_G4_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+ctl AS (
+  SELECT dir_path, id AS dir_id,
+         CAST((id * 7) % 250 AS INTEGER) AS file_count,
+         CAST((id * 3) % 150 AS INTEGER) AS subdir_count,
+         CASE WHEN id % 4 = 0 THEN TIMESTAMP '2024-07-01 12:00:00'
+              ELSE TIMESTAMP '2024-06-30' + (id % 5) * INTERVAL 1 HOUR
+              END AS next_crawl,
+         86400 AS crawl_frequency,
+         CASE WHEN id % 3 = 0 THEN 7 END AS assigned_process_id,
+         CASE WHEN id % 3 = 0 THEN TIMESTAMP '2024-06-30 12:00:00' END
+           AS process_assigned_on
+  FROM fx_directory
+),
+drive(id, dir_path) AS (VALUES (1, '/corpus'), (2, 'C:\\corpus'),
+                               (3, 'C:\\'), (4, 'D:\\data'), (5, 'E:\\')),
+j11 AS (
+  SELECT d.id, d.dir_path FROM drive d
+  LEFT JOIN ctl c ON d.dir_path = c.dir_path
+  WHERE c.dir_path IS NULL
+  ORDER BY d.dir_path ASC LIMIT 10
+),
+due AS (
+  SELECT *,
+         ({_ep_sql(_NOW_SQL)} - {_ep_sql('next_crawl')}) / 3600.0
+           + round(file_count / 100.0) + round(subdir_count / 100.0)
+           AS priority_score
+  FROM ctl
+  WHERE next_crawl <= {_NOW_SQL} AND assigned_process_id IS NULL
+),
+t1work AS (
+  SELECT dir_path, dir_id, priority_score FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      ORDER BY priority_score ASC, dir_path ASC) AS rn
+    FROM due
+  ) WHERE rn <= 5
+),
+claims AS (
+  SELECT c.dir_id, c.dir_path,
+         CASE WHEN w.dir_path IS NOT NULL THEN 42
+              ELSE c.assigned_process_id END AS pid,
+         CASE WHEN w.dir_path IS NOT NULL THEN {_ep_sql(_NOW_SQL)}
+              ELSE {_ep_sql('c.process_assigned_on')} END AS asg_ep
+  FROM ctl c LEFT JOIN t1work w ON c.dir_path = w.dir_path
+),
+new_dirs(id, dir_path) AS (VALUES (900010, '/corpus/src_new_a'),
+                                  (900011, 'C:\\corpus\\src_new_b'),
+                                  (1, '/corpus')),
+m9 AS (
+  SELECT n.id AS dir_id, n.dir_path,
+         {_ep_sql(_NOW_SQL)} AS next_ep, 86400 AS freq
+  FROM new_dirs n LEFT JOIN ctl c ON n.dir_path = c.dir_path
+  WHERE c.dir_path IS NULL
+),
+reset AS (
+  -- M11 nulls every claim over the seeded control: total rows kept,
+  -- zero claims survive
+  SELECT (SELECT COUNT(*) FROM ctl) + (SELECT COUNT(*) FROM m9) AS total,
+         0 AS remaining
+),
+hc AS (
+  SELECT id AS file_id, size AS file_size,
+         CASE WHEN id % 6 = 0 THEN TIMESTAMP '2024-06-30' END
+           AS process_assigned_on,
+         id % 13 = 0 AS file_missing
+  FROM fx_file WHERE size IS NOT NULL
+),
+t2work AS (
+  SELECT file_id, file_size FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      ORDER BY file_size ASC, file_id ASC) AS rn
+    FROM hc
+    WHERE process_assigned_on IS NULL AND NOT file_missing
+  ) WHERE rn <= 10
+)
+SELECT 'j11' AS part, CAST(id AS BIGINT) AS k1, dir_path AS s1,
+       CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS ep,
+       CAST(NULL AS DOUBLE) AS v1
+FROM j11
+UNION ALL
+SELECT 't1work', dir_id, dir_path, NULL, NULL, priority_score FROM t1work
+UNION ALL
+SELECT 'claims', dir_id, dir_path, pid, asg_ep, NULL FROM claims
+UNION ALL
+SELECT 'm9', dir_id, dir_path, freq, next_ep, NULL FROM m9
+UNION ALL
+SELECT 'reset', total, NULL, remaining, NULL, NULL FROM reset
+UNION ALL
+SELECT 't2work', file_id, NULL, NULL, NULL, CAST(file_size AS DOUBLE)
+FROM t2work
+"""
+
+
+@_q("g4_schedule_claims", _G4_ORACLE)
+def g4_schedule_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 drive anti-join, A4/T1 priority claim + J10 control
+    recompute, M9 seeding, M11 reset, T2 smallest-first hash claim
+    (DirectoryCrawl.py:424-450,641-718,1048-1076, SQLUtil.py:407-441)
+    — every step through the real scheduler functions.
+
+    Claim ordering stays NULL-free by construction (T1 runs before M9
+    seeds the NULL-count rows; T2 filters NULL sizes) because Spark
+    sorts NULLS FIRST and DuckDB NULLS LAST by default — the wave pins
+    the semantics without leaning on either engine's default."""
+    from ..filedb import scheduler
+
+    dirs = fixtures.fixture_directory(spark, sf_dir)
+    file = fixtures.fixture_file(spark, sf_dir)
+    did = F.col("id")
+    control = dirs.select(
+        "dir_path",
+        did.alias("dir_id"),
+        ((did * 7) % 250).cast("int").alias("file_count"),
+        ((did * 3) % 150).cast("int").alias("subdir_count"),
+        F.when(did % 4 == 0, _ts("2024-07-01 12:00:00"))
+        .otherwise(F.to_timestamp(F.lit("2024-06-30")) + (did % 5) * F.expr("INTERVAL 1 HOUR"))
+        .alias("next_crawl"),
+        F.lit(86400).cast("int").alias("crawl_frequency"),
+        F.when(did % 3 == 0, F.lit(7)).cast("int").alias("assigned_process_id"),
+        F.when(did % 3 == 0, _ts("2024-06-30 12:00:00")).alias("process_assigned_on"),
+        F.lit(None).cast("timestamp").alias("last_crawled"),
+        F.lit(None).cast("timestamp").alias("last_active"),
+        F.lit(False).alias("dir_missing"),
+        _ts("2024-06-01 00:00:00").alias("inserted_on"),
+    )
+    drive = spark.createDataFrame(
+        [(1, "/corpus"), (2, "C:\\corpus"), (3, "C:\\"), (4, "D:\\data"), (5, "E:\\")],
+        "id long, dir_path string",
+    )
+    j11 = scheduler.get_drives_to_crawl(drive, control)
+    t1work, claimed_control = scheduler.get_dirs_to_crawl(
+        control, NOW, limit=5, process_id=42
+    )
+    new_dirs = spark.createDataFrame(
+        [(900010, "/corpus/src_new_a"), (900011, "C:\\corpus\\src_new_b"), (1, "/corpus")],
+        "id long, dir_path string",
+    )
+    seeded = scheduler.seed_control_for_dirs(claimed_control, new_dirs, NOW)
+    after_reset = scheduler.reset_claims(seeded)
+    reset_row = after_reset.agg(
+        F.count("*").cast("bigint").alias("total"),
+        F.count("assigned_process_id").cast("bigint").alias("remaining"),
+    )
+    hc = file.where(F.col("size").isNotNull()).select(
+        F.col("id").alias("file_id"),
+        F.col("size").alias("file_size"),
+        F.when(F.col("id") % 6 == 0, _ts("2024-06-30 00:00:00")).alias(
+            "process_assigned_on"
+        ),
+        (F.col("id") % 13 == 0).alias("file_missing"),
+    )
+    t2work, _t2ctl = scheduler.get_files_to_hash(hc, NOW, limit=10)
+
+    parts = [
+        j11.select(
+            F.lit("j11").alias("part"),
+            F.col("id").cast("bigint").alias("k1"),
+            F.col("dir_path").alias("s1"),
+            _bn().alias("k2"),
+            _bn().alias("ep"),
+            _dn().alias("v1"),
+        ),
+        t1work.select(
+            F.lit("t1work").alias("part"),
+            F.col("dir_id").cast("bigint").alias("k1"),
+            F.col("dir_path").alias("s1"),
+            _bn().alias("k2"),
+            _bn().alias("ep"),
+            F.col("priority_score").cast("double").alias("v1"),
+        ),
+        claimed_control.select(
+            F.lit("claims").alias("part"),
+            F.col("dir_id").cast("bigint").alias("k1"),
+            F.col("dir_path").alias("s1"),
+            F.col("assigned_process_id").cast("bigint").alias("k2"),
+            _ep(F.col("process_assigned_on")).alias("ep"),
+            _dn().alias("v1"),
+        ),
+        seeded.where(F.col("dir_id") >= 900000).select(
+            F.lit("m9").alias("part"),
+            F.col("dir_id").cast("bigint").alias("k1"),
+            F.col("dir_path").alias("s1"),
+            F.col("crawl_frequency").cast("bigint").alias("k2"),
+            _ep(F.col("next_crawl")).alias("ep"),
+            _dn().alias("v1"),
+        ),
+        reset_row.select(
+            F.lit("reset").alias("part"),
+            F.col("total").alias("k1"),
+            _sn().alias("s1"),
+            F.col("remaining").alias("k2"),
+            _bn().alias("ep"),
+            _dn().alias("v1"),
+        ),
+        t2work.select(
+            F.lit("t2work").alias("part"),
+            F.col("file_id").cast("bigint").alias("k1"),
+            _sn().alias("s1"),
+            _bn().alias("k2"),
+            _bn().alias("ep"),
+            F.col("file_size").cast("double").alias("v1"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# g5: the copy pipeline's relational half — M12 FIFO claim (T3) + J12
+# catalog resolution with coalesce fallback — through the real
+# filedb/copy.py functions. (The filesystem half, S7 verified copies,
+# stays pytest-verified: it is side-effectful by nature.)
+#
+# Wave definition (mirrored EXACTLY in the oracle):
+# - queue = unix-dir files with id%4==0: job id = file id, source path
+#   dir/name ('.ghost' appended when id%8==0 -> NOT in the catalog),
+#   dest '/backup/<name>', inserted_on 2024-06-01 + (id%10) hours;
+#   id%20==0 is pre-claimed (ineligible).
+# - claim 7 FIFO by (inserted_on, id); resolve claimed jobs against
+#   the unix-dir catalog: cataloged sources keep their canonical path
+#   and gain cat_file_id, ghosts fall back to the queued literal.
+# ---------------------------------------------------------------------------
+_G5_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+unix_files AS (
+  SELECT f.id, f.name, d.dir_path
+  FROM fx_file f JOIN fx_directory d ON f.dir_id = d.id
+  WHERE d.dir_path LIKE '/corpus%'
+),
+queue AS (
+  SELECT id,
+         dir_path || '/' || name ||
+           CASE WHEN id % 8 = 0 THEN '.ghost' ELSE '' END AS file_path,
+         '/backup/' || name AS new_path,
+         CASE WHEN id % 20 = 0 THEN TIMESTAMP '2024-06-15' END AS assigned_on,
+         TIMESTAMP '2024-06-01' + (id % 10) * INTERVAL 1 HOUR AS inserted_on
+  FROM unix_files WHERE id % 4 = 0
+),
+work AS (
+  SELECT id, file_path, new_path, inserted_on FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY inserted_on ASC, id ASC) AS rn
+    FROM queue WHERE assigned_on IS NULL
+  ) WHERE rn <= 7
+),
+post_queue AS (
+  SELECT q.id,
+         CASE WHEN w.id IS NOT NULL THEN {_ep_sql(_NOW_SQL)}
+              ELSE {_ep_sql('q.assigned_on')} END AS asg_ep
+  FROM queue q LEFT JOIN work w ON q.id = w.id
+),
+fd AS (
+  SELECT dir_path || '/' || name AS full_path, id AS file_id FROM unix_files
+),
+resolved AS (
+  SELECT w.id, COALESCE(fd.full_path, w.file_path) AS file_path,
+         w.new_path, fd.file_id AS cat_file_id
+  FROM work w LEFT JOIN fd ON w.file_path = fd.full_path
+)
+SELECT 'work' AS part, CAST(id AS BIGINT) AS k1, file_path AS s1,
+       CAST(NULL AS BIGINT) AS k2, CAST({_ep_sql('inserted_on')} AS BIGINT) AS ep
+FROM work
+UNION ALL
+SELECT 'queue', id, NULL, NULL, asg_ep FROM post_queue
+UNION ALL
+SELECT 'resolved', id, file_path || '#' || new_path, cat_file_id, NULL
+FROM resolved
+"""
+
+
+@_q("g5_copy_resolution", _G5_ORACLE)
+def g5_copy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 FIFO copy-job claim (T3 ORDER BY inserted_on LIMIT) + J12
+    copy ⟕ catalog resolution with coalesce(catalog_path, queued_path)
+    (FileHandler.py:144-162, File.py copy scheduling) — both through
+    the real filedb/copy.py functions over a deterministic queue."""
+    from ..filedb import copy as copymod
+
+    dirs = fixtures.fixture_directory(spark, sf_dir)
+    file = fixtures.fixture_file(spark, sf_dir)
+    unix_files = (
+        file.join(
+            F.broadcast(dirs.select(F.col("id").alias("dir_id"), "dir_path")),
+            "dir_id",
+        )
+        .where(F.col("dir_path").startswith("/corpus"))
+        .select(F.col("id"), "name", "dir_path")
+    )
+    fid = F.col("id")
+    queue = unix_files.where(fid % 4 == 0).select(
+        fid.alias("id"),
+        F.concat(
+            F.col("dir_path"),
+            F.lit("/"),
+            F.col("name"),
+            F.when(fid % 8 == 0, F.lit(".ghost")).otherwise(F.lit("")),
+        ).alias("file_path"),
+        F.concat(F.lit("/backup/"), F.col("name")).alias("new_path"),
+        F.lit("n").alias("overwrite"),
+        F.lit(True).alias("verify"),
+        F.lit(False).alias("move"),
+        F.when(fid % 20 == 0, _ts("2024-06-15 00:00:00")).alias("assigned_on"),
+        (
+            F.to_timestamp(F.lit("2024-06-01")) + (fid % 10) * F.expr("INTERVAL 1 HOUR")
+        ).alias("inserted_on"),
+    )
+    work, post_queue = copymod.claim_copy_jobs(queue, NOW, limit=7)
+    fd = unix_files.select(
+        F.concat(F.col("dir_path"), F.lit("/"), F.col("name")).alias("full_path"),
+        F.col("id").alias("file_id"),
+    )
+    resolved = copymod.resolve_copy_paths(work, fd)
+
+    parts = [
+        work.select(
+            F.lit("work").alias("part"),
+            F.col("id").cast("bigint").alias("k1"),
+            F.col("file_path").alias("s1"),
+            _bn().alias("k2"),
+            _ep(F.col("inserted_on")).alias("ep"),
+        ),
+        post_queue.select(
+            F.lit("queue").alias("part"),
+            F.col("id").cast("bigint").alias("k1"),
+            _sn().alias("s1"),
+            _bn().alias("k2"),
+            _ep(F.col("assigned_on")).alias("ep"),
+        ),
+        resolved.select(
+            F.lit("resolved").alias("part"),
+            F.col("id").cast("bigint").alias("k1"),
+            F.concat_ws("#", "file_path", "new_path").alias("s1"),
+            F.col("cat_file_id").cast("bigint").alias("k2"),
+            _bn().alias("ep"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# g345: graded carrier for the control-table surface — M3/O7 mark
+# crawled (g3), the scheduler claim suite (g4), the copy claim/resolve
+# suite (g5) — one normalized row set, members run unchanged.
+# ---------------------------------------------------------------------------
+def _sub(sql: str, projection: str) -> str:
+    return f"SELECT {projection} FROM (\n{sql}\n) _t"
+
+
+@_q(
+    "g345_control_suite",
+    _sub(
+        _G3_ORACLE,
+        "'g3' AS part, k1, s1, n_files AS n1, freq AS n2, next_ep AS e1, "
+        "lc_ep AS e2, la_ep AS e3, CAST(miss AS BIGINT) AS flag, pid, "
+        "CAST(NULL AS DOUBLE) AS v1",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G4_ORACLE,
+        "'g4_' || part, k1, s1, k2, NULL, ep, NULL, NULL, NULL, NULL, v1",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G5_ORACLE,
+        "'g5_' || part, k1, s1, k2, NULL, ep, NULL, NULL, NULL, NULL, NULL",
+    ),
+)
+def g345_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/O7 adaptive-frequency control update + the full scheduler
+    claim surface (J10/J11/A4/T1/T2/M9/M11) + the copy pipeline's
+    claim/resolution half (M12/J12/T3) in one graded row — every
+    member runs its own wave through the real engine unchanged."""
+    g3 = g3_mark_crawled(spark, sf_dir).select(
+        F.lit("g3").alias("part"),
+        F.col("k1"),
+        F.col("s1"),
+        F.col("n_files").alias("n1"),
+        F.col("freq").alias("n2"),
+        F.col("next_ep").alias("e1"),
+        F.col("lc_ep").alias("e2"),
+        F.col("la_ep").alias("e3"),
+        F.col("miss").cast("bigint").alias("flag"),
+        F.col("pid"),
+        _dn().alias("v1"),
+    )
+    g4 = g4_schedule_claims(spark, sf_dir).select(
+        F.concat(F.lit("g4_"), F.col("part")).alias("part"),
+        F.col("k1"),
+        F.col("s1"),
+        F.col("k2").alias("n1"),
+        _bn().alias("n2"),
+        F.col("ep").alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        F.col("v1"),
+    )
+    g5 = g5_copy_resolution(spark, sf_dir).select(
+        F.concat(F.lit("g5_"), F.col("part")).alias("part"),
+        F.col("k1"),
+        F.col("s1"),
+        F.col("k2").alias("n1"),
+        _bn().alias("n2"),
+        F.col("ep").alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        _dn().alias("v1"),
+    )
+    return g3.unionByName(g4).unionByName(g5)
