@@ -18,9 +18,10 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["TableStore"]
+__all__ = ["TableStore", "diff_generations"]
 
 
 #: Sort-on-write keys per table: parquet row-group min/max stats then
@@ -150,3 +151,80 @@ class TableStore:
         cur = self.read(name)
         cols = [f.name for f in self.schemas[name].fields]
         self.replace(name, cur.unionByName(df.select(*cols)))
+
+    def generations(self, name: str) -> list[str]:
+        """Generation directories of a table, oldest first."""
+        d = self._dir(name)
+        return (
+            sorted(os.path.join(d, g) for g in os.listdir(d))
+            if os.path.isdir(d)
+            else []
+        )
+
+    def read_at(self, name: str, back: int = 0) -> DataFrame:
+        """Time travel: read the generation `back` swaps before the
+        current one (back=0 is the current table). The single-box
+        analog of Delta/Iceberg `VERSION AS OF`; raises IndexError if
+        that much history was never written or was vacuumed."""
+        gens = self.generations(name)
+        if back >= len(gens):
+            raise IndexError(
+                f"table {name!r} has {len(gens)} generation(s); "
+                f"cannot travel back {back}"
+            )
+        gen = gens[len(gens) - 1 - back]
+        return self.spark.read.schema(self.schemas[name]).parquet(gen)
+
+
+def diff_generations(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two table snapshots: one full outer
+    join on the key, null-safe column compares, op tags 'I'/'D'/'U'
+    (unchanged rows are dropped). The Delta CDF / Iceberg
+    changelog-scan analog, and the engine's J8 snapshot-diff idiom
+    generalized to arbitrary tables.
+
+    Scale: a single equi-join shuffle on the key (co-located if both
+    generations are bucketed on it — see BUCKET_SPECS); compares are
+    null-safe Column exprs, no window, no collect."""
+    o = old.select(
+        *[F.col(c).alias(f"o_{c}") for c in key_cols],
+        *[F.col(c).alias(f"ov_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"o_{c}") == F.col(f"n_{c}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"o_{key_cols[0]}").isNotNull()
+    new_present = F.col(f"n_{key_cols[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"ov_{c}").eqNullSafe(F.col(f"nv_{c}"))
+        changed = ne if changed is None else changed | ne
+    op = (
+        F.when(~old_present, F.lit("I"))
+        .when(~new_present, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(
+            "op",
+            *[
+                F.coalesce(F.col(f"n_{c}"), F.col(f"o_{c}")).alias(c)
+                for c in key_cols
+            ],
+            *[F.col(f"ov_{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"nv_{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -113,7 +113,7 @@ _GRADED_ORDER = (
     # merge engine (M1-M8 + O5/O7)
     "g1_merge_recrawl",
     "g2_hash_lifecycle",
-    "g345_control_suite",
+    "g3456_control_suite",
 )
 assert len(_GRADED_ORDER) == 50, len(_GRADED_ORDER)
 _missing = [n for n in _GRADED_ORDER if n not in ALL_QUERIES]

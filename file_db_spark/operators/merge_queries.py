@@ -1021,7 +1021,132 @@ def g5_copy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# g345: graded carrier for the control-table surface — M3/O7 mark
+# g6: table-store time travel + change-data-feed — two REAL generation
+# writes through TableStore (write-new-then-swap parquet), read back
+# with read_at (VERSION AS OF analog), diffed by diff_generations
+# (Delta CDF analog). The oracle mirrors the wave purely relationally.
+#
+# Wave (mirrored EXACTLY in the oracle): gen2 = gen1 with id%11==0
+# deleted, id%3==0 resized (+0.001 MB) and touched (+1h mtime), and a
+# brand-new file id 900002 inserted.
+# ---------------------------------------------------------------------------
+_G6_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+f2 AS (
+  SELECT id, name, dir_id,
+         CASE WHEN id % 3 = 0 THEN size + CAST('0.001' AS DECIMAL(4,3))
+              ELSE size END AS size,
+         CASE WHEN id % 3 = 0 THEN mtime + INTERVAL 1 HOUR ELSE mtime END AS mtime
+  FROM fx_file WHERE id % 11 <> 0
+  UNION ALL
+  SELECT 900002, 'brand_new.txt', 1, CAST('1.5' AS DECIMAL(18,6)),
+         TIMESTAMP '2024-06-30'
+),
+diff AS (
+  SELECT CASE WHEN o.id IS NULL THEN 'I'
+              WHEN n.id IS NULL THEN 'D'
+              WHEN o.name IS DISTINCT FROM n.name
+                OR o.dir_id IS DISTINCT FROM n.dir_id
+                OR o.size IS DISTINCT FROM n.size
+                OR o.mtime IS DISTINCT FROM n.mtime THEN 'U'
+              END AS op,
+         COALESCE(n.id, o.id) AS id,
+         o.name AS old_name, n.name AS new_name,
+         o.dir_id AS old_dir_id, n.dir_id AS new_dir_id,
+         CAST(o.size AS DOUBLE) AS old_size, CAST(n.size AS DOUBLE) AS new_size,
+         {_ep_sql('o.mtime')} AS old_mtime_ep, {_ep_sql('n.mtime')} AS new_mtime_ep
+  FROM fx_file o FULL OUTER JOIN f2 n ON o.id = n.id
+)
+SELECT op, CAST(id AS BIGINT) AS id, old_name, new_name,
+       CAST(old_dir_id AS BIGINT) AS old_dir_id,
+       CAST(new_dir_id AS BIGINT) AS new_dir_id,
+       old_size, new_size, old_mtime_ep, new_mtime_ep
+FROM diff WHERE op IS NOT NULL
+"""
+
+
+@_q("g6_generation_diff", _G6_ORACLE)
+def g6_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel + CDC over the real table store: write the
+    file fixture as generation 1, apply a deterministic wave as
+    generation 2 (both REAL write-new-then-swap parquet generations),
+    read both back with read_at (the VERSION AS OF analog) and emit
+    diff_generations' I/D/U change feed. Extends the reference's J8
+    snapshot-diff idiom to a first-class, any-table CDC operator
+    (Delta CDF / Iceberg changelog analog at 100 TB)."""
+    import tempfile
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore, diff_generations
+
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    fid = F.col("id")
+    f2 = (
+        f1.where(fid % 11 != 0)
+        .select(
+            "id",
+            "name",
+            "dir_id",
+            # the sum widens to decimal(19,6); cast back so the stored
+            # generation keeps the declared FILE schema exactly
+            F.when(fid % 3 == 0, F.expr("size + CAST('0.001' AS DECIMAL(4,3))"))
+            .otherwise(F.col("size"))
+            .cast("decimal(18,6)")
+            .alias("size"),
+            "ctime",
+            F.when(fid % 3 == 0, F.col("mtime") + F.expr("INTERVAL 1 HOUR"))
+            .otherwise(F.col("mtime"))
+            .alias("mtime"),
+            "atime",
+            "inserted_on",
+            "updated_on",
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (
+                        900002,
+                        "brand_new.txt",
+                        1,
+                        __import__("decimal").Decimal("1.5"),
+                        None,
+                        __import__("datetime").datetime(2024, 6, 30),
+                        None,
+                        None,
+                        None,
+                    )
+                ],
+                schemas.FILE,
+            )
+        )
+    )
+    store = TableStore(
+        spark, tempfile.mkdtemp(prefix="fdb_g6_"), {"file": schemas.FILE},
+        bucketing=False,
+    )
+    store.replace("file", f1)
+    store.replace("file", f2)
+    old = store.read_at("file", back=1)
+    new = store.read_at("file", back=0)
+    diff = diff_generations(
+        old, new, key_cols=["id"], compare_cols=["name", "dir_id", "size", "mtime"]
+    )
+    return diff.select(
+        "op",
+        F.col("id").cast("bigint").alias("id"),
+        "old_name",
+        "new_name",
+        F.col("old_dir_id").cast("bigint").alias("old_dir_id"),
+        F.col("new_dir_id").cast("bigint").alias("new_dir_id"),
+        F.col("old_size").cast("double").alias("old_size"),
+        F.col("new_size").cast("double").alias("new_size"),
+        _ep(F.col("old_mtime")).alias("old_mtime_ep"),
+        _ep(F.col("new_mtime")).alias("new_mtime_ep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g3456: graded carrier for the control-table surface — M3/O7 mark
 # crawled (g3), the scheduler claim suite (g4), the copy claim/resolve
 # suite (g5) — one normalized row set, members run unchanged.
 # ---------------------------------------------------------------------------
@@ -1030,7 +1155,7 @@ def _sub(sql: str, projection: str) -> str:
 
 
 @_q(
-    "g345_control_suite",
+    "g3456_control_suite",
     _sub(
         _G3_ORACLE,
         "'g3' AS part, k1, s1, n_files AS n1, freq AS n2, next_ep AS e1, "
@@ -1046,13 +1171,22 @@ def _sub(sql: str, projection: str) -> str:
     + _sub(
         _G5_ORACLE,
         "'g5_' || part, k1, s1, k2, NULL, ep, NULL, NULL, NULL, NULL, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G6_ORACLE,
+        "'g6', id, op || '#' || COALESCE(old_name, '') || '#' || COALESCE(new_name, ''), "
+        "old_dir_id, new_dir_id, old_mtime_ep, new_mtime_ep, "
+        "CAST(ROUND(old_size * 1000000) AS BIGINT), NULL, NULL, new_size",
     ),
 )
-def g345_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3/O7 adaptive-frequency control update + the full scheduler
     claim surface (J10/J11/A4/T1/T2/M9/M11) + the copy pipeline's
-    claim/resolution half (M12/J12/T3) in one graded row — every
-    member runs its own wave through the real engine unchanged."""
+    claim/resolution half (M12/J12/T3) + the table store's time-travel
+    CDC diff (g6) in one graded row — every member runs its own wave
+    through the real engine unchanged. g6's old_size is packed to
+    exact micro-MB integers (6-decimal source -> lossless)."""
     g3 = g3_mark_crawled(spark, sf_dir).select(
         F.lit("g3").alias("part"),
         F.col("k1"),
@@ -1092,4 +1226,22 @@ def g345_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
-    return g3.unionByName(g4).unionByName(g5)
+    g6 = g6_generation_diff(spark, sf_dir).select(
+        F.lit("g6").alias("part"),
+        F.col("id").alias("k1"),
+        F.concat_ws(
+            "#",
+            F.col("op"),
+            F.coalesce(F.col("old_name"), F.lit("")),
+            F.coalesce(F.col("new_name"), F.lit("")),
+        ).alias("s1"),
+        F.col("old_dir_id").alias("n1"),
+        F.col("new_dir_id").alias("n2"),
+        F.col("old_mtime_ep").alias("e1"),
+        F.col("new_mtime_ep").alias("e2"),
+        F.round(F.col("old_size") * 1000000).cast("bigint").alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        F.col("new_size").alias("v1"),
+    )
+    return g3.unionByName(g4).unionByName(g5).unionByName(g6)
