@@ -572,7 +572,10 @@ def v6_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("emb"),
         (F.col("vec_id") % KMEANS_K).alias("cell"),
     )
-    assigned = pts
+    # persist per round: each round's assignment feeds BOTH the centroid
+    # derivation and the scoring join, so without a persist the upstream
+    # subtree doubles per round (see v7's note)
+    assigned = pts.persist()
     for _ in range(KMEANS_ITERS):
         cents = _km_centroids(assigned).withColumnRenamed("cell", "c_cell")
         scored = (
@@ -594,6 +597,7 @@ def v6_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "vec_id", "emb", F.col("cand_cell").alias("cell"), "cos"
             )
+            .persist()
         )
     return assigned.select(
         "vec_id",
@@ -716,7 +720,12 @@ def v7_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("emb"), F.col("m") * PQ_SUB_DIM + 1, F.lit(PQ_SUB_DIM)).alias("se"),
         ((F.col("vec_id") + F.col("m")) % PQ_K).alias("cell"),
     )
-    assigned = sub
+    # persist each round's assignment: the round's output feeds BOTH the
+    # next centroid derivation and the next scoring join (and the final
+    # one feeds codes + the query distance table), so without a persist
+    # the subspace-slice subtree doubles per round (x7's bounded-lineage
+    # lesson applied to a fixed-depth loop)
+    assigned = sub.persist()
     cents = None
     for _ in range(PQ_ITERS):
         cents = _pq_centroids(assigned).withColumnRenamed("cell", "c_cell")
@@ -738,6 +747,7 @@ def v7_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "m", "se", F.col("cand_cell").alias("cell"))
+            .persist()
         )
     # codes: one row per vector, PQ_M one-byte columns (fixed pivot)
     codes = assigned.groupBy("vec_id").agg(
