@@ -653,6 +653,11 @@ _DQ4_PARTS = {
         "'lm', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), n_bigrams, "
         "NULL, avg_logprob, ppl",
     ),
+    "d27": (
+        "d27_source_overlap",
+        "'srcdup', src_a, src_b, n_pairs, sum_microjac, "
+        "CAST(CAST(within_source AS INTEGER) AS DOUBLE), NULL",
+    ),
 }
 
 
@@ -743,6 +748,15 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_logprob").alias("v1"),
         F.col("ppl").alias("v2"),
     )
+    d27 = t.d27_source_overlap(spark, sf_dir).select(
+        F.lit("srcdup").alias("report"),
+        F.col("src_a").alias("k1"),
+        F.col("src_b").alias("k2"),
+        F.col("n_pairs").alias("n_docs"),
+        F.col("sum_microjac").alias("total_tokens"),
+        F.col("within_source").cast("int").cast("double").alias("v1"),
+        _dn().alias("v2"),
+    )
     return (
         d1.unionByName(d7)
         .unionByName(d11)
@@ -751,6 +765,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d19)
         .unionByName(d20)
         .unionByName(d25)
+        .unionByName(d27)
     )
 
 

@@ -1587,3 +1587,67 @@ def d26_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("in_mix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d27: cross-source near-dup overlap matrix — the data-governance
+# report that tells you WHICH sources duplicate each other before you
+# mix them into a training run.
+# ---------------------------------------------------------------------------
+from . import dedup as _dedup  # noqa: E402  (no cycle: dedup imports only functions/catalog)
+@_q(
+    "d27_source_overlap",
+    # reuse x3's exact pair pipeline (same shingle join, same caps),
+    # then resolve each endpoint's source and aggregate per unordered
+    # source pair; per-pair jaccard is summed as EXACT micro-units so
+    # the aggregate is order-independent across engines
+    "WITH "
+    + _dedup._X3_PAIR_CTES
+    + """,
+    src AS (
+      SELECT p.doc_a, p.doc_b,
+             LEAST(da.source, db.source) AS src_a,
+             GREATEST(da.source, db.source) AS src_b,
+             CAST(ROUND(p.jaccard * 1000000) AS BIGINT) AS microjac
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(microjac) AS BIGINT) AS sum_microjac,
+           (src_a = src_b) AS within_source
+    FROM src GROUP BY src_a, src_b
+    """,
+)
+def d27_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix: x3's shingle-Jaccard
+    pair table with both endpoints resolved to their source, aggregated
+    per unordered source pair — the mix-governance report that exposes
+    which sources mirror each other (and how strongly) before they are
+    blended into a training mix. Per-pair similarity is summed as exact
+    micro-Jaccard integers, so the aggregate is bit-stable regardless
+    of aggregation order.
+
+    Scale: reuses x3's bounded candidate join unchanged (hot-shingle
+    cap, never all-pairs); the source resolution is two id equi-joins
+    against the corpus (bucket both sides on doc_id at 100 TB) and the
+    final aggregate lands on a #sources^2-sized key space."""
+    pairs = _dedup.x3_ngram_jaccard(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    resolved = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("source_a", "source_b").alias("src_a"),
+            F.greatest("source_a", "source_b").alias("src_b"),
+            F.round(F.col("jaccard") * 1000000).cast("bigint").alias("microjac"),
+        )
+    )
+    return resolved.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("microjac").cast("bigint").alias("sum_microjac"),
+        (F.col("src_a") == F.col("src_b")).alias("within_source"),
+    )

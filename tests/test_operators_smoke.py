@@ -24,7 +24,7 @@ def test_contract_shape():
     names = list(q)
     assert names[0] == "c1_vw_ll" and names[11] == "c12_search_dir"
     assert names[12] == "e1_tumbling_window" and names[22] == "e11_value_outliers"
-    assert names[-3:] == ["g1_merge_recrawl", "g2_hash_lifecycle", "g3_mark_crawled"]
+    assert names[-3:] == ["g1_merge_recrawl", "g2_hash_lifecycle", "g3456_control_suite"]
     prefixes = {n.split("_")[0][0] for n in names}
     assert {"c", "e", "a", "r", "d", "x", "v", "m", "s", "g"} <= prefixes
 
