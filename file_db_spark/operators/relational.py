@@ -861,3 +861,58 @@ def w3_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.sum("o_totalprice").over(wrun).alias("running_spend"),
     )
+
+
+@_q(
+    "f2_sql_surface",
+    r"""
+    WITH paths AS (
+      SELECT doc_id,
+             '/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.TXT' AS full_path
+      FROM documents
+    )
+    SELECT doc_id, full_path,
+           regexp_replace(full_path, '[/\\][^/\\]+$', '') AS parent_dir,
+           regexp_replace(full_path, '^.+[/\\]', '') AS base_name,
+           lower(regexp_replace(full_path, '^.+\.', '')) AS ext,
+           regexp_replace(full_path, '[/\\][^/\\]+$', '') || '\' ||
+             regexp_replace(full_path, '^.+[/\\]', '') AS rejoined,
+           regexp_replace(trim(full_path || '///'), '([^:])?[\\|/]+$', '\1') AS stripped,
+           CAST(doc_id AS DOUBLE) / 1000.0 AS size_from_kb,
+           CAST(doc_id AS DOUBLE) * 1024.0 AS disp_gb,
+           least(greatest(CAST(doc_id AS DOUBLE), 100.0), 400.0) AS clamped
+    FROM paths
+    """,
+)
+def f2_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 SQL-callable surface: the same F1-F7/F12 scalars as
+    f1_path_scalars, but invoked THROUGH the registered Spark SQL-body
+    functions (functions/sqlsurface.py) from a plain SQL string — the
+    PL/pgSQL-parity call path. Catalyst inlines SQL-body functions, so
+    this plan is identical to the Column-expression form (no Python
+    UDF anywhere); the DuckDB oracle mirrors the expressions inline
+    (RE2 has no lookbehind — equivalent form for depth>=2 paths)."""
+    from ..catalog import load_table as _lt
+    from ..functions.sqlsurface import register_sql_functions
+
+    register_sql_functions(spark)
+    _lt(spark, sf_dir, "documents").createOrReplaceTempView("__fdb_docs")
+    return spark.sql(
+        r"""
+        WITH paths AS (
+          SELECT doc_id,
+                 concat('/data/', source, '/doc_', CAST(doc_id AS STRING), '.TXT') AS full_path
+          FROM __fdb_docs
+        )
+        SELECT doc_id, full_path,
+               fdb_basepath(full_path) AS parent_dir,
+               fdb_basename(full_path) AS base_name,
+               fdb_extension(full_path) AS ext,
+               fdb_path_join(fdb_basepath(full_path), fdb_basename(full_path)) AS rejoined,
+               fdb_strip_trailing_slashes(concat(full_path, '///')) AS stripped,
+               fdb_kb(CAST(doc_id AS DOUBLE)) AS size_from_kb,
+               fdb_to_gb(CAST(doc_id AS DOUBLE)) AS disp_gb,
+               fdb_clamp(CAST(doc_id AS DOUBLE), 100.0, 400.0) AS clamped
+        FROM paths
+        """
+    )

@@ -272,6 +272,14 @@ _RQ3_PARTS = {
         "'f1', doc_id, NULL, NULL, "
         "full_path || '#' || parent_dir || '#' || base_name || '#' || ext, NULL",
     ),
+    # f2: the SQL-body-function surface (§2.11). disp_gb/clamped are
+    # exact integer-valued doubles -> BIGINT; size_from_kb rides v1.
+    "f2": (
+        "f2_sql_surface",
+        "'f2', doc_id, CAST(disp_gb AS BIGINT), CAST(clamped AS BIGINT), "
+        "full_path || '#' || parent_dir || '#' || base_name || '#' || ext"
+        " || '#' || rejoined || '#' || stripped, size_from_kb",
+    ),
     # w3's five doubles don't fit one v1 slot; the four bounded ones are
     # packed into s1 as EXACT integers (money -> cents, ranks -> micros;
     # both engines compute the same double and both round half-up for
@@ -343,6 +351,17 @@ def rq3_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              k2=c("l_linenumber"), k3=c("lines_in_order")),
         norm(r.f1_path_scalars(spark, sf_dir), "f1", k1=c("doc_id"),
              s1=F.concat_ws("#", "full_path", "parent_dir", "base_name", "ext")),
+        norm(
+            r.f2_sql_surface(spark, sf_dir), "f2",
+            k1=c("doc_id"),
+            k2=c("disp_gb").cast("bigint"),
+            k3=c("clamped").cast("bigint"),
+            s1=F.concat_ws(
+                "#", "full_path", "parent_dir", "base_name", "ext",
+                "rejoined", "stripped",
+            ),
+            v1=c("size_from_kb"),
+        ),
         norm(
             r.w3_window_suite(spark, sf_dir), "w3",
             k1=c("o_custkey"), k2=c("o_orderkey"), k3=c("spend_quartile"),

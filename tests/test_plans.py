@@ -281,3 +281,12 @@ def test_v7_pq_adc_broadcast_lookups(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_f2_sql_body_functions_stay_jvm_side(spark, sf_dir):
+    # SQL-body functions must inline into the plan (Catalyst) — never a
+    # Python UDF evaluation node
+    plan = _plan(spark, sf_dir, "f2_sql_surface")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert _shuffles(plan) == 0
