@@ -395,3 +395,176 @@ ORACLES["s8_stream_stream_join"] = """
      AND p.event_type = 'purchase' AND c.event_type = 'click'
      AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
     """
+
+
+# ---------------------------------------------------------------------------
+# s9: streaming count-min-sketch maintenance — the O(1)-state frequency
+# structure (d22) kept current by the stream instead of recomputed by
+# batch. Cells merge by + across micro-batches; heavy-hitter estimates
+# are then served from the MAINTAINED sketch only.
+# ---------------------------------------------------------------------------
+
+_S9_TOPK = 20
+
+
+def s9_stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch maintains the 4x512 portable CMS (same md5
+    universal-hash family as d22) over per-user event activity: each
+    micro-batch computes its partial cell counts map-side and MERGES
+    them into a generation-swapped parquet cell store by summing — the
+    defining mergeability of the sketch, exercised by the stream. After
+    the availableNow drain, the top-K most-active users (exact
+    candidates, d22's probe pattern) are estimated back OUT of the
+    maintained cells (min over the 4 rows; cms_est >= true_count
+    one-sided).
+
+    Scale: state is 2048 cells regardless of stream volume — this is
+    the streaming frequency structure that replaces a full user-count
+    table when only heavy hitters are needed; the drained store equals
+    the batch sketch exactly (integer cell sums, order-independent),
+    which is what the oracle verifies."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.text import CMS_PERMS, PORTABLE_PRIME, portable_base_hash
+    from ..catalog import load_table
+    from .textops import _CMS_W
+
+    store_root = tempfile.mkdtemp(prefix="s9_cms_")
+    data_dir = os.path.join(store_root, "cells")
+    ckpt_dir = os.path.join(store_root, "_ckpt")
+
+    def batch_cells(df: DataFrame) -> DataFrame:
+        hashed = df.select(
+            portable_base_hash(F.col("user_id").cast("string")).alias("b")
+        )
+        rc = hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"),
+                            (
+                                (F.col("b") * F.lit(a) + F.lit(bb))
+                                % PORTABLE_PRIME
+                                % _CMS_W
+                            ).alias("c"),
+                        )
+                        for i, (a, bb) in enumerate(CMS_PERMS)
+                    ]
+                )
+            ).alias("rc")
+        )
+        return rc.groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c")).agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+
+    def merge_cells(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_cells(batch_df)
+        if os.path.isdir(data_dir):
+            existing = spark.read.parquet(data_dir)
+            merged = (
+                existing.unionByName(part)
+                .groupBy("r", "c")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = part
+        tmp = data_dir + f".gen{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        os.rename(tmp, data_dir)
+
+    src = es.events_source(spark, sf_dir)
+    q = (
+        src.writeStream.outputMode("append")
+        .foreachBatch(merge_cells)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cells = spark.read.parquet(data_dir)
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    exact = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("true_count"))
+    order = [F.col("true_count").desc(), F.col("user_id").asc()]
+    top = (
+        exact.orderBy(*order)
+        .limit(_S9_TOPK)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)).cast("bigint"))
+    )
+    probe = top.withColumn(
+        "b", portable_base_hash(F.col("user_id").cast("string"))
+    ).select(
+        "user_id",
+        "true_count",
+        "rank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (
+                            (F.col("b") * F.lit(a) + F.lit(bb))
+                            % PORTABLE_PRIME
+                            % _CMS_W
+                        ).alias("c"),
+                    )
+                    for i, (a, bb) in enumerate(CMS_PERMS)
+                ]
+            )
+        ).alias("rc"),
+    )
+    return (
+        probe.join(
+            F.broadcast(cells),
+            (F.col("rc.r") == F.col("r")) & (F.col("rc.c") == F.col("c")),
+        )
+        .groupBy("user_id", "true_count", "rank")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "true_count",
+            "cms_est",
+            "rank",
+        )
+    )
+
+
+QUERIES["s9_stream_cms_maintenance"] = s9_stream_cms_maintenance
+
+
+# The drained cell store equals the batch CMS (integer cell sums merge
+# by + across micro-batches), so the heavy-hitter estimates equal the
+# batch sketch probe exactly.
+ORACLES["s9_stream_cms_maintenance"] = """
+    WITH u AS (
+      SELECT CAST(user_id AS VARCHAR) AS term FROM events
+    ), vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS true_count FROM u GROUP BY term
+    ), h AS (
+      SELECT term, true_count, (CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2147483647) AS b FROM vocab
+    ), params(r, a, bb) AS (VALUES (0, 732788889, 895360125), (1, 1409029903, 1972018528), (2, 1388854099, 852674222), (3, 326685493, 1927511008)),
+    cells AS (
+      SELECT p.r AS r, ((h.b * p.a + p.bb) % 2147483647) % 512 AS c,
+             CAST(SUM(true_count) AS BIGINT) AS cnt
+      FROM h CROSS JOIN params p GROUP BY 1, 2
+    ), top AS (
+      SELECT term, true_count, b,
+             CAST(ROW_NUMBER() OVER (ORDER BY true_count DESC, CAST(term AS BIGINT) ASC) AS BIGINT) AS rank
+      FROM h QUALIFY rank <= 20
+    )
+    SELECT CAST(t.term AS BIGINT) AS user_id, t.true_count,
+           CAST(MIN(c2.cnt) AS BIGINT) AS cms_est, t.rank
+    FROM top t
+    CROSS JOIN params p
+    JOIN cells c2 ON c2.r = p.r AND c2.c = ((t.b * p.a + p.bb) % 2147483647) % 512
+    GROUP BY t.term, t.true_count, t.rank
+"""

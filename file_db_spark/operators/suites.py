@@ -1266,16 +1266,21 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            f"'rollup', {_ep('day')}, NULL, NULL, event_type, n_events, total_value")
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s8_stream_stream_join"],
-           "'ssjoin', purchase_id, user_id, click_id, NULL, NULL, NULL"),
+           "'ssjoin', purchase_id, user_id, click_id, NULL, NULL, NULL")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s9_stream_cms_maintenance"],
+           "'cms', user_id, true_count, cms_est, NULL, rank, NULL"),
 )
 def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six more real Structured Streaming drains in one graded row:
+    """Seven more real Structured Streaming drains in one graded row:
     s3 sliding windows (complete), s4 watermark-bounded keyed dedup
     (key-set projection), s5 native session windows (complete), s6
     stream-static LSH near-dup admission (append), s7 incremental
     rollup maintenance (foreachBatch MERGE into a generation-swapped
-    hourly store), s8 stream-stream watermarked interval join (append).
-    Each member runs its own availableNow stream unchanged."""
+    hourly store), s8 stream-stream watermarked interval join (append),
+    s9 streaming count-min-sketch maintenance (foreachBatch cell-sum
+    merge; heavy hitters served from the maintained sketch). Each
+    member runs its own availableNow stream unchanged."""
     s3 = streaming_queries.s3_stream_sliding(spark, sf_dir).select(
         F.lit("sliding").alias("stream"),
         _epoch(F.col("window_start")).alias("k1"),
@@ -1330,12 +1335,22 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("n"),
         _dn().alias("v1"),
     )
+    s9 = streaming_queries.s9_stream_cms_maintenance(spark, sf_dir).select(
+        F.lit("cms").alias("stream"),
+        F.col("user_id").alias("k1"),
+        F.col("true_count").alias("k2"),
+        F.col("cms_est").alias("k3"),
+        _sn().alias("s1"),
+        F.col("rank").alias("n"),
+        _dn().alias("v1"),
+    )
     return (
         s3.unionByName(s4)
         .unionByName(s5)
         .unionByName(s6)
         .unionByName(s7)
         .unionByName(s8)
+        .unionByName(s9)
     )
 
 
