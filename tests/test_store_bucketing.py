@@ -79,3 +79,31 @@ def test_generation_swap_keeps_bucketing(spark, tmp_path):
 def test_specs_share_bucket_count():
     (nf, _), (nh, _) = BUCKET_SPECS["file"], BUCKET_SPECS["hash"]
     assert nf == nh  # co-location requires equal bucket counts
+
+
+def test_read_at_time_travel_and_cdc_diff(spark, tmp_path):
+    import pytest as _pytest
+
+    from file_db_spark.filedb.store import diff_generations
+
+    st = _store(spark, tmp_path)
+    gen1 = st.read("file")
+    st.replace("file", gen1.where(F.col("id") < 32))
+    # back=0 is current, back=1 the pre-replace snapshot
+    assert st.read_at("file", back=0).count() == 32
+    assert st.read_at("file", back=1).count() == gen1.count() == 64
+    with _pytest.raises(IndexError):
+        st.read_at("file", back=9)
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)], "id long, name string, v long"
+    )
+    cdc = {
+        r["id"]: r["op"]
+        for r in diff_generations(old, new, ["id"], ["name", "v"]).collect()
+    }
+    # 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
+    assert cdc == {1: "D", 3: "U", 4: "I"}
