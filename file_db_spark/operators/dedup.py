@@ -987,6 +987,10 @@ def x13_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = d.select(
         "doc_id", tokens(normalize_text("text")).alias("toks")
     ).where(F.size("toks") > 0)
+    # the chunk table feeds BOTH the df aggregate and the score join —
+    # persist so the corpus is tokenized+hashed once, not twice (the
+    # d25 trained-table pattern; at 100 TB the chunk table would be a
+    # materialized artifact)
     chunks = staged.select(
         "doc_id",
         F.explode(
@@ -995,7 +999,7 @@ def x13_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" i -> md5(concat_ws(' ', slice(toks, i*{CHUNK_TOKENS}+1, {CHUNK_TOKENS}))))"
             )
         ).alias("chunk_hash"),
-    )
+    ).persist()
     cf = chunks.groupBy("chunk_hash").agg(
         F.countDistinct("doc_id").alias("chunk_df")
     )
