@@ -826,10 +826,10 @@ def f1_path_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(4) OVER w AS BIGINT) AS spend_quartile,
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cume,
-           SUM(o_totalprice) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_spend
+           ) AS DOUBLE) AS running_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -840,9 +840,12 @@ def w3_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROWS-frame sum, all over one (customer, order-date) window.
 
     Determinism: the window orders by (o_orderdate, o_orderkey) — a
-    total order — so lag/lead/ntile and the running double sum are
-    reproducible and engine-identical (the running sum adds in a fixed
-    sequence; percent_rank/cume_dist are exact rational divisions).
+    total order — so lag/lead/ntile are reproducible, and
+    percent_rank/cume_dist are exact rational divisions. The running
+    sum is DECIMAL-FIRST (then cast to double): a raw double windowed
+    sum is association-order-sensitive and engines may evaluate
+    cumulative frames via segment trees, so only exact decimal partials
+    guarantee bit-identical results (the a1 lesson applied to windows).
 
     Scale: ONE shuffle on o_custkey serves every window function
     (identical partitioning + ordering -> a single WindowExec); frames
@@ -859,7 +862,10 @@ def w3_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("bigint").alias("spend_quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
-        F.sum("o_totalprice").over(wrun).alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(wrun)
+        .cast("double")
+        .alias("running_spend"),
     )
 
 
