@@ -91,12 +91,19 @@ ORACLES["s1_stream_tumbling"] = """
     FROM events
     GROUP BY 1, 2
     """
+# spend accumulates in exact integer cents on both sides (see
+# events_stream.user_spend_monitor): float sums are order-sensitive
+# and the alert threshold is a hard integer boundary
 ORACLES["s2_stream_spend_monitor"] = """
+    WITH c AS (
+      SELECT user_id,
+             CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
     SELECT user_id, COUNT(*) AS n_purchases,
-           SUM(COALESCE(value, 0)) AS total_spend,
-           CAST(FLOOR(SUM(COALESCE(value, 0)) / 500.0) AS BIGINT) AS alert_level
-    FROM events WHERE event_type = 'purchase'
-    GROUP BY user_id
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_spend,
+           CAST(SUM(cents) // 50000 AS BIGINT) AS alert_level
+    FROM c GROUP BY user_id
     """
 # Sliding windows are epoch-aligned with slide 30 min: each event falls
 # in exactly windowDuration/slide = 2 windows (its 30-min floor and the

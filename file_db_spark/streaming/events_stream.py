@@ -160,33 +160,40 @@ def user_spend_monitor(
     a running scalar per key, emitted on every update, independent of
     event-time windows.
 
-    State story at scale: one (count, sum) pair per user in the state
+    State story at scale: one (count, cents) pair per user in the state
     store — O(distinct users) memory, partitioned by the groupBy key;
     Arrow-batched transfer only for the updated keys each trigger.
+
+    Determinism: spend accumulates in EXACT integer cents (the values
+    are true 2-decimal amounts, so round(v*100) is exact and
+    rounding-mode-proof), never in floats — a float running sum is
+    association-order-sensitive AND the alert threshold is a hard
+    integer boundary a one-ulp difference could flip.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
         "user_id long, n_purchases long, total_spend double, alert_level long"
     )
-    state_schema = "n long, total double"
+    state_schema = "n long, cents long"
+    threshold_cents = int(round(threshold * 100))
 
     def update(key, pdfs, state):
         import pandas as pd
 
-        n, total = state.get() if state.exists else (0, 0.0)
+        n, cents = state.get() if state.exists else (0, 0)
         for pdf in pdfs:
             vals = pdf["value"].fillna(0.0).astype("float64")
             n += len(pdf)
-            total += float(vals.sum())
-        state.update((n, total))
+            cents += int((vals * 100.0).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame(
             [
                 {
                     "user_id": key[0],
                     "n_purchases": n,
-                    "total_spend": total,
-                    "alert_level": int(total // threshold),
+                    "total_spend": cents / 100.0,
+                    "alert_level": cents // threshold_cents,
                 }
             ]
         )
