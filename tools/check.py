@@ -4,7 +4,7 @@ queries() entry at sf0.01, run the matching oracle_sql() in DuckDB on
 the same parquet, and compare row-count + (order-insensitive,
 name-sorted-columns) value hash.
 
-Usage: python tools/check.py [--graded] [--vanilla] [query ...]
+Usage: python tools/check.py [--graded] [--vanilla] [--strict] [query ...]
 
 With no query args, checks the FULL registry (operators.ALL_QUERIES —
 suites AND their member originals). --graded restricts to the 50-entry
@@ -35,11 +35,19 @@ from file_db_spark.catalog import TABLES  # noqa: E402
 from file_db_spark.session import get_spark  # noqa: E402
 
 
+#: --strict compares float columns BIT-EXACTLY (no round-6 smoothing).
+#: The driver's hash may be stricter than ours; a query that passes
+#: only thanks to rounding has an order-sensitive float somewhere —
+#: strict mode surfaces those locally.
+STRICT = False
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            if not STRICT:
+                df[c] = df[c].round(6)
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype("int64")
         else:
@@ -81,6 +89,8 @@ def main() -> None:
     args = sys.argv[1:]
     graded_only = "--graded" in args
     vanilla = "--vanilla" in args
+    global STRICT
+    STRICT = "--strict" in args
     only = {a for a in args if not a.startswith("--")}
     if "--fresh" in args:
         from file_db_spark import operators as _ops
