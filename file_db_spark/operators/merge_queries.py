@@ -1120,10 +1120,10 @@ def g6_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    store = TableStore(
-        spark, tempfile.mkdtemp(prefix="fdb_g6_"), {"file": schemas.FILE},
-        bucketing=False,
-    )
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="fdb_g6_")
+    store = TableStore(spark, root, {"file": schemas.FILE}, bucketing=False)
     store.replace("file", f1)
     store.replace("file", f2)
     old = store.read_at("file", back=1)
@@ -1131,7 +1131,7 @@ def g6_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = diff_generations(
         old, new, key_cols=["id"], compare_cols=["name", "dir_id", "size", "mtime"]
     )
-    return diff.select(
+    out = diff.select(
         "op",
         F.col("id").cast("bigint").alias("id"),
         "old_name",
@@ -1143,6 +1143,12 @@ def g6_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ep(F.col("old_mtime")).alias("old_mtime_ep"),
         _ep(F.col("new_mtime")).alias("new_mtime_ep"),
     )
+    # materialize off the scratch store (x7's localCheckpoint pattern)
+    # so the generations can be removed before returning — repeated
+    # harness invocations don't accumulate /tmp dirs
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

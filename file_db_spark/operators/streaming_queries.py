@@ -297,6 +297,7 @@ def s7_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is why the e8-style daily oracle hash-matches exactly
     (decimal partials are exact under re-aggregation)."""
     import os
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -348,13 +349,18 @@ def s7_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     stored = spark.read.parquet(data_dir)
-    return (
+    out = (
         stored.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
             F.sum("sum_value").cast("double").alias("total_value"),
         )
     )
+    # materialize off the scratch store, then remove it — repeated
+    # harness invocations must not accumulate /tmp state
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(store_root, ignore_errors=True)
+    return out
 
 
 QUERIES["s7_stream_rollup_upsert"] = s7_stream_rollup_upsert
@@ -529,7 +535,7 @@ def s9_stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rc"),
     )
-    return (
+    out = (
         probe.join(
             F.broadcast(cells),
             (F.col("rc.r") == F.col("r")) & (F.col("rc.c") == F.col("c")),
@@ -543,6 +549,10 @@ def s9_stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+    # materialize off the scratch cell store, then remove it
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(store_root, ignore_errors=True)
+    return out
 
 
 QUERIES["s9_stream_cms_maintenance"] = s9_stream_cms_maintenance
