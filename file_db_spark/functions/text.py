@@ -269,6 +269,13 @@ SIMHASH_PERMS = _perm_constants(64, seed=0xC0FFEE)
 #: count-min sketch row hashes (d rows) over the same universal family
 CMS_PERMS = _perm_constants(4, seed=0xCA15)
 
+#: Bloom-filter hash family (k=3) over the same portable base hash;
+#: positions are ((base*a + b) % PORTABLE_PRIME) % BLOOM_M on both
+#: engines. BLOOM_M is a power of two purely for familiarity — the
+#: modulus chain keeps positions uniform regardless.
+BLOOM_PERMS = _perm_constants(3, seed=0xB10F)
+BLOOM_M = 65536
+
 #: DuckDB expression template for the portable base hash of a string
 #: expression {s}: first 32 bits of md5, reduced mod P.
 DUCKDB_BASE_HASH = (

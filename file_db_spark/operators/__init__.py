@@ -100,7 +100,7 @@ _GRADED_ORDER = (
     "x6_embedding_neardup",
     "x710_components_survivors",
     "x8_text_embedding_join",
-    "x9_contamination",
+    "x915_contamination",
     # similarity search
     "v1_knn_bruteforce",
     "v2_ann_lsh",

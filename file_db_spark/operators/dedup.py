@@ -1086,3 +1086,136 @@ def x14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cluster == F.col("vec_id")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x15: Bloom-filter contamination probe — the fixed-size (BLOOM_M bits)
+# replacement for x9's exact broadcast gram set when the held-out
+# benchmark is too large to broadcast verbatim. Completes the portable
+# sketch family (MinHash, SimHash, winnow, HLL, CMS, Bloom).
+# ---------------------------------------------------------------------------
+@_q(
+    "x15_bloom_contamination",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS bucket,
+             list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, bucket,
+             CASE WHEN len(toks) >= 4
+                  THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM norm
+    ), params(r, a, bb) AS (VALUES (0, 2075165279, 330923042), (1, 1149295249, 1965771443), (2, 1727676463, 645763891)),
+    tg AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE bucket >= 950),
+    tgh AS (SELECT g, (CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 2147483647) AS b FROM tg),
+    bits AS (
+      SELECT DISTINCT ((h.b * p.a + p.bb) % 2147483647) % 65536 AS bit
+      FROM tgh h CROSS JOIN params p
+    ),
+    train AS (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE bucket < 950),
+    trh AS (SELECT doc_id, g, (CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 2147483647) AS b FROM train),
+    probe AS (
+      SELECT t.doc_id, t.g, COUNT(*) AS matched
+      FROM trh t CROSS JOIN params p
+      JOIN bits ON bits.bit = ((t.b * p.a + p.bb) % 2147483647) % 65536
+      GROUP BY t.doc_id, t.g
+    ),
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits
+      FROM probe WHERE matched = 3 GROUP BY doc_id
+    ),
+    exact AS (
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM train s JOIN tg ON s.g = tg.g GROUP BY s.doc_id
+    ),
+    ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM train GROUP BY doc_id)
+    SELECT h.doc_id, ng.n_grams, COALESCE(e.n_true, 0) AS n_true, h.n_bloom_hits
+    FROM hits h JOIN ng USING (doc_id) LEFT JOIN exact e USING (doc_id)
+""",
+)
+def x15_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination screening via a PORTABLE Bloom filter: the test
+    split's 4-gram set is folded into a 65536-bit filter (k=3
+    positions per gram from the shared md5 universal-hash family —
+    bit-identical across engines), and train grams are flagged when all
+    three of their positions are set. One-sided by construction:
+    n_bloom_hits >= n_true for every document, and rows where they
+    differ expose the false positives directly (the exact count rides
+    along for that comparison).
+
+    Scale: the broadcast is the SET-BIT table — at most 65536 rows
+    no matter how large the benchmark suite is (x9's exact gram set
+    grows with it); the probe stays a map-side broadcast join + a
+    per-(doc, gram) all-k-set check. This is the screening pass; x9's
+    exact probe is the confirmation pass over the survivors."""
+    from ..functions.text import BLOOM_M, BLOOM_PERMS, portable_base_hash
+    from .textops import _HEX_BUCKET
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.expr(_HEX_BUCKET).alias("bucket"),
+        tokens(normalize_text("text")).alias("toks"),
+    )
+    sh = staged.select(
+        "doc_id", "bucket", word_shingles_from_tokens(F.col("toks"), 4).alias("shingles")
+    ).persist()  # both splits derive from it (the x9 pattern)
+
+    def positions(b):
+        return F.array(
+            *[
+                ((b * F.lit(a) + F.lit(bb)) % PORTABLE_PRIME % BLOOM_M)
+                for a, bb in BLOOM_PERMS
+            ]
+        )
+
+    tg = (
+        sh.where(F.col("bucket") >= 950)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    bits = (
+        tg.select(F.explode(positions(portable_base_hash(F.col("g")))).alias("bit"))
+        .distinct()
+    )
+    train = sh.where(F.col("bucket") < 950).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    probe = train.select(
+        "doc_id",
+        "g",
+        F.explode(positions(portable_base_hash(F.col("g")))).alias("pos"),
+    )
+    matched = (
+        probe.join(F.broadcast(bits), probe.pos == bits.bit)
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("matched"))
+    )
+    hits = (
+        matched.where(F.col("matched") == len(BLOOM_PERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_bloom_hits"))
+    )
+    exact = (
+        train.join(F.broadcast(tg), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+    )
+    ng = train.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_grams"))
+    return (
+        hits.join(ng, "doc_id")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint").alias("n_true"),
+            "n_bloom_hits",
+        )
+    )

@@ -1432,3 +1432,39 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dn().alias("v1"),
     )
     return e8.unionByName(e12)
+
+
+# ---------------------------------------------------------------------------
+# x915: contamination two ways — x9's exact broadcast-gram probe and
+# x15's fixed-size Bloom screening (the scale path when the benchmark
+# suite outgrows an exact broadcast).
+# ---------------------------------------------------------------------------
+@_q(
+    "x915_contamination",
+    _sub(dedup.ORACLES["x9_contamination"],
+         "'x9' AS member, doc_id, n_overlap AS n1, "
+         "CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x15_bloom_contamination"],
+           "'x15', doc_id, n_grams, n_true, n_bloom_hits"),
+)
+def x915_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x9 exact benchmark-decontamination probe + x15 portable
+    Bloom-filter screening in one graded row. The Bloom member's
+    (n_true, n_bloom_hits) pair shows the one-sided error directly;
+    both members run unchanged."""
+    x9 = dedup.x9_contamination(spark, sf_dir).select(
+        F.lit("x9").alias("member"),
+        F.col("doc_id"),
+        F.col("n_overlap").alias("n1"),
+        _bn().alias("n2"),
+        _bn().alias("n3"),
+    )
+    x15 = dedup.x15_bloom_contamination(spark, sf_dir).select(
+        F.lit("x15").alias("member"),
+        F.col("doc_id"),
+        F.col("n_grams").alias("n1"),
+        F.col("n_true").alias("n2"),
+        F.col("n_bloom_hits").alias("n3"),
+    )
+    return x9.unionByName(x15)

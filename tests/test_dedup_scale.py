@@ -43,3 +43,17 @@ def test_x7_matches_x10_keepers(spark, sf_dir):
     for v, lab in labels.items():
         assert lab <= v
         assert labels.get(lab, lab) == lab
+
+
+def test_x15_bloom_one_sided(spark):
+    # the Bloom screen may over-flag (false positives) but must NEVER
+    # miss a truly contaminated gram: n_bloom_hits >= n_true per doc,
+    # and every x9-exact doc appears in the x15 result
+    from file_db_spark.operators import dedup
+
+    sf_dir = "/root/testdata/sf0.01"
+    bloom = {r["doc_id"]: r for r in dedup.x15_bloom_contamination(spark, sf_dir).collect()}
+    exact = {r["doc_id"]: r["n_overlap"] for r in dedup.x9_contamination(spark, sf_dir).collect()}
+    assert all(r["n_bloom_hits"] >= r["n_true"] for r in bloom.values())
+    for doc, n in exact.items():
+        assert doc in bloom and bloom[doc]["n_true"] == n
