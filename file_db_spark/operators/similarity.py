@@ -701,13 +701,17 @@ def v7_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes 100 TB-scale ANN fit in executor memory.
 
     Scale: codebooks are PQ_M x PQ_K x 16 doubles (a few KB, broadcast);
-    training is the v6 map-only-score + keyed-window loop per subspace
-    (one DataFrame with a subspace column — no per-subspace jobs);
-    encoding rides the same pass. The query side precomputes the
-    Q x PQ_M x PQ_K distance table (tiny, broadcast), so scoring the
-    corpus is 4 broadcast-hash code lookups + a FIXED-ORDER 4-term add
-    (deterministic across engines) and one per-query top-k window. No
-    all-pairs float math at query time at all."""
+    training is a map-only broadcast score + a min_by hash aggregate per
+    round (one DataFrame with a subspace column — no per-subspace jobs,
+    and the argmin is a partial-aggregating groupBy: the K candidate
+    rows per (vector, subspace) collapse map-side, so the shuffle
+    carries one row per vector-subspace, never K). Encoding rides the
+    same pass. The query side packs the Q x PQ_M x PQ_K distance table
+    into per-query code->distance maps (tiny, ONE broadcast), so
+    scoring the corpus is one broadcast join + 4 map lookups + a
+    FIXED-ORDER 4-term add (deterministic across engines) and one
+    per-query top-k window. No all-pairs float math at query time at
+    all."""
     e = load_table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     sub = pts.select(
@@ -740,13 +744,18 @@ def v7_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _d2(F.col("se"), F.col("centroid")).alias("d2"),
             )
         )
-        w = Window.partitionBy("vec_id", "m").orderBy(
-            F.col("d2").asc(), F.col("cand_cell").asc()
-        )
+        # deterministic argmin: (d2 ASC, cand_cell ASC) — cand_cell is
+        # unique within the group, so the min_by ordering key never
+        # fully ties; se is constant per group and rides in the payload
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "se", F.col("cand_cell").alias("cell"))
+            scored.groupBy("vec_id", "m")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cand_cell").alias("cell"), F.col("se").alias("se")),
+                    F.struct(F.col("d2"), F.col("cand_cell")),
+                ).alias("best")
+            )
+            .select("vec_id", "m", F.col("best.se").alias("se"), F.col("best.cell").alias("cell"))
             .persist()
         )
     # codes: one row per vector, PQ_M one-byte columns (fixed pivot)
@@ -769,30 +778,43 @@ def v7_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             _d2(F.col("se"), F.col("centroid")).alias("pd"),
         )
     )
-    adc_sides = [
-        F.broadcast(
-            qc.filter(F.col("m") == i).select(
-                F.col("query_id").alias(f"q{i}"),
-                F.col("cell").alias(f"cell{i}"),
-                F.col("pd").alias(f"pd{i}"),
-            )
+    # pack the distance table into one code->distance MAP per (query,
+    # subspace) — map, not positional array, so a codebook cell that
+    # lost all members in training can't misalign the lookup — then one
+    # row per query carrying all PQ_M maps: the corpus scan does a
+    # single broadcast join + element_at lookups, not PQ_M joins
+    qtab = (
+        qc.groupBy("query_id", "m")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("cell", "pd")))
+            ).alias("dt")
         )
-        for i in range(PQ_M)
-    ]
-    joined = codes.join(adc_sides[0], F.col("c0") == F.col("cell0"))
-    for i in range(1, PQ_M):
-        joined = joined.join(
-            adc_sides[i],
-            (F.col(f"c{i}") == F.col(f"cell{i}"))
-            & (F.col(f"q{i}") == F.col("q0")),
+        .groupBy("query_id")
+        .agg(
+            # MAP isn't orderable so max() can't pivot it; first() with
+            # ignorenulls is deterministic here — exactly one of the
+            # PQ_M rows per group is non-null for each branch
+            *[
+                F.first(F.when(F.col("m") == i, F.col("dt")), ignorenulls=True).alias(
+                    f"dt{i}"
+                )
+                for i in range(PQ_M)
+            ]
         )
+    )
     # FIXED left-to-right addition order — mirrored in the oracle
     adc = (
-        joined.filter(F.col("vec_id") != F.col("q0"))
+        codes.join(F.broadcast(qtab), F.col("vec_id") != F.col("query_id"))
         .select(
-            F.col("q0").alias("query_id"),
+            "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (F.col("pd0") + F.col("pd1") + F.col("pd2") + F.col("pd3")).alias("adc"),
+            (
+                F.element_at(F.col("dt0"), F.col("c0"))
+                + F.element_at(F.col("dt1"), F.col("c1"))
+                + F.element_at(F.col("dt2"), F.col("c2"))
+                + F.element_at(F.col("dt3"), F.col("c3"))
+            ).alias("adc"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
