@@ -166,6 +166,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.windows import bounded_rank_window
 from ..functions.text import (
     normalize_text,
     portable_lsh_bands,
@@ -511,7 +512,7 @@ def s9_stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         exact.orderBy(*order)
         .limit(_S9_TOPK)
-        .withColumn("rank", F.row_number().over(Window.orderBy(*order)).cast("bigint"))
+        .withColumn("rank", F.row_number().over(bounded_rank_window("user_id", *order)).cast("bigint"))
     )
     probe = top.withColumn(
         "b", portable_base_hash(F.col("user_id").cast("string"))

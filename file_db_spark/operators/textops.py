@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.windows import bounded_frame_window, bounded_rank_window
 from ..functions.text import (
     BPE_TOKEN_RE,
     CMS_PERMS,
@@ -470,7 +471,7 @@ def d12_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.col("df").desc(), F.col("term").asc()]
     topk = vocab.orderBy(*order).limit(200)
-    w = Window.orderBy(*order)
+    w = bounded_rank_window("term", *order)
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("term", "df", "total_count", "rank")
@@ -708,7 +709,7 @@ def d11_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
     )
     share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(
-        Window.partitionBy()
+        bounded_frame_window("source")
     )
     return grouped.select(
         "source", "lang", "n_docs", "total_tokens", share.alias("token_share")
@@ -1270,7 +1271,7 @@ def d22_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.col("true_count").desc(), F.col("term").asc()]
     top = vocab.orderBy(*order).limit(_CMS_TOPK)
     top = top.withColumn(
-        "rank", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        "rank", F.row_number().over(bounded_rank_window("term", *order)).cast("bigint")
     )
     cand = top.withColumn("b", portable_base_hash(F.col("term"))).select(
         "term",
@@ -1441,7 +1442,7 @@ def d24_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.col("pair_count").desc(), F.col("pair").asc()]
     topk = pc.orderBy(*order).limit(BPE_PAIR_TOP)
-    w = Window.orderBy(*order)
+    w = bounded_rank_window("pair", *order)
     return topk.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
         "pair", "pair_count", "n_positions", "rank"
     )
