@@ -38,6 +38,7 @@ HEADLINE = [
     "x1_exact_dedup",
     "x4_minhash_lsh",
     "x7_dup_components",
+    "x16_components_star",
     "x9_contamination",
     "d1_token_stats",
     "d9_repetition_quality",

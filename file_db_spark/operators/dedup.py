@@ -624,9 +624,10 @@ def x8_text_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "x7_dup_components",
-    f"""
+#: recursive-CTE fixpoint over the x3 near-dup graph — shared by x7
+#: (min-label propagation) and x16 (star contraction): any correct
+#: connected-components algorithm must produce exactly these labels
+_X7_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE {_X3_PAIR_CTES},
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -641,8 +642,10 @@ def x8_text_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT v AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
     FROM reach GROUP BY v
-    """,
-)
+    """
+
+
+@_q("x7_dup_components", _X7_COMPONENTS_ORACLE)
 def x7_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the x3
     near-dup pair graph via min-label propagation — the step that turns
@@ -657,10 +660,11 @@ def x7_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Catalyst re-analyzes a 20-deep tree and an executor loss recomputes
     the whole chain); with it lineage is truncated to the materialized
     blocks, so plan depth — pinned in tests/test_dedup_scale.py — stays
-    constant across rounds. At 100 TB the same loop adds
-    large-star/small-star contraction and checkpoints to durable
-    storage instead; the driver-side part is only the convergence
-    scalar.
+    constant across rounds. For deep (high-diameter) graphs where
+    O(diameter) rounds is hopeless, x16_components_star computes the
+    SAME labels by large-star/small-star contraction in O(log^2 n)
+    rounds; at 100 TB checkpoints go to durable storage instead. The
+    driver-side part is only the convergence scalar.
 
     The converged label table is cached per (session, sf_dir): x10 and
     the x710 suite re-read it instead of re-running the loop.
@@ -713,6 +717,131 @@ def _build_x7_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
     labels = _propagate_min_labels(edges, "x7")
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lab").cast("bigint").alias("component_id")
+    )
+
+
+def _star_contraction_components(
+    edges: DataFrame, what: str, max_rounds: int = 30, stats: dict | None = None
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii:
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014).
+
+    Input: symmetric edge table (a, b), both directions, no self loops.
+    Output: (v, lab) with lab = min vertex id of v's component.
+
+    Why this exists next to `_propagate_min_labels`: propagation needs
+    O(diameter) rounds — fine for shallow near-dup clusters, hopeless
+    for chain-shaped components (URL redirect chains, quote chains) at
+    corpus scale. Star contraction rewires the graph itself each round
+    and converges in O(log^2 n) rounds REGARDLESS of diameter (the
+    1000-vertex path graph in tests/test_dedup_scale.py converges in
+    ~10 rounds where propagation would need 1000):
+
+    - large-star: every vertex u attaches each LARGER neighbor v to
+      m(u) = min(N(u) + {{u}}) — one groupBy(a) min + one equi-join;
+    - small-star: every vertex u re-attaches its smaller-or-equal
+      neighbors (and itself) to the minimum of that set — same shape;
+    - each pair of rounds is followed by canonical dedup (min-max
+      normalize + distinct) so edge multiplicity can't snowball, and a
+      localCheckpoint truncates lineage (the x7 lesson); convergence is
+      a 2-scalar (count, xor-ish sum) fixpoint check, 1-row collects.
+
+    Every step is a keyed shuffle on the vertex id — no window, no
+    driver-side graph state — so rounds cost the same as propagation
+    rounds; there are just exponentially fewer of them on deep graphs.
+    """
+    canon = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(cn: DataFrame) -> tuple:
+        row = cn.agg(
+            F.count("*").alias("n"), F.sum("a").alias("sa"), F.sum("b").alias("sb")
+        ).collect()[0]
+        return (row["n"], row["sa"], row["sb"])
+
+    prev = signature(canon)
+    prev_canon = canon
+    for rounds in range(1, max_rounds + 1):
+        sym = canon.unionByName(
+            canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # large-star: m(u) = min over ALL neighbors and self; attach
+        # strictly-larger neighbors to it
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", "a").alias("m"))
+        )
+        ls = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        sym = ls.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).distinct()
+        sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # small-star: m(u) = min over smaller neighbors and self;
+        # re-attach those neighbors AND u itself to it
+        smaller = sym.filter(F.col("b") < F.col("a"))
+        mins_s = smaller.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (
+            smaller.join(mins_s, "a")
+            .select(F.col("b").alias("v"), "m")
+            .unionByName(mins_s.select(F.col("a").alias("v"), "m"))
+            .filter(F.col("v") != F.col("m"))
+        )
+        canon = (
+            ss.select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = signature(canon)
+        # signature match is necessary, not sufficient (sums can
+        # collide): confirm the fixpoint with an exact set difference —
+        # runs at most once in practice, on the fully contracted graph
+        if cur == prev and canon.exceptAll(prev_canon).limit(1).count() == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
+            break
+        prev = cur
+        prev_canon = canon
+    else:
+        raise RuntimeError(
+            f"{what}: star contraction did not converge in {max_rounds} rounds"
+        )
+    # at the fixpoint the graph is a star forest: every edge is
+    # (root, v) with root = component minimum
+    sym = canon.unionByName(canon.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("v"), F.least("mb", "a").alias("lab"))
+    )
+
+
+@_q("x16_components_star", _X7_COMPONENTS_ORACLE)
+def x16_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x7's connected components computed by large-star/small-star
+    contraction instead of min-label propagation — the diameter-proof
+    100 TB scale path (see `_star_contraction_components`). Verified
+    against the SAME recursive-CTE oracle as x7: both algorithms must
+    produce identical component labels, and
+    tests/test_dedup_scale.py pins their equality plus the
+    logarithmic round count on a deep path graph that propagation's
+    round bound could never finish."""
+    pairs = x3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    labels = _star_contraction_components(edges, "x16")
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lab").cast("bigint").alias("component_id")
     )

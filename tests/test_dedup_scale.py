@@ -57,3 +57,36 @@ def test_x15_bloom_one_sided(spark):
     assert all(r["n_bloom_hits"] >= r["n_true"] for r in bloom.values())
     for doc, n in exact.items():
         assert doc in bloom and bloom[doc]["n_true"] == n
+
+
+def test_x16_star_equals_x7_propagation(spark, sf_dir):
+    # both algorithms must resolve the same components on the real
+    # near-dup graph (also pinned cross-engine by the shared oracle)
+    a = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup.x7_dup_components(spark, sf_dir).collect()
+    }
+    b = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup.x16_components_star(spark, sf_dir).collect()
+    }
+    assert a == b and a
+
+
+def test_star_contraction_diameter_proof(spark):
+    # a 1000-vertex path has diameter 999: min-label propagation needs
+    # one round per hop, star contraction must finish in O(log^2 n) —
+    # assert a hard logarithmic-scale bound and exact labels
+    from pyspark.sql import functions as F
+
+    n = 1000
+    e = spark.range(n - 1).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    stats = {}
+    labels = dedup._star_contraction_components(sym, "path-proof", stats=stats)
+    got = labels.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("lab") == 0, 1).otherwise(0)).alias("zeros"),
+    ).collect()[0]
+    assert (got["n"], got["zeros"]) == (n, n)
+    assert stats["rounds"] <= 16, stats  # 2*log2(1000) + slack; diameter is 999
