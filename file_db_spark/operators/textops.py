@@ -1652,3 +1652,105 @@ def d27_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("microjac").cast("bigint").alias("sum_microjac"),
         (F.col("src_a") == F.col("src_b")).alias("within_source"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d28: curriculum ordering — global total-order rank WITHOUT a global
+# window (the distributed-sort idiom every ordered export needs).
+# ---------------------------------------------------------------------------
+
+#: range partitions for the curriculum sort (the parallelism knob: at
+#: 100 TB this is O(10k) so each range holds ~10 GB)
+CURRICULUM_RANGES = 8
+CURRICULUM_SHARDS = 4
+
+
+@_q(
+    "d28_curriculum_order",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT)
+               AS global_pos,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, global_pos,
+           CAST(((global_pos - 1) * {CURRICULUM_SHARDS}) // n AS BIGINT) AS shard
+    FROM ranked
+    """,
+)
+def d28_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering (short-to-long, Bengio et al. 2009
+    curricula as used by length-ordered pre-training warmups): every
+    document gets its exact GLOBAL position in the (n_tokens ASC,
+    doc_id ASC) total order, plus the contiguous curriculum shard that
+    position falls in — the ordered counterpart of d18's hash-shuffle
+    export.
+
+    A naive global rank is `row_number()` over an unpartitioned window
+    — the single-partition funnel this repo bans (see d12). This is the
+    scale-correct construction Spark's own sort uses, done in three
+    bounded steps:
+
+    1. `repartitionByRange` on the full sort key: a RangePartitioning
+       exchange (sampled boundaries) gives disjoint, ordered ranges —
+       the only data-sized movement, identical in cost to any sort;
+    2. per-range `row_number` over a window PARTITIONED by the range id
+       (`spark_partition_id` materialized as a column) — parallel, no
+       funnel;
+    3. range sizes (one row per range — O(partitions), never O(rows))
+       are cumulated into starting offsets and broadcast-joined back:
+       global_pos = range_offset + local rank.
+
+    Because ranges are disjoint and internally ranked by the same total
+    order, the result is bit-identical to the single-window answer —
+    the DuckDB oracle IS that single window. Shard boundaries derive
+    from global_pos arithmetic, so shards are contiguous curriculum
+    phases (shard 0 = shortest quarter), unlike d18's hash shards."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    ranged = tok.repartitionByRange(
+        CURRICULUM_RANGES, F.col("n_tokens").asc(), F.col("doc_id").asc()
+    ).withColumn("range_id", F.spark_partition_id())
+    ranged = ranged.persist()
+    w = Window.partitionBy("range_id").orderBy(
+        F.col("n_tokens").asc(), F.col("doc_id").asc()
+    )
+    local = ranged.withColumn("local_pos", F.row_number().over(w).cast("bigint"))
+    sizes = ranged.groupBy("range_id").agg(F.count("*").alias("sz"))
+    # offsets: running sum over the O(partitions)-row size table — tiny
+    # by construction, computed with the d12-style bounded window
+    off_w = (
+        bounded_rank_window("range_id", F.col("range_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = sizes.select(
+        "range_id",
+        (F.sum("sz").over(off_w) - F.col("sz")).alias("offset"),
+        F.sum(F.col("sz")).over(bounded_frame_window("range_id")).alias("n"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "range_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("offset") + F.col("local_pos")).alias("global_pos"),
+            F.col("n"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "global_pos",
+            F.floor((F.col("global_pos") - 1) * CURRICULUM_SHARDS / F.col("n"))
+            .cast("bigint")
+            .alias("shard"),
+        )
+    )

@@ -290,3 +290,11 @@ def test_f2_sql_body_functions_stay_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert _shuffles(plan) == 0
+
+
+def test_d28_global_rank_without_global_window(spark, sf_dir):
+    # the total-order rank must come from RangePartitioning + keyed
+    # windows, never a single-partition funnel of the corpus
+    plan = _plan(spark, sf_dir, "d28_curriculum_order")
+    assert "rangepartitioning" in plan
+    assert "Exchange SinglePartition" not in plan
