@@ -480,14 +480,22 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(
         textops.ORACLES["d26_temperature_mix"],
         "'d26', doc_id, source, bucket, in_mix, CAST(NULL AS VARCHAR), rate",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d28_curriculum_order"],
+        "'d28', doc_id, CAST(NULL AS VARCHAR), shard, global_pos, "
+        "CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)",
     ),
 )
 def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d6 train/val/test hash split + d8 stratified-sample membership
     (one scan-riding projection, no shuffle — both decisions read the
     same md5 bucket) plus d18's deterministic training-shard export
-    (salted-hash shard + in-shard position) and d26's temperature-
-    weighted source re-balancing (T=2 mix) in one graded row."""
+    (salted-hash shard + in-shard position), d26's temperature-
+    weighted source re-balancing (T=2 mix), and d28's curriculum
+    total-order export (exact global position from range-partitioned
+    ranking) in one graded row."""
     d = load_table(spark, sf_dir, "documents")
     bucket = F.expr(textops._HEX_BUCKET)
     rate = F.when(F.col("source").isin("src0", "src1", "src2"), 500).otherwise(100)
@@ -521,7 +529,16 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sn().alias("s1"),
         F.col("rate").alias("v1"),
     )
-    return d6d8.unionByName(d18).unionByName(d26)
+    d28 = textops.d28_curriculum_order(spark, sf_dir).select(
+        F.lit("d28").alias("part"),
+        "doc_id",
+        _sn().alias("source"),
+        F.col("shard").alias("k1"),
+        F.col("global_pos").alias("k2"),
+        _sn().alias("s1"),
+        _dn().alias("v1"),
+    )
+    return d6d8.unionByName(d18).unionByName(d26).unionByName(d28)
 
 
 # ---------------------------------------------------------------------------
@@ -1198,6 +1215,9 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT) AS flag
     FROM comp
     UNION ALL
+    SELECT 'x16', doc_id, component_id, CAST(NULL AS BIGINT)
+    FROM comp
+    UNION ALL
     SELECT 'x10', d.doc_id,
            CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT),
            CAST(COALESCE(c.component_id, d.doc_id) <> d.doc_id AS BIGINT)
@@ -1210,7 +1230,10 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x7 min-label-propagation connected components + x10 survivor map
+    """x7 min-label-propagation connected components + x16 large-star/
+    small-star contraction (same labels, O(log^2 n) rounds — both
+    projected from the ONE recursive closure in the oracle, so the
+    driver certifies the two algorithms agree) + x10 survivor map
     + x14 semantic dedup (SemDeDup: components over the embedding-cosine
     near-dup graph) in one graded row. Members run unchanged (x10
     internally re-derives the labels; at the graded SF the component
@@ -1222,6 +1245,12 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component_id").alias("k2"),
         # BIGINT flag, not BOOLEAN: engines render NULL booleans
         # differently through the pandas bridges ('None' vs 'nan')
+        _bn().alias("flag"),
+    )
+    x16 = dedup.x16_components_star(spark, sf_dir).select(
+        F.lit("x16").alias("member"),
+        F.col("doc_id").alias("k1"),
+        F.col("component_id").alias("k2"),
         _bn().alias("flag"),
     )
     x10 = dedup.x10_dedup_survivors(spark, sf_dir).select(
@@ -1236,7 +1265,7 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("k2"),
         F.col("keep").cast("bigint").alias("flag"),
     )
-    return x7.unionByName(x10).unionByName(x14)
+    return x7.unionByName(x16).unionByName(x10).unionByName(x14)
 
 
 # ---------------------------------------------------------------------------
