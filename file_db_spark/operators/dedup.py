@@ -784,10 +784,12 @@ def _star_contraction_components(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
-        sym = ls.select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        ).distinct()
-        sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # no mid-round dedup: small-star's min aggregate is duplicate-
+        # insensitive and the round ends in a canonical distinct, so a
+        # distinct here would only add a shuffle (duplicate growth is
+        # bounded within the round — ls emits at most one edge per
+        # input edge)
+        sym = ls.unionByName(ls.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # small-star: m(u) = min over smaller neighbors and self;
         # re-attach those neighbors AND u itself to it
         smaller = sym.filter(F.col("b") < F.col("a"))
