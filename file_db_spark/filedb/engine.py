@@ -152,9 +152,20 @@ class Engine:
         self.store.replace("file", f_res.file)
         self.store.replace("directory_control", control)
         self.store.append("hash_control", f_res.hash_schedule)
-        if not (d_res.removal_queue.isEmpty() and f_res.removal_queue.isEmpty()):
+        # one emptiness probe for both queues (two isEmpty calls would
+        # each re-walk their merge lineage)
+        any_removals = (
+            d_res.removal_queue.select(F.lit(1).alias("one"))
+            .limit(1)
+            .unionAll(f_res.removal_queue.select(F.lit(1).alias("one")).limit(1))
+            .take(1)
+        )
+        if any_removals:
             self._apply_removals(d_res.removal_queue, f_res.removal_queue, now)
         listing.unpersist()
+        for scratch in (d_res.scratch, f_res.scratch):
+            if scratch is not None:
+                scratch.unpersist()
         return len(frontier)
 
     def _apply_removals(

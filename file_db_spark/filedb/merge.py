@@ -61,6 +61,7 @@ class DirMergeResult:
     directory: DataFrame       # new state of the entity table
     new_dirs: DataFrame        # inserted rows (to seed control, M9)
     removal_queue: DataFrame   # vanished dirs -> deferred delete (dir_id, dir_path)
+    scratch: DataFrame | None = None  # persisted shared subtree; unpersist after the wave's writes
 
 
 def merge_directories(
@@ -75,7 +76,13 @@ def merge_directories(
     ex = directory.alias("ex")
     st = staged.alias("st")
 
-    joined = st.join(ex, F.col("st.dir_path") == F.col("ex.dir_path"), "left")
+    # the staged<->existing probe feeds inserts, updates, touched AND
+    # (via those) the entity rewrite — persist it so the wave's several
+    # write actions don't each re-run the join; the engine unpersists
+    # via .scratch once its writes land
+    joined = st.join(
+        ex, F.col("st.dir_path") == F.col("ex.dir_path"), "left"
+    ).persist()
     inserts = joined.where(F.col("ex.id").isNull()).select(
         F.col("st.id").alias("id"),
         F.col("st.dir_path").alias("dir_path"),
@@ -114,6 +121,7 @@ def merge_directories(
         directory=untouched.unionByName(inserts).unionByName(updates),
         new_dirs=inserts,
         removal_queue=vanished,
+        scratch=joined,
     )
 
 
@@ -125,6 +133,7 @@ class FileMergeResult:
     file: DataFrame            # new state of the entity table
     hash_schedule: DataFrame   # new/changed files to (re)hash (hash_control rows)
     removal_queue: DataFrame   # vanished files -> deferred delete (file_id)
+    scratch: DataFrame | None = None  # persisted shared subtree; unpersist after the wave's writes
 
 
 def merge_files(
@@ -142,7 +151,9 @@ def merge_files(
     staged = staged_files.dropDuplicates(["id"])
     ex = file.alias("ex")
     st = staged.alias("st")
-    joined = st.join(ex, F.col("st.id") == F.col("ex.id"), "left")
+    # same persist rationale as merge_directories: the probe feeds the
+    # entity rewrite, the rehash schedule and the touched set
+    joined = st.join(ex, F.col("st.id") == F.col("ex.id"), "left").persist()
 
     inserts = joined.where(F.col("ex.id").isNull()).select(
         F.col("st.id").alias("id"),
@@ -212,6 +223,7 @@ def merge_files(
         file=untouched.unionByName(inserts).unionByName(updates),
         hash_schedule=to_hash,
         removal_queue=vanished,
+        scratch=joined,
     )
 
 
