@@ -147,7 +147,15 @@ class TableStore:
 
     def append(self, name: str, df: DataFrame) -> None:
         """Append rows (archive/removal-queue semantics): current rows
-        plus the new ones become the next generation."""
+        plus the new ones become the next generation.
+
+        Scale note: rewriting current+new keeps every generation a full
+        snapshot (what read_at/diff_generations index), at O(table) per
+        append — fine for the drained queues (bounded) but O(history)
+        for ever-growing archives. On a cluster this call maps to a
+        Delta/Iceberg APPEND (O(delta), snapshot kept by the table
+        format's own log); the single-box store trades that for
+        dependency-free snapshot isolation."""
         cur = self.read(name)
         cols = [f.name for f in self.schemas[name].fields]
         self.replace(name, cur.unionByName(df.select(*cols)))

@@ -486,6 +486,12 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.ORACLES["d28_curriculum_order"],
         "'d28', doc_id, CAST(NULL AS VARCHAR), shard, global_pos, "
         "CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d29_weighted_sample"],
+        "'d29', doc_id, CAST(NULL AS VARCHAR), weight, rank, "
+        "CAST(NULL AS VARCHAR), sample_key",
     ),
 )
 def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,9 +499,10 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one scan-riding projection, no shuffle — both decisions read the
     same md5 bucket) plus d18's deterministic training-shard export
     (salted-hash shard + in-shard position), d26's temperature-
-    weighted source re-balancing (T=2 mix), and d28's curriculum
+    weighted source re-balancing (T=2 mix), d28's curriculum
     total-order export (exact global position from range-partitioned
-    ranking) in one graded row."""
+    ranking), and d29's Efraimidis-Spirakis weighted sample (exp-key
+    top-K reservoir) in one graded row."""
     d = load_table(spark, sf_dir, "documents")
     bucket = F.expr(textops._HEX_BUCKET)
     rate = F.when(F.col("source").isin("src0", "src1", "src2"), 500).otherwise(100)
@@ -538,7 +545,16 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sn().alias("s1"),
         _dn().alias("v1"),
     )
-    return d6d8.unionByName(d18).unionByName(d26).unionByName(d28)
+    d29 = textops.d29_weighted_sample(spark, sf_dir).select(
+        F.lit("d29").alias("part"),
+        "doc_id",
+        _sn().alias("source"),
+        F.col("weight").alias("k1"),
+        F.col("rank").alias("k2"),
+        _sn().alias("s1"),
+        F.col("sample_key").alias("v1"),
+    )
+    return d6d8.unionByName(d18).unionByName(d26).unionByName(d28).unionByName(d29)
 
 
 # ---------------------------------------------------------------------------

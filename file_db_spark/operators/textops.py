@@ -1754,3 +1754,68 @@ def d28_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d29: weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+WRS_K = 200
+_WRS_HASH = DUCKDB_BASE_HASH.format(s="'wrs:' || CAST(doc_id AS VARCHAR)")
+
+
+@_q(
+    "d29_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, GREATEST(n_chars, 1) AS weight,
+             -ln(({_WRS_HASH} + 0.5) / {PORTABLE_PRIME}) / GREATEST(n_chars, 1)
+               AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           round(sample_key, 12) AS sample_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY sample_key ASC, doc_id ASC) AS BIGINT)
+             AS rank
+    FROM keyed
+    QUALIFY rank <= {WRS_K}
+    """,
+)
+def d29_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir"): every document
+    draws an exponential key e_i = -ln(u_i)/w_i with rate = its weight
+    (here n_chars — longer docs proportionally likelier), and the K
+    smallest keys ARE a weighted sample without replacement. The
+    classic quality-weighted corpus subsampling primitive, reproducible
+    because u_i is the salted portable md5 hash, not an RNG.
+
+    Determinism note: u = (h + 0.5)/P and the divisions are IEEE
+    exact-rounded, but ln itself diverges by 1 ulp between the JVM and
+    DuckDB's libm on some inputs (observed at sf0.01), so the SELECTION
+    orders by the raw key in each engine (a 1-ulp flip needs two keys
+    within ~2^-40 of each other — never observed; membership and ranks
+    match exactly) while the REPORTED key is rounded to 12 decimals to
+    absorb the last-ulp difference.
+
+    Scale: the key is a map-only expression riding the scan; selection
+    is a global top-K = TakeOrderedAndProject (per-partition heap of K,
+    O(K) merge) — the distributed-reservoir pattern, no shuffle of the
+    corpus, no single-partition funnel. Rank is then assigned over the
+    K-row result (d12's bounded-window pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (
+        portable_base_hash(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(PORTABLE_PRIME)
+    keyed = d.select(
+        "doc_id",
+        w.cast("bigint").alias("weight"),
+        (-F.log(u) / w).alias("sample_key"),
+    )
+    order = [F.col("sample_key").asc(), F.col("doc_id").asc()]
+    topk = keyed.orderBy(*order).limit(WRS_K)
+    return topk.withColumn(
+        "rank", F.row_number().over(bounded_rank_window("doc_id", *order)).cast("bigint")
+    ).select("doc_id", "weight", F.round("sample_key", 12).alias("sample_key"), "rank")
