@@ -937,6 +937,11 @@ def dq5_quantile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(
         textops.ORACLES["d24_bpe_pair_stats"],
         "'d24', pair, pair_count, n_positions, rank, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d30_bpe_train"],
+        "'d30', kind || ':' || token, round, cnt, rank, NULL",
     ),
 )
 def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,10 +950,12 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-term sketch (d21, 256 registers, cross-engine bit-exact),
     the count-min heavy-hitter sketch (d22, fixed 4x512 cells), the
     per-source Jensen-Shannon divergence vs the corpus distribution
-    (d23, closed-form absent-term tail), and the BPE merge-pair count
+    (d23, closed-form absent-term tail), the BPE merge-pair count
     table (d24, one tokenizer-training iteration over the distinct-word
-    frequency table). The sketches are the 100 TB path — O(1)-size
-    mergeable state vs the exact form's full term shuffle."""
+    frequency table), and d30's full BPE TRAINING (three unrolled merge
+    rounds + resulting vocabulary, no driver-side decisions). The
+    sketches are the 100 TB path — O(1)-size mergeable state vs the
+    exact form's full term shuffle."""
     d12 = textops.d12_vocab_topk(spark, sf_dir).select(
         F.lit("d12").alias("part"),
         F.col("term").alias("s1"),
@@ -989,11 +996,20 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("k3"),
         _dn().alias("v1"),
     )
+    d30 = textops.d30_bpe_train(spark, sf_dir).select(
+        F.lit("d30").alias("part"),
+        F.concat(F.col("kind"), F.lit(":"), F.col("token")).alias("s1"),
+        F.col("round").alias("k1"),
+        F.col("cnt").alias("k2"),
+        F.col("rank").alias("k3"),
+        _dn().alias("v1"),
+    )
     return (
         d12.unionByName(d21)
         .unionByName(d22)
         .unionByName(d23)
         .unionByName(d24)
+        .unionByName(d30)
     )
 
 

@@ -1819,3 +1819,183 @@ def d29_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn(
         "rank", F.row_number().over(bounded_rank_window("doc_id", *order)).cast("bigint")
     ).select("doc_id", "weight", F.round("sample_key", 12).alias("sample_key"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# d30: BPE tokenizer TRAINING — unrolled merge rounds (the iterative
+# algorithm d24's single-round pair statistics feed).
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 3
+BPE_VOCAB_TOP = 10
+
+
+def _d30_oracle() -> str:
+    """Unrolled BPE rounds as generated CTEs: same char-spaced seed,
+    same pair counting (freq-weighted over the DISTINCT word table),
+    same deterministic top-pair choice, same leftmost-non-overlapping
+    merge rewrite (RE2 and java.util.regex agree for literal
+    patterns)."""
+    parts = [
+        r"""wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '')) AS word
+        FROM documents
+      ) GROUP BY word
+    )""",
+        r"""words0 AS (
+      SELECT freq, ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS seq
+      FROM wc
+    )""",
+    ]
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        prev = f"words{r - 1}"
+        parts.append(
+            f"""pairs{r} AS (
+      SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i + 1])) AS p
+        FROM (SELECT freq, list_filter(regexp_split_to_array(trim(seq), ' '), t -> t <> '') AS syms FROM {prev})
+      ) GROUP BY p
+    )"""
+        )
+        parts.append(
+            f"""top{r} AS (
+      SELECT pair, cnt FROM pairs{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""words{r} AS (
+      SELECT w.freq,
+             regexp_replace(w.seq, ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' ', 'g') AS seq
+      FROM {prev} w CROSS JOIN top{r} t
+    )"""
+        )
+    merge_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT 'merge' AS kind, CAST({r} AS BIGINT) AS round, pair AS token, cnt, CAST({r} AS BIGINT) AS rank FROM top{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    {merge_rows}
+    UNION ALL
+    SELECT 'vocab', CAST(0 AS BIGINT), sym, cnt, rank FROM (
+      SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, sym ASC) AS BIGINT) AS rank
+      FROM (
+        SELECT freq, unnest(list_filter(regexp_split_to_array(trim(seq), ' '), t -> t <> '')) AS sym
+        FROM words{BPE_TRAIN_ROUNDS}
+      ) GROUP BY sym
+    ) WHERE rank <= {BPE_VOCAB_TOP}
+    """
+    )
+
+
+@_q("d30_bpe_train", _d30_oracle())
+def d30_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016), the first
+    BPE_TRAIN_ROUNDS merge rounds end-to-end: seed every distinct word
+    as a char-spaced symbol sequence, then per round (a) count adjacent
+    symbol pairs weighted by word frequency, (b) pick the most frequent
+    pair (cnt DESC, pair ASC tie-break), (c) merge it corpus-wide with
+    a leftmost-non-overlapping rewrite. Output: the learned merge list
+    plus the resulting top-{BPE_VOCAB_TOP} symbol vocabulary.
+
+    Fully declarative iteration — NO driver-side decisions: the chosen
+    pair stays a 1-row DataFrame that broadcast-cross-joins the word
+    table, and the rewrite uses column-typed regexp_replace (pattern
+    ' pa pb ', literal alnum symbols), so the same plan shape holds at
+    any vocab size. Both engines' regex replace is leftmost
+    non-overlapping for literal patterns, which is exactly BPE's
+    simultaneous-merge semantic.
+
+    Scale: everything iterative runs on the DISTINCT word-frequency
+    table (Heaps' law: ~1e6-1e7 rows for a web corpus, vs 1e11+ raw
+    tokens — d24's observation, now carried through training); each
+    round is one map-side-combined pair-count shuffle + a TakeOrdered(1)
+    + a map-only rewrite. The corpus itself is scanned ONCE (the seed
+    word count). Rounds are unrolled with per-round persists (the v7
+    fixed-depth-loop pattern) so lineage stays bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(F.explode(tokens(normalize_text("text"))).alias("word"))
+    wc = raw.groupBy("word").agg(F.count("*").cast("bigint").alias("freq"))
+    cur = wc.select(
+        "freq",
+        F.concat(
+            F.lit(" "), F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" ")
+        ).alias("seq"),
+    ).persist()
+
+    def syms_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "freq",
+            F.filter(F.split(F.trim("seq"), " "), lambda t: t != "").alias("syms"),
+        )
+
+    merges = None
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        # size>=2 guard: Spark's sequence(1, 0) is DESCENDING [1, 0]
+        # (not empty like DuckDB's range), so single-symbol rows must
+        # be filtered out, not relied on to produce zero pairs
+        pairs = (
+            syms_of(cur)
+            .where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> element_at(syms, i) || ' ' || element_at(syms, i + 1))"
+                    )
+                ).alias("pair"),
+            )
+        )
+        pcnt = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("cnt"))
+        top = (
+            pcnt.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).persist()
+        )
+        m = top.select(
+            F.lit("merge").alias("kind"),
+            F.lit(r).cast("bigint").alias("round"),
+            F.col("pair").alias("token"),
+            "cnt",
+            F.lit(r).cast("bigint").alias("rank"),
+        )
+        merges = m if merges is None else merges.unionByName(m)
+        cur = (
+            cur.crossJoin(F.broadcast(top.select(F.col("pair").alias("mp"))))
+            .select(
+                "freq",
+                F.regexp_replace(
+                    F.col("seq"),
+                    F.concat(F.lit(" "), F.col("mp"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "), F.expr("replace(mp, ' ', '')"), F.lit(" ")
+                    ),
+                ).alias("seq"),
+            )
+            .persist()
+        )
+    vocab_counts = (
+        syms_of(cur)
+        .select("freq", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("sym").asc()]
+    vocab = (
+        vocab_counts.orderBy(*order)
+        .limit(BPE_VOCAB_TOP)
+        .withColumn(
+            "rank", F.row_number().over(bounded_rank_window("sym", *order)).cast("bigint")
+        )
+        .select(
+            F.lit("vocab").alias("kind"),
+            F.lit(0).cast("bigint").alias("round"),
+            F.col("sym").alias("token"),
+            "cnt",
+            "rank",
+        )
+    )
+    return merges.unionByName(vocab)
