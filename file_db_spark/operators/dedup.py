@@ -1350,3 +1350,106 @@ def x15_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bloom_hits",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x17: triangle counting over the near-dup graph (degree-ordered) —
+# the clique-density signal that separates "A≈B≈C is one duplicate
+# cluster" from chains of weak pairwise matches.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "x17_triangle_count",
+    f"""
+    WITH {_X3_PAIR_CTES},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY v
+    ),
+    de AS (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+             CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    ),
+    der AS (SELECT de.src, de.dst, d.d AS dst_d FROM de JOIN deg d ON d.v = de.dst),
+    tri AS (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM der e1
+      JOIN der e2 ON e1.src = e2.src AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)
+      JOIN de e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    )
+    SELECT u.v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST(MAX(deg.d) AS BIGINT) AS degree
+    FROM (
+      SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    ) u JOIN deg ON deg.v = u.v
+    GROUP BY u.v
+    """,
+)
+def x17_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation in the x3 near-dup graph,
+    via degree-ordered wedge closing (Suri & Vassilvitskii, "Counting
+    triangles and the curse of the last reducer", WWW 2011): direct
+    every edge from its lower-(degree, id) endpoint to the higher one,
+    build wedges only at each triangle's LOWEST-rank vertex, close them
+    with one edge equi-join. Every triangle is counted exactly once,
+    and — the scale point — wedge fan-out at a degree-D hub is bounded
+    by its higher-ranked neighbors only: total wedge work is
+    O(m^(3/2)) regardless of skew, where the naive all-wedges join is
+    O(sum deg^2) and dies on the first boilerplate hub.
+
+    Dedup use: a duplicate family is a near-clique, so n_triangles ~
+    C(family-1, 2) separates true clusters from accidental chains of
+    borderline pairwise matches; integer-exact, no float tolerance.
+
+    Shape: three equi-joins + one count shuffle, all on vertex keys;
+    the pair table is the cached x3 artifact shared with x7/x10/x16."""
+    pairs = x3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    ends = pairs.select(F.col("doc_a").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("v"))
+    )
+    deg = ends.groupBy("v").agg(F.count("*").cast("bigint").alias("d")).persist()
+    e = (
+        pairs.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")),
+                   F.col("doc_a") == F.col("a"))
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")),
+              F.col("doc_b") == F.col("b"))
+    )
+    lower_first = F.struct(F.col("da"), F.col("doc_a")) < F.struct(
+        F.col("db"), F.col("doc_b")
+    )
+    de = e.select(
+        F.when(lower_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(lower_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+    ).persist()
+    der = de.join(deg.select(F.col("v").alias("dst"), F.col("d").alias("dst_d")), "dst")
+    e1 = der.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("dst_d").alias("y_d")
+    )
+    e2 = der.select(
+        F.col("src"), F.col("dst").alias("z"), F.col("dst_d").alias("z_d")
+    )
+    wedges = e1.join(e2, "src").where(
+        F.struct(F.col("y_d"), F.col("y")) < F.struct(F.col("z_d"), F.col("z"))
+    )
+    tri = wedges.join(
+        de.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"]
+    ).select(F.col("src").alias("x"), "y", "z")
+    verts = (
+        tri.select(F.col("x").alias("v"))
+        .unionByName(tri.select(F.col("y").alias("v")))
+        .unionByName(tri.select(F.col("z").alias("v")))
+    )
+    return (
+        verts.groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .join(deg, "v")
+        .select(
+            F.col("v").alias("doc_id"),
+            "n_triangles",
+            F.col("d").alias("degree"),
+        )
+    )

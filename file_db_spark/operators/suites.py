@@ -1242,6 +1242,23 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (
       SELECT v AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
       FROM reach GROUP BY v
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY v
+    ),
+    de AS (
+      SELECT CASE WHEN (da.d, p.doc_a) < (db.d, p.doc_b) THEN p.doc_a ELSE p.doc_b END AS src,
+             CASE WHEN (da.d, p.doc_a) < (db.d, p.doc_b) THEN p.doc_b ELSE p.doc_a END AS dst
+      FROM pairs p JOIN deg da ON da.v = p.doc_a JOIN deg db ON db.v = p.doc_b
+    ),
+    der AS (SELECT de.src, de.dst, d.d AS dst_d FROM de JOIN deg d ON d.v = de.dst),
+    tri AS (
+      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM der e1
+      JOIN der e2 ON e1.src = e2.src AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)
+      JOIN de e3 ON e3.src = e1.dst AND e3.dst = e2.dst
     )
     SELECT 'x7' AS member, doc_id AS k1, component_id AS k2,
            CAST(NULL AS BIGINT) AS flag
@@ -1249,6 +1266,15 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'x16', doc_id, component_id, CAST(NULL AS BIGINT)
     FROM comp
+    UNION ALL
+    SELECT 'x17', doc_id, n_triangles, degree FROM (
+      SELECT u.v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles,
+             CAST(MAX(deg.d) AS BIGINT) AS degree
+      FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+      ) u JOIN deg ON deg.v = u.v
+      GROUP BY u.v
+    )
     UNION ALL
     SELECT 'x10', d.doc_id,
            CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT),
@@ -1265,7 +1291,8 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x7 min-label-propagation connected components + x16 large-star/
     small-star contraction (same labels, O(log^2 n) rounds — both
     projected from the ONE recursive closure in the oracle, so the
-    driver certifies the two algorithms agree) + x10 survivor map
+    driver certifies the two algorithms agree) + x17 degree-ordered
+    triangle counts (clique-density per doc) + x10 survivor map
     + x14 semantic dedup (SemDeDup: components over the embedding-cosine
     near-dup graph) in one graded row. Members run unchanged (x10
     internally re-derives the labels; at the graded SF the component
@@ -1285,6 +1312,12 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component_id").alias("k2"),
         _bn().alias("flag"),
     )
+    x17 = dedup.x17_triangle_count(spark, sf_dir).select(
+        F.lit("x17").alias("member"),
+        F.col("doc_id").alias("k1"),
+        F.col("n_triangles").alias("k2"),
+        F.col("degree").alias("flag"),
+    )
     x10 = dedup.x10_dedup_survivors(spark, sf_dir).select(
         F.lit("x10").alias("member"),
         F.col("doc_id").alias("k1"),
@@ -1297,7 +1330,7 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("k2"),
         F.col("keep").cast("bigint").alias("flag"),
     )
-    return x7.unionByName(x16).unionByName(x10).unionByName(x14)
+    return x7.unionByName(x16).unionByName(x17).unionByName(x10).unionByName(x14)
 
 
 # ---------------------------------------------------------------------------

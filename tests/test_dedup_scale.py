@@ -90,3 +90,33 @@ def test_star_contraction_diameter_proof(spark):
     ).collect()[0]
     assert (got["n"], got["zeros"]) == (n, n)
     assert stats["rounds"] <= 16, stats  # 2*log2(1000) + slack; diameter is 999
+
+
+def test_x17_triangle_count_clique_math(spark, sf_dir):
+    # every vertex of a k-clique sits in C(k-1, 2) triangles; verify on
+    # the fixture graph against a brute-force closure of the x3 pairs
+    from itertools import combinations
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.x3_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    edge_set = set(pairs)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nbrs in adj.items():
+        t = sum(
+            1
+            for p, q in combinations(sorted(nbrs), 2)
+            if (min(p, q), max(p, q)) in edge_set
+        )
+        if t:
+            want[v] = t
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in dedup.x17_triangle_count(spark, sf_dir).collect()
+    }
+    assert got == want and got  # fixture corpus has at least one triangle

@@ -298,3 +298,15 @@ def test_d28_global_rank_without_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d28_curriculum_order")
     assert "rangepartitioning" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_d30_bpe_training_plan_shape(spark, sf_dir):
+    # iterative rounds run over PERSISTED word tables (InMemoryTableScan
+    # present — parquet re-read only builds the first cache; the
+    # rendered plan repeats cached lineage so a raw scan count would
+    # over-count), chosen pairs join broadcast (1-row tables), and no
+    # data x data cartesian anywhere
+    plan = _plan(spark, sf_dir, "d30_bpe_train")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
