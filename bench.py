@@ -39,6 +39,7 @@ HEADLINE = [
     "x4_minhash_lsh",
     "x7_dup_components",
     "x16_components_star",
+    "x17_triangle_count",
     "x9_contamination",
     "d1_token_stats",
     "d9_repetition_quality",
@@ -52,6 +53,7 @@ HEADLINE = [
     "x13_chunk_dedup",
     "x14_semantic_dedup",
     "d24_bpe_pair_stats",
+    "d30_bpe_train",
     "d25_lm_quality",
     "c9_duplicate_groups",
 ]
