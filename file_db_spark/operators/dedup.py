@@ -1421,35 +1421,40 @@ def x17_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_first = F.struct(F.col("da"), F.col("doc_a")) < F.struct(
         F.col("db"), F.col("doc_b")
     )
+    # carry BOTH endpoint degrees on the directed edge: the wedge
+    # ordering and the final per-vertex degree column then need no
+    # further joins against deg (two shuffles saved vs the textbook
+    # three-join formulation)
     de = e.select(
         F.when(lower_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("src_d"),
         F.when(lower_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
     ).persist()
-    der = de.join(deg.select(F.col("v").alias("dst"), F.col("d").alias("dst_d")), "dst")
-    e1 = der.select(
-        F.col("src"), F.col("dst").alias("y"), F.col("dst_d").alias("y_d")
+    e1 = de.select(
+        "src", "src_d", F.col("dst").alias("y"), F.col("dst_d").alias("y_d")
     )
-    e2 = der.select(
-        F.col("src"), F.col("dst").alias("z"), F.col("dst_d").alias("z_d")
-    )
+    e2 = de.select("src", F.col("dst").alias("z"), F.col("dst_d").alias("z_d"))
     wedges = e1.join(e2, "src").where(
         F.struct(F.col("y_d"), F.col("y")) < F.struct(F.col("z_d"), F.col("z"))
     )
     tri = wedges.join(
         de.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"]
-    ).select(F.col("src").alias("x"), "y", "z")
-    verts = (
-        tri.select(F.col("x").alias("v"))
-        .unionByName(tri.select(F.col("y").alias("v")))
-        .unionByName(tri.select(F.col("z").alias("v")))
+    )
+    verts = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("v"), F.col("src_d").alias("d")),
+                F.struct(F.col("y").alias("v"), F.col("y_d").alias("d")),
+                F.struct(F.col("z").alias("v"), F.col("z_d").alias("d")),
+            )
+        ).alias("vd")
     )
     return (
-        verts.groupBy("v")
-        .agg(F.count("*").cast("bigint").alias("n_triangles"))
-        .join(deg, "v")
-        .select(
-            F.col("v").alias("doc_id"),
-            "n_triangles",
-            F.col("d").alias("degree"),
+        verts.groupBy(F.col("vd.v").alias("doc_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_triangles"),
+            F.max("vd.d").cast("bigint").alias("degree"),
         )
+        .select("doc_id", "n_triangles", "degree")
     )
