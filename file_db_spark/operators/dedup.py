@@ -1458,3 +1458,117 @@ def x17_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_triangles", "degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# x18: INCREMENTAL near-dup maintenance — new-batch-vs-corpus candidate
+# generation, the O(delta) pattern that replaces full recomputation
+# when a crawl batch lands.
+# ---------------------------------------------------------------------------
+
+#: d6-split bucket at or above this = the "newly arrived" batch (~10%)
+INCR_NEW_BUCKET = 900
+
+_DUCK_BUCKET = (
+    "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000"
+)
+
+
+@_q(
+    "x18_incremental_neardup",
+    f"""
+    WITH {_X3_PAIR_CTES},
+    nd AS (
+      SELECT doc_id, ({_DUCK_BUCKET}) >= {INCR_NEW_BUCKET} AS is_new FROM documents
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CASE WHEN na.is_new AND nb.is_new THEN 'new-new' ELSE 'new-base' END AS pair_type
+    FROM pairs p
+    JOIN nd na ON na.doc_id = p.doc_a
+    JOIN nd nb ON nb.doc_id = p.doc_b
+    WHERE na.is_new OR nb.is_new
+    """,
+)
+def x18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance: when a new crawl batch arrives
+    (here the deterministic d6-bucket >= {900} slice, ~10% of docs),
+    find every near-dup pair TOUCHING the batch — new-vs-corpus and
+    new-vs-new — withOUT regenerating corpus-vs-corpus candidates. The
+    result provably equals the full x3 pair table restricted to pairs
+    with >= 1 new endpoint (that IS the oracle, and
+    tests/test_dedup_scale.py pins the equality), but the candidate
+    join's left input is the BATCH's shingles only: work is
+    O(|delta| x capped-bucket), not O(|corpus| x capped-bucket) — the
+    difference between a nightly job that takes minutes and one that
+    re-reads 100 TB.
+
+    At scale the right side (corpus shingle table with df counts and
+    per-doc sizes) is the persisted artifact the batch probes — here it
+    is derived in-query from the one documents table because the
+    fixture corpus is a single snapshot; the plan shape (small side
+    joins big persisted side on the shingle key) is the same either
+    way. New-new pairs emerge twice from the asymmetric join (once per
+    side), so candidates dedup on (pair, shingle) before counting —
+    shingles are distinct per doc, making that dedup exact."""
+    d = load_table(spark, sf_dir, "documents")
+    from .textops import _HEX_BUCKET
+
+    staged = (
+        d.select(
+            "doc_id",
+            tokens(normalize_text("text")).alias("toks"),
+            (F.expr(_HEX_BUCKET) >= INCR_NEW_BUCKET).alias("is_new"),
+        )
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            "is_new",
+            F.explode(word_shingles_from_tokens(F.col("toks"), 5)).alias("shingle"),
+        )
+        .persist()
+    )
+    sizes = staged.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w_df = Window.partitionBy("shingle")
+    capped = (
+        staged.withColumn("shingle_df", F.count("*").over(w_df))
+        .filter(F.col("shingle_df") <= MAX_SHINGLE_DF)
+        .select("doc_id", "is_new", "shingle")
+    )
+    new_side = capped.filter(F.col("is_new")).alias("n")
+    all_side = capped.alias("o")
+    cand = (
+        new_side.join(
+            all_side,
+            (F.col("n.shingle") == F.col("o.shingle"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+            F.col("n.shingle").alias("shingle"),
+            (F.col("n.is_new") & F.col("o.is_new")).alias("both_new"),
+        )
+        .dropDuplicates(["doc_a", "doc_b", "shingle"])
+    )
+    shared = cand.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_shared"), F.max("both_new").alias("both_new")
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            F.when(F.col("both_new"), "new-new").otherwise("new-base").alias("pair_type"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )

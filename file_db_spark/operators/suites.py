@@ -1459,7 +1459,10 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          "'x3' AS member, doc_a, doc_b, jaccard AS score, CAST(NULL AS BIGINT) AS n")
     + "\nUNION ALL\n"
     + _sub(dedup.ORACLES["x11_winnow_neardup"],
-           "'x11', doc_a, doc_b, overlap, n_shared"),
+           "'x11', doc_a, doc_b, overlap, n_shared")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x18_incremental_neardup"],
+           "'x18:' || pair_type, doc_a, doc_b, jaccard, NULL"),
 )
 def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x3 word-3-gram Jaccard near-dup pairs + x11 winnowing-minima
@@ -1467,7 +1470,8 @@ def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two independent candidate generators over the same corpus — the
     word-level and char-level views of the same problem; both members
     run unchanged (shingle/minimum equi-join, MAX_*_DF hot-key caps,
-    verify-by-overlap)."""
+    verify-by-overlap), plus x18's incremental new-batch-vs-corpus
+    maintenance pairs (tagged by pair_type) — the O(delta) form."""
     x3 = dedup.x3_ngram_jaccard(spark, sf_dir).select(
         F.lit("x3").alias("member"),
         F.col("doc_a"),
@@ -1482,7 +1486,14 @@ def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("overlap").alias("score"),
         F.col("n_shared").alias("n"),
     )
-    return x3.unionByName(x11)
+    x18 = dedup.x18_incremental_neardup(spark, sf_dir).select(
+        F.concat(F.lit("x18:"), F.col("pair_type")).alias("member"),
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.col("jaccard").alias("score"),
+        _bn().alias("n"),
+    )
+    return x3.unionByName(x11).unionByName(x18)
 
 
 # ---------------------------------------------------------------------------

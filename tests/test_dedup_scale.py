@@ -120,3 +120,30 @@ def test_x17_triangle_count_clique_math(spark, sf_dir):
         for r in dedup.x17_triangle_count(spark, sf_dir).collect()
     }
     assert got == want and got  # fixture corpus has at least one triangle
+
+
+def test_x18_equals_filtered_x3(spark, sf_dir):
+    # the incremental result must equal the FULL x3 pair table
+    # restricted to pairs touching the new batch — same caps, same
+    # jaccard values, correct pair_type tags
+    from pyspark.sql import functions as F
+    from file_db_spark.operators.textops import _HEX_BUCKET
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_ids = {
+        r["doc_id"]
+        for r in d.select("doc_id")
+        .where(F.expr(_HEX_BUCKET) >= dedup.INCR_NEW_BUCKET)
+        .collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.x3_ngram_jaccard(spark, sf_dir).collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    incr = dedup.x18_incremental_neardup(spark, sf_dir).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in incr}
+    assert got == full and got
+    for r in incr:
+        want = "new-new" if (r["doc_a"] in new_ids and r["doc_b"] in new_ids) else "new-base"
+        assert r["pair_type"] == want
