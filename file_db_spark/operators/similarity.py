@@ -928,3 +928,159 @@ def _v7_oracle() -> str:
 
 QUERIES["v7_pq_adc"] = v7_pq_adc
 ORACLES["v7_pq_adc"] = _v7_oracle()
+
+
+# ---------------------------------------------------------------------------
+# v8: kNN-GRAPH construction — every vector gets its approximate top-k
+# neighbors (the SemDeDup / clustering / graph-ANN precursor), not just
+# a fixed query set.
+# ---------------------------------------------------------------------------
+
+KNN_TABLES = 4
+KNN_BITS = 8  # 256 buckets/table: graph building needs finer cells than v2's query probe
+KNN_MAX_BUCKET = 100  # degenerate-bucket cap, the x4/x5 pattern
+KNN_NEIGHBORS = 3
+
+
+def v8_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph over ALL vectors: multi-table sign-LSH
+    buckets (KNN_TABLES x KNN_BITS — finer than v2's because every
+    vector is a query, so bucket population, not probe cost, is the
+    binding constraint), canonical same-bucket candidate pairs with the
+    degenerate-bucket cap, ONE exact cosine per undirected pair, then
+    per-vector top-KNN_NEIGHBORS after mirroring to both directions.
+    Vectors whose buckets yield no candidates are absent (approximate
+    graphs are sparse at the tail; raise KNN_TABLES for recall).
+
+    Scale: candidates are a bucketed self-equi-join — never all-pairs;
+    cosine runs once per undirected pair, not twice; the only window
+    partitions by vec_id. This is the batch artifact the semantic-dedup
+    family consumes (x6/x14 threshold variant; this one keeps ranked
+    neighbors, which is what clustering and graph-ANN indexes need).
+    Determinism: same sign-margin argument as _v2_oracle (validated
+    bit-exact by the strict gate)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = np.array(_hyperplanes(KNN_TABLES * KNN_BITS, _embedding_dim(sf_dir)))
+    powers = np.array([1 << i for i in range(KNN_BITS)])
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.values).astype(np.float64)
+        bits = (mat @ planes.T) >= 0
+        per_table = [
+            (bits[:, t * KNN_BITS : (t + 1) * KNN_BITS] * powers).sum(axis=1)
+            for t in range(KNN_TABLES)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1).astype("int32")))
+
+    b = e.select(
+        "vec_id",
+        F.posexplode(buckets(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+    w_b = Window.partitionBy("tbl", "bucket")
+    capped = (
+        b.withColumn("bucket_n", F.count("*").over(w_b))
+        .filter(F.col("bucket_n") <= KNN_MAX_BUCKET)
+        .drop("bucket_n")
+    )
+    l = capped.alias("l")
+    r = capped.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    ea = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    scored = (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "a",
+            "b",
+            cosine(
+                F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")
+            ).alias("cos_sim"),
+        )
+    )
+    sym = scored.select(
+        F.col("a").alias("vec_id"), F.col("b").alias("neighbor_id"), "cos_sim"
+    ).unionByName(
+        scored.select(
+            F.col("b").alias("vec_id"), F.col("a").alias("neighbor_id"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_NEIGHBORS)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+QUERIES["v8_knn_graph"] = v8_knn_graph
+
+
+def _v8_oracle() -> str:
+    """Generated twin of v8: same fixed-seed planes as literals, same
+    canonical-pair + cap + mirror + keyed-rank pipeline."""
+    planes = _hyperplanes(KNN_TABLES * KNN_BITS, 64)
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for bbit in range(KNN_BITS):
+            lit = "[" + ", ".join(repr(x) for x in planes[t * KNN_BITS + bbit]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) >= 0"
+                f" THEN {1 << bbit} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    buckets = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM embeddings"
+        for t in range(KNN_TABLES)
+    )
+    return f"""
+    WITH buck AS (
+      {buckets}
+    ), capped AS (
+      SELECT vec_id, tbl, bucket FROM buck
+      QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= {KNN_MAX_BUCKET}
+    ), pairs AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM capped l JOIN capped r
+        ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    ), scored AS (
+      SELECT p.a, p.b,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) AS cos_sim
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.a
+      JOIN embeddings eb ON eb.vec_id = p.b
+    ), sym AS (
+      SELECT a AS vec_id, b AS neighbor_id, cos_sim FROM scored
+      UNION ALL
+      SELECT b, a, cos_sim FROM scored
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+      SELECT vec_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM sym
+    ) WHERE rank <= {KNN_NEIGHBORS}
+    """
+
+
+ORACLES["v8_knn_graph"] = _v8_oracle()

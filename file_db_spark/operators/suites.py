@@ -1031,7 +1031,10 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'v6', vec_id, cell, cos_to_centroid, NULL")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v7_pq_adc"],
-           "'v7', query_id, neighbor_id, adc_dist, rank"),
+           "'v7', query_id, neighbor_id, adc_dist, rank")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v8_knn_graph"],
+           "'v8', vec_id, neighbor_id, cos_sim, rank"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1039,9 +1042,11 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell, v4 routes to the nprobe closest centroids (the recall knob),
     v5 re-ranks int8 scalar-quantized candidates with exact cosine (the
     memory-bandwidth scale path), v7 answers via product-quantization
-    ADC code lookups (the memory-compression scale path). Same
-    normalized schema with a variant tag; `score` is cosine for v3-v6
-    and the ADC squared distance for v7."""
+    ADC code lookups (the memory-compression scale path), v8 builds
+    the all-vectors kNN graph (fine-bucket LSH candidates, one cosine
+    per undirected pair). Same normalized schema with a variant tag;
+    `score` is cosine for v3-v6/v8 and the ADC squared distance for
+    v7."""
     v3 = similarity.v3_ivf_topk(spark, sf_dir).select(
         F.lit("v3").alias("variant"), "query_id", "neighbor_id",
         F.col("cos_sim").alias("score"), "rank"
@@ -1068,7 +1073,20 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_dist").alias("score"),
         "rank",
     )
-    return v3.unionByName(v4).unionByName(v5).unionByName(v6).unionByName(v7)
+    v8 = similarity.v8_knn_graph(spark, sf_dir).select(
+        F.lit("v8").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        "neighbor_id",
+        F.col("cos_sim").alias("score"),
+        "rank",
+    )
+    return (
+        v3.unionByName(v4)
+        .unionByName(v5)
+        .unionByName(v6)
+        .unionByName(v7)
+        .unionByName(v8)
+    )
 
 
 # ---------------------------------------------------------------------------
