@@ -492,6 +492,13 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.ORACLES["d29_weighted_sample"],
         "'d29', doc_id, CAST(NULL AS VARCHAR), weight, rank, "
         "CAST(NULL AS VARCHAR), sample_key",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d31_training_manifest"],
+        "'d31', doc_id, CAST(NULL AS VARCHAR), shard, n_tokens, "
+        "split || '#' || quality_keep || is_keeper || in_mix || selected, "
+        "CAST(NULL AS DOUBLE)",
     ),
 )
 def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,8 +508,10 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (salted-hash shard + in-shard position), d26's temperature-
     weighted source re-balancing (T=2 mix), d28's curriculum
     total-order export (exact global position from range-partitioned
-    ranking), and d29's Efraimidis-Spirakis weighted sample (exp-key
-    top-K reservoir) in one graded row."""
+    ranking), d29's Efraimidis-Spirakis weighted sample (exp-key
+    top-K reservoir), and d31's per-document training manifest (all
+    curation decisions composed: quality gate, dup keeper, split,
+    shard, mix, final selected bit) in one graded row."""
     d = load_table(spark, sf_dir, "documents")
     bucket = F.expr(textops._HEX_BUCKET)
     rate = F.when(F.col("source").isin("src0", "src1", "src2"), 500).otherwise(100)
@@ -554,7 +563,29 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sn().alias("s1"),
         F.col("sample_key").alias("v1"),
     )
-    return d6d8.unionByName(d18).unionByName(d26).unionByName(d28).unionByName(d29)
+    d31 = textops.d31_training_manifest(spark, sf_dir).select(
+        F.lit("d31").alias("part"),
+        "doc_id",
+        _sn().alias("source"),
+        F.col("shard").alias("k1"),
+        F.col("n_tokens").alias("k2"),
+        F.concat(
+            F.col("split"),
+            F.lit("#"),
+            F.col("quality_keep"),
+            F.col("is_keeper"),
+            F.col("in_mix"),
+            F.col("selected"),
+        ).alias("s1"),
+        _dn().alias("v1"),
+    )
+    return (
+        d6d8.unionByName(d18)
+        .unionByName(d26)
+        .unionByName(d28)
+        .unionByName(d29)
+        .unionByName(d31)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1999,3 +1999,117 @@ def d30_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merges.unionByName(vocab)
+
+
+# ---------------------------------------------------------------------------
+# d31: the TRAINING MANIFEST — every curation decision joined into one
+# per-document row, the artifact a training run actually consumes.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "d31_training_manifest",
+    rf"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+             {{bucket}} AS bucket,
+             {_SHARD_SQL_DUCK} AS h16
+      FROM documents
+    ), sc AS (
+      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ), mn AS (SELECT MIN(n_s) AS n_min FROM sc),
+    rates AS (
+      SELECT source, sqrt(CAST(n_min AS DOUBLE) / n_s) AS rate FROM sc, mn
+    ), flagged AS (
+      SELECT f.doc_id, f.n_tokens,
+             (f.n_chars > 0 AND f.n_tokens >= 10
+              AND CAST(f.alpha_chars AS DOUBLE) / f.n_chars > 0.6) AS qk,
+             (f.doc_id = MIN(f.doc_id) OVER (PARTITION BY f.content_hash)) AS keeper,
+             CASE WHEN f.bucket < 900 THEN 'train'
+                  WHEN f.bucket < 950 THEN 'validation'
+                  ELSE 'test' END AS split,
+             f.h16 % {N_SHARDS} AS shard,
+             (CAST(f.bucket AS DOUBLE) < r.rate * 1000.0) AS in_mix
+      FROM feats f JOIN rates r ON r.source = f.source
+    )
+    SELECT doc_id, n_tokens,
+           CAST(qk AS BIGINT) AS quality_keep,
+           CAST(keeper AS BIGINT) AS is_keeper,
+           split,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(in_mix AS BIGINT) AS in_mix,
+           CAST((qk AND keeper AND split = 'train' AND in_mix) AS BIGINT) AS selected
+    FROM flagged
+    """.replace("{bucket}", _HEX_BUCKET),
+)
+def d31_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document TRAINING MANIFEST: every curation decision the
+    pipeline makes, joined into one row per document — d2/d13's quality
+    gate, x1's exact-dup keeper, d6's train/val/test split, d18's
+    export shard, d26's temperature-mix membership, and the final
+    `selected` bit (quality AND keeper AND train AND in-mix) that a
+    training job filters on. This is the deliverable everything else
+    exists to produce; one green row certifies the decisions COMPOSE
+    (same hashes, same rules) rather than merely co-exist.
+
+    Scale: one corpus scan computes all per-doc features; the only
+    data-sized shuffle is the content-hash window x1 needs anyway; the
+    per-source mix rates are a tiny broadcast aggregate (d26's shape).
+    Writing `selected` docs per (split, shard) IS the training export."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("bigint")
+    feats = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        alpha.alias("alpha_chars"),
+        F.md5(normalize_text("text")).alias("content_hash"),
+        F.expr(_HEX_BUCKET).cast("bigint").alias("bucket"),
+        F.expr(_SHARD_SQL_SPARK).alias("h16"),
+    )
+    sc = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_min = sc.agg(F.min("n_s").alias("n_min"))
+    rates = sc.crossJoin(F.broadcast(n_min)).select(
+        "source", F.sqrt(F.col("n_min").cast("double") / F.col("n_s")).alias("rate")
+    )
+    keeper_w = Window.partitionBy("content_hash")
+    qk = (
+        (F.col("n_chars") > 0)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("alpha_chars").cast("double") / F.col("n_chars") > 0.6)
+    )
+    split = (
+        F.when(F.col("bucket") < 900, "train")
+        .when(F.col("bucket") < 950, "validation")
+        .otherwise("test")
+    )
+    flagged = feats.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "n_tokens",
+        qk.alias("qk"),
+        (F.col("doc_id") == F.min("doc_id").over(keeper_w)).alias("keeper"),
+        split.alias("split"),
+        (F.col("h16") % N_SHARDS).cast("bigint").alias("shard"),
+        (F.col("bucket").cast("double") < F.col("rate") * 1000.0).alias("in_mix"),
+    )
+    return flagged.select(
+        "doc_id",
+        "n_tokens",
+        F.col("qk").cast("bigint").alias("quality_keep"),
+        F.col("keeper").cast("bigint").alias("is_keeper"),
+        "split",
+        "shard",
+        F.col("in_mix").cast("bigint").alias("in_mix"),
+        (
+            F.col("qk") & F.col("keeper") & (F.col("split") == "train") & F.col("in_mix")
+        )
+        .cast("bigint")
+        .alias("selected"),
+    )
