@@ -55,6 +55,8 @@ HEADLINE = [
     "d24_bpe_pair_stats",
     "d30_bpe_train",
     "d25_lm_quality",
+    "x19_pagerank",
+    "d32_bpe_encode",
     "c9_duplicate_groups",
 ]
 
@@ -100,10 +102,11 @@ def main() -> None:
             continue
         dt = None
         for _ in range(2):
-            # derived-table caches (x3 pairs, x7 labels) would turn the
-            # second run into a cache read — clear so both runs time the
-            # real pipeline
+            # derived-table caches (x3 pairs, x7 labels, trained BPE)
+            # would turn the second run into a cache read — clear so
+            # both runs time the real pipeline
             ops.dedup.clear_cache(sf_dir)
+            ops.textops.clear_cache(sf_dir)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             run = time.perf_counter() - t0

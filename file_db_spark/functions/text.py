@@ -269,6 +269,12 @@ SIMHASH_PERMS = _perm_constants(64, seed=0xC0FFEE)
 #: count-min sketch row hashes (d rows) over the same universal family
 CMS_PERMS = _perm_constants(4, seed=0xCA15)
 
+#: d33 hashed-linear-classifier weight family (1 perm): the pseudo
+#: "trained" weight for feature bucket b is ((b+1)*A + B) mod P - P//2.
+CLS_PERMS = _perm_constants(1, seed=0xD33)
+#: feature-hash bucket count for the d33 classifier
+CLS_BUCKETS = 4096
+
 #: Bloom-filter hash family (k=3) over the same portable base hash;
 #: positions are ((base*a + b) % PORTABLE_PRIME) % BLOOM_M on both
 #: engines. BLOOM_M is a power of two purely for familiarity — the

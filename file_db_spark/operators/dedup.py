@@ -1227,7 +1227,7 @@ def x14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_q(
     "x15_bloom_contamination",
-    """
+    r"""
     WITH norm AS (
       SELECT doc_id,
              ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
@@ -1571,4 +1571,127 @@ def x18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("both_new"), "new-new").otherwise("new-base").alias("pair_type"),
         )
         .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x19: PageRank centrality over the near-dup graph — integer-exact
+# fixed-point arithmetic so the iterative result is bit-identical on
+# both engines (no float-summation order tolerance anywhere).
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for x19's rank mass (1.0 == PR_SCALE)
+PR_SCALE = 1_000_000_000_000
+PR_ROUNDS = 3
+
+
+def _x19_oracle() -> str:
+    """Unrolled integer PageRank rounds as generated CTEs, mirroring the
+    Spark loop term for term: same `//` floor division on every step,
+    so the bigint ranks match bit-for-bit."""
+    parts = [
+        f"""e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (
+      SELECT v, CAST({PR_SCALE} // n AS BIGINT) AS rank FROM deg, nn
+    )"""
+    ]
+    for t in range(1, PR_ROUNDS + 1):
+        prev = f"r{t - 1}"
+        parts.append(
+            f"""c{t} AS (
+      SELECT e.dst AS v, SUM(r.rank // deg.d) AS contrib
+      FROM e JOIN {prev} r ON r.v = e.src JOIN deg ON deg.v = e.src
+      GROUP BY e.dst
+    ), r{t} AS (
+      SELECT c.v,
+             CAST(({PR_SCALE} // n * 15) // 100 + (85 * c.contrib) // 100 AS BIGINT) AS rank
+      FROM c{t} c, nn
+    )"""
+        )
+    return (
+        f"WITH {_X3_PAIR_CTES},\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT r.v AS doc_id, r.rank AS pr_scaled, deg.d AS degree
+    FROM r{PR_ROUNDS} r JOIN deg ON deg.v = r.v
+    """
+    )
+
+
+@_q("x19_pagerank", _x19_oracle())
+def x19_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {PR_ROUNDS} rounds) over the x3 near-dup
+    graph: duplicate-cluster CENTRALITY — within a dedup family the
+    highest-rank member is the best survivor pick (most-connected
+    canonical form), and across the corpus high rank flags template/
+    boilerplate hubs that pairwise Jaccard alone ranks no differently
+    than ordinary duplicates.
+
+    All arithmetic is fixed-point bigint (PR_SCALE = 1e12): init rank
+    is SCALE div N; each round every vertex emits rank div degree along
+    its edges and absorbs 0.15 * SCALE div N + 0.85 * (sum of inbound
+    contributions), with floor division at the exact same points in
+    both engines — so the DuckDB oracle matches bit-for-bit even under
+    --strict, which no float formulation survives (float SUM order is
+    engine- and partition-dependent).
+
+    Scale shape: the classic Pregel emulation — per round ONE equi-join
+    of the rank table onto the edge list (both hash-partitioned on the
+    vertex key, so the exchange is reused round to round) + ONE
+    map-side-combined SUM shuffle on dst. Degrees are computed once and
+    carried; the 1-row vertex-count normalizer is a broadcast (the d19
+    pattern). Rounds are a fixed unrolled depth with per-round persist
+    (v7/d30 pattern) — bounded lineage, no driver-side decisions. The
+    edge list is the cached x3 pair artifact shared with x7/x16/x17."""
+    pairs = x3_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    e = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    # carry the source degree on each edge once: the per-round join then
+    # brings only the 2-column rank table to the 3-column edge list
+    ed = e.join(deg, "src").select("src", "dst", "d").persist()
+    nn = deg.select(F.count("*").cast("bigint").alias("n"))
+    rank = (
+        deg.select(F.col("src").alias("v"))
+        .crossJoin(F.broadcast(nn))
+        .select("v", F.expr(f"{PR_SCALE} div n").cast("bigint").alias("rank"))
+        .persist()
+    )
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            ed.join(rank, ed.src == rank.v)
+            .select("dst", F.expr("rank div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = (
+            contrib.crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("v"),
+                (
+                    F.expr(f"{PR_SCALE} div n * 15 div 100")
+                    + F.expr("85 * contrib div 100")
+                )
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .persist()
+        )
+    return (
+        rank.join(deg, rank.v == deg.src)
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("rank").alias("pr_scaled"),
+            F.col("d").alias("degree"),
+        )
     )

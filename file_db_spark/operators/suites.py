@@ -741,6 +741,11 @@ _DQ4_PARTS = {
         "'srcdup', src_a, src_b, n_pairs, sum_microjac, "
         "CAST(CAST(within_source AS INTEGER) AS DOUBLE), NULL",
     ),
+    "d33": (
+        "d33_quality_classifier",
+        "'cls', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), n_toks, "
+        "score_scaled, quality_score, CAST(keep AS DOUBLE)",
+    ),
 }
 
 
@@ -840,6 +845,15 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("within_source").cast("int").cast("double").alias("v1"),
         _dn().alias("v2"),
     )
+    d33 = t.d33_quality_classifier(spark, sf_dir).select(
+        F.lit("cls").alias("report"),
+        F.col("doc_id").cast("string").alias("k1"),
+        _sn().alias("k2"),
+        F.col("n_toks").alias("n_docs"),
+        F.col("score_scaled").alias("total_tokens"),
+        F.col("quality_score").alias("v1"),
+        F.col("keep").cast("double").alias("v2"),
+    )
     return (
         d1.unionByName(d7)
         .unionByName(d11)
@@ -849,6 +863,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d20)
         .unionByName(d25)
         .unionByName(d27)
+        .unionByName(d33)
     )
 
 
@@ -973,6 +988,11 @@ def dq5_quantile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(
         textops.ORACLES["d30_bpe_train"],
         "'d30', kind || ':' || token, round, cnt, rank, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d32_bpe_encode"],
+        "'d32', CAST(doc_id AS VARCHAR), n_words, n_bpe_tokens, NULL, tokens_per_word",
     ),
 )
 def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,12 +1055,21 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("k3"),
         _dn().alias("v1"),
     )
+    d32 = textops.d32_bpe_encode(spark, sf_dir).select(
+        F.lit("d32").alias("part"),
+        F.col("doc_id").cast("string").alias("s1"),
+        F.col("n_words").alias("k1"),
+        F.col("n_bpe_tokens").alias("k2"),
+        _bn().alias("k3"),
+        F.col("tokens_per_word").alias("v1"),
+    )
     return (
         d12.unionByName(d21)
         .unionByName(d22)
         .unionByName(d23)
         .unionByName(d24)
         .unionByName(d30)
+        .unionByName(d32)
     )
 
 
@@ -1334,6 +1363,11 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(
         dedup.ORACLES["x14_semantic_dedup"],
         "'x14', vec_id, cluster_id, CAST(keep AS BIGINT)",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        dedup.ORACLES["x19_pagerank"],
+        "'x19', doc_id, pr_scaled, degree",
     ),
 )
 def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,7 +1413,19 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("k2"),
         F.col("keep").cast("bigint").alias("flag"),
     )
-    return x7.unionByName(x16).unionByName(x17).unionByName(x10).unionByName(x14)
+    x19 = dedup.x19_pagerank(spark, sf_dir).select(
+        F.lit("x19").alias("member"),
+        F.col("doc_id").alias("k1"),
+        F.col("pr_scaled").alias("k2"),
+        F.col("degree").alias("flag"),
+    )
+    return (
+        x7.unionByName(x16)
+        .unionByName(x17)
+        .unionByName(x10)
+        .unionByName(x14)
+        .unionByName(x19)
+    )
 
 
 # ---------------------------------------------------------------------------

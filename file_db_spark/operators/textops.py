@@ -13,6 +13,8 @@ from ..catalog import load_table
 from ..functions.windows import bounded_frame_window, bounded_rank_window
 from ..functions.text import (
     BPE_TOKEN_RE,
+    CLS_BUCKETS,
+    CLS_PERMS,
     CMS_PERMS,
     DUCKDB_BASE_HASH,
     PORTABLE_PRIME,
@@ -1830,12 +1832,15 @@ BPE_TRAIN_ROUNDS = 3
 BPE_VOCAB_TOP = 10
 
 
-def _d30_oracle() -> str:
-    """Unrolled BPE rounds as generated CTEs: same char-spaced seed,
-    same pair counting (freq-weighted over the DISTINCT word table),
-    same deterministic top-pair choice, same leftmost-non-overlapping
-    merge rewrite (RE2 and java.util.regex agree for literal
-    patterns)."""
+def _bpe_chain_ctes() -> list[str]:
+    """The shared unrolled BPE-training CTE chain (wc seed, char-spaced
+    words0, then pairs{r}/top{r}/words{r} per merge round) used by BOTH
+    the d30 training oracle and the d32 encoding oracle: same
+    char-spaced seed, same pair counting (freq-weighted over the
+    DISTINCT word table), same deterministic top-pair choice, same
+    leftmost-non-overlapping merge rewrite (RE2 and java.util.regex
+    agree for literal patterns). `word` is carried through every round
+    so the final words{R} doubles as the word -> encoding map."""
     parts = [
         r"""wc AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -1844,7 +1849,7 @@ def _d30_oracle() -> str:
       ) GROUP BY word
     )""",
         r"""words0 AS (
-      SELECT freq, ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS seq
+      SELECT word, freq, ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS seq
       FROM wc
     )""",
     ]
@@ -1865,11 +1870,18 @@ def _d30_oracle() -> str:
         )
         parts.append(
             f"""words{r} AS (
-      SELECT w.freq,
+      SELECT w.word, w.freq,
              regexp_replace(w.seq, ' ' || t.pair || ' ', ' ' || replace(t.pair, ' ', '') || ' ', 'g') AS seq
       FROM {prev} w CROSS JOIN top{r} t
     )"""
         )
+    return parts
+
+
+def _d30_oracle() -> str:
+    """d30 training oracle: the shared chain, projected to the learned
+    merge list + final symbol vocabulary."""
+    parts = _bpe_chain_ctes()
     merge_rows = "\n    UNION ALL\n    ".join(
         f"SELECT 'merge' AS kind, CAST({r} AS BIGINT) AS round, pair AS token, cnt, CAST({r} AS BIGINT) AS rank FROM top{r}"
         for r in range(1, BPE_TRAIN_ROUNDS + 1)
@@ -1917,10 +1929,70 @@ def d30_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     + a map-only rewrite. The corpus itself is scanned ONCE (the seed
     word count). Rounds are unrolled with per-round persists (the v7
     fixed-depth-loop pattern) so lineage stays bounded."""
+    merges, cur = _bpe_trained(spark, sf_dir)
+    vocab_counts = (
+        _bpe_syms_of(cur)
+        .select("freq", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("sym").asc()]
+    vocab = (
+        vocab_counts.orderBy(*order)
+        .limit(BPE_VOCAB_TOP)
+        .withColumn(
+            "rank", F.row_number().over(bounded_rank_window("sym", *order)).cast("bigint")
+        )
+        .select(
+            F.lit("vocab").alias("kind"),
+            F.lit(0).cast("bigint").alias("round"),
+            F.col("sym").alias("token"),
+            "cnt",
+            "rank",
+        )
+    )
+    return merges.unionByName(vocab)
+
+
+def _bpe_syms_of(df: DataFrame) -> DataFrame:
+    """Split a char-spaced `seq` into its symbol array (seq column
+    replaced; every other column carried)."""
+    return df.select(
+        *[c for c in df.columns if c != "seq"],
+        F.filter(F.split(F.trim("seq"), " "), lambda t: t != "").alias("syms"),
+    )
+
+
+#: trained-chain cache, same rationale as dedup._CACHE: d30 and d32
+#: consume the same trained word table in one grading run; on a cluster
+#: it is a persisted tokenizer artifact written once per training run.
+_BPE_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def clear_cache(sf_dir: str | None = None) -> None:
+    """Drop cached trained-BPE tables (bench symmetry with
+    dedup.clear_cache — timed runs measure the real training)."""
+    for key in [k for k in _BPE_CACHE if sf_dir is None or k[1] == sf_dir]:
+        _, cur = _BPE_CACHE.pop(key)
+        try:
+            cur.unpersist()
+        except Exception:
+            pass
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Run the BPE_TRAIN_ROUNDS merge loop once; return (merge-list df,
+    final word table (word, freq, seq)) — the Spark twin of the shared
+    oracle chain `_bpe_chain_ctes` (word carried through every round)."""
+    key = (id(spark), sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = load_table(spark, sf_dir, "documents")
     raw = d.select(F.explode(tokens(normalize_text("text"))).alias("word"))
     wc = raw.groupBy("word").agg(F.count("*").cast("bigint").alias("freq"))
     cur = wc.select(
+        "word",
         "freq",
         F.concat(
             F.lit(" "), F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" ")
@@ -1928,10 +2000,7 @@ def d30_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     def syms_of(df: DataFrame) -> DataFrame:
-        return df.select(
-            "freq",
-            F.filter(F.split(F.trim("seq"), " "), lambda t: t != "").alias("syms"),
-        )
+        return _bpe_syms_of(df)
 
     merges = None
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
@@ -1966,6 +2035,7 @@ def d30_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             cur.crossJoin(F.broadcast(top.select(F.col("pair").alias("mp"))))
             .select(
+                "word",
                 "freq",
                 F.regexp_replace(
                     F.col("seq"),
@@ -1977,28 +2047,156 @@ def d30_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-    vocab_counts = (
-        syms_of(cur)
-        .select("freq", F.explode("syms").alias("sym"))
-        .groupBy("sym")
-        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    out = (merges, cur)
+    _BPE_CACHE[key] = out
+    return out
+
+
+def _d33_oracle() -> str:
+    a, b = CLS_PERMS[0]
+    p = PORTABLE_PRIME
+    half = p // 2
+    weight = (
+        f"((({DUCKDB_BASE_HASH.format(s='t')}) % {CLS_BUCKETS} + 1) * {a} + {b}) % {p} - {half}"
     )
-    order = [F.col("cnt").desc(), F.col("sym").asc()]
-    vocab = (
-        vocab_counts.orderBy(*order)
-        .limit(BPE_VOCAB_TOP)
-        .withColumn(
-            "rank", F.row_number().over(bounded_rank_window("sym", *order)).cast("bigint")
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(list_sum(list_transform(toks, t -> {weight})) AS BIGINT) AS score_scaled
+      FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_toks, score_scaled,
+           CAST(score_scaled AS DOUBLE) / CAST(n_toks * {half} AS DOUBLE) AS quality_score,
+           CAST(score_scaled > 0 AS BIGINT) AS keep
+    FROM scored
+    """
+
+
+@_q("d33_quality_classifier", _d33_oracle())
+def d33_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-quality classifier via the feature-hashing trick
+    (Weinberger et al. 2009; the fastText/CCNet quality-filter shape):
+    every token maps to one of CLS_BUCKETS weight slots by portable
+    hash, and a document's score is the mean of its tokens' weights.
+    The "trained" weight vector is a deterministic pseudo-model —
+    weight(b) = ((b+1)*A + B) mod P - P/2, the same universal-hash
+    family that stands in for learned state across this engine — so
+    the full inference path (hash -> slot -> weight -> accumulate ->
+    normalize -> threshold) is real and bit-exactly verified; swapping
+    in actual trained weights changes one expression, not the plan.
+
+    Scale: the hashing trick is WHY this is the at-scale filter shape —
+    the model is O(buckets) however large the vocabulary, and inference
+    is a per-row array fold (F.aggregate over the token array): ZERO
+    shuffles, zero joins, zero Python — the classifier rides the
+    corpus scan at full codegen speed. Scores are exact bigint sums
+    (order-independent), with one final IEEE division per row."""
+    a, b = CLS_PERMS[0]
+    half = PORTABLE_PRIME // 2
+
+    def weight(t):
+        return (
+            (portable_base_hash(t) % CLS_BUCKETS + 1) * F.lit(a) + F.lit(b)
+        ) % PORTABLE_PRIME - half
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = (
+        d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_toks"),
+            F.aggregate(
+                "toks", F.lit(0).cast("bigint"), lambda acc, t: acc + weight(t)
+            ).alias("score_scaled"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        "score_scaled",
+        (
+            F.col("score_scaled").cast("double")
+            / (F.col("n_toks") * F.lit(half)).cast("double")
+        ).alias("quality_score"),
+        (F.col("score_scaled") > 0).cast("bigint").alias("keep"),
+    )
+
+
+def _d32_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_chain_ctes())
+        + f""",
+    wt AS (
+      SELECT word,
+             CAST(len(list_filter(regexp_split_to_array(trim(seq), ' '), t -> t <> '')) AS BIGINT) AS n_sym
+      FROM words{BPE_TRAIN_ROUNDS}
+    ),
+    docw AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')), ' '), t -> t <> '')) AS word
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(w.n_sym) AS DOUBLE) / COUNT(*) AS tokens_per_word
+    FROM docw d JOIN wt w ON w.word = d.word
+    GROUP BY d.doc_id
+    """
+    )
+
+
+@_q("d32_bpe_encode", _d32_oracle())
+def d32_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the d30-trained tokenizer: encode every document with the
+    learned merges and report its exact post-BPE token count — the
+    number a training job budgets by (sequence packing, token quotas,
+    cost estimates all key off THIS count, not the whitespace count).
+
+    The encoding never re-tokenizes raw text per document: BPE merges
+    act within word boundaries, so a word's encoded length is a pure
+    function of the word — encode the DISTINCT word table once (it IS
+    d30's final training state, cached/persisted exactly like the
+    tokenizer artifact a real run ships), then equi-join each
+    document's words against it and sum. Work is one corpus scan +
+    one shuffle on the word key (the word table is far too large to
+    broadcast at web scale — Heaps' law puts it at 1e6-1e7 rows — so a
+    shuffle join on a well-distributed key is the right plan; skew from
+    stopword keys is bounded because the join's build rows are unique
+    per word).
+
+    Integer-exact: token counts are bigints; the only double is one
+    final division (IEEE-deterministic on both engines)."""
+    wt = _bpe_syms_of(_bpe_trained(spark, sf_dir)[1]).select(
+        "word", F.size("syms").cast("bigint").alias("n_sym")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    docw = d.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("word")
+    )
+    return (
+        docw.join(wt, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
         )
         .select(
-            F.lit("vocab").alias("kind"),
-            F.lit(0).cast("bigint").alias("round"),
-            F.col("sym").alias("token"),
-            "cnt",
-            "rank",
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+                "tokens_per_word"
+            ),
         )
     )
-    return merges.unionByName(vocab)
 
 
 # ---------------------------------------------------------------------------

@@ -147,3 +147,25 @@ def test_x18_equals_filtered_x3(spark, sf_dir):
     for r in incr:
         want = "new-new" if (r["doc_a"] in new_ids and r["doc_b"] in new_ids) else "new-base"
         assert r["pair_type"] == want
+
+
+def test_x19_pagerank_invariants(spark, sf_dir):
+    rows = dedup.x19_pagerank(spark, sf_dir).collect()
+    assert rows  # the fixture corpus has a non-empty near-dup graph
+    n = len(rows)
+    total = sum(r["pr_scaled"] for r in rows)
+    base = dedup.PR_SCALE // n
+    # rank mass is conserved up to floor-division truncation: each of
+    # the 3 rounds loses < 1 unit per (edge-contribution + vertex)
+    assert total <= dedup.PR_SCALE
+    assert total >= dedup.PR_SCALE - dedup.PR_ROUNDS * (dedup.PR_SCALE // 100 + 4 * n)
+    # every rank at least the teleport floor, and within a component
+    # higher-degree vertices can only be out-ranked by bounded amounts:
+    # check the global extremes are sane
+    floor = (base * 15) // 100
+    assert all(r["pr_scaled"] >= floor for r in rows)
+    by_rank = sorted(rows, key=lambda r: -r["pr_scaled"])
+    # the top-ranked vertex has at least median degree (centrality
+    # tracks connectivity on the near-dup graph)
+    degrees = sorted(r["degree"] for r in rows)
+    assert by_rank[0]["degree"] >= degrees[len(degrees) // 2]

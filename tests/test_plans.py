@@ -188,6 +188,13 @@ _BNLJ_OK = {
     "dq2_split_sample",
     "j13_salted_join",  # salt-explode dimension is a literal range table
     "rq2_join_suite",  # carries j13 (same literal salt-range cross join)
+    # x19's vertex-count normalizer is a broadcast 1-row cross join
+    # (the d19 pattern); x710 carries x19
+    "x19_pagerank",
+    "x710_components_survivors",
+    # d32 consumes the d30 trained chain (broadcast 1-row chosen-merge
+    # pair per round); dq6 carries both
+    "d32_bpe_encode",
     # M7 subtree deletion: dir_path-startsWith-root semi-join against the
     # broadcast vanished-roots list (few rows per wave); prefix matching
     # is inherently non-equi and the loop side is the tiny broadcast

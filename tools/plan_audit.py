@@ -56,6 +56,8 @@ BNLJ_OK_MEMBERS = {
     "d31_training_manifest",  # broadcast 1-row MIN-rate normalizer (d26 pattern)
     "j13_salted_join",  # literal salt-range table
     "g2_hash_lifecycle",  # broadcast per-wave vanished-root prefix list
+    "x19_pagerank",  # broadcast 1-row vertex-count normalizer
+    "d32_bpe_encode",  # d30 trained chain: broadcast 1-row merge pair per round
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
@@ -64,6 +66,7 @@ BNLJ_OK = BNLJ_OK_MEMBERS | {
     "dq4_corpus_reports",
     "dq6_term_sketches",
     "rq2_join_suite",
+    "x710_components_survivors",
 }
 
 
