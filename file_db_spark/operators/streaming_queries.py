@@ -586,3 +586,124 @@ ORACLES["s9_stream_cms_maintenance"] = """
     JOIN cells c2 ON c2.r = p.r AND c2.c = ((t.b * p.a + p.bb) % 2147483647) % 512
     GROUP BY t.term, t.true_count, t.rank
 """
+
+
+# ---------------------------------------------------------------------------
+# s10: streaming training-data ADMISSION GATE — the full ingest decision
+# (quality classifier + exact-dedup probe) made in-stream per arriving
+# document, composing d33's hashed linear classifier with a stream-
+# static content-hash join against the existing corpus. This is the
+# front door of a continuously-fed training corpus: everything the
+# batch manifest (d31) decides after the fact, decided at arrival time.
+# ---------------------------------------------------------------------------
+
+
+def s10_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission gate: new docs (doc_id%10==0, the s6 split)
+    arrive as a file stream; per document the micro-batch computes the
+    d33 hashed-classifier quality score (per-row array fold — zero
+    state, rides the stream scan) and probes the corpus content-hash
+    set for exact duplicates (stream-static left join on the hash key);
+    admitted = quality-keep AND not-duplicate. Append mode, drained via
+    availableNow; the drained result equals the batch decision (the
+    oracle).
+
+    Scale: classifier inference is map-only Column work (no Python, no
+    shuffle); the dedup probe joins on a well-distributed md5 key
+    against the corpus's DISTINCT hash table — the slim persisted
+    artifact, not the corpus itself. Per-batch work is O(batch), state
+    is zero (the hash table is storage, not stream state)."""
+    from ..functions.text import (
+        CLS_BUCKETS,
+        CLS_PERMS,
+        PORTABLE_PRIME,
+        portable_base_hash,
+    )
+
+    a, b = CLS_PERMS[0]
+    half = PORTABLE_PRIME // 2
+
+    def weight(t):
+        return (
+            (portable_base_hash(t) % CLS_BUCKETS + 1) * F.lit(a) + F.lit(b)
+        ) % PORTABLE_PRIME - half
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 != 0)
+        .select(F.md5(normalize_text("text")).alias("ch"))
+        .distinct()
+        .withColumn("dup_hit", F.lit(1))
+    )
+    src = es.documents_source(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    feats = (
+        src.select(
+            "doc_id",
+            tokens(normalize_text("text")).alias("toks"),
+            F.md5(normalize_text("text")).alias("ch"),
+        )
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "ch",
+            F.size("toks").cast("bigint").alias("n_toks"),
+            F.aggregate(
+                "toks", F.lit(0).cast("bigint"), lambda acc, t: acc + weight(t)
+            ).alias("score_scaled"),
+        )
+    )
+    out = (
+        feats.join(base, "ch", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            "score_scaled",
+            (F.col("score_scaled") > 0).cast("bigint").alias("quality_keep"),
+            F.coalesce(F.col("dup_hit"), F.lit(0)).cast("bigint").alias("is_dup"),
+            (
+                (F.col("score_scaled") > 0) & F.col("dup_hit").isNull()
+            ).cast("bigint").alias("admitted"),
+        )
+    )
+    return _drain(out, "s10", "append")
+
+
+QUERIES["s10_stream_admission"] = s10_stream_admission
+
+
+def _s10_oracle() -> str:
+    from ..functions.text import CLS_BUCKETS, CLS_PERMS, DUCKDB_BASE_HASH, PORTABLE_PRIME
+
+    a, b = CLS_PERMS[0]
+    half = PORTABLE_PRIME // 2
+    weight = (
+        f"((({DUCKDB_BASE_HASH.format(s='t')}) % {CLS_BUCKETS} + 1) * {a} + {b})"
+        f" % {PORTABLE_PRIME} - {half}"
+    )
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS ntext
+      FROM documents
+    ), base AS (
+      SELECT DISTINCT md5(ntext) AS ch FROM norm WHERE doc_id % 10 <> 0
+    ), feats AS (
+      SELECT doc_id, md5(ntext) AS ch,
+             list_filter(regexp_split_to_array(ntext, ' '), t -> t <> '') AS toks
+      FROM norm WHERE doc_id % 10 = 0
+    ), scored AS (
+      SELECT f.doc_id,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(list_sum(list_transform(toks, t -> {weight})) AS BIGINT) AS score_scaled,
+             (f.ch IN (SELECT ch FROM base)) AS isdup
+      FROM feats f WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_toks, score_scaled,
+           CAST(score_scaled > 0 AS BIGINT) AS quality_keep,
+           CAST(isdup AS BIGINT) AS is_dup,
+           CAST(score_scaled > 0 AND NOT isdup AS BIGINT) AS admitted
+    FROM scored
+    """
+
+
+ORACLES["s10_stream_admission"] = _s10_oracle()

@@ -1432,7 +1432,8 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s38: the remaining Structured Streaming operators in one graded row —
 # s3 sliding windows, s4 keyed dedup, s5 session windows, s6 stream-
 # static LSH near-dup admission, s7 foreachBatch incremental rollup
-# maintenance, s8 stream-stream watermarked interval join
+# maintenance, s8 stream-stream watermarked interval join, s9 sketch
+# maintenance, s10 in-stream training-data admission gate
 # ---------------------------------------------------------------------------
 @_q(
     "s38_streaming_suite",
@@ -1458,18 +1459,24 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'ssjoin', purchase_id, user_id, click_id, NULL, NULL, NULL")
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s9_stream_cms_maintenance"],
-           "'cms', user_id, true_count, cms_est, NULL, rank, NULL"),
+           "'cms', user_id, true_count, cms_est, NULL, rank, NULL")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s10_stream_admission"],
+           "'admission', doc_id, score_scaled, n_toks, NULL, admitted, "
+           "CAST(quality_keep * 2 + is_dup AS DOUBLE)"),
 )
 def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seven more real Structured Streaming drains in one graded row:
+    """Eight more real Structured Streaming drains in one graded row:
     s3 sliding windows (complete), s4 watermark-bounded keyed dedup
     (key-set projection), s5 native session windows (complete), s6
     stream-static LSH near-dup admission (append), s7 incremental
     rollup maintenance (foreachBatch MERGE into a generation-swapped
     hourly store), s8 stream-stream watermarked interval join (append),
     s9 streaming count-min-sketch maintenance (foreachBatch cell-sum
-    merge; heavy hitters served from the maintained sketch). Each
-    member runs its own availableNow stream unchanged."""
+    merge; heavy hitters served from the maintained sketch), s10 the
+    in-stream training-data admission gate (d33 quality classifier +
+    exact-dedup probe per arriving document). Each member runs its own
+    availableNow stream unchanged."""
     s3 = streaming_queries.s3_stream_sliding(spark, sf_dir).select(
         F.lit("sliding").alias("stream"),
         _epoch(F.col("window_start")).alias("k1"),
@@ -1533,6 +1540,15 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("n"),
         _dn().alias("v1"),
     )
+    s10 = streaming_queries.s10_stream_admission(spark, sf_dir).select(
+        F.lit("admission").alias("stream"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        F.col("score_scaled").alias("k2"),
+        F.col("n_toks").alias("k3"),
+        _sn().alias("s1"),
+        F.col("admitted").alias("n"),
+        (F.col("quality_keep") * 2 + F.col("is_dup")).cast("double").alias("v1"),
+    )
     return (
         s3.unionByName(s4)
         .unionByName(s5)
@@ -1540,6 +1556,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s7)
         .unionByName(s8)
         .unionByName(s9)
+        .unionByName(s10)
     )
 
 
