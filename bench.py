@@ -65,6 +65,30 @@ HEADLINE = [
     "d25_lm_quality",
     "x19_pagerank",
     "d32_bpe_encode",
+    "x20_prefix_ssjoin",
+    "d34_novelty_scoring",
+    "c9_duplicate_groups",
+]
+
+#: the 14-query headline set BENCH_r02 recorded (rounds 1-2). The
+#: headline list above has since grown to cover every expensive new
+#: operator, which grows the total by construction — so the JSON also
+#: reports `shared_r02_total`, the sum over THIS fixed set, as the
+#: apples-to-apples regression number across rounds.
+R02_SHARED = [
+    "a1_pricing_summary",
+    "j1_broadcast_equi_join",
+    "j2_left_outer_join",
+    "w2_window_dupcount",
+    "e1_tumbling_window",
+    "e2_sessionize",
+    "x1_exact_dedup",
+    "x4_minhash_lsh",
+    "x9_contamination",
+    "d1_token_stats",
+    "d9_repetition_quality",
+    "d10_seq_packing",
+    "v2_ann_lsh",
     "c9_duplicate_groups",
 ]
 
@@ -125,6 +149,7 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += timings[name]
 
+    shared = round(sum(timings.get(n, 0.0) for n in R02_SHARED), 3)
     print(
         json.dumps(
             {
@@ -133,6 +158,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                "shared_r02_total": shared,
+                "n_queries": len(timings),
             }
         )
     )

@@ -1695,3 +1695,134 @@ def x19_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("degree"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x20: EXACT set-similarity join via prefix filtering (SSJoin/PPJoin) —
+# the completeness-guaranteed alternative to x3's hot-shingle cap.
+# ---------------------------------------------------------------------------
+
+#: x20 Jaccard threshold. Prefix filtering earns its keep at high
+#: thresholds: at t=0.5 only the rarest ~|s|/2+1 shingles of each doc
+#: generate candidates, and NO true pair can be missed (two sets with
+#: Jaccard >= t must share an element within those prefixes).
+PPJOIN_TAU = 0.5
+
+_X20_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), eligible AS (
+      SELECT doc_id, w FROM norm WHERE len(w) >= 5
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+      FROM eligible, unnest(generate_series(1, len(w) - 4)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.5
+    """
+
+
+@_q("x20_prefix_ssjoin", _X20_ORACLE)
+def x20_prefix_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 near-dup join via PREFIX FILTERING (SSJoin,
+    Chaudhuri et al. ICDE 2006 / PPJoin, Xiao et al. WWW 2008): order
+    every document's shingles by ascending global document frequency
+    (rarest first, ties by value); a pair with Jaccard >= tau MUST
+    share a shingle inside each side's first |s| - ceil(tau*|s|) + 1
+    shingles, so only those prefixes generate candidates. Candidates
+    also pass the length filter tau*|a| <= |b| <= |a|/tau before exact
+    verification.
+
+    Why it matters vs x3: the MAX_SHINGLE_DF cap bounds hot-shingle
+    blowup by DROPPING boilerplate shingles — pairs connected ONLY by
+    hot shingles are lost (accepted recall trade). Prefix filtering
+    bounds the join differently: boilerplate shingles are frequent, so
+    they sort to the END of every prefix ordering and rarely generate
+    candidates, yet completeness is a THEOREM, not a hope — the oracle
+    here is the UNCAPPED full pair join at tau, so the driver certifies
+    that nothing was missed. The at-scale cost shape: candidate work is
+    sum over docs of prefix-length x per-shingle df among prefixes —
+    dominated by RARE shingles (tiny df) — while verification touches
+    only surviving candidates.
+
+    Shape: df count (one shuffle) -> per-doc rank window (doc-key
+    shuffle) -> prefix equi-join on shingle -> exact intersect count on
+    the (doc, shingle) composite key -> size join. All equi-joins on
+    well-distributed keys; integer prefix arithmetic (no float ceil):
+    prefix_len = n - (n+1) div 2 + 1 at tau = 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(word_shingles_from_tokens(F.col("toks"), 5)).alias("shingle"),
+        )
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
+    df_tab = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    ranked = (
+        sh.join(df_tab, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+        # tau = 0.5: prefix_len = n_sh - ceil(n_sh/2) + 1, integer form
+        .filter(F.col("rn") <= F.col("n_sh") - F.expr("(n_sh + 1) div 2") + 1)
+        .select("doc_id", "shingle", "n_sh")
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: tau*|a| <= |b| and |b| <= |a|/tau (tau=1/2)
+            & (F.col("b.n_sh") * 2 >= F.col("a.n_sh"))
+            & (F.col("b.n_sh") <= F.col("a.n_sh") * 2),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verification: count shared shingles per candidate pair via
+    # the (doc, shingle) composite equi-join — work is bounded by the
+    # candidates' set sizes, not the corpus
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        shared.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= PPJOIN_TAU)
+    )

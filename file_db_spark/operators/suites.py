@@ -746,6 +746,12 @@ _DQ4_PARTS = {
         "'cls', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), n_toks, "
         "score_scaled, quality_score, CAST(keep AS DOUBLE)",
     ),
+    "d34": (
+        "d34_novelty_scoring",
+        "'novelty', CAST(doc_id AS VARCHAR), "
+        "CAST(n_bigrams AS VARCHAR) || ':' || CAST(n_unseen_bigrams AS VARCHAR), "
+        "n_tokens, n_oov, oov_rate, bigram_novelty",
+    ),
 }
 
 
@@ -854,6 +860,19 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").alias("v1"),
         F.col("keep").cast("double").alias("v2"),
     )
+    d34 = t.d34_novelty_scoring(spark, sf_dir).select(
+        F.lit("novelty").alias("report"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat(
+            F.col("n_bigrams").cast("string"),
+            F.lit(":"),
+            F.col("n_unseen_bigrams").cast("string"),
+        ).alias("k2"),
+        F.col("n_tokens").alias("n_docs"),
+        F.col("n_oov").alias("total_tokens"),
+        F.col("oov_rate").alias("v1"),
+        F.col("bigram_novelty").alias("v2"),
+    )
     return (
         d1.unionByName(d7)
         .unionByName(d11)
@@ -864,6 +883,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d25)
         .unionByName(d27)
         .unionByName(d33)
+        .unionByName(d34)
     )
 
 
@@ -1574,7 +1594,10 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'x11', doc_a, doc_b, overlap, n_shared")
     + "\nUNION ALL\n"
     + _sub(dedup.ORACLES["x18_incremental_neardup"],
-           "'x18:' || pair_type, doc_a, doc_b, jaccard, NULL"),
+           "'x18:' || pair_type, doc_a, doc_b, jaccard, NULL")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x20_prefix_ssjoin"],
+           "'x20', doc_a, doc_b, jaccard, NULL"),
 )
 def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x3 word-3-gram Jaccard near-dup pairs + x11 winnowing-minima
@@ -1583,7 +1606,10 @@ def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-level and char-level views of the same problem; both members
     run unchanged (shingle/minimum equi-join, MAX_*_DF hot-key caps,
     verify-by-overlap), plus x18's incremental new-batch-vs-corpus
-    maintenance pairs (tagged by pair_type) — the O(delta) form."""
+    maintenance pairs (tagged by pair_type) — the O(delta) form — and
+    x20's prefix-filtered SSJoin (exact tau=0.5 pairs with NO df cap;
+    its oracle is the uncapped full pair join, certifying
+    completeness)."""
     x3 = dedup.x3_ngram_jaccard(spark, sf_dir).select(
         F.lit("x3").alias("member"),
         F.col("doc_a"),
@@ -1605,7 +1631,14 @@ def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").alias("score"),
         _bn().alias("n"),
     )
-    return x3.unionByName(x11).unionByName(x18)
+    x20 = dedup.x20_prefix_ssjoin(spark, sf_dir).select(
+        F.lit("x20").alias("member"),
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.col("jaccard").alias("score"),
+        _bn().alias("n"),
+    )
+    return x3.unionByName(x11).unionByName(x18).unionByName(x20)
 
 
 # ---------------------------------------------------------------------------

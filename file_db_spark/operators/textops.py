@@ -2128,6 +2128,122 @@ def d33_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D34_BIGRAMS = (
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+)
+
+
+@_q(
+    "d34_novelty_scoring",
+    f"""
+    WITH staged AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks, doc_id % 10 = 0 AS is_new
+      FROM documents
+    ), eligible AS (
+      SELECT * FROM staged WHERE len(toks) >= 2
+    ), base_uni AS (
+      SELECT DISTINCT unnest(toks) AS word FROM eligible WHERE NOT is_new
+    ), base_bg AS (
+      SELECT DISTINCT unnest({_D34_BIGRAMS}) AS bg FROM eligible WHERE NOT is_new
+    ), new_uni AS (
+      SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN b.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM (SELECT doc_id, unnest(toks) AS word FROM eligible WHERE is_new) e
+      LEFT JOIN base_uni b ON b.word = e.word
+      GROUP BY e.doc_id
+    ), new_bg AS (
+      SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN b.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_bigrams
+      FROM (SELECT doc_id, unnest({_D34_BIGRAMS}) AS bg FROM eligible WHERE is_new) e
+      LEFT JOIN base_bg b ON b.bg = e.bg
+      GROUP BY e.doc_id
+    )
+    SELECT u.doc_id, u.n_tokens, u.n_oov, g.n_bigrams, g.n_unseen_bigrams,
+           CAST(u.n_oov AS DOUBLE) / u.n_tokens AS oov_rate,
+           CAST(g.n_unseen_bigrams AS DOUBLE) / g.n_bigrams AS bigram_novelty
+    FROM new_uni u JOIN new_bg g ON g.doc_id = u.doc_id
+    """,
+)
+def d34_novelty_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty/coverage scoring of a newly arrived batch against the
+    existing corpus: per new document, the fraction of token positions
+    whose word the corpus has never seen (OOV rate) and the fraction of
+    its bigrams absent from the corpus bigram set. The twin decisions
+    these feed: high-novelty docs are the valuable ones for coverage
+    (prioritize), and all-zero-novelty docs are near-copies the dedup
+    pass should have caught (audit signal). Integer counts + one IEEE
+    division each — bit-exact across engines, unlike log-prob scoring.
+
+    Scale: the x18 incremental pattern applied to LM statistics — the
+    corpus's DISTINCT unigram and bigram sets are the persisted
+    artifacts (built once per corpus generation; here derived in-query
+    from the one snapshot table), and the new batch probes them with
+    two equi-joins on well-distributed word/bigram keys. Work is
+    O(|delta| tokens), never corpus x corpus; the probe side deduped
+    per key so skew from stopwords is bounded by batch size."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> element_at(toks, i) || ' ' || element_at(toks, i + 1))"
+    )
+    staged = (
+        d.select(
+            "doc_id",
+            tokens(normalize_text("text")).alias("toks"),
+            (F.col("doc_id") % 10 == 0).alias("is_new"),
+        )
+        .filter(F.size("toks") >= 2)
+        .persist()
+    )
+    base = staged.filter(~F.col("is_new"))
+    new = staged.filter(F.col("is_new"))
+    base_uni = (
+        base.select(F.explode("toks").alias("word"))
+        .distinct()
+        .withColumn("seen_u", F.lit(1))
+    )
+    base_bg = (
+        base.select(F.explode(bigrams).alias("bg"))
+        .distinct()
+        .withColumn("seen_b", F.lit(1))
+    )
+    new_uni = (
+        new.select("doc_id", F.explode("toks").alias("word"))
+        .join(base_uni, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("seen_u").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    new_bg = (
+        new.select("doc_id", F.explode(bigrams).alias("bg"))
+        .join(base_bg, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("seen_b").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unseen_bigrams"),
+        )
+    )
+    return new_uni.join(new_bg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        "n_bigrams",
+        "n_unseen_bigrams",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        (F.col("n_unseen_bigrams").cast("double") / F.col("n_bigrams")).alias(
+            "bigram_novelty"
+        ),
+    )
+
+
 def _d32_oracle() -> str:
     return (
         "WITH "
