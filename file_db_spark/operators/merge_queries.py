@@ -1152,6 +1152,81 @@ def g6_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g7: PARTITION PRUNING through the storage layer — write the events
+# table Hive-partitioned by day, then serve a one-day query from it.
+# The complement of the bucketed-join store feature: bucketing kills
+# the join shuffle, partitioning kills the scan itself.
+# ---------------------------------------------------------------------------
+
+#: the probed day — mid-range of the generator's 30-day span, present
+#: at every SF
+G7_DAY = "2024-01-15"
+
+_G7_ORACLE = f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{G7_DAY}'
+    GROUP BY event_type
+    """
+
+
+@_q("g7_partition_pruning", _G7_ORACLE)
+def g7_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned storage + partition-pruned serving: write events
+    Hive-partitioned by day (`write.partitionBy("day")` — one directory
+    per day, the 100 TB layout for any time-series table), then answer
+    a single-day aggregation FROM the partitioned store. Catalyst turns
+    the day predicate into a PartitionFilter: the scan lists ONE
+    partition directory and never opens the other 29 days' files —
+    pruning is metadata-level, so the same query touches 1/30th of the
+    data however large the table grows (tests/test_plans.py pins
+    PartitionFilters in the executed plan and that pruned input size <
+    full input size).
+
+    The oracle aggregates the SAME day from the raw table, certifying
+    the partitioned round-trip end-to-end (partition-column date
+    round-trip included — `day` travels as a directory name, not a
+    column value).
+
+    Scale notes: daily partitioning bounds every incremental job (s7's
+    rollup maintenance, M-series merge waves) to the touched days;
+    value sums go through DECIMAL so the result is order-independent."""
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="fdb_g7_")
+    (
+        e.select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            F.col("ts").cast("date").alias("day"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(root)
+    )
+    part = spark.read.parquet(root).filter(
+        F.col("day") == F.to_date(F.lit(G7_DAY))
+    )
+    out = part.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+    # materialize off the scratch store (g6 pattern), then remove it
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g3456: graded carrier for the control-table surface — M3/O7 mark
 # crawled (g3), the scheduler claim suite (g4), the copy claim/resolve
 # suite (g5) — one normalized row set, members run unchanged.
@@ -1184,15 +1259,21 @@ def _sub(sql: str, projection: str) -> str:
         "'g6', id, op || '#' || COALESCE(old_name, '') || '#' || COALESCE(new_name, ''), "
         "old_dir_id, new_dir_id, old_mtime_ep, new_mtime_ep, "
         "CAST(ROUND(old_size * 1000000) AS BIGINT), NULL, NULL, new_size",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G7_ORACLE,
+        "'g7', NULL, event_type, n_events, NULL, NULL, NULL, NULL, NULL, NULL, total_value",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3/O7 adaptive-frequency control update + the full scheduler
     claim surface (J10/J11/A4/T1/T2/M9/M11) + the copy pipeline's
     claim/resolution half (M12/J12/T3) + the table store's time-travel
-    CDC diff (g6) in one graded row — every member runs its own wave
-    through the real engine unchanged. g6's old_size is packed to
-    exact micro-MB integers (6-decimal source -> lossless)."""
+    CDC diff (g6) + the day-partitioned store's pruned serving (g7)
+    in one graded row — every member runs its own wave through the
+    real engine unchanged. g6's old_size is packed to exact micro-MB
+    integers (6-decimal source -> lossless)."""
     g3 = g3_mark_crawled(spark, sf_dir).select(
         F.lit("g3").alias("part"),
         F.col("k1"),
@@ -1250,4 +1331,17 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         F.col("new_size").alias("v1"),
     )
-    return g3.unionByName(g4).unionByName(g5).unionByName(g6)
+    g7 = g7_partition_pruning(spark, sf_dir).select(
+        F.lit("g7").alias("part"),
+        _bn().alias("k1"),
+        F.col("event_type").alias("s1"),
+        F.col("n_events").alias("n1"),
+        _bn().alias("n2"),
+        _bn().alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        F.col("total_value").alias("v1"),
+    )
+    return g3.unionByName(g4).unionByName(g5).unionByName(g6).unionByName(g7)

@@ -317,3 +317,36 @@ def test_d30_bpe_training_plan_shape(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_g7_partition_pruning_plan(spark, sf_dir, tmp_path):
+    # the single-day predicate must prune at partition-directory level:
+    # PartitionFilters non-empty, and the pruned scan reads exactly one
+    # day's files (selected partitions are visible in the plan text)
+    import pyspark.sql.functions as F
+
+    from file_db_spark.catalog import load_table
+
+    root = str(tmp_path / "events_by_day")
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.select("event_id", "ts", "event_type", "value",
+                 F.col("ts").cast("date").alias("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(root)
+    )
+    pruned = spark.read.parquet(root).filter(F.col("day") == F.to_date(F.lit("2024-01-15")))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "day" in plan.split("PartitionFilters:")[1][:200]
+    # metadata-level pruning: the files actually opened by the pruned
+    # query all come from the one selected partition directory, a
+    # fraction of the full 30-day store
+    full_files = {
+        r[0] for r in spark.read.parquet(root)
+        .select(F.input_file_name()).distinct().collect()
+    }
+    read_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_files and len(read_files) < len(full_files)
+    assert all("day=2024-01-15" in f for f in read_files)
