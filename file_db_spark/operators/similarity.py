@@ -572,33 +572,9 @@ def v6_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("emb"),
         (F.col("vec_id") % KMEANS_K).alias("cell"),
     )
-    # persist per round: each round's assignment feeds BOTH the centroid
-    # derivation and the scoring join, so without a persist the upstream
-    # subtree doubles per round (see v7's note)
-    assigned = pts.persist()
-    for _ in range(KMEANS_ITERS):
-        cents = _km_centroids(assigned).withColumnRenamed("cell", "c_cell")
-        scored = (
-            assigned.select("vec_id", "emb")
-            .crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "emb",
-                F.col("c_cell").alias("cand_cell"),
-                cosine(F.col("emb"), F.col("centroid")).alias("cos"),
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cos").desc(), F.col("cand_cell").asc()
-        )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "vec_id", "emb", F.col("cand_cell").alias("cell"), "cos"
-            )
-            .persist()
-        )
+    # the shared Lloyd loop (see _lloyd_assign below; v9's index-add
+    # trains on a subset through the same code path)
+    assigned = _lloyd_assign(pts, KMEANS_ITERS)
     return assigned.select(
         "vec_id",
         F.col("cell").cast("bigint").alias("cell"),
@@ -1084,3 +1060,177 @@ def _v8_oracle() -> str:
 
 
 ORACLES["v8_knn_graph"] = _v8_oracle()
+
+
+# ---------------------------------------------------------------------------
+# v9: incremental INDEX MAINTENANCE — route a newly arrived vector
+# batch into the base-trained IVF cells without retraining (the vector
+# database "add" path; completes the incremental-maintenance trio with
+# x18 near-dup pairs and d34 novelty).
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_assign(pts: DataFrame, iters: int) -> DataFrame:
+    """The v6 Lloyd loop (broadcast k x dim centroids -> map-only
+    scoring -> keyed argmax -> partial-agg means), factored so training
+    can run on any point set. Returns (vec_id, emb, cell, cos)."""
+    assigned = pts.persist()
+    for _ in range(iters):
+        cents = _km_centroids(assigned).withColumnRenamed("cell", "c_cell")
+        scored = (
+            assigned.select("vec_id", "emb")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "emb",
+                F.col("c_cell").alias("cand_cell"),
+                cosine(F.col("emb"), F.col("centroid")).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cand_cell").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "emb", F.col("cand_cell").alias("cell"), "cos")
+            .persist()
+        )
+    return assigned
+
+
+def v9_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance: train the IVF cells on the
+    BASE corpus only (vec_id % 10 != 0, the s10/d34 batch split), then
+    route the NEW batch (vec_id % 10 == 0) to its nearest trained
+    centroid in ONE scoring pass — no retraining, no touching base
+    vectors. Output per new vector: its assigned cell, its cosine to
+    the centroid, and the cell's occupancy before/after — the numbers
+    an index monitor watches (a cell whose n_new outpaces n_base is
+    drifting; its centroid is stale and that cell alone gets retrained).
+
+    Scale: training cost is the v6 loop on the base (amortized — on a
+    cluster the centroid table is the persisted index artifact, built
+    once per generation); the ADD path is the only per-batch cost: one
+    broadcast of k x dim centroids against a map-only scored pass over
+    the delta + a keyed argmax. O(|delta| x k), zero shuffles of the
+    base."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("vec_id") % KMEANS_K).alias("cell"),
+    )
+    base_assigned = _lloyd_assign(pts.where(F.col("vec_id") % 10 != 0), KMEANS_ITERS)
+    cents = _km_centroids(base_assigned).withColumnRenamed("cell", "c_cell").persist()
+    new_scored = (
+        pts.where(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "emb")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.col("c_cell").alias("cand_cell"),
+            cosine(F.col("emb"), F.col("centroid")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cand_cell").asc()
+    )
+    routed = (
+        new_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cand_cell").alias("cell"), "cos")
+    )
+    base_occ = base_assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_base")
+    )
+    new_occ = routed.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    occ = base_occ.join(new_occ, "cell", "left").select(
+        "cell",
+        "n_base",
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    return (
+        routed.join(F.broadcast(occ), "cell")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.round("cos", 6).alias("cos_to_centroid"),
+            "n_base",
+            "n_new",
+        )
+    )
+
+
+def _v9_oracle() -> str:
+    """Base-trained Lloyd CTEs (v6's generators restricted to the base
+    split) + a single routing pass for the new batch."""
+
+    def cent(src: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT cell, list(avg_v ORDER BY idx) AS centroid FROM (
+        SELECT s.cell, t.idx, AVG(s.emb[t.idx]) AS avg_v
+        FROM {src} s, unnest(range(1, len(s.emb) + 1)) AS t(idx)
+        GROUP BY s.cell, t.idx
+      ) GROUP BY cell
+    )"""
+
+    def assign(cent_name: str, src: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, emb, cell, cos FROM (
+        SELECT p.vec_id, p.emb, c.cell,
+               list_cosine_similarity(p.emb, c.centroid) AS cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(p.emb, c.centroid) DESC, c.cell ASC
+               ) AS rn
+        FROM {src} p CROSS JOIN {cent_name} c
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             vec_id % {KMEANS_K} AS cell
+      FROM embeddings WHERE vec_id % 10 <> 0
+    )""",
+        f"""newb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id % 10 = 0
+    )""",
+    ]
+    src = "base"
+    for i in range(KMEANS_ITERS):
+        parts.append(cent(src, f"cent{i}"))
+        parts.append(assign(f"cent{i}", src if i == 0 else f"asg{i-1}", f"asg{i}"))
+        src = f"asg{i}"
+    parts.append(cent(src, "cent_final"))
+    parts.append(assign("cent_final", "newb", "routed"))
+    parts.append(
+        f"""base_occ AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base FROM {src} GROUP BY cell
+    )""",
+    )
+    parts.append(
+        """new_occ AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new FROM routed GROUP BY cell
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+           round(r.cos, 6) AS cos_to_centroid,
+           b.n_base, CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
+    FROM routed r
+    JOIN base_occ b ON b.cell = r.cell
+    LEFT JOIN new_occ n ON n.cell = r.cell
+    """
+    )
+
+
+QUERIES["v9_index_add"] = v9_index_add
+ORACLES["v9_index_add"] = _v9_oracle()

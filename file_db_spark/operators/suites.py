@@ -1114,7 +1114,10 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'v7', query_id, neighbor_id, adc_dist, rank")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v8_knn_graph"],
-           "'v8', vec_id, neighbor_id, cos_sim, rank"),
+           "'v8', vec_id, neighbor_id, cos_sim, rank")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v9_index_add"],
+           "'v9', vec_id, cell, cos_to_centroid, n_base * 100000 + n_new"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1124,9 +1127,11 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory-bandwidth scale path), v7 answers via product-quantization
     ADC code lookups (the memory-compression scale path), v8 builds
     the all-vectors kNN graph (fine-bucket LSH candidates, one cosine
-    per undirected pair). Same normalized schema with a variant tag;
-    `score` is cosine for v3-v6/v8 and the ADC squared distance for
-    v7."""
+    per undirected pair), and v9 routes a new vector batch into the
+    base-trained cells without retraining (the index "add" path; its
+    rank column packs cell occupancy n_base*100000+n_new). Same
+    normalized schema with a variant tag; `score` is cosine for
+    v3-v6/v8/v9 and the ADC squared distance for v7."""
     v3 = similarity.v3_ivf_topk(spark, sf_dir).select(
         F.lit("v3").alias("variant"), "query_id", "neighbor_id",
         F.col("cos_sim").alias("score"), "rank"
@@ -1160,12 +1165,20 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").alias("score"),
         "rank",
     )
+    v9 = similarity.v9_index_add(spark, sf_dir).select(
+        F.lit("v9").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("neighbor_id"),
+        F.col("cos_to_centroid").alias("score"),
+        (F.col("n_base") * 100000 + F.col("n_new")).cast("bigint").alias("rank"),
+    )
     return (
         v3.unionByName(v4)
         .unionByName(v5)
         .unionByName(v6)
         .unionByName(v7)
         .unionByName(v8)
+        .unionByName(v9)
     )
 
 
