@@ -1826,3 +1826,120 @@ def x20_prefix_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= PPJOIN_TAU)
     )
+
+
+# ---------------------------------------------------------------------------
+# x21: QUALITY-AWARE survivor selection — the real-world keep policy:
+# within each near-dup family keep the HIGHEST-QUALITY member (d33
+# classifier score), not the lowest id. x10's min-id keeper is the
+# deterministic baseline; this is what a production curation run ships.
+# ---------------------------------------------------------------------------
+
+#: score sentinel for docs the classifier skipped (empty token list) —
+#: sorts below every real score in both engines
+_X21_NO_SCORE = -(2**62)
+
+
+def _x21_oracle() -> str:
+    from ..functions.text import CLS_BUCKETS, CLS_PERMS
+
+    a, b = CLS_PERMS[0]
+    p = PORTABLE_PRIME
+    half = p // 2
+    weight = (
+        f"((({DUCKDB_BASE_HASH.format(s='t')}) % {CLS_BUCKETS} + 1) * {a} + {b}) % {p} - {half}"
+    )
+    return rf"""
+    WITH RECURSIVE {_X3_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, lab) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (
+      SELECT v AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+      FROM reach GROUP BY v
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(toks, t -> {weight})) AS BIGINT) AS score_scaled
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+        FROM documents
+      ) WHERE len(toks) > 0
+    ),
+    allrows AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS component_id,
+             COALESCE(s.score_scaled, {_X21_NO_SCORE}) AS score_scaled
+      FROM documents d
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      LEFT JOIN scored s ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, component_id,
+           CAST(FIRST_VALUE(doc_id) OVER (
+             PARTITION BY component_id ORDER BY score_scaled DESC, doc_id ASC
+           ) AS BIGINT) AS keeper_id,
+           CAST(doc_id = FIRST_VALUE(doc_id) OVER (
+             PARTITION BY component_id ORDER BY score_scaled DESC, doc_id ASC
+           ) AS BIGINT) AS is_keeper,
+           CAST(score_scaled AS BIGINT) AS score_scaled
+    FROM allrows
+    """
+
+
+@_q("x21_quality_survivors", _x21_oracle())
+def x21_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor map: every document labeled with its
+    near-dup family (x7 components; singletons form their own family)
+    and the family's keeper chosen as the member with the HIGHEST d33
+    classifier score (ties -> lowest doc_id) — keep the best-written
+    copy, drop the rest. This is the policy production curation uses
+    (near-dup families routinely mix a clean original with mangled
+    re-crawls; min-id keeps whichever crawled first, quality-argmax
+    keeps the right one).
+
+    Scale: the component label table is dup-family-sized (broadcast);
+    classifier scores are the map-only d33 fold riding the corpus scan;
+    the keeper argmax is a window partitioned by family key — family-
+    sized partitions, uniformly hashed. One corpus-wide window shuffle
+    on component_id total. x19's PageRank offers the graph-centrality
+    alternative for the same choice; this one needs no graph iteration."""
+    from .textops import d33_quality_classifier
+
+    labels = x7_dup_components(spark, sf_dir)
+    scores = d33_quality_classifier(spark, sf_dir).select("doc_id", "score_scaled")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = (
+        d.join(F.broadcast(labels), "doc_id", "left")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").cast("bigint").alias("component_id"),
+            F.coalesce("score_scaled", F.lit(_X21_NO_SCORE))
+            .cast("bigint")
+            .alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id").asc()
+    )
+    keeper = F.first("doc_id").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # first() over the running frame == FIRST_VALUE over the partition
+    # under this ordering: row 1 is the argmax, every later row sees it
+    return full.select(
+        "doc_id",
+        "component_id",
+        keeper.cast("bigint").alias("keeper_id"),
+        (F.col("doc_id") == keeper).cast("bigint").alias("is_keeper"),
+        "score_scaled",
+    )

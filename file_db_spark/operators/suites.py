@@ -1401,6 +1401,11 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(
         dedup.ORACLES["x19_pagerank"],
         "'x19', doc_id, pr_scaled, degree",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        dedup.ORACLES["x21_quality_survivors"],
+        "'x21', doc_id, keeper_id, is_keeper",
     ),
 )
 def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1452,12 +1457,19 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr_scaled").alias("k2"),
         F.col("degree").alias("flag"),
     )
+    x21 = dedup.x21_quality_survivors(spark, sf_dir).select(
+        F.lit("x21").alias("member"),
+        F.col("doc_id").alias("k1"),
+        F.col("keeper_id").alias("k2"),
+        F.col("is_keeper").alias("flag"),
+    )
     return (
         x7.unionByName(x16)
         .unionByName(x17)
         .unionByName(x10)
         .unionByName(x14)
         .unionByName(x19)
+        .unionByName(x21)
     )
 
 
