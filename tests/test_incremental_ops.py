@@ -1,0 +1,86 @@
+"""Invariant tests for the incremental-maintenance operators (x18's
+pattern applied to quality, vectors, and LM statistics) and the
+quality-aware survivor policy. Value equality vs DuckDB is the oracle
+gate's job; these pin the semantic invariants a hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from file_db_spark.operators import dedup, similarity, textops
+
+
+def test_x21_keeper_is_family_score_argmax(spark, sf_dir):
+    rows = dedup.x21_quality_survivors(spark, sf_dir).collect()
+    assert rows
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [r for r in members if r["is_keeper"] == 1]
+        assert len(keepers) == 1, f"component {comp}: {len(keepers)} keepers"
+        k = keepers[0]
+        # the keeper is the (score DESC, doc_id ASC) argmax
+        best = max(members, key=lambda r: (r["score_scaled"], -r["doc_id"]))
+        assert k["doc_id"] == best["doc_id"]
+        assert all(r["keeper_id"] == k["doc_id"] for r in members)
+
+
+def test_x21_consistent_with_x10_families(spark, sf_dir):
+    # same family structure as x10 (both derive from x7 labels): the
+    # keeper differs (quality vs min-id) but the partition must match
+    x10 = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.x10_dedup_survivors(spark, sf_dir).collect()
+    }
+    x21 = dedup.x21_quality_survivors(spark, sf_dir).collect()
+    for r in x21:
+        # x10's keeper is the min-id member == the component label
+        assert x10[r["doc_id"]] == r["component_id"]
+
+
+def test_v9_routes_into_trained_cells_with_exact_occupancy(spark, sf_dir):
+    rows = similarity.v9_index_add(spark, sf_dir).collect()
+    assert rows
+    # every new vector routed exactly once
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    assert all(r["vec_id"] % 10 == 0 for r in rows)
+    # n_new per cell equals the actual routed count in this result
+    per_cell: dict[int, int] = {}
+    for r in rows:
+        per_cell[r["cell"]] = per_cell.get(r["cell"], 0) + 1
+    for r in rows:
+        assert r["n_new"] == per_cell[r["cell"]]
+        assert r["n_base"] > 0  # trained cells only
+        assert -1.0 <= r["cos_to_centroid"] <= 1.0
+
+
+def test_d34_novelty_bounds_and_base_blindness(spark, sf_dir):
+    rows = textops.d34_novelty_scoring(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 10 == 0  # only the new batch is scored
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0 <= r["n_unseen_bigrams"] <= r["n_bigrams"]
+        # an unseen bigram requires <= 2 unseen unigram *types*, but an
+        # unseen unigram forces every bigram touching it to be unseen:
+        # n_unseen_bigrams >= n_oov occurrences' adjacent-pair floor
+        if r["n_oov"] == 0:
+            # all words known: bigram novelty is pure recombination
+            assert r["bigram_novelty"] >= 0.0
+
+
+def test_x20_pairs_superset_of_capped_x3_at_tau(spark, sf_dir):
+    # x20 (no df cap, tau=0.5) must find every pair the capped x3
+    # pipeline finds at jaccard >= 0.5 — completeness vs the capped
+    # baseline is the whole point of prefix filtering
+    x3 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.x3_ngram_jaccard(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.5
+    }
+    x20 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.x20_prefix_ssjoin(spark, sf_dir).collect()
+    }
+    assert x3 <= x20
