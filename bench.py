@@ -44,6 +44,7 @@ HEADLINE = [
     "e6_asof_join",
     "e7_range_join",
     "x1_exact_dedup",
+    "x22_substring_dedup",
     "x4_minhash_lsh",
     "x7_dup_components",
     "x16_components_star",

@@ -1943,3 +1943,204 @@ def x21_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == keeper).cast("bigint").alias("is_keeper"),
         "score_scaled",
     )
+
+
+# ---------------------------------------------------------------------------
+# x22: EXACT substring-level dedup (duplicated-span removal) — the
+# "ExactSubstr" modality of Lee et al., "Deduplicating Training Data
+# Makes Language Models Better" (ACL 2022): remove every token span of
+# length >= L that occurs more than once ANYWHERE in the corpus
+# (across documents or repeated within one), keeping the rest of each
+# document intact. Doc-level dedup (x1) and near-dup (x3/x4/x5) keep
+# or drop whole documents; this is the operator that strips the quoted
+# boilerplate, license headers, and copy-pasted passages INSIDE
+# otherwise-unique documents.
+# ---------------------------------------------------------------------------
+
+#: x22 minimum duplicated-span length in normalized tokens. The
+#: L-gram formulation below is EXACT for this semantics: a duplicated
+#: span of length M >= L contains all of its M-L+1 length-L windows as
+#: duplicated L-grams (a substring of a repeated string repeats at the
+#: same offset of the other copy), so the union of duplicated-L-gram
+#: intervals covers exactly the union of all duplicated spans >= L —
+#: the same positions a suffix-array pass would mark, with no suffix
+#: array.
+SUBSTR_L = 10
+
+_X22_ORACLE = rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS s, i + {SUBSTR_L - 1} AS e,
+             md5(array_to_string(w[i:i+{SUBSTR_L - 1}], ' ')) AS g
+      FROM norm, unnest(generate_series(1, len(w) - {SUBSTR_L - 1})) AS t(i)
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ), hits AS (
+      SELECT doc_id, s, e FROM grams JOIN dup USING (g)
+    ), flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ), islands AS (
+      SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(e - s + 1) AS removed_tokens,
+             MAX(e - s + 1) AS max_span_len
+      FROM islands GROUP BY doc_id
+    ), pos AS (
+      SELECT n.doc_id, t.i AS i, n.w[t.i] AS token
+      FROM norm n, unnest(generate_series(1, len(n.w))) AS t(i)
+    ), kept AS (
+      SELECT p.doc_id, p.i, p.token
+      FROM pos p
+      LEFT JOIN islands s ON s.doc_id = p.doc_id AND p.i BETWEEN s.s AND s.e
+      WHERE s.doc_id IS NULL
+    ), clean AS (
+      SELECT doc_id, md5(string_agg(token, ' ' ORDER BY i)) AS clean_digest
+      FROM kept GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           CAST(len(n.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(d.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(d.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+           CAST(len(n.w) - COALESCE(d.removed_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(COALESCE(d.max_span_len, 0) AS BIGINT) AS max_span_len,
+           CAST(COALESCE(d.removed_tokens, 0) AS DOUBLE) / len(n.w) AS dup_frac,
+           COALESCE(c.clean_digest, md5('')) AS clean_digest
+    FROM norm n
+    LEFT JOIN per_doc d USING (doc_id)
+    LEFT JOIN clean c ON c.doc_id = n.doc_id
+    WHERE len(n.w) > 0
+    """
+
+
+@_q("x22_substring_dedup", _X22_ORACLE)
+def x22_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup: mark and strip every normalized-token
+    span of length >= SUBSTR_L that occurs >= 2 times corpus-wide, and
+    emit the per-document accounting plus the md5 digest of the cleaned
+    text (duplicated spans removed, surviving tokens rejoined in order).
+
+    Pipeline (all DataFrame ops, no Python in the hot path):
+      1. tokenize once; posexplode one md5 L-gram key per position —
+         O(total tokens) rows, each carrying a 32-char key, never the
+         gram text past the hash;
+      2. groupBy gram key, keep keys with >= 2 occurrences (map-side
+         combine; the count is corpus-wide, so intra-document repeats
+         count too — self-repetition IS duplication);
+      3. equi-join duplicated keys back to positions (1:1 per position,
+         no fan-out however hot the gram — the boilerplate-blowup
+         hazard of pair-joins doesn't exist here because positions are
+         matched, not paired);
+      4. merge overlapping/adjacent [pos, pos+L-1] intervals per doc —
+         gaps-and-islands via two doc-keyed windows (running MAX(e),
+         then a running SUM island id); partitions are doc-sized;
+      5. collect each doc's merged spans (small: bounded by
+         n_tokens/L), rejoin to the token table, and filter positions
+         through an `exists` HOF — JVM expression, one pass per token.
+
+    Scale: two corpus scans (gram pass + reconstruction pass; on a
+    cluster the tokenized table is a materialized artifact both read),
+    one gram-key shuffle, one position-key shuffle back, two doc-keyed
+    windows. The gram-key shuffle is the cost center at 100 TB and is
+    perfectly hash-distributed; hot keys only make a slightly bigger
+    COUNT cell, never a pair blowup. Reference anchor: extends the
+    duplicate-search surface of readme.md:26-36 (J5/A2 family) from
+    whole-file hash equality to intra-file duplicated content."""
+    L = SUBSTR_L
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(normalize_text("text")).alias("w")).filter(
+        F.size("w") > 0
+    )
+    n = F.size("w")
+    gram_keys = F.transform(
+        F.sequence(F.lit(1), n - (L - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, L))),
+    )
+    grams = (
+        tok.filter(n >= L)
+        .select("doc_id", F.posexplode(gram_keys).alias("p0", "g"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("s"),
+            (F.col("p0") + L).alias("e"),
+            "g",
+        )
+    )
+    dup_keys = grams.groupBy("g").count().filter(F.col("count") >= 2).select("g")
+    hits = grams.join(dup_keys, "g").select("doc_id", "s", "e")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
+    )
+    isl = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    islands = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).alias("max_span_len"),
+    )
+    joined = tok.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce("spans", F.array().cast("array<struct<s:int,e:int>>")).alias(
+            "spans"
+        ),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("removed_tokens", F.lit(0)).cast("bigint").alias("removed_tokens"),
+        F.coalesce("max_span_len", F.lit(0)).cast("bigint").alias("max_span_len"),
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("w")),
+        lambda i: ~F.exists(
+            "spans", lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    clean_text = F.array_join(
+        F.transform(kept_idx, lambda i: F.element_at("w", i)), " "
+    )
+    nt = F.size("w").cast("bigint")
+    return joined.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        "n_spans",
+        "removed_tokens",
+        (nt - F.col("removed_tokens")).alias("kept_tokens"),
+        "max_span_len",
+        (F.col("removed_tokens").cast("double") / nt).alias("dup_frac"),
+        F.md5(clean_text).alias("clean_digest"),
+    )

@@ -1293,14 +1293,21 @@ from . import dedup  # noqa: E402  (kept near its suites for review locality)
     + "\nUNION ALL\n"
     + _sub(dedup.ORACLES["x13_chunk_dedup"],
            "'x13', doc_id, CAST(n_shared_chunks AS VARCHAR) || '#' || "
-           "CAST(CAST(keep AS INTEGER) AS VARCHAR), n_chunks, shared_frac"),
+           "CAST(CAST(keep AS INTEGER) AS VARCHAR), n_chunks, shared_frac")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x22_substring_dedup"],
+           "'x22', doc_id, clean_digest || '#' || CAST(n_spans AS VARCHAR)"
+           " || ':' || CAST(removed_tokens AS VARCHAR)"
+           " || ':' || CAST(max_span_len AS VARCHAR), kept_tokens, dup_frac"),
 )
 def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x1 exact content-hash dedup + x2 window-tagged duplicate
-    families + x13 chunk-level partial-duplicate scoring in one graded
-    row. x1/x2 are single-shuffle hash-partitioned passes; x13 adds the
-    chunk-hash df join that catches partially-copied documents. All run
-    unchanged."""
+    families + x13 chunk-level partial-duplicate scoring + x22 exact
+    substring-level dedup (duplicated-span removal with cleaned-text
+    digests) in one graded row. x1/x2 are single-shuffle hash-
+    partitioned passes; x13 adds the chunk-hash df join that catches
+    partially-copied documents; x22 marks and strips every >= L-token
+    span that repeats anywhere in the corpus. All run unchanged."""
     x1 = dedup.x1_exact_dedup(spark, sf_dir).select(
         F.lit("x1").alias("member"),
         F.col("keeper_doc_id").alias("k1"),
@@ -1326,7 +1333,22 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunks").alias("n"),
         F.col("shared_frac").alias("v"),
     )
-    return x1.unionByName(x2).unionByName(x13)
+    x22 = dedup.x22_substring_dedup(spark, sf_dir).select(
+        F.lit("x22").alias("member"),
+        F.col("doc_id").alias("k1"),
+        F.concat(
+            F.col("clean_digest"),
+            F.lit("#"),
+            F.col("n_spans").cast("string"),
+            F.lit(":"),
+            F.col("removed_tokens").cast("string"),
+            F.lit(":"),
+            F.col("max_span_len").cast("string"),
+        ).alias("s1"),
+        F.col("kept_tokens").alias("n"),
+        F.col("dup_frac").alias("v"),
+    )
+    return x1.unionByName(x2).unionByName(x13).unionByName(x22)
 
 
 # ---------------------------------------------------------------------------

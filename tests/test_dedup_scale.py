@@ -169,3 +169,61 @@ def test_x19_pagerank_invariants(spark, sf_dir):
     # tracks connectivity on the near-dup graph)
     degrees = sorted(r["degree"] for r in rows)
     assert by_rank[0]["degree"] >= degrees[len(degrees) // 2]
+
+
+def test_x22_substring_dedup_vs_bruteforce(spark, sf_dir):
+    """x22's duplicated-span accounting must equal an independent pure-
+    Python recomputation (same normalization, rolling L-gram counts,
+    interval union) — catches off-by-one errors in the interval merge
+    that the DuckDB oracle (structurally similar SQL) could share."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    L = dedup.SUBSTR_L
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    toks = {}
+    for doc_id, text in docs:
+        norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+        toks[doc_id] = [t for t in norm.split(" ") if t]
+    counts: Counter = Counter()
+    for w in toks.values():
+        for i in range(len(w) - L + 1):
+            counts[" ".join(w[i : i + L])] += 1
+    expected = {}
+    for doc_id, w in toks.items():
+        if not w:
+            continue
+        covered = set()
+        for i in range(len(w) - L + 1):
+            if counts[" ".join(w[i : i + L])] >= 2:
+                covered.update(range(i, i + L))
+        # merged islands = runs of consecutive covered positions
+        n_spans = sum(1 for p in covered if p - 1 not in covered)
+        clean = " ".join(t for i, t in enumerate(w) if i not in covered)
+        expected[doc_id] = (
+            len(w),
+            n_spans,
+            len(covered),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+
+    rows = dedup.x22_substring_dedup(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == set(expected)
+    for r in rows:
+        n_tokens, n_spans, removed, digest = expected[r["doc_id"]]
+        assert r["n_tokens"] == n_tokens
+        assert r["n_spans"] == n_spans
+        assert r["removed_tokens"] == removed
+        assert r["kept_tokens"] == n_tokens - removed
+        assert r["clean_digest"] == digest
+        assert r["kept_tokens"] + r["removed_tokens"] == r["n_tokens"]
+        if r["n_spans"]:
+            assert r["max_span_len"] >= L
+        else:
+            assert r["max_span_len"] == 0 and r["removed_tokens"] == 0
+    assert any(r["n_spans"] > 0 for r in rows)  # fixture corpus has dups
