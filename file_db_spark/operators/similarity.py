@@ -1234,3 +1234,233 @@ def _v9_oracle() -> str:
 
 QUERIES["v9_index_add"] = v9_index_add
 ORACLES["v9_index_add"] = _v9_oracle()
+
+
+# ---------------------------------------------------------------------------
+# v10: k-means|| initialization (Bahmani et al., "Scalable k-means++",
+# VLDB 2012) — the SEEDING step v6's Lloyd refinement consumes.
+# Sequential k-means++ needs k corpus passes with a driver-held center
+# after each; k-means|| oversamples l candidates per round for R << k
+# rounds, then reduces the small weighted candidate set to k seeds.
+# This variant is DETERMINISTIC: instead of sampling proportional to
+# cost it takes the top-l points by (cost DESC, vec_id ASC) per round
+# (deterministic overseeding), and reduces candidates to k seeds by
+# greedy weighted farthest-point — so the whole pipeline value-hashes
+# against an unrolled-CTE DuckDB oracle under --strict.
+# ---------------------------------------------------------------------------
+
+KMPP_ROUNDS = 2  # oversampling rounds (R)
+KMPP_L = 4  # candidates added per round (l)
+KMPP_K = 4  # final seed count (k)
+
+#: d2 in a fixed three-dot-product expression order (the v7 pattern) —
+#: bit-identical across engines, unlike a sum-of-squares reduction.
+_D2_SQL = (
+    "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+    " - 2 * list_dot_product({a}, {b}))"
+)
+
+
+def _v10_oracle() -> str:
+    def d2(a: str, b: str) -> str:
+        return _D2_SQL.format(a=a, b=b)
+
+    parts = [
+        """pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )""",
+        """c0 AS (
+      SELECT vec_id AS cid, emb AS cemb, 0 AS round_added
+      FROM pts ORDER BY vec_id ASC LIMIT 1
+    )""",
+    ]
+    src = "c0"
+    for r in range(1, KMPP_ROUNDS + 1):
+        parts.append(
+            f"""cost{r} AS (
+      SELECT p.vec_id, MIN({d2('p.emb', 'c.cemb')}) AS cost
+      FROM pts p CROSS JOIN {src} c GROUP BY p.vec_id
+    )"""
+        )
+        parts.append(
+            f"""pick{r} AS (
+      SELECT p.vec_id AS cid, p.emb AS cemb, {r} AS round_added
+      FROM cost{r} j JOIN pts p ON p.vec_id = j.vec_id
+      ORDER BY j.cost DESC, j.vec_id ASC LIMIT {KMPP_L}
+    )"""
+        )
+        parts.append(
+            f"""c{r} AS (
+      SELECT * FROM {src} UNION ALL SELECT * FROM pick{r}
+    )"""
+        )
+        src = f"c{r}"
+    parts.append(
+        f"""asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {d2('p.emb', 'c.cemb')} ASC, c.cid ASC
+               ) AS rn
+        FROM pts p CROSS JOIN {src} c
+      ) WHERE rn = 1
+    )"""
+    )
+    parts.append(
+        """cnt AS (SELECT cid, COUNT(*) AS w FROM asg GROUP BY cid)"""
+    )
+    parts.append(
+        f"""wt AS (
+      SELECT c.cid, c.cemb, c.round_added,
+             CAST(COALESCE(n.w, 0) AS BIGINT) AS weight
+      FROM {src} c LEFT JOIN cnt n ON n.cid = c.cid
+    )"""
+    )
+    parts.append(
+        """s1 AS (
+      SELECT cid, cemb, weight, 1 AS seed_rank
+      FROM wt ORDER BY weight DESC, cid ASC LIMIT 1
+    )"""
+    )
+    chosen = "s1"
+    for k in range(2, KMPP_K + 1):
+        parts.append(
+            f"""g{k} AS (
+      SELECT w.cid, MIN({d2('w.cemb', 's.cemb')}) AS mind2
+      FROM wt w CROSS JOIN {chosen} s GROUP BY w.cid
+    )"""
+        )
+        parts.append(
+            f"""pickseed{k} AS (
+      SELECT w.cid, w.cemb, w.weight, {k} AS seed_rank
+      FROM g{k} g JOIN wt w ON w.cid = g.cid
+      WHERE w.cid NOT IN (SELECT cid FROM {chosen})
+      ORDER BY w.weight * g.mind2 DESC, w.cid ASC LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""s{k} AS (
+      SELECT * FROM {chosen} UNION ALL SELECT * FROM pickseed{k}
+    )"""
+        )
+        chosen = f"s{k}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT w.cid AS vec_id, CAST(w.round_added AS BIGINT) AS round_added,
+           w.weight,
+           CAST(CASE WHEN s.cid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_seed,
+           CAST(COALESCE(s.seed_rank, 0) AS BIGINT) AS seed_rank
+    FROM wt w LEFT JOIN {chosen} s ON s.cid = w.cid
+    """
+    )
+
+
+@_q("v10_kmeanspp_init", _v10_oracle())
+def v10_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| seeding (deterministic): R rounds of cost-ranked
+    overseeding, then greedy weighted farthest-point reduction of the
+    candidate set to k seeds. Emits the full candidate table — which
+    round added each candidate, its attraction weight (points whose
+    nearest candidate it is), and its final seed rank (0 = not chosen).
+    Feed the k seeds to v6's Lloyd refinement in place of its hash
+    split for faster convergence on real (clustered) embeddings.
+
+    Scale (the reason k-means|| exists): each round is ONE broadcast of
+    the tiny center set (<= 1 + R*l rows) against a map-only distance
+    pass + a TakeOrderedAndProject top-l — R passes total instead of
+    k-means++'s k sequential corpus scans. The candidate set (1 + R*l
+    rows) never leaves the executors as anything bigger than a
+    broadcast; weighting is one argmin window partitioned by vec_id;
+    the k-step greedy reduction runs on the candidate-sized table only
+    (MLlib runs weighted k-means++ there — same shape, ours is the
+    deterministic greedy so the oracle can certify it bit-exactly).
+    All distances use the fixed three-dot-product d2 (v7 pattern) —
+    no engine-dependent summation order anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    centers = (
+        pts.orderBy(F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("cemb"),
+            F.lit(0).alias("round_added"),
+        )
+    )
+    for r in range(1, KMPP_ROUNDS + 1):
+        cost = (
+            pts.crossJoin(F.broadcast(centers.select("cid", "cemb")))
+            .select("vec_id", _d2(F.col("emb"), F.col("cemb")).alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("cost"))
+        )
+        sel = cost.orderBy(F.desc("cost"), F.asc("vec_id")).limit(KMPP_L)
+        picked = pts.join(F.broadcast(sel), "vec_id").select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("cemb"),
+            F.lit(r).alias("round_added"),
+        )
+        centers = centers.unionByName(picked)
+    cand = centers.persist()
+    scored = pts.crossJoin(F.broadcast(cand.select("cid", "cemb"))).select(
+        "vec_id", "cid", _d2(F.col("emb"), F.col("cemb")).alias("d2")
+    )
+    w_argmin = Window.partitionBy("vec_id").orderBy(
+        F.asc("d2"), F.asc("cid")
+    )
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w_argmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    cnt = asg.groupBy("cid").agg(F.count("*").alias("w"))
+    wt = (
+        cand.join(cnt, "cid", "left")
+        .select(
+            "cid",
+            "cemb",
+            "round_added",
+            F.coalesce("w", F.lit(0)).cast("bigint").alias("weight"),
+        )
+        .persist()
+    )
+    chosen = (
+        wt.orderBy(F.desc("weight"), F.asc("cid"))
+        .limit(1)
+        .select("cid", "cemb", "weight", F.lit(1).alias("seed_rank"))
+    )
+    for k in range(2, KMPP_K + 1):
+        mind2 = (
+            wt.select("cid", "cemb")
+            .crossJoin(
+                F.broadcast(
+                    chosen.select(F.col("cid").alias("scid"), F.col("cemb").alias("semb"))
+                )
+            )
+            .select("cid", _d2(F.col("cemb"), F.col("semb")).alias("d2"))
+            .groupBy("cid")
+            .agg(F.min("d2").alias("mind2"))
+        )
+        pick = (
+            wt.join(mind2, "cid")
+            .join(chosen.select("cid"), "cid", "left_anti")
+            .orderBy(F.desc(F.col("weight") * F.col("mind2")), F.asc("cid"))
+            .limit(1)
+            .select("cid", "cemb", "weight", F.lit(k).alias("seed_rank"))
+        )
+        chosen = chosen.unionByName(pick)
+    return (
+        wt.join(chosen.select("cid", "seed_rank"), "cid", "left")
+        .select(
+            F.col("cid").alias("vec_id"),
+            F.col("round_added").cast("bigint").alias("round_added"),
+            "weight",
+            F.col("seed_rank").isNotNull().cast("bigint").alias("is_seed"),
+            F.coalesce("seed_rank", F.lit(0)).cast("bigint").alias("seed_rank"),
+        )
+    )

@@ -1117,7 +1117,11 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'v8', vec_id, neighbor_id, cos_sim, rank")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v9_index_add"],
-           "'v9', vec_id, cell, cos_to_centroid, n_base * 100000 + n_new"),
+           "'v9', vec_id, cell, cos_to_centroid, n_base * 100000 + n_new")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v10_kmeanspp_init"],
+           "'v10', vec_id, weight, CAST(NULL AS DOUBLE), "
+           "round_added * 100 + seed_rank"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1127,11 +1131,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory-bandwidth scale path), v7 answers via product-quantization
     ADC code lookups (the memory-compression scale path), v8 builds
     the all-vectors kNN graph (fine-bucket LSH candidates, one cosine
-    per undirected pair), and v9 routes a new vector batch into the
+    per undirected pair), v9 routes a new vector batch into the
     base-trained cells without retraining (the index "add" path; its
-    rank column packs cell occupancy n_base*100000+n_new). Same
-    normalized schema with a variant tag; `score` is cosine for
-    v3-v6/v8/v9 and the ADC squared distance for v7."""
+    rank column packs cell occupancy n_base*100000+n_new), and v10
+    seeds centers by deterministic k-means|| (candidate weights in
+    neighbor_id, round/seed-rank packed in rank). Same normalized
+    schema with a variant tag; `score` is cosine for v3-v6/v8/v9 and
+    the ADC squared distance for v7."""
     v3 = similarity.v3_ivf_topk(spark, sf_dir).select(
         F.lit("v3").alias("variant"), "query_id", "neighbor_id",
         F.col("cos_sim").alias("score"), "rank"
@@ -1172,6 +1178,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_to_centroid").alias("score"),
         (F.col("n_base") * 100000 + F.col("n_new")).cast("bigint").alias("rank"),
     )
+    v10 = similarity.v10_kmeanspp_init(spark, sf_dir).select(
+        F.lit("v10").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        F.col("weight").alias("neighbor_id"),
+        _dn().alias("score"),
+        (F.col("round_added") * 100 + F.col("seed_rank")).cast("bigint").alias("rank"),
+    )
     return (
         v3.unionByName(v4)
         .unionByName(v5)
@@ -1179,6 +1192,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v7)
         .unionByName(v8)
         .unionByName(v9)
+        .unionByName(v10)
     )
 
 

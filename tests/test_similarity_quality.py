@@ -50,3 +50,33 @@ def test_ann_recall_floor(spark):
     for approx in (lsh, ivf1, ivf2, pq):
         for q, ns in approx.items():
             assert q not in ns
+
+
+def test_v10_kmeanspp_invariants(spark, sf_dir):
+    """k-means|| seeding: candidate accounting and greedy-reduction
+    invariants that the value oracle can't express as single-row facts."""
+    import duckdb
+
+    rows = sim.v10_kmeanspp_init(spark, sf_dir).collect()
+    n_pts = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == 1 + sim.KMPP_ROUNDS * sim.KMPP_L
+    # every point is attracted to exactly one candidate
+    assert sum(r["weight"] for r in rows) == n_pts
+    seeds = [r for r in rows if r["is_seed"]]
+    assert len(seeds) == sim.KMPP_K
+    assert sorted(r["seed_rank"] for r in seeds) == list(
+        range(1, sim.KMPP_K + 1)
+    )
+    assert all(r["seed_rank"] == 0 for r in rows if not r["is_seed"])
+    # seed 1 is the heaviest candidate (ties -> lowest vec_id)
+    best = min(rows, key=lambda r: (-r["weight"], r["vec_id"]))
+    first = next(r for r in seeds if r["seed_rank"] == 1)
+    assert first["vec_id"] == best["vec_id"]
+    # rounds populated as declared: one round-0 seed, l per later round
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round_added"], 0)
+        by_round[r["round_added"]] += 1
+    assert by_round == {0: 1, **{r: sim.KMPP_L for r in range(1, sim.KMPP_ROUNDS + 1)}}
