@@ -752,6 +752,15 @@ _DQ4_PARTS = {
         "CAST(n_bigrams AS VARCHAR) || ':' || CAST(n_unseen_bigrams AS VARCHAR), "
         "n_tokens, n_oov, oov_rate, bigram_novelty",
     ),
+    "d35": (
+        "d35_gopher_rules",
+        "'gopher', CAST(doc_id AS VARCHAR), "
+        "CAST(r_word_count AS VARCHAR) || CAST(r_mean_word_len AS VARCHAR)"
+        " || CAST(r_symbol_ratio AS VARCHAR) || CAST(r_bullet_lines AS VARCHAR)"
+        " || CAST(r_ellipsis_lines AS VARCHAR) || CAST(r_alpha_words AS VARCHAR)"
+        " || CAST(r_stopwords AS VARCHAR) || CAST(keep AS VARCHAR), "
+        "n_words, n_stopwords, mean_word_len, frac_alpha",
+    ),
 }
 
 
@@ -873,6 +882,24 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("oov_rate").alias("v1"),
         F.col("bigram_novelty").alias("v2"),
     )
+    d35 = t.d35_gopher_rules(spark, sf_dir).select(
+        F.lit("gopher").alias("report"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat(
+            F.col("r_word_count").cast("string"),
+            F.col("r_mean_word_len").cast("string"),
+            F.col("r_symbol_ratio").cast("string"),
+            F.col("r_bullet_lines").cast("string"),
+            F.col("r_ellipsis_lines").cast("string"),
+            F.col("r_alpha_words").cast("string"),
+            F.col("r_stopwords").cast("string"),
+            F.col("keep").cast("string"),
+        ).alias("k2"),
+        F.col("n_words").alias("n_docs"),
+        F.col("n_stopwords").alias("total_tokens"),
+        F.col("mean_word_len").alias("v1"),
+        F.col("frac_alpha").alias("v2"),
+    )
     return (
         d1.unionByName(d7)
         .unionByName(d11)
@@ -884,6 +911,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d27)
         .unionByName(d33)
         .unionByName(d34)
+        .unionByName(d35)
     )
 
 

@@ -2427,3 +2427,156 @@ def d31_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d35: rule-based quality filter (the Gopher/MassiveText heuristics,
+# Rae et al. 2021 §A1.1) — the standard pre-filter that runs BEFORE
+# model-based scoring (d33) and perplexity filtering (d25) in a
+# production curation stack. Pure Column expressions; every rule emits
+# its own flag so the downstream funnel can attribute losses per rule.
+# ---------------------------------------------------------------------------
+
+#: Gopher stopword-presence set (a doc must contain >= 2 distinct).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]
+
+_D35_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+_D35_ORACLE = rf"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS w,
+             regexp_split_to_array(text, '\n') AS lines
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS sum_word_len,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS BIGINT) AS n_ellipsis,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(list_transform(w, t -> lower(t))), {_D35_STOP_SQL})) AS BIGINT) AS n_stopwords
+      FROM base WHERE len(w) > 0
+    ), rated AS (
+      SELECT doc_id, n_words,
+             CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+             CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+             CAST(n_bullet AS DOUBLE) / n_lines AS frac_bullet,
+             CAST(n_ellipsis AS DOUBLE) / n_lines AS frac_ellipsis,
+             CAST(n_alpha_words AS DOUBLE) / n_words AS frac_alpha,
+             n_stopwords
+      FROM feat
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_bullet,
+           frac_ellipsis, frac_alpha, n_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_word_count,
+           CAST(mean_word_len BETWEEN 3 AND 10 AS BIGINT) AS r_mean_word_len,
+           CAST(symbol_ratio <= 0.1 AS BIGINT) AS r_symbol_ratio,
+           CAST(frac_bullet <= 0.9 AS BIGINT) AS r_bullet_lines,
+           CAST(frac_ellipsis <= 0.3 AS BIGINT) AS r_ellipsis_lines,
+           CAST(frac_alpha >= 0.8 AS BIGINT) AS r_alpha_words,
+           CAST(n_stopwords >= 2 AS BIGINT) AS r_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND symbol_ratio <= 0.1
+                AND frac_bullet <= 0.9
+                AND frac_ellipsis <= 0.3
+                AND frac_alpha >= 0.8
+                AND n_stopwords >= 2 AS BIGINT) AS keep
+    FROM rated
+    """
+
+
+@_q("d35_gopher_rules", _D35_ORACLE)
+def d35_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter: word-count bounds, mean word length,
+    symbol-to-word ratio ('#' and '...'), bullet-/ellipsis-line
+    fractions, alphabetic-word fraction, and distinct-stopword
+    presence — each as its own flag plus the conjunctive keep bit, so
+    the cleaning funnel (d13) can attribute document loss per rule.
+
+    Scale: a single map-only projection riding the corpus scan — zero
+    shuffles, zero joins, all JVM Column expressions (HOFs over the
+    staged token/line arrays; counts are exact integers, the only
+    doubles are final per-row IEEE divisions, so the row is bit-stable
+    cross-engine). Composes ahead of d33 (model-based scoring) and
+    d25 (perplexity) exactly as in a production curation stack."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    lines = F.split("text", "\n")
+    base = d.select("doc_id", "text", w.alias("w"), lines.alias("lines")).filter(
+        F.size("w") > 0
+    )
+    txt = F.col("text")
+    diff_ellipsis = F.length(txt) - F.length(F.replace(txt, F.lit("...")))
+    n_symbols = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("#")))).cast("long")
+        + (diff_ellipsis / F.lit(3)).cast("long")
+    )
+    feat = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform("w", lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sum_word_len"),
+        n_symbols.alias("n_symbols"),
+        F.size(
+            F.filter("lines", lambda l: F.trim(l).rlike("^[-*•]"))
+        ).cast("long").alias("n_bullet"),
+        F.size(
+            F.filter("lines", lambda l: F.trim(l).endswith("..."))
+        ).cast("long").alias("n_ellipsis"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(
+            F.filter("w", lambda t: t.rlike("[a-zA-Z]"))
+        ).cast("long").alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform("w", lambda t: F.lower(t))),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        ).cast("long").alias("n_stopwords"),
+    )
+    nw = F.col("n_words")
+    rated = feat.select(
+        "doc_id",
+        "n_words",
+        (F.col("sum_word_len").cast("double") / nw).alias("mean_word_len"),
+        (F.col("n_symbols").cast("double") / nw).alias("symbol_ratio"),
+        (F.col("n_bullet").cast("double") / F.col("n_lines")).alias("frac_bullet"),
+        (F.col("n_ellipsis").cast("double") / F.col("n_lines")).alias("frac_ellipsis"),
+        (F.col("n_alpha_words").cast("double") / nw).alias("frac_alpha"),
+        "n_stopwords",
+    )
+    r_word = F.col("n_words").between(50, 100000)
+    r_mean = F.col("mean_word_len").between(3, 10)
+    r_sym = F.col("symbol_ratio") <= 0.1
+    r_bul = F.col("frac_bullet") <= 0.9
+    r_ell = F.col("frac_ellipsis") <= 0.3
+    r_alp = F.col("frac_alpha") >= 0.8
+    r_stp = F.col("n_stopwords") >= 2
+    return rated.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "frac_bullet",
+        "frac_ellipsis",
+        "frac_alpha",
+        "n_stopwords",
+        r_word.cast("long").alias("r_word_count"),
+        r_mean.cast("long").alias("r_mean_word_len"),
+        r_sym.cast("long").alias("r_symbol_ratio"),
+        r_bul.cast("long").alias("r_bullet_lines"),
+        r_ell.cast("long").alias("r_ellipsis_lines"),
+        r_alp.cast("long").alias("r_alpha_words"),
+        r_stp.cast("long").alias("r_stopwords"),
+        (r_word & r_mean & r_sym & r_bul & r_ell & r_alp & r_stp)
+        .cast("long")
+        .alias("keep"),
+    )

@@ -152,3 +152,26 @@ def test_d22_cms_one_sided(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.cms_est >= r.true_count
+
+
+def test_d35_gopher_rules_flags(spark, sf_dir):
+    """keep must equal the conjunction of the per-rule flags, and the
+    word-count rule must genuinely split the fixture corpus."""
+    from file_db_spark.operators.textops import d35_gopher_rules
+
+    rows = d35_gopher_rules(spark, sf_dir).collect()
+    assert rows
+    flags = [
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_bullet_lines",
+        "r_ellipsis_lines",
+        "r_alpha_words",
+        "r_stopwords",
+    ]
+    for r in rows:
+        assert r["keep"] == int(all(r[f] == 1 for f in flags))
+        assert r["r_word_count"] == int(50 <= r["n_words"] <= 100000)
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)  # both outcomes exercised
