@@ -57,6 +57,7 @@ HEADLINE = [
     "v5_sq_rerank",
     "v6_kmeans_refine",
     "v7_pq_adc",
+    "v11_nn_descent",
     "d21_hll_distinct",
     "d22_cms_heavy_hitters",
     "x13_chunk_dedup",

@@ -1009,9 +1009,11 @@ def v8_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["v8_knn_graph"] = v8_knn_graph
 
 
-def _v8_oracle() -> str:
-    """Generated twin of v8: same fixed-seed planes as literals, same
-    canonical-pair + cap + mirror + keyed-rank pipeline."""
+def _v8_graph_ctes() -> str:
+    """The v8 pipeline as a reusable WITH-body (same fixed-seed planes
+    as literals, same canonical-pair + cap + mirror + keyed-rank
+    chain), ending in CTE ``g`` = the directed kNN graph. Shared by the
+    v8 oracle and v11's NN-Descent-round oracle."""
     planes = _hyperplanes(KNN_TABLES * KNN_BITS, 64)
 
     def bucket_expr(t: int) -> str:
@@ -1028,8 +1030,7 @@ def _v8_oracle() -> str:
         f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM embeddings"
         for t in range(KNN_TABLES)
     )
-    return f"""
-    WITH buck AS (
+    return f"""buck AS (
       {buckets}
     ), capped AS (
       SELECT vec_id, tbl, bucket FROM buck
@@ -1048,14 +1049,21 @@ def _v8_oracle() -> str:
       SELECT a AS vec_id, b AS neighbor_id, cos_sim FROM scored
       UNION ALL
       SELECT b, a, cos_sim FROM scored
-    )
-    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
-      SELECT vec_id, neighbor_id, cos_sim,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC
-             ) AS BIGINT) AS rank
-      FROM sym
-    ) WHERE rank <= {KNN_NEIGHBORS}
+    ), g AS (
+      SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+        SELECT vec_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC
+               ) AS BIGINT) AS rank
+        FROM sym
+      ) WHERE rank <= {KNN_NEIGHBORS}
+    )"""
+
+
+def _v8_oracle() -> str:
+    return f"""
+    WITH {_v8_graph_ctes()}
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM g
     """
 
 
@@ -1462,5 +1470,154 @@ def v10_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight",
             F.col("seed_rank").isNotNull().cast("bigint").alias("is_seed"),
             F.coalesce("seed_rank", F.lit(0)).cast("bigint").alias("seed_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# v11: one NN-DESCENT round (Dong et al., "Efficient k-nearest neighbor
+# graph construction for generic similarity measures", WWW 2011) over
+# the v8 LSH-seeded graph — a neighbor's neighbor is likely a neighbor,
+# so one LOCAL JOIN round recovers true neighbors the LSH buckets
+# missed without ever going near all-pairs.
+# ---------------------------------------------------------------------------
+
+#: pivot-degree cap for the local join: a hub vertex with huge REVERSE
+#: degree would otherwise contribute deg^2 candidate pairs. Mirrored in
+#: the oracle (the x4/x5/v8 degenerate-bucket pattern, applied to the
+#: graph's undirected degree).
+NND_MAX_DEG = 20
+
+
+def _v11_oracle() -> str:
+    return f"""
+    WITH {_v8_graph_ctes()},
+    und AS (
+      SELECT DISTINCT u, w FROM (
+        SELECT vec_id AS u, neighbor_id AS w FROM g
+        UNION ALL
+        SELECT neighbor_id AS u, vec_id AS w FROM g
+      )
+    ), deg AS (
+      SELECT w, COUNT(*) AS d FROM und GROUP BY w
+    ), undc AS (
+      SELECT u.u, u.w FROM und u JOIN deg ON deg.w = u.w
+      WHERE deg.d <= {NND_MAX_DEG}
+    ), cand AS (
+      SELECT DISTINCT l.u AS a, r.u AS b
+      FROM undc l JOIN undc r ON l.w = r.w AND l.u < r.u
+    ), cscore AS (
+      SELECT c.a, c.b,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) AS cos_sim
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.a
+      JOIN embeddings eb ON eb.vec_id = c.b
+    ), allsym AS (
+      SELECT DISTINCT vec_id, neighbor_id, cos_sim FROM (
+        SELECT vec_id, neighbor_id, cos_sim FROM g
+        UNION ALL
+        SELECT a, b, cos_sim FROM cscore
+        UNION ALL
+        SELECT b, a, cos_sim FROM cscore
+      )
+    ), ranked AS (
+      SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+        SELECT vec_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC
+               ) AS BIGINT) AS rank
+        FROM allsym
+      ) WHERE rank <= {KNN_NEIGHBORS}
+    )
+    SELECT r.vec_id, r.neighbor_id, r.cos_sim, r.rank,
+           CAST(CASE WHEN g.neighbor_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS was_in_v8
+    FROM ranked r
+    LEFT JOIN g ON g.vec_id = r.vec_id AND g.neighbor_id = r.neighbor_id
+    """
+
+
+@_q("v11_nn_descent", _v11_oracle())
+def v11_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-Descent refinement round over the v8 kNN graph: form the
+    undirected neighborhood (edges + reverse edges), LOCAL-JOIN it on
+    the shared pivot (two vertices that share a neighbor become a
+    candidate pair), score candidates with exact cosine, merge with the
+    existing edges, and re-take top-k per vertex. `was_in_v8` marks
+    which surviving edges the LSH seed already had — 0-rows are the
+    recall the round recovered. Per-vertex best-neighbor similarity is
+    monotonically non-decreasing by construction (pinned in pytest).
+
+    Scale (why NN-Descent is THE graph-building loop at billions of
+    vectors): candidate generation is an equi-join of the edge list
+    with itself on the pivot vertex — O(sum deg^2) with deg <= 2k plus
+    the NND_MAX_DEG hub cap, never all-pairs, no geometry needed; one
+    exact cosine per new candidate pair; one vec_id-keyed window.
+    Iterating the round to convergence adds a fixed small number of
+    repeats (each strictly improving) — this entry pins one round so
+    the oracle stays a generated CTE chain."""
+    g = v8_knn_graph(spark, sf_dir).persist()
+    und = (
+        g.select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("w"))
+        .unionByName(
+            g.select(F.col("neighbor_id").alias("u"), F.col("vec_id").alias("w"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy("w").agg(F.count("*").alias("d"))
+    undc = und.join(deg.filter(F.col("d") <= NND_MAX_DEG).select("w"), "w")
+    l, r = undc.alias("l"), undc.alias("r")
+    cand = (
+        l.join(r, (F.col("l.w") == F.col("r.w")) & (F.col("l.u") < F.col("r.u")))
+        .select(F.col("l.u").alias("a"), F.col("r.u").alias("b"))
+        .distinct()
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    ea = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    cscore = (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "a",
+            "b",
+            cosine(
+                F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")
+            ).alias("cos_sim"),
+        )
+    )
+    allsym = (
+        g.select("vec_id", "neighbor_id", "cos_sim")
+        .unionByName(
+            cscore.select(
+                F.col("a").alias("vec_id"),
+                F.col("b").alias("neighbor_id"),
+                "cos_sim",
+            )
+        )
+        .unionByName(
+            cscore.select(
+                F.col("b").alias("vec_id"),
+                F.col("a").alias("neighbor_id"),
+                "cos_sim",
+            )
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        allsym.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_NEIGHBORS)
+    )
+    old = g.select("vec_id", "neighbor_id", F.lit(1).alias("was_in_v8"))
+    return (
+        ranked.join(old, ["vec_id", "neighbor_id"], "left")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "cos_sim",
+            "rank",
+            F.coalesce("was_in_v8", F.lit(0)).cast("bigint").alias("was_in_v8"),
         )
     )

@@ -1149,7 +1149,10 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v10_kmeanspp_init"],
            "'v10', vec_id, weight, CAST(NULL AS DOUBLE), "
-           "round_added * 100 + seed_rank"),
+           "round_added * 100 + seed_rank")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v11_nn_descent"],
+           "'v11', vec_id, neighbor_id, cos_sim, rank * 10 + was_in_v8"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1213,6 +1216,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dn().alias("score"),
         (F.col("round_added") * 100 + F.col("seed_rank")).cast("bigint").alias("rank"),
     )
+    v11 = similarity.v11_nn_descent(spark, sf_dir).select(
+        F.lit("v11").alias("variant"),
+        F.col("vec_id").alias("query_id"),
+        F.col("neighbor_id"),
+        F.col("cos_sim").alias("score"),
+        (F.col("rank") * 10 + F.col("was_in_v8")).cast("bigint").alias("rank"),
+    )
     return (
         v3.unionByName(v4)
         .unionByName(v5)
@@ -1221,6 +1231,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v8)
         .unionByName(v9)
         .unionByName(v10)
+        .unionByName(v11)
     )
 
 

@@ -80,3 +80,32 @@ def test_v10_kmeanspp_invariants(spark, sf_dir):
         by_round.setdefault(r["round_added"], 0)
         by_round[r["round_added"]] += 1
     assert by_round == {0: 1, **{r: sim.KMPP_L for r in range(1, sim.KMPP_ROUNDS + 1)}}
+
+
+def test_v11_nn_descent_monotone_improvement(spark, sf_dir):
+    """The NN-Descent invariant: merging local-join candidates into the
+    graph and re-taking top-k can only IMPROVE each vertex's best
+    neighbor — and the round must actually recover some edges the LSH
+    seed missed."""
+    v8 = {
+        (r["vec_id"], r["rank"]): r
+        for r in sim.v8_knn_graph(spark, sf_dir).collect()
+    }
+    v11 = sim.v11_nn_descent(spark, sf_dir).collect()
+    assert v11
+    best8 = {}
+    for (vid, rank), r in v8.items():
+        if rank == 1:
+            best8[vid] = r["cos_sim"]
+    best11 = {r["vec_id"]: r["cos_sim"] for r in v11 if r["rank"] == 1}
+    # every v8 vertex survives, none got worse
+    for vid, c8 in best8.items():
+        assert vid in best11
+        assert best11[vid] >= c8 - 1e-12
+    # the round recovered at least one edge the LSH buckets missed
+    assert any(r["was_in_v8"] == 0 for r in v11)
+    # edges carried over keep their flag
+    kept = [r for r in v11 if r["was_in_v8"] == 1]
+    v8_edges = {(r["vec_id"], r["neighbor_id"]) for r in v8.values()}
+    for r in kept:
+        assert (r["vec_id"], r["neighbor_id"]) in v8_edges
