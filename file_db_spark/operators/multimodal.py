@@ -273,3 +273,208 @@ ORACLES["m4_frame_sample"] = f"""
                 ELSE 0.0 END AS frame_mean
     FROM fr
     """
+
+
+# ---------------------------------------------------------------------------
+# m5: PERCEPTUAL-HASH near-dup over binary payloads — dedup for the
+# image/video modality. A real deployment computes aHash/pHash from
+# decoded pixels (PIL + DCT); the container has no codecs, so the
+# intensity grid is derived from payload bytes by the same STUB
+# convention as m2-m4 — the pipeline AFTER the kernel (banded hash,
+# hot-bucket cap, candidate equi-join, exact Hamming verify, per-doc
+# best-match profile) is the real production shape and is what the
+# oracle certifies bit-exactly.
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit hash
+PHASH_BAND_BITS = 16
+PHASH_MAX_BUCKET = 100  # hot-band cap (the x4/x5/v8 pattern)
+PHASH_MAX_HAM = 3  # near-dup threshold; d <= 3 => some band equal (pigeonhole)
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def _phash_bands(payload: bytes) -> list[int]:
+    """STUB aHash: 64-cell byte-chunk intensity grid; bit k set iff
+    chunk k's mean >= the whole payload's mean, compared with exact
+    integer cross-multiplication (no float), packed into 4 x 16-bit
+    band integers. Deterministic byte arithmetic — mirrored exactly by
+    the DuckDB oracle."""
+    n = len(payload)
+    total = sum(payload)
+    bands = [0] * PHASH_BANDS
+    for k in range(64):
+        lo = (k * n) // 64
+        hi = ((k + 1) * n) // 64
+        bit = 1 if sum(payload[lo:hi]) * n >= total * (hi - lo) else 0
+        bands[k // PHASH_BAND_BITS] |= bit << (k % PHASH_BAND_BITS)
+    return bands
+
+
+def m5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perceptual-hash profile + near-dup verdict: the
+    banded 64-bit hash, how many band-collision candidates the doc has,
+    its best (minimum-Hamming) candidate and that distance, and the
+    is_neardup bit (Hamming <= PHASH_MAX_HAM; d <= 3 cannot escape all
+    four 16-bit bands, so band collision is a complete candidate
+    generator at the threshold).
+
+    Scale: the hash kernel is Arrow-batched mapInPandas riding the
+    payload scan (bytes never leave the executor); candidates are a
+    capped band equi-join (never all-pairs — boilerplate/empty-payload
+    bands hit the PHASH_MAX_BUCKET cap); verification is integer XOR
+    popcount on 4 small ints per candidate pair; the profile is one
+    doc-keyed aggregation. The same pipeline dedups billions of images
+    once the kernel is a real decoder."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), *_phash_bands(bytes(p)))
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
+
+    hashed = d.mapInPandas(hash_batches, schema=_PHASH_SCHEMA)
+    from pyspark.sql.window import Window
+
+    bands = hashed.select(
+        "doc_id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("t", "bv")
+    )
+    w_b = Window.partitionBy("t", "bv")
+    capped = (
+        bands.withColumn("bn", F.count("*").over(w_b))
+        .filter(F.col("bn") <= PHASH_MAX_BUCKET)
+        .drop("bn")
+    )
+    l, r = capped.alias("l"), capped.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    xa = hashed.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(c).alias(f"{c}a") for c in ("b0", "b1", "b2", "b3")],
+    )
+    xb = hashed.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(c).alias(f"{c}b") for c in ("b0", "b1", "b2", "b3")],
+    )
+    ham_expr = sum(
+        F.bit_count(F.col(f"{c}a").bitwiseXOR(F.col(f"{c}b")))
+        for c in ("b0", "b1", "b2", "b3")
+    )
+    ham = (
+        cand.join(xa, "a")
+        .join(xb, "b")
+        .select("a", "b", ham_expr.cast("bigint").alias("hamming"))
+    )
+    sym = ham.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("other"), "hamming"
+    ).unionByName(
+        ham.select(F.col("b").alias("doc_id"), F.col("a").alias("other"), "hamming")
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.asc("hamming"), F.asc("other"))
+    best = (
+        sym.withColumn("rn", F.row_number().over(w_best))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.min("hamming").alias("min_hamming"),
+            F.max(F.when(F.col("rn") == 1, F.col("other"))).alias("best_match"),
+        )
+    )
+    return (
+        hashed.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "b0",
+            "b1",
+            "b2",
+            "b3",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("min_hamming", F.lit(-1)).cast("bigint").alias("min_hamming"),
+            F.coalesce("best_match", F.lit(-1)).cast("bigint").alias("best_match"),
+            (
+                F.coalesce("min_hamming", F.lit(999)) <= PHASH_MAX_HAM
+            ).cast("bigint").alias("is_neardup"),
+        )
+    )
+
+
+QUERIES["m5_phash_neardup"] = m5_phash_neardup
+
+ORACLES["m5_phash_neardup"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n,
+             {_byte_sum("0", "strlen(text)")} AS total
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, k,
+             CASE WHEN ({_byte_sum("CAST((k * n) // 64 AS BIGINT)",
+                                   "((k + 1) * n) // 64 - (k * n) // 64")}) * n
+                  >= total * (((k + 1) * n) // 64 - (k * n) // 64)
+                  THEN 1 ELSE 0 END AS bit
+      FROM b, unnest(range(0, 64)) AS t(k)
+    ), bandvals AS (
+      SELECT doc_id, CAST(k // {PHASH_BAND_BITS} AS INTEGER) AS t,
+             CAST(SUM(bit * (1 << (k % {PHASH_BAND_BITS}))) AS BIGINT) AS bv
+      FROM bits GROUP BY doc_id, k // {PHASH_BAND_BITS}
+    ), hashed AS (
+      SELECT doc_id,
+             MAX(CASE WHEN t = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN t = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN t = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN t = 3 THEN bv END) AS b3
+      FROM bandvals GROUP BY doc_id
+    ), capped AS (
+      SELECT doc_id, t, bv FROM bandvals
+      QUALIFY COUNT(*) OVER (PARTITION BY t, bv) <= {PHASH_MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM capped l JOIN capped r
+        ON l.t = r.t AND l.bv = r.bv AND l.doc_id < r.doc_id
+    ), ham AS (
+      SELECT c.a, c.b,
+             CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS hamming
+      FROM cand c JOIN hashed x ON x.doc_id = c.a JOIN hashed y ON y.doc_id = c.b
+    ), sym AS (
+      SELECT a AS doc_id, b AS other, hamming FROM ham
+      UNION ALL
+      SELECT b, a, hamming FROM ham
+    ), best AS (
+      SELECT doc_id, COUNT(*) AS n_candidates, MIN(hamming) AS min_hamming,
+             MAX(CASE WHEN rn = 1 THEN other END) AS best_match
+      FROM (
+        SELECT doc_id, other, hamming,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY hamming ASC, other ASC
+               ) AS rn
+        FROM sym
+      ) GROUP BY doc_id
+    )
+    SELECT h.doc_id, h.b0, h.b1, h.b2, h.b3,
+           CAST(COALESCE(s.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(s.min_hamming, -1) AS BIGINT) AS min_hamming,
+           CAST(COALESCE(s.best_match, -1) AS BIGINT) AS best_match,
+           CAST(COALESCE(s.min_hamming, 999) <= {PHASH_MAX_HAM} AS BIGINT) AS is_neardup
+    FROM hashed h LEFT JOIN best s ON s.doc_id = h.doc_id
+    """

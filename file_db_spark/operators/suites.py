@@ -1251,7 +1251,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'decode', doc_id, n_bytes, width, height, mean_intensity, NULL")
     + "\nUNION ALL\n"
     + _sub(multimodal.ORACLES["m4_frame_sample"],
-           "'frames', doc_id, frame_no, frame_offset, NULL, frame_mean, NULL"),
+           "'frames', doc_id, frame_no, frame_offset, NULL, frame_mean, NULL")
+    + "\nUNION ALL\n"
+    + _sub(multimodal.ORACLES["m5_phash_neardup"],
+           "'phash', doc_id, n_candidates, min_hamming, best_match, "
+           "CAST(is_neardup AS DOUBLE), "
+           "CAST(b0 AS VARCHAR) || ':' || CAST(b1 AS VARCHAR) || ':' || "
+           "CAST(b2 AS VARCHAR) || ':' || CAST(b3 AS VARCHAR)"),
 )
 def m124_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m1 typed metadata + m2 decode/feature-extract + m4 frame
@@ -1286,7 +1292,22 @@ def m124_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_mean").alias("v1"),
         _sn().alias("s1"),
     )
-    return m1.unionByName(m2).unionByName(m4)
+    m5 = multimodal.m5_phash_neardup(spark, sf_dir).select(
+        F.lit("phash").alias("kernel"),
+        F.col("doc_id"),
+        F.col("n_candidates").alias("i1"),
+        F.col("min_hamming").alias("i2"),
+        F.col("best_match").alias("i3"),
+        F.col("is_neardup").cast("double").alias("v1"),
+        F.concat_ws(
+            ":",
+            F.col("b0").cast("string"),
+            F.col("b1").cast("string"),
+            F.col("b2").cast("string"),
+            F.col("b3").cast("string"),
+        ).alias("s1"),
+    )
+    return m1.unionByName(m2).unionByName(m4).unionByName(m5)
 
 
 # ---------------------------------------------------------------------------

@@ -175,3 +175,34 @@ def test_d35_gopher_rules_flags(spark, sf_dir):
         assert r["r_word_count"] == int(50 <= r["n_words"] <= 100000)
     kept = sum(r["keep"] for r in rows)
     assert 0 < kept < len(rows)  # both outcomes exercised
+
+
+def test_m5_phash_profile_consistency(spark, sf_dir):
+    """Perceptual-hash near-dup profile: kernel/band bounds, no-candidate
+    sentinels move together, candidate symmetry (each undirected pair
+    contributes one candidate to BOTH endpoints)."""
+    from file_db_spark.operators.multimodal import (
+        PHASH_MAX_HAM,
+        _phash_bands,
+        m5_phash_neardup,
+    )
+
+    rows = m5_phash_neardup(spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    for r in rows:
+        for b in ("b0", "b1", "b2", "b3"):
+            assert 0 <= r[b] <= 0xFFFF
+        no_cand = r["n_candidates"] == 0
+        assert no_cand == (r["min_hamming"] == -1) == (r["best_match"] == -1)
+        assert r["is_neardup"] == int(0 <= r["min_hamming"] <= PHASH_MAX_HAM)
+        # Spark kernel == driver-side recomputation of the same bytes
+        want = _phash_bands(docs[r["doc_id"]].encode())
+        assert [r["b0"], r["b1"], r["b2"], r["b3"]] == want
+    assert sum(r["n_candidates"] for r in rows) % 2 == 0
