@@ -2144,3 +2144,213 @@ def x22_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("removed_tokens").cast("double") / nt).alias("dup_frac"),
         F.md5(clean_text).alias("clean_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x24: INCREMENTAL substring dedup — the production form of x22. A
+# growing corpus never re-runs corpus-wide span removal per ingest;
+# the DISTINCT L-gram key set of the existing corpus is a persisted
+# artifact, and each new batch is cleaned against (a) that artifact and
+# (b) its own internal repeats, touching only O(batch) rows. The x18 /
+# d34 / v9 incremental-maintenance pattern applied to x22.
+# ---------------------------------------------------------------------------
+
+_X24_ORACLE = rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS s, i + {SUBSTR_L - 1} AS e,
+             md5(array_to_string(w[i:i+{SUBSTR_L - 1}], ' ')) AS g
+      FROM norm, unnest(generate_series(1, len(w) - {SUBSTR_L - 1})) AS t(i)
+    ), corpus_keys AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 10 <> 0
+    ), newg AS (
+      SELECT doc_id, s, e, g FROM grams WHERE doc_id % 10 = 0
+    ), batch_dup AS (
+      SELECT g FROM newg GROUP BY g HAVING COUNT(*) >= 2
+    ), hits_c AS (
+      SELECT n.doc_id, n.s, n.e FROM newg n JOIN corpus_keys c USING (g)
+    ), hits_b AS (
+      SELECT n.doc_id, n.s, n.e FROM newg n JOIN batch_dup b USING (g)
+    ), prov AS (
+      SELECT doc_id,
+             (SELECT COUNT(*) FROM hits_c h WHERE h.doc_id = nb.doc_id) AS n_corpus_hits,
+             (SELECT COUNT(*) FROM hits_b h WHERE h.doc_id = nb.doc_id) AS n_batch_hits
+      FROM (SELECT DISTINCT doc_id FROM newg) nb
+    ), hits AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT * FROM hits_c UNION ALL SELECT * FROM hits_b
+      )
+    ), flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ), islands AS (
+      SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(e - s + 1) AS removed_tokens
+      FROM islands GROUP BY doc_id
+    ), pos AS (
+      SELECT n.doc_id, t.i AS i, n.w[t.i] AS token
+      FROM norm n, unnest(generate_series(1, len(n.w))) AS t(i)
+      WHERE n.doc_id % 10 = 0
+    ), kept AS (
+      SELECT p.doc_id, p.i, p.token
+      FROM pos p
+      LEFT JOIN islands s ON s.doc_id = p.doc_id AND p.i BETWEEN s.s AND s.e
+      WHERE s.doc_id IS NULL
+    ), clean AS (
+      SELECT doc_id, md5(string_agg(token, ' ' ORDER BY i)) AS clean_digest
+      FROM kept GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           CAST(len(n.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(d.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(d.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+           CAST(len(n.w) - COALESCE(d.removed_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(COALESCE(d.removed_tokens, 0) AS DOUBLE) / len(n.w) AS dup_frac,
+           CAST(COALESCE(p.n_corpus_hits, 0) AS BIGINT) AS n_corpus_hits,
+           CAST(COALESCE(p.n_batch_hits, 0) AS BIGINT) AS n_batch_hits,
+           COALESCE(c.clean_digest, md5('')) AS clean_digest
+    FROM norm n
+    LEFT JOIN per_doc d USING (doc_id)
+    LEFT JOIN prov p ON p.doc_id = n.doc_id
+    LEFT JOIN clean c ON c.doc_id = n.doc_id
+    WHERE n.doc_id % 10 = 0 AND len(n.w) > 0
+    """
+
+
+@_q("x24_substring_incremental", _X24_ORACLE)
+def x24_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup: clean the NEW batch (doc_id % 10 =
+    0, the standing batch split) against the existing corpus's DISTINCT
+    L-gram key artifact plus the batch's own internal repeats — per-doc
+    span accounting, corpus-vs-batch hit provenance, and the cleaned-
+    text digest, exactly x22's semantics restricted to the delta.
+
+    Scale (why this exists): x22 re-shuffles the WHOLE corpus's grams
+    per run; here the corpus contributes only its persisted DISTINCT
+    key table (append-only — new batches' keys union in after
+    admission), and every other row is O(batch): the batch's grams
+    probe the artifact with one equi-join (semi-join shape), the
+    internal-repeat count is a batch-only groupBy, and the interval
+    merge windows partition by batch doc. At 100 TB corpus + 1 TB/day
+    ingest this is the difference between a daily full-corpus job and
+    a delta job 100x smaller."""
+    L = SUBSTR_L
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(normalize_text("text")).alias("w")).filter(
+        F.size("w") > 0
+    )
+    n = F.size("w")
+    gram_keys = F.transform(
+        F.sequence(F.lit(1), n - (L - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, L))),
+    )
+    grams = (
+        tok.filter(n >= L)
+        .select("doc_id", F.posexplode(gram_keys).alias("p0", "g"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("s"),
+            (F.col("p0") + L).alias("e"),
+            "g",
+        )
+    )
+    is_new = F.col("doc_id") % 10 == 0
+    corpus_keys = grams.filter(~is_new).select("g").distinct()
+    newg = grams.filter(is_new).persist()
+    batch_dup = (
+        newg.groupBy("g").count().filter(F.col("count") >= 2).select("g")
+    )
+    hits_c = newg.join(corpus_keys, "g").select("doc_id", "s", "e")
+    hits_b = newg.join(batch_dup, "g").select("doc_id", "s", "e")
+    prov = (
+        hits_c.groupBy("doc_id").agg(F.count("*").alias("n_corpus_hits"))
+        .join(
+            hits_b.groupBy("doc_id").agg(F.count("*").alias("n_batch_hits")),
+            "doc_id",
+            "outer",
+        )
+    )
+    hits = hits_c.unionByName(hits_b).distinct()
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
+    )
+    isl = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    islands = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed_tokens"),
+    )
+    joined = (
+        tok.filter(is_new)
+        .join(per_doc, "doc_id", "left")
+        .join(prov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "w",
+            F.coalesce("spans", F.array().cast("array<struct<s:int,e:int>>")).alias(
+                "spans"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("removed_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.coalesce("n_corpus_hits", F.lit(0)).cast("bigint").alias("n_corpus_hits"),
+            F.coalesce("n_batch_hits", F.lit(0)).cast("bigint").alias("n_batch_hits"),
+        )
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("w")),
+        lambda i: ~F.exists("spans", lambda sp: (i >= sp["s"]) & (i <= sp["e"])),
+    )
+    clean_text = F.array_join(
+        F.transform(kept_idx, lambda i: F.element_at("w", i)), " "
+    )
+    nt = F.size("w").cast("bigint")
+    return joined.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        "n_spans",
+        "removed_tokens",
+        (nt - F.col("removed_tokens")).alias("kept_tokens"),
+        (F.col("removed_tokens").cast("double") / nt).alias("dup_frac"),
+        "n_corpus_hits",
+        "n_batch_hits",
+        F.md5(clean_text).alias("clean_digest"),
+    )

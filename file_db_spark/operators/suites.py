@@ -1372,7 +1372,12 @@ from . import dedup  # noqa: E402  (kept near its suites for review locality)
     + _sub(dedup.ORACLES["x22_substring_dedup"],
            "'x22', doc_id, clean_digest || '#' || CAST(n_spans AS VARCHAR)"
            " || ':' || CAST(removed_tokens AS VARCHAR)"
-           " || ':' || CAST(max_span_len AS VARCHAR), kept_tokens, dup_frac"),
+           " || ':' || CAST(max_span_len AS VARCHAR), kept_tokens, dup_frac")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x24_substring_incremental"],
+           "'x24', doc_id, clean_digest || '#' || CAST(n_spans AS VARCHAR)"
+           " || ':' || CAST(n_corpus_hits AS VARCHAR)"
+           " || ':' || CAST(n_batch_hits AS VARCHAR), kept_tokens, dup_frac"),
 )
 def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x1 exact content-hash dedup + x2 window-tagged duplicate
@@ -1422,7 +1427,27 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept_tokens").alias("n"),
         F.col("dup_frac").alias("v"),
     )
-    return x1.unionByName(x2).unionByName(x13).unionByName(x22)
+    x24 = dedup.x24_substring_incremental(spark, sf_dir).select(
+        F.lit("x24").alias("member"),
+        F.col("doc_id").alias("k1"),
+        F.concat(
+            F.col("clean_digest"),
+            F.lit("#"),
+            F.col("n_spans").cast("string"),
+            F.lit(":"),
+            F.col("n_corpus_hits").cast("string"),
+            F.lit(":"),
+            F.col("n_batch_hits").cast("string"),
+        ).alias("s1"),
+        F.col("kept_tokens").alias("n"),
+        F.col("dup_frac").alias("v"),
+    )
+    return (
+        x1.unionByName(x2)
+        .unionByName(x13)
+        .unionByName(x22)
+        .unionByName(x24)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -227,3 +227,25 @@ def test_x22_substring_dedup_vs_bruteforce(spark, sf_dir):
         else:
             assert r["max_span_len"] == 0 and r["removed_tokens"] == 0
     assert any(r["n_spans"] > 0 for r in rows)  # fixture corpus has dups
+
+
+def test_x24_incremental_equals_x22_on_batch(spark, sf_dir):
+    """For a NEW-batch doc, 'gram in corpus-key artifact OR repeated
+    within the batch' is exactly 'corpus-wide count >= 2' (the doc
+    itself supplies one occurrence), so x24's delta-only cleaning must
+    reproduce x22's corpus-wide result row-for-row on the batch."""
+    full = {
+        r["doc_id"]: r
+        for r in dedup.x22_substring_dedup(spark, sf_dir).collect()
+        if r["doc_id"] % 10 == 0
+    }
+    inc = dedup.x24_substring_incremental(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in inc} == set(full)
+    for r in inc:
+        f = full[r["doc_id"]]
+        for c in ("n_tokens", "n_spans", "removed_tokens", "kept_tokens",
+                  "clean_digest"):
+            assert r[c] == f[c], (r["doc_id"], c)
+        # provenance covers every hit position at least once
+        if r["n_spans"]:
+            assert r["n_corpus_hits"] + r["n_batch_hits"] > 0

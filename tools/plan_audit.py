@@ -58,6 +58,8 @@ BNLJ_OK_MEMBERS = {
     "g2_hash_lifecycle",  # broadcast per-wave vanished-root prefix list
     "x19_pagerank",  # broadcast 1-row vertex-count normalizer
     "d32_bpe_encode",  # d30 trained chain: broadcast 1-row merge pair per round
+    "v9_index_add",  # broadcast k x dim trained centroids (v6 pattern)
+    "v10_kmeanspp_init",  # broadcast <=1+R*l-row center/candidate tables
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
