@@ -1804,13 +1804,23 @@ _E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
         f"'e12', {_ep('day')}, "
         + " || '#' || ".join(f"CAST({c} AS VARCHAR)" for c in _E12_COUNT_COLS)
         + ", n_total, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e13_hll_active_users"],
+        "'e13', day, CAST(dau_register_sum AS VARCHAR) || '#' || "
+        "CAST(wau_register_sum AS VARCHAR) || '#' || "
+        "CAST(dau_exact AS VARCHAR) || '#' || CAST(wau_exact AS VARCHAR), "
+        "dau_exact, dau_hll + wau_hll / 1000000",
     ),
 )
 def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e8 hypertable-style continuous-aggregate cascade (daily FROM
     hourly partials) + e12 declared-values PIVOT daily activity matrix
-    in one graded row. e12's per-type counts are '#'-packed into s1 as
-    integers (engine-stable strings); both members run unchanged."""
+    + e13 mergeable-HLL DAU/rolling-WAU (register tables + exact error
+    baseline '#'-packed into s1) in one graded row. e12's per-type
+    counts are '#'-packed into s1 as integers (engine-stable strings);
+    all members run unchanged."""
     e8 = events.e8_rollup_cascade(spark, sf_dir).select(
         F.lit("e8").alias("part"),
         _epoch(F.col("day")).alias("k1"),
@@ -1827,7 +1837,20 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_total").alias("n"),
         _dn().alias("v1"),
     )
-    return e8.unionByName(e12)
+    e13 = events.e13_hll_active_users(spark, sf_dir).select(
+        F.lit("e13").alias("part"),
+        F.col("day").alias("k1"),
+        F.concat_ws(
+            "#",
+            F.col("dau_register_sum").cast("string"),
+            F.col("wau_register_sum").cast("string"),
+            F.col("dau_exact").cast("string"),
+            F.col("wau_exact").cast("string"),
+        ).alias("s1"),
+        F.col("dau_exact").alias("n"),
+        (F.col("dau_hll") + F.col("wau_hll") / F.lit(1000000.0)).alias("v1"),
+    )
+    return e8.unionByName(e12).unionByName(e13)
 
 
 # ---------------------------------------------------------------------------

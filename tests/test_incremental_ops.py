@@ -84,3 +84,23 @@ def test_x20_pairs_superset_of_capped_x3_at_tau(spark, sf_dir):
         for r in dedup.x20_prefix_ssjoin(spark, sf_dir).collect()
     }
     assert x3 <= x20
+
+
+def test_e13_hll_merge_invariants(spark, sf_dir):
+    """WAU register merging must dominate every member day's registers,
+    the sketch estimate must stay within HLL's error envelope of the
+    exact count, and WAU >= DAU (a week contains its days)."""
+    from file_db_spark.operators.events import e13_hll_active_users
+
+    rows = e13_hll_active_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["wau_exact"] >= r["dau_exact"]
+        # register_sum shrinks (or holds) as more users merge in:
+        # sum_j 2^(44-M_j) is monotone non-increasing in each register
+        assert r["wau_register_sum"] <= r["dau_register_sum"]
+        # 256 registers -> ~6.5% typical error; allow a generous 5 sigma
+        for exact, est in ((r["dau_exact"], r["dau_hll"]),
+                           (r["wau_exact"], r["wau_hll"])):
+            assert est > 0
+            assert abs(est - exact) / exact < 0.35, (r["day"], exact, est)
