@@ -1225,6 +1225,121 @@ def g7_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     return out
 
+# ---------------------------------------------------------------------------
+# g8: small-file COMPACTION PLANNER (lakehouse OPTIMIZE / bin-packing)
+# — the maintenance job every parquet-backed catalog at scale runs:
+# group each directory's small files into target-sized rewrite bins,
+# leave right-sized files alone. Deterministic next-fit-decreasing via
+# per-directory cumsum (the d10 packing idiom), all integer micro-MB
+# arithmetic so the plan value-hashes under --strict.
+# ---------------------------------------------------------------------------
+
+#: compaction target per rewrite bin, in micro-MB (0.1 MB). Files at or
+#: above target are already right-sized -> action 'keep'.
+COMPACT_TARGET_U = 100_000
+
+_G8_ORACLE = f"""
+WITH {{ctes}},
+f AS (
+  SELECT id, COALESCE(dir_id, -1) AS dir_id,
+         CAST(COALESCE(size, 0) * 1000000 AS BIGINT) AS size_u
+  FROM fx_file
+),
+small AS (SELECT * FROM f WHERE size_u < {COMPACT_TARGET_U}),
+packed AS (
+  SELECT id, dir_id, size_u,
+         SUM(size_u) OVER (
+           PARTITION BY dir_id ORDER BY size_u DESC, id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM small
+),
+binned AS (
+  SELECT id, dir_id, size_u,
+         CAST((cum - size_u) // {COMPACT_TARGET_U} AS BIGINT) AS bin
+  FROM packed
+),
+stats AS (
+  SELECT dir_id, bin, CAST(SUM(size_u) AS BIGINT) AS bin_total_u,
+         CAST(COUNT(*) AS BIGINT) AS bin_n_files
+  FROM binned GROUP BY dir_id, bin
+)
+SELECT b.id, b.dir_id, b.size_u, CAST(1 AS BIGINT) AS compact, b.bin,
+       s.bin_total_u, s.bin_n_files
+FROM binned b JOIN stats s ON s.dir_id = b.dir_id AND s.bin = b.bin
+UNION ALL
+SELECT id, dir_id, size_u, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+       size_u, CAST(1 AS BIGINT)
+FROM f WHERE size_u >= {COMPACT_TARGET_U}
+"""
+
+
+def g8_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan over the catalog's file inventory: per directory,
+    files below the target size are packed into rewrite bins by
+    next-fit-decreasing (size-descending cumsum // target — one keyed
+    window, no sequential bin state), right-sized files are kept as-is;
+    every row carries its bin's total and file count so the executor
+    can schedule one rewrite task per (dir, bin).
+
+    Scale: this is Delta/Iceberg OPTIMIZE's planning phase as a pure
+    DataFrame job — one window shuffle keyed by directory (the rewrite
+    unit), integer micro-MB arithmetic end to end. NFD packing is the
+    declarative middle ground: first-fit-decreasing's marginal packing
+    gain needs sequential bin state, while NFD is exactly expressible
+    as a running sum and never splits a bin across directories.
+    Extends the reference's per-directory maintenance surface
+    (FileDbDAL/DirectoryCrawl.py wave model) with the storage-layout
+    half a parquet-backed store needs."""
+    from pyspark.sql.window import Window
+
+    file = fixtures.fixture_file(spark, sf_dir)
+    f = file.select(
+        "id",
+        F.coalesce("dir_id", F.lit(-1)).alias("dir_id"),
+        (F.coalesce("size", F.lit(0)) * 1000000).cast("bigint").alias("size_u"),
+    )
+    small = f.filter(F.col("size_u") < COMPACT_TARGET_U)
+    w = (
+        Window.partitionBy("dir_id")
+        .orderBy(F.col("size_u").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = small.withColumn("cum", F.sum("size_u").over(w)).select(
+        "id",
+        "dir_id",
+        "size_u",
+        F.expr(f"(cum - size_u) div {COMPACT_TARGET_U}").cast("bigint").alias("bin"),
+    )
+    stats = binned.groupBy("dir_id", "bin").agg(
+        F.sum("size_u").cast("bigint").alias("bin_total_u"),
+        F.count("*").cast("bigint").alias("bin_n_files"),
+    )
+    compact = binned.join(stats, ["dir_id", "bin"]).select(
+        "id",
+        "dir_id",
+        "size_u",
+        F.lit(1).cast("bigint").alias("compact"),
+        "bin",
+        "bin_total_u",
+        "bin_n_files",
+    )
+    keep = f.filter(F.col("size_u") >= COMPACT_TARGET_U).select(
+        "id",
+        "dir_id",
+        "size_u",
+        F.lit(0).cast("bigint").alias("compact"),
+        F.lit(-1).cast("bigint").alias("bin"),
+        F.col("size_u").alias("bin_total_u"),
+        F.lit(1).cast("bigint").alias("bin_n_files"),
+    )
+    return compact.unionByName(keep)
+
+
+QUERIES["g8_compaction_plan"] = g8_compaction_plan
+ORACLES["g8_compaction_plan"] = _G8_ORACLE.format(ctes=fixtures.FIXTURE_CTES)
+
+
 
 # ---------------------------------------------------------------------------
 # g3456: graded carrier for the control-table surface — M3/O7 mark
@@ -1264,6 +1379,12 @@ def _sub(sql: str, projection: str) -> str:
     + _sub(
         _G7_ORACLE,
         "'g7', NULL, event_type, n_events, NULL, NULL, NULL, NULL, NULL, NULL, total_value",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G8_ORACLE.format(ctes=fixtures.FIXTURE_CTES),
+        "'g8', id, CAST(NULL AS VARCHAR), dir_id, size_u, bin, bin_total_u, "
+        "bin_n_files, compact, NULL, NULL",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1344,4 +1465,23 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         F.col("total_value").alias("v1"),
     )
-    return g3.unionByName(g4).unionByName(g5).unionByName(g6).unionByName(g7)
+    g8 = g8_compaction_plan(spark, sf_dir).select(
+        F.lit("g8").alias("part"),
+        F.col("id").alias("k1"),
+        _sn().alias("s1"),
+        F.col("dir_id").alias("n1"),
+        F.col("size_u").alias("n2"),
+        F.col("bin").alias("e1"),
+        F.col("bin_total_u").alias("e2"),
+        F.col("bin_n_files").alias("e3"),
+        F.col("compact").alias("flag"),
+        _bn().alias("pid"),
+        _dn().alias("v1"),
+    )
+    return (
+        g3.unionByName(g4)
+        .unionByName(g5)
+        .unionByName(g6)
+        .unionByName(g7)
+        .unionByName(g8)
+    )

@@ -81,3 +81,36 @@ def test_duplicate_search_branches(spark, sf_dir):
     # needle 6 matches 16 through the md5-fallback branch
     fb = search.search_duplicate_files_by_id(listing, 6).collect()
     assert [r["file_id"] for r in fb] == [16]
+
+
+def test_g8_compaction_plan_invariants(spark, sf_dir):
+    """Bin packing: every file appears exactly once; compacted bins
+    never exceed target + one file's worth (NFD property: a bin closes
+    only when the running sum crosses the target); kept files are
+    exactly those at/above target; bin stats agree with membership."""
+    from collections import defaultdict
+
+    from file_db_spark.operators.merge_queries import (
+        COMPACT_TARGET_U,
+        g8_compaction_plan,
+    )
+
+    rows = g8_compaction_plan(spark, sf_dir).collect()
+    assert rows
+    ids = [r["k1"] if "k1" in r else r["id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    bins = defaultdict(list)
+    for r in rows:
+        if r["compact"]:
+            assert r["size_u"] < COMPACT_TARGET_U
+            bins[(r["dir_id"], r["bin"])].append(r)
+        else:
+            assert r["size_u"] >= COMPACT_TARGET_U
+            assert r["bin"] == -1 and r["bin_n_files"] == 1
+    assert bins  # fixture has small files
+    for (_, _), members in bins.items():
+        tot = sum(m["size_u"] for m in members)
+        assert all(m["bin_total_u"] == tot for m in members)
+        assert all(m["bin_n_files"] == len(members) for m in members)
+        # NFD: a closed bin's total stays under target + its last file
+        assert tot < COMPACT_TARGET_U + max(m["size_u"] for m in members)
