@@ -922,3 +922,102 @@ def f2_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM paths
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# a7: JOIN-KEY SKEW PROFILER — the diagnostic that decides when a join
+# needs j13's salting (or AQE skew splitting). Profiles a key column's
+# distribution: global shape stats plus the top heavy hitters with
+# their row share — the number an engineer (or an auto-tuner) compares
+# against the per-task row budget before picking a join strategy.
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+@_q(
+    "a7_skew_profile",
+    f"""
+    WITH keyed AS (
+      SELECT l_suppkey AS k, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ), stats AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(MIN(cnt) AS BIGINT) AS min_cnt
+      FROM keyed
+    ), top AS (
+      SELECT k, cnt, rank FROM (
+        SELECT k, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, k ASC) AS BIGINT) AS rank
+        FROM keyed
+      ) WHERE rank <= {SKEW_TOP_K}
+    )
+    SELECT 'summary' AS part, CAST(NULL AS BIGINT) AS k,
+           n_rows, n_keys, max_cnt AS cnt, CAST(NULL AS BIGINT) AS rank,
+           CAST(max_cnt AS DOUBLE) / n_rows AS share,
+           CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_factor
+    FROM stats
+    UNION ALL
+    SELECT 'top', t.k, s.n_rows, s.n_keys, t.cnt, t.rank,
+           CAST(t.cnt AS DOUBLE) / s.n_rows,
+           CAST(NULL AS DOUBLE)
+    FROM top t CROSS JOIN stats s
+    """,
+)
+def a7_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profile of lineitem.l_suppkey: one summary row
+    (row/key counts, max/min key frequency, heaviest key's row share,
+    and skew_factor = max_cnt / avg_cnt — 1.0 means perfectly uniform)
+    plus the top-{SKEW_TOP_K} heavy hitters with their shares. A
+    skew_factor over ~4-5 on a join key is the signal to salt (j13) or
+    lean on AQE's skew-join split; this operator is how a pipeline
+    measures that instead of guessing.
+
+    Scale: one map-side-combined groupBy on the key, then a scalar
+    aggregate over the (already small) per-key count table and a
+    TakeOrderedAndProject top-K — no global window, no second corpus
+    scan. Profiles at 100 TB cost one aggregation of the key column
+    only (column-pruned scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.groupBy(F.col("l_suppkey").alias("k")).agg(F.count("*").alias("cnt"))
+    stats = keyed.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.min("cnt").cast("bigint").alias("min_cnt"),
+    )
+    top = (
+        keyed.orderBy(F.desc("cnt"), F.asc("k"))
+        .limit(SKEW_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("k")))
+            .cast("bigint"),
+        )
+    )
+    summary = stats.select(
+        F.lit("summary").alias("part"),
+        F.lit(None).cast("bigint").alias("k"),
+        "n_rows",
+        "n_keys",
+        F.col("max_cnt").alias("cnt"),
+        F.lit(None).cast("bigint").alias("rank"),
+        (F.col("max_cnt").cast("double") / F.col("n_rows")).alias("share"),
+        (F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
+            "skew_factor"
+        ),
+    )
+    topped = top.crossJoin(F.broadcast(stats)).select(
+        F.lit("top").alias("part"),
+        F.col("k").cast("bigint").alias("k"),
+        "n_rows",
+        "n_keys",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        "rank",
+        (F.col("cnt").cast("double") / F.col("n_rows")).alias("share"),
+        F.lit(None).cast("double").alias("skew_factor"),
+    )
+    return summary.unionByName(topped)

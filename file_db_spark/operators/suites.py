@@ -158,6 +158,12 @@ _RQ2_PARTS = {
     "j8": ("j8_anti_join", "'j8', c_custkey, NULL, c_name, NULL"),
     "j9": ("j9_semi_join", "'j9', s_suppkey, NULL, s_name, NULL"),
     "j13": ("j13_salted_join", "'j13', n_lines, NULL, l_returnflag, sum_qty"),
+    "a7": (
+        "a7_skew_profile",
+        "'a7_' || part, k, cnt, "
+        "CAST(n_rows AS VARCHAR) || ':' || CAST(n_keys AS VARCHAR) || ':' || "
+        "COALESCE(CAST(rank AS VARCHAR), '-'), COALESCE(skew_factor, share)",
+    ),
 }
 
 
@@ -235,8 +241,20 @@ def rq2_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("s1"),
         F.col("sum_qty").alias("v1"),
     )
+    a7 = relational.a7_skew_profile(spark, sf_dir).select(
+        F.concat(F.lit("a7_"), F.col("part")).alias("probe"),
+        F.col("k").alias("k1"),
+        F.col("cnt").alias("k2"),
+        F.concat_ws(
+            ":",
+            F.col("n_rows").cast("string"),
+            F.col("n_keys").cast("string"),
+            F.coalesce(F.col("rank").cast("string"), F.lit("-")),
+        ).alias("s1"),
+        F.coalesce("skew_factor", "share").alias("v1"),
+    )
     out = j1
-    for part in (j2, j3, j4, j6, j7, j8, j9, j13):
+    for part in (j2, j3, j4, j6, j7, j8, j9, j13, a7):
         out = out.unionByName(part)
     return out
 

@@ -41,3 +41,18 @@ def test_m2_decode_twice_same_session(spark, sf_dir):
     n1 = fn(spark, sf_dir).count()
     n2 = fn(spark, sf_dir).count()
     assert n1 == n2
+
+
+def test_a7_skew_profile_consistency(spark, sf_dir):
+    from file_db_spark.operators.relational import SKEW_TOP_K, a7_skew_profile
+
+    rows = a7_skew_profile(spark, sf_dir).collect()
+    summary = [r for r in rows if r["part"] == "summary"]
+    top = sorted((r for r in rows if r["part"] == "top"), key=lambda r: r["rank"])
+    assert len(summary) == 1 and 1 <= len(top) <= SKEW_TOP_K
+    s = summary[0]
+    assert s["skew_factor"] == s["cnt"] * s["n_keys"] / s["n_rows"]
+    assert top[0]["cnt"] == s["cnt"]  # rank 1 is the max key
+    cnts = [r["cnt"] for r in top]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(abs(r["share"] - r["cnt"] / s["n_rows"]) < 1e-15 for r in top)

@@ -60,6 +60,7 @@ BNLJ_OK_MEMBERS = {
     "d32_bpe_encode",  # d30 trained chain: broadcast 1-row merge pair per round
     "v9_index_add",  # broadcast k x dim trained centroids (v6 pattern)
     "v10_kmeanspp_init",  # broadcast <=1+R*l-row center/candidate tables
+    "a7_skew_profile",  # broadcast 1-row stats table onto top-K rows
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
