@@ -2354,3 +2354,122 @@ def x24_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_batch_hits",
         F.md5(clean_text).alias("clean_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x25: DEDUP-METHOD EVALUATION — score the approximate near-dup
+# detector (x4 MinHash+LSH, estimated Jaccard >= 0.5) against the
+# EXACT ground truth at the same threshold (x20 prefix-filtered
+# SSJoin, provably complete). Production pipelines tune LSH
+# band/row/perm parameters against exactly this confusion table on a
+# sample before trusting the detector on the full corpus; this makes
+# that measurement a first-class, oracle-verified operator.
+# ---------------------------------------------------------------------------
+
+_X25_ORACLE = f"""
+    WITH truth AS ({_X20_ORACLE}),
+    pred AS ({{x4}}),
+    joined AS (
+      SELECT COALESCE(t.doc_a, p.doc_a) AS doc_a,
+             COALESCE(t.doc_b, p.doc_b) AS doc_b,
+             CASE WHEN t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL THEN 'tp'
+                  WHEN p.doc_a IS NOT NULL THEN 'fp'
+                  ELSE 'fn' END AS status,
+             t.jaccard AS exact_jaccard,
+             p.est_jaccard
+      FROM truth t FULL OUTER JOIN pred p
+        ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    ), conf AS (
+      SELECT CAST(SUM(CASE WHEN status = 'tp' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN status = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN status = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM joined
+    )
+    SELECT 'pair' AS part, doc_a, doc_b, status,
+           CAST(NULL AS BIGINT) AS tp, CAST(NULL AS BIGINT) AS fp,
+           CAST(NULL AS BIGINT) AS fn,
+           exact_jaccard, est_jaccard, CAST(NULL AS DOUBLE) AS f1
+    FROM joined
+    UNION ALL
+    SELECT 'summary', NULL, NULL, NULL, tp, fp, fn,
+           CAST(tp AS DOUBLE) / (tp + fp),
+           CAST(tp AS DOUBLE) / (tp + fn),
+           2.0 * tp / (2.0 * tp + fp + fn)
+    FROM conf
+    """
+
+
+@_q("x25_dedup_eval", None)  # oracle attached below (needs x4's text)
+def x25_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion table of the LSH near-dup detector vs exact ground
+    truth at tau = 0.5: every pair labeled tp (both), fp (LSH only —
+    MinHash over-estimate), or fn (missed — banding or the estimate
+    under tau), plus one summary row with precision/recall/F1. The
+    fn rows are the pairs a parameter sweep (more perms, wider bands)
+    must recover; the fp rows cost only wasted verification.
+
+    Scale: both inputs are the already-bounded candidate pipelines
+    (capped LSH buckets; prefix-filtered SSJoin); the evaluation
+    itself is one full-outer equi-join on the pair key plus a scalar
+    aggregate. Run it on a sampled partition at 100 TB — the operator
+    is the same. The exact side's completeness is a theorem (x20), so
+    recall here is TRUE recall, not recall-vs-another-heuristic."""
+    truth = x20_prefix_ssjoin(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    pred = x4_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    joined = truth.join(pred, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.when(
+            F.col("exact_jaccard").isNotNull() & F.col("est_jaccard").isNotNull(),
+            "tp",
+        )
+        .when(F.col("est_jaccard").isNotNull(), "fp")
+        .otherwise("fn")
+        .alias("status"),
+        "exact_jaccard",
+        "est_jaccard",
+    ).persist()
+    conf = joined.agg(
+        F.sum((F.col("status") == "tp").cast("int")).cast("bigint").alias("tp"),
+        F.sum((F.col("status") == "fp").cast("int")).cast("bigint").alias("fp"),
+        F.sum((F.col("status") == "fn").cast("int")).cast("bigint").alias("fn"),
+    )
+    pairs = joined.select(
+        F.lit("pair").alias("part"),
+        "doc_a",
+        "doc_b",
+        "status",
+        F.lit(None).cast("bigint").alias("tp"),
+        F.lit(None).cast("bigint").alias("fp"),
+        F.lit(None).cast("bigint").alias("fn"),
+        "exact_jaccard",
+        "est_jaccard",
+        F.lit(None).cast("double").alias("f1"),
+    )
+    summary = conf.select(
+        F.lit("summary").alias("part"),
+        F.lit(None).cast("bigint").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.lit(None).cast("string").alias("status"),
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+            "exact_jaccard"
+        ),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias(
+            "est_jaccard"
+        ),
+        (
+            F.lit(2.0) * F.col("tp")
+            / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+    )
+    return pairs.unionByName(summary)
+
+
+ORACLES["x25_dedup_eval"] = _X25_ORACLE.format(x4=ORACLES["x4_minhash_lsh"])

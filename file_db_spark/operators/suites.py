@@ -1761,7 +1761,12 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'x18:' || pair_type, doc_a, doc_b, jaccard, NULL")
     + "\nUNION ALL\n"
     + _sub(dedup.ORACLES["x20_prefix_ssjoin"],
-           "'x20', doc_a, doc_b, jaccard, NULL"),
+           "'x20', doc_a, doc_b, jaccard, NULL")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x25_dedup_eval"],
+           "'x25:' || COALESCE(status, 'summary'), doc_a, doc_b, "
+           "COALESCE(f1, exact_jaccard, est_jaccard), "
+           "tp * 1000000 + fp * 1000 + fn"),
 )
 def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x3 word-3-gram Jaccard near-dup pairs + x11 winnowing-minima
@@ -1802,7 +1807,23 @@ def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").alias("score"),
         _bn().alias("n"),
     )
-    return x3.unionByName(x11).unionByName(x18).unionByName(x20)
+    x25 = dedup.x25_dedup_eval(spark, sf_dir).select(
+        F.concat(F.lit("x25:"), F.coalesce("status", F.lit("summary"))).alias(
+            "member"
+        ),
+        F.col("doc_a"),
+        F.col("doc_b"),
+        F.coalesce("f1", "exact_jaccard", "est_jaccard").alias("score"),
+        (F.col("tp") * 1000000 + F.col("fp") * 1000 + F.col("fn"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    return (
+        x3.unionByName(x11)
+        .unionByName(x18)
+        .unionByName(x20)
+        .unionByName(x25)
+    )
 
 
 # ---------------------------------------------------------------------------

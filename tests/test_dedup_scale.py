@@ -249,3 +249,26 @@ def test_x24_incremental_equals_x22_on_batch(spark, sf_dir):
         # provenance covers every hit position at least once
         if r["n_spans"]:
             assert r["n_corpus_hits"] + r["n_batch_hits"] > 0
+
+
+def test_x25_confusion_consistency(spark, sf_dir):
+    """The confusion summary must agree with the labeled pairs, and
+    tp+fn must equal the exact ground truth's pair count (x20) while
+    tp+fp equals the detector's (x4)."""
+    rows = dedup.x25_dedup_eval(spark, sf_dir).collect()
+    pairs = [r for r in rows if r["part"] == "pair"]
+    s = next(r for r in rows if r["part"] == "summary")
+    by = {"tp": 0, "fp": 0, "fn": 0}
+    for r in pairs:
+        by[r["status"]] += 1
+        if r["status"] == "tp":
+            assert r["exact_jaccard"] is not None and r["est_jaccard"] is not None
+        elif r["status"] == "fp":
+            assert r["exact_jaccard"] is None
+        else:
+            assert r["est_jaccard"] is None
+    assert (s["tp"], s["fp"], s["fn"]) == (by["tp"], by["fp"], by["fn"])
+    n_truth = dedup.x20_prefix_ssjoin(spark, sf_dir).count()
+    n_pred = dedup.x4_minhash_lsh(spark, sf_dir).count()
+    assert s["tp"] + s["fn"] == n_truth
+    assert s["tp"] + s["fp"] == n_pred
