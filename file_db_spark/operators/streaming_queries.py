@@ -707,3 +707,165 @@ def _s10_oracle() -> str:
 
 
 ORACLES["s10_stream_admission"] = _s10_oracle()
+
+
+# ---------------------------------------------------------------------------
+# s11: streaming HYPERLOGLOG register maintenance — e13's daily DAU
+# sketch kept current by the stream. Unlike s9's CMS (+-merge, counts
+# every occurrence), HLL registers merge by MAX, which is IDEMPOTENT:
+# reprocessed or duplicated events cannot inflate the estimate, so the
+# maintained store equals the batch sketch under any micro-batch
+# slicing, replay, or at-least-once delivery — the property that makes
+# HLL the distinct-count structure for streams.
+# ---------------------------------------------------------------------------
+
+
+def s11_stream_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch maintains per-day 256-register HLL tables over
+    user_id (e13's DAU machinery): each micro-batch computes its
+    partial (day, bucket, rho-max) registers map-side and MAX-merges
+    them into a generation-swapped parquet register store. After the
+    availableNow drain, DAU is estimated from the MAINTAINED registers
+    only, with the exact per-day distinct count joined in for error —
+    and equals e13's batch DAU column-for-column (the oracle), because
+    MAX-merge is insensitive to how events were sliced into batches.
+
+    Scale: state is 256 rows per day regardless of event volume; no
+    per-batch distinct is needed (duplicate users in or across batches
+    are absorbed by MAX — the idempotence s9's count-merge lacks);
+    any window (WAU/MAU) is served by further MAX-merges of the same
+    store (e13's register fan-out), never by rescanning events."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..functions.text import portable_hash60
+    from .events import _E13_M, _E13_RHO_MAX, _e13_estimate
+
+    store_root = tempfile.mkdtemp(prefix="s11_hll_")
+    data_dir = os.path.join(store_root, "registers")
+    ckpt_dir = os.path.join(store_root, "_ckpt")
+
+    def batch_registers(df: DataFrame) -> DataFrame:
+        day = F.floor(
+            F.col("ts").cast("timestamp").cast("long") / 86400
+        ).cast("bigint")
+        hashed = df.select(
+            day.alias("day"),
+            portable_hash60(F.col("user_id").cast("string")).alias("h"),
+        )
+        staged = hashed.select(
+            "day",
+            (F.col("h") % _E13_M).alias("bucket"),
+            F.expr(f"h div {_E13_M}").alias("w"),
+        )
+        rho = F.when(F.col("w") == 0, F.lit(_E13_RHO_MAX)).otherwise(
+            F.least(
+                F.round(F.log2(F.expr("w & -w"))).cast("int") + F.lit(1),
+                F.lit(_E13_RHO_MAX),
+            )
+        )
+        return (
+            staged.select("day", "bucket", rho.alias("m_j"))
+            .groupBy("day", "bucket")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+
+    def merge_registers(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_registers(batch_df)
+        if os.path.isdir(data_dir):
+            existing = spark.read.parquet(data_dir)
+            merged = (
+                existing.unionByName(part)
+                .groupBy("day", "bucket")
+                .agg(F.max("m_j").alias("m_j"))
+            )
+        else:
+            merged = part
+        tmp = data_dir + f".gen{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        os.rename(tmp, data_dir)
+
+    src = es.events_source(spark, sf_dir)
+    q = (
+        src.writeStream.outputMode("append")
+        .foreachBatch(merge_registers)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from .events import _E13_EMPTY
+
+    regd = spark.read.parquet(data_dir)
+    per = regd.groupBy("day").agg(
+        F.count("*").alias("hit"),
+        (
+            F.sum(F.expr(f"CAST(power(2, {_E13_RHO_MAX} - m_j) AS BIGINT)"))
+            + (F.lit(_E13_M) - F.count("*")) * F.lit(_E13_EMPTY)
+        ).alias("register_sum"),
+    )
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("timestamp").cast("long") / 86400).cast("bigint")
+    exact = (
+        e.select(day.alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    out = _e13_estimate(per.join(exact, "day")).select(
+        "day",
+        F.col("n_exact").alias("dau_exact"),
+        F.col("register_sum").cast("bigint").alias("dau_register_sum"),
+        F.col("est").alias("dau_hll"),
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(store_root, ignore_errors=True)
+    return out
+
+
+QUERIES["s11_stream_hll_maintenance"] = s11_stream_hll_maintenance
+
+# The MAX-merged register store equals the batch registers however the
+# stream was sliced, so the served DAU equals e13's batch DAU exactly.
+ORACLES["s11_stream_hll_maintenance"] = """
+    WITH du AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT) AS day,
+             user_id
+      FROM events
+    ), hashed AS (
+      SELECT day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM du
+    ), staged AS (
+      SELECT day, h % 256 AS bucket, h // 256 AS w FROM hashed
+    ), regd AS (
+      SELECT day, bucket,
+             MAX(CASE WHEN w = 0 THEN 44
+                      ELSE least(CAST(round(log2(w & (-w))) AS INT) + 1, 44) END) AS m_j
+      FROM staged GROUP BY day, bucket
+    ), per AS (
+      SELECT day, COUNT(*) AS hit,
+             SUM(CAST(power(2, 44 - m_j) AS BIGINT))
+               + (256 - COUNT(*)) * CAST(power(2, 44) AS BIGINT) AS register_sum
+      FROM regd GROUP BY day
+    ), exact AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_exact FROM du GROUP BY day
+    ), together AS (
+      SELECT e.day, e.n_exact, p.register_sum, p.hit
+      FROM exact e JOIN per p ON p.day = e.day
+    )
+    SELECT day, n_exact AS dau_exact,
+           CAST(register_sum AS BIGINT) AS dau_register_sum,
+           round(CASE WHEN (256 - hit) > 0
+                      AND (8.281119189271282e+17 / CAST(register_sum AS DOUBLE)) <= 640.0
+                 THEN 256.0 * ln(256.0 / CAST(256 - hit AS DOUBLE))
+                 ELSE 8.281119189271282e+17 / CAST(register_sum AS DOUBLE) END, 2) AS dau_hll
+    FROM together
+    """

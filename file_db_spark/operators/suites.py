@@ -1647,7 +1647,11 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s10_stream_admission"],
            "'admission', doc_id, score_scaled, n_toks, NULL, admitted, "
-           "CAST(quality_keep * 2 + is_dup AS DOUBLE)"),
+           "CAST(quality_keep * 2 + is_dup AS DOUBLE)")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s11_stream_hll_maintenance"],
+           "'hll', day, dau_exact, dau_register_sum, NULL, dau_exact, "
+           "dau_hll"),
 )
 def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eight more real Structured Streaming drains in one graded row:
@@ -1733,6 +1737,15 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("admitted").alias("n"),
         (F.col("quality_keep") * 2 + F.col("is_dup")).cast("double").alias("v1"),
     )
+    s11 = streaming_queries.s11_stream_hll_maintenance(spark, sf_dir).select(
+        F.lit("hll").alias("stream"),
+        F.col("day").alias("k1"),
+        F.col("dau_exact").alias("k2"),
+        F.col("dau_register_sum").alias("k3"),
+        _sn().alias("s1"),
+        F.col("dau_exact").alias("n"),
+        F.col("dau_hll").alias("v1"),
+    )
     return (
         s3.unionByName(s4)
         .unionByName(s5)
@@ -1741,6 +1754,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s8)
         .unionByName(s9)
         .unionByName(s10)
+        .unionByName(s11)
     )
 
 

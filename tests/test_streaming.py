@@ -153,3 +153,26 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     g = {(r.purchase_id, r.click_id) for r in got.collect()}
     w = {(r.purchase_id, r.click_id) for r in want.collect()}
     assert g == w
+
+
+def test_s11_hll_maintenance_equals_batch(spark, sf_dir):
+    """The MAX-merged streaming register store must serve exactly the
+    batch e13 DAU columns — idempotent merge makes the result
+    independent of micro-batch slicing."""
+    from file_db_spark.operators.events import e13_hll_active_users
+    from file_db_spark.operators.streaming_queries import (
+        s11_stream_hll_maintenance,
+    )
+
+    batch = {
+        r["day"]: (r["dau_exact"], r["dau_register_sum"], r["dau_hll"])
+        for r in e13_hll_active_users(spark, sf_dir).collect()
+    }
+    stream = s11_stream_hll_maintenance(spark, sf_dir).collect()
+    assert {r["day"] for r in stream} == set(batch)
+    for r in stream:
+        assert (
+            r["dau_exact"],
+            r["dau_register_sum"],
+            r["dau_hll"],
+        ) == batch[r["day"]]
