@@ -1340,6 +1340,123 @@ QUERIES["g8_compaction_plan"] = g8_compaction_plan
 ORACLES["g8_compaction_plan"] = _G8_ORACLE.format(ctes=fixtures.FIXTURE_CTES)
 
 
+# ---------------------------------------------------------------------------
+# g9: SUBTREE ROLLUP — recursive per-directory totals (`du -s` for the
+# catalog): every directory's file count and bytes INCLUDING all its
+# subdirectories, alongside its direct-children totals. The reference's
+# dir_detail (A1/c3) answers "what is in this directory"; this answers
+# "what is under it" — the other half of every storage-usage view.
+# ---------------------------------------------------------------------------
+
+#: unrolled ancestor depth for the Spark side (basepath chain reaches a
+#: fixed point at the root); raise for deeper trees — cost is one more
+#: Column expression, not another pass.
+SUBTREE_MAX_DEPTH = 6
+
+_G9_ORACLE = """
+WITH RECURSIVE {ctes},
+f AS (
+  SELECT fl.id, d.dir_path,
+         CAST(COALESCE(fl.size, 0) * 1000000 AS BIGINT) AS size_u
+  FROM fx_file fl JOIN fx_directory d ON fl.dir_id = d.id
+),
+anc(id, size_u, p) AS (
+  SELECT id, size_u, dir_path FROM f
+  UNION
+  SELECT id, size_u, {bp}
+  FROM anc WHERE {bp} <> p
+),
+sub AS (
+  SELECT p AS dir_path, CAST(COUNT(*) AS BIGINT) AS n_sub,
+         CAST(SUM(size_u) AS BIGINT) AS size_sub_u
+  FROM anc GROUP BY p
+),
+direct AS (
+  SELECT dir_path, CAST(COUNT(*) AS BIGINT) AS n_direct,
+         CAST(SUM(size_u) AS BIGINT) AS size_direct_u
+  FROM f GROUP BY dir_path
+)
+SELECT d.id AS dir_id, d.dir_path,
+       CAST(COALESCE(s.n_sub, 0) AS BIGINT) AS n_sub,
+       CAST(COALESCE(s.size_sub_u, 0) AS BIGINT) AS size_sub_u,
+       CAST(COALESCE(x.n_direct, 0) AS BIGINT) AS n_direct,
+       CAST(COALESCE(x.size_direct_u, 0) AS BIGINT) AS size_direct_u
+FROM fx_directory d
+LEFT JOIN sub s ON s.dir_path = d.dir_path
+LEFT JOIN direct x ON x.dir_path = d.dir_path
+"""
+
+
+def g9_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive subtree totals per cataloged directory: file count and
+    micro-MB bytes over the whole subtree (each file credited to every
+    ancestor that exists in the catalog) plus the direct-children
+    totals, zeros for empty dirs.
+
+    Scale shape: ancestors are generated as a bounded per-file array
+    (an unrolled basepath chain, SUBTREE_MAX_DEPTH deep — path depth,
+    not corpus size, bounds the fan-out) and exploded into ONE
+    (ancestor-path)-keyed aggregation — no recursion at runtime, no
+    per-level passes, no driver loop; the DuckDB oracle computes the
+    same closure with a recursive CTE, certifying the unroll. At
+    100 TB this is corpus-scan + one shuffle whose key count is the
+    directory table. Reference anchor: extends dir_detail
+    (FileDbDAL/Directory.py vw_dir_detail, c3) from direct children to
+    the full subtree."""
+    from ..functions.paths import basepath
+
+    dirs = fixtures.fixture_directory(spark, sf_dir).select(
+        F.col("id").alias("dir_id"), "dir_path"
+    )
+    file = fixtures.fixture_file(spark, sf_dir)
+    f = (
+        file.join(dirs, file.dir_id == dirs.dir_id)
+        .select(
+            "dir_path",
+            (F.coalesce("size", F.lit(0)) * 1000000).cast("bigint").alias("size_u"),
+        )
+    )
+    chain = [F.col("dir_path")]
+    for _ in range(SUBTREE_MAX_DEPTH - 1):
+        chain.append(basepath(chain[-1]))
+    exploded = f.select(
+        "size_u", F.explode(F.array_distinct(F.array(*chain))).alias("anc")
+    )
+    sub = (
+        exploded.join(dirs, exploded.anc == dirs.dir_path)
+        .groupBy("dir_id", "dir_path")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sub"),
+            F.sum("size_u").cast("bigint").alias("size_sub_u"),
+        )
+        .select("dir_path", "n_sub", "size_sub_u")
+    )
+    direct = f.groupBy("dir_path").agg(
+        F.count("*").cast("bigint").alias("n_direct"),
+        F.sum("size_u").cast("bigint").alias("size_direct_u"),
+    )
+    return (
+        dirs.join(sub, "dir_path", "left")
+        .join(direct, "dir_path", "left")
+        .select(
+            "dir_id",
+            "dir_path",
+            F.coalesce("n_sub", F.lit(0)).cast("bigint").alias("n_sub"),
+            F.coalesce("size_sub_u", F.lit(0)).cast("bigint").alias("size_sub_u"),
+            F.coalesce("n_direct", F.lit(0)).cast("bigint").alias("n_direct"),
+            F.coalesce("size_direct_u", F.lit(0))
+            .cast("bigint")
+            .alias("size_direct_u"),
+        )
+    )
+
+
+QUERIES["g9_subtree_rollup"] = g9_subtree_rollup
+ORACLES["g9_subtree_rollup"] = _G9_ORACLE.format(
+    ctes=fixtures.FIXTURE_CTES, bp=_BP.format(p="p")
+)
+
+
 
 # ---------------------------------------------------------------------------
 # g3456: graded carrier for the control-table surface — M3/O7 mark
@@ -1385,6 +1502,12 @@ def _sub(sql: str, projection: str) -> str:
         _G8_ORACLE.format(ctes=fixtures.FIXTURE_CTES),
         "'g8', id, CAST(NULL AS VARCHAR), dir_id, size_u, bin, bin_total_u, "
         "bin_n_files, compact, NULL, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        ORACLES["g9_subtree_rollup"],
+        "'g9', dir_id, dir_path, n_sub, size_sub_u, n_direct, size_direct_u, "
+        "NULL, NULL, NULL, NULL",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,10 +1601,24 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
+    g9 = g9_subtree_rollup(spark, sf_dir).select(
+        F.lit("g9").alias("part"),
+        F.col("dir_id").alias("k1"),
+        F.col("dir_path").alias("s1"),
+        F.col("n_sub").alias("n1"),
+        F.col("size_sub_u").alias("n2"),
+        F.col("n_direct").alias("e1"),
+        F.col("size_direct_u").alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        _dn().alias("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
         .unionByName(g6)
         .unionByName(g7)
         .unionByName(g8)
+        .unionByName(g9)
     )

@@ -114,3 +114,30 @@ def test_g8_compaction_plan_invariants(spark, sf_dir):
         assert all(m["bin_n_files"] == len(members) for m in members)
         # NFD: a closed bin's total stays under target + its last file
         assert tot < COMPACT_TARGET_U + max(m["size_u"] for m in members)
+
+
+def test_g9_subtree_rollup_invariants(spark, sf_dir):
+    """Subtree totals dominate direct totals; a parent's subtree total
+    equals its direct files plus its cataloged children's subtrees."""
+    from file_db_spark.operators.merge_queries import g9_subtree_rollup
+
+    rows = {r["dir_path"]: r for r in g9_subtree_rollup(spark, sf_dir).collect()}
+    assert rows
+    from file_db_spark.functions.paths import basepath  # noqa: F401 (column fn)
+
+    def parent(p):
+        import re
+
+        s = re.sub(r"(.)[/\\][^/\\]+$", r"\1", p)
+        return s + "\\" if s.endswith(":") else s
+
+    for p, r in rows.items():
+        assert r["n_sub"] >= r["n_direct"]
+        assert r["size_sub_u"] >= r["size_direct_u"]
+        # recompute each dir's subtree from direct + children subtrees
+        kids = [q for q in rows if q != p and parent(q) == p]
+        assert r["n_sub"] == r["n_direct"] + sum(rows[k]["n_sub"] for k in kids)
+        assert r["size_sub_u"] == r["size_direct_u"] + sum(
+            rows[k]["size_sub_u"] for k in kids
+        )
+    assert any(r["n_sub"] > r["n_direct"] for r in rows.values())
