@@ -770,6 +770,11 @@ _DQ4_PARTS = {
         "CAST(n_bigrams AS VARCHAR) || ':' || CAST(n_unseen_bigrams AS VARCHAR), "
         "n_tokens, n_oov, oov_rate, bigram_novelty",
     ),
+    "d36": (
+        "d36_kneser_ney_lm",
+        "'kn', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), n_bigrams, "
+        "NULL, avg_logprob_kn, ppl_kn",
+    ),
     "d35": (
         "d35_gopher_rules",
         "'gopher', CAST(doc_id AS VARCHAR), "
@@ -900,6 +905,15 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("oov_rate").alias("v1"),
         F.col("bigram_novelty").alias("v2"),
     )
+    d36 = t.d36_kneser_ney_lm(spark, sf_dir).select(
+        F.lit("kn").alias("report"),
+        F.col("doc_id").cast("string").alias("k1"),
+        _sn().alias("k2"),
+        F.col("n_bigrams").alias("n_docs"),
+        _bn().alias("total_tokens"),
+        F.col("avg_logprob_kn").alias("v1"),
+        F.col("ppl_kn").alias("v2"),
+    )
     d35 = t.d35_gopher_rules(spark, sf_dir).select(
         F.lit("gopher").alias("report"),
         F.col("doc_id").cast("string").alias("k1"),
@@ -929,6 +943,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d27)
         .unionByName(d33)
         .unionByName(d34)
+        .unionByName(d36)
         .unionByName(d35)
     )
 

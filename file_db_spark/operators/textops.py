@@ -2580,3 +2580,122 @@ def d35_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d36: KNESER-NEY smoothed bigram LM quality score — the smoothing the
+# production KenLM quality filters actually use (CCNet trains 5-gram
+# KN models; d25's raw MLE is the unsmoothed baseline). Interpolated
+# KN: discount mass D from every seen bigram and re-spend it on the
+# CONTINUATION probability — "how many distinct contexts does this
+# word follow?" — which is what separates versatile words from words
+# frequent only inside one collocation.
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75
+
+_D36_ORACLE = rf"""
+    WITH staged AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '') AS toks FROM documents
+    ), big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM staged WHERE len(toks) >= 2
+    ), cb AS (
+      SELECT bg, COUNT(*) AS c_ab FROM big GROUP BY bg
+    ), a_tab AS (
+      SELECT split_part(bg, ' ', 1) AS a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+             CAST(COUNT(*) AS BIGINT) AS n1p_a
+      FROM cb GROUP BY 1
+    ), b_tab AS (
+      SELECT split_part(bg, ' ', 2) AS b, CAST(COUNT(*) AS BIGINT) AS n1p_b
+      FROM cb GROUP BY 1
+    ), nbb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bb FROM cb
+    ), scored AS (
+      SELECT big.doc_id,
+             ln(((CAST(cb.c_ab AS DOUBLE) - {KN_DISCOUNT}) / a_tab.c_a)
+                + (({KN_DISCOUNT} * a_tab.n1p_a) / a_tab.c_a)
+                  * (CAST(b_tab.n1p_b AS DOUBLE) / nbb.n_bb)) AS lp
+      FROM big
+      JOIN cb USING (bg)
+      JOIN a_tab ON a_tab.a = split_part(big.bg, ' ', 1)
+      JOIN b_tab ON b_tab.b = split_part(big.bg, ' ', 2)
+      CROSS JOIN nbb
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(SUM(lp) / COUNT(*), 6) AS avg_logprob_kn,
+           round(exp(-(SUM(lp) / COUNT(*))), 6) AS ppl_kn
+    FROM scored GROUP BY doc_id
+    """
+
+
+@_q("d36_kneser_ney_lm", _D36_ORACLE)
+def d36_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (discount D = 0.75), trained
+    on the corpus and scoring each document's mean log-probability and
+    perplexity: P(b|a) = (c(ab) - D)/c(a) + D * N1+(a,.)/c(a) *
+    N1+(.,b)/N1+(..). Self-trained, so every scored bigram is in the
+    count table (no OOV branch; c(ab) >= 1 > D keeps the first term
+    positive). d25 is the MLE baseline; rank shifts between the two
+    flag documents whose probability mass comes from one-collocation
+    words — exactly what KN exists to discount.
+
+    Scale: identical shape to d25 — one bigram-count aggregate (the
+    LM artifact), THREE vocab-keyed derived tables read from it (a- and
+    b-marginals and a 1-row distinct-bigram total), equi-joined back to
+    the scoring explode; the corpus is exploded exactly twice. The
+    probability expression is parenthesized identically in both
+    engines (single IEEE op order); the per-doc float SUM's ulp noise
+    is absorbed by round-6 (the d25/d23 precedent)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+    n = F.size("toks")
+    big = (
+        staged.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n - 1),
+                    F.slice("toks", 2, n - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bg"),
+        )
+    )
+    cb = big.groupBy("bg").agg(F.count("*").alias("c_ab")).persist()
+    first = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    second = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+    a_tab = (
+        cb.select(first.alias("a"), "c_ab")
+        .groupBy("a")
+        .agg(
+            F.sum("c_ab").cast("bigint").alias("c_a"),
+            F.count("*").cast("bigint").alias("n1p_a"),
+        )
+    )
+    b_tab = (
+        cb.select(second.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("n1p_b"))
+    )
+    nbb = cb.agg(F.count("*").cast("bigint").alias("n_bb"))
+    p_kn = (
+        (F.col("c_ab").cast("double") - F.lit(KN_DISCOUNT)) / F.col("c_a")
+    ) + ((F.lit(KN_DISCOUNT) * F.col("n1p_a")) / F.col("c_a")) * (
+        F.col("n1p_b").cast("double") / F.col("n_bb")
+    )
+    scored = (
+        big.join(cb, "bg")
+        .join(a_tab, first == F.col("a"))
+        .join(b_tab, second == F.col("b"))
+        .crossJoin(F.broadcast(nbb))
+        .select("doc_id", F.log(p_kn).alias("lp"))
+    )
+    avg = F.sum("lp") / F.count("*")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(avg, 6).alias("avg_logprob_kn"),
+        F.round(F.exp(-avg), 6).alias("ppl_kn"),
+    )

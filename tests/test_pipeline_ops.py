@@ -206,3 +206,58 @@ def test_m5_phash_profile_consistency(spark, sf_dir):
         want = _phash_bands(docs[r["doc_id"]].encode())
         assert [r["b0"], r["b1"], r["b2"], r["b3"]] == want
     assert sum(r["n_candidates"] for r in rows) % 2 == 0
+
+
+def test_d36_kn_distribution_sums_to_one(spark, sf_dir):
+    """Kneser-Ney sanity: for any context word a, summing the scored
+    P_KN(b|a) over the whole continuation vocabulary must give 1 —
+    the discount mass exactly re-spent. Recomputed in pure Python from
+    the same corpus counts, plus spot agreement with the operator."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from file_db_spark.operators.textops import KN_DISCOUNT, d36_kneser_ney_lm
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    cb: Counter = Counter()
+    for _, text in docs:
+        w = [t for t in re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip().split(" ") if t]
+        for i in range(len(w) - 1):
+            cb[(w[i], w[i + 1])] += 1
+    c_a: Counter = Counter()
+    n1p_a: Counter = Counter()
+    n1p_b: Counter = Counter()
+    for (a, b), c in cb.items():
+        c_a[a] += c
+        n1p_a[a] += 1
+        n1p_b[b] += 1
+    n_bb = len(cb)
+    vocab_b = list(n1p_b)
+    conts = defaultdict(set)
+    for (a, b) in cb:
+        conts[a].add(b)
+    for a in sorted(c_a)[:5]:
+        total = 0.0
+        for b in vocab_b:
+            c = cb.get((a, b), 0)
+            total += max(c - KN_DISCOUNT, 0) / c_a[a] + (
+                KN_DISCOUNT * n1p_a[a] / c_a[a]
+            ) * (n1p_b[b] / n_bb)
+        assert abs(total - 1.0) < 1e-9, (a, total)
+    # spot-check one doc's avg logprob against the operator
+    rows = {r["doc_id"]: r for r in d36_kneser_ney_lm(spark, sf_dir).collect()}
+    doc_id, text = docs[0]
+    w = [t for t in re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip().split(" ") if t]
+    lps = []
+    for i in range(len(w) - 1):
+        a, b = w[i], w[i + 1]
+        p = (cb[(a, b)] - KN_DISCOUNT) / c_a[a] + (
+            KN_DISCOUNT * n1p_a[a] / c_a[a]
+        ) * (n1p_b[b] / n_bb)
+        lps.append(math.log(p))
+    assert abs(rows[doc_id]["avg_logprob_kn"] - sum(lps) / len(lps)) < 1e-5
