@@ -61,6 +61,7 @@ BNLJ_OK_MEMBERS = {
     "v9_index_add",  # broadcast k x dim trained centroids (v6 pattern)
     "v10_kmeanspp_init",  # broadcast <=1+R*l-row center/candidate tables
     "a7_skew_profile",  # broadcast 1-row stats table onto top-K rows
+    "d36_kneser_ney_lm",  # broadcast 1-row distinct-bigram total (d19/d23 pattern)
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
