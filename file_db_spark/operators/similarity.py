@@ -1621,3 +1621,157 @@ def v11_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("was_in_v8", F.lit(0)).cast("bigint").alias("was_in_v8"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# v12: TRAINED scalar quantization + asymmetric scoring — v5 quantizes
+# with a fixed [-1, 1] range; real SQ indexes (FAISS SQ8) TRAIN the
+# per-dimension [min, max] ranges on the data, then score queries
+# asymmetrically against DEQUANTIZED codes (query stays float; only
+# the corpus is compressed). The trained range table is the index
+# artifact; code quality degrades gracefully as the data distribution
+# drifts, which v9's occupancy monitor would catch.
+# ---------------------------------------------------------------------------
+
+
+def _v12_oracle() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), rng AS (
+      SELECT t.idx AS pos, MIN(emb[t.idx]) AS mn, MAX(emb[t.idx]) AS mx
+      FROM pts, unnest(range(1, len(emb) + 1)) AS t(idx)
+      GROUP BY t.idx
+    ), rr AS (
+      SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM rng
+    ), coded AS (
+      SELECT p.vec_id, p.emb,
+             list_transform(range(1, len(p.emb) + 1),
+               i -> CASE WHEN rr.mx[i] = rr.mn[i] THEN 0
+                    ELSE CAST(floor((p.emb[i] - rr.mn[i])
+                              / (rr.mx[i] - rr.mn[i]) * 255.0 + 0.5) AS BIGINT)
+                    END) AS code
+      FROM pts p CROSS JOIN rr
+    ), deq AS (
+      SELECT c.vec_id, c.emb,
+             list_transform(range(1, len(c.emb) + 1),
+               i -> rr.mn[i] + c.code[i] * ((rr.mx[i] - rr.mn[i]) / 255.0)) AS dq
+      FROM coded c CROSS JOIN rr
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS q_emb FROM pts WHERE vec_id < {N_QUERIES}
+    ), stage1 AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id, q.q_emb, d.emb AS c_emb,
+             list_dot_product(q.q_emb, d.dq) AS adc_score
+      FROM q JOIN deq d ON d.vec_id <> q.query_id
+    ), cand AS (
+      SELECT query_id, neighbor_id, q_emb, c_emb, adc_score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC
+        ) AS r1 FROM stage1
+      ) WHERE r1 <= {SQ_RERANK}
+    )
+    SELECT query_id, neighbor_id, round(adc_score, 6) AS adc_score,
+           cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id, adc_score,
+             list_cosine_similarity(q_emb, c_emb) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(q_emb, c_emb) DESC,
+                        neighbor_id ASC
+             ) AS rank
+      FROM cand
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@_q("v12_sq_train_adc", _v12_oracle())
+def v12_sq_train_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained SQ8 + asymmetric distance: per-dimension [min, max]
+    ranges learned from the corpus (the dim-sized index artifact),
+    corpus vectors quantized to 8-bit codes against those ranges,
+    stage-1 scoring = float query against DEQUANTIZED codes (ADC —
+    only the corpus pays the compression error), exact cosine re-rank
+    of the top-SQ_RERANK. v5 is the train-free baseline; the trained
+    ranges adapt to the data's real per-dim spread instead of assuming
+    [-1, 1].
+
+    Scale: training is one posexplode + (pos)-keyed min/max — a single
+    corpus pass producing a dim-sized broadcast; the code table is 4x
+    smaller than the float corpus (the scan-bandwidth win); scoring is
+    broadcast queries x map-only dequantized dot + per-query top-N.
+    All float expressions are identically-parenthesized fixed-order
+    ops (the dot fold), so the whole pipeline value-hashes strictly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    rng = (
+        pts.select(F.posexplode("emb").alias("p0", "v"))
+        .groupBy("p0")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    rr = rng.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("p0", "mn"))).alias("pmn"),
+        F.array_sort(F.collect_list(F.struct("p0", "mx"))).alias("pmx"),
+    ).select(
+        F.transform("pmn", lambda s: s["mn"]).alias("mn"),
+        F.transform("pmx", lambda s: s["mx"]).alias("mx"),
+    )
+    idx = F.sequence(F.lit(1), F.size("emb"))
+    code_expr = F.transform(
+        idx,
+        lambda i: F.when(
+            F.element_at("mx", i) == F.element_at("mn", i), F.lit(0).cast("long")
+        ).otherwise(
+            F.floor(
+                (F.element_at("emb", i) - F.element_at("mn", i))
+                / (F.element_at("mx", i) - F.element_at("mn", i))
+                * 255.0
+                + F.lit(0.5)
+            ).cast("long")
+        ),
+    )
+    coded = pts.crossJoin(F.broadcast(rr)).select(
+        "vec_id", "emb", "mn", "mx", code_expr.alias("code")
+    )
+    dq_expr = F.transform(
+        idx,
+        lambda i: F.element_at("mn", i)
+        + F.element_at("code", i)
+        * ((F.element_at("mx", i) - F.element_at("mn", i)) / F.lit(255.0)),
+    )
+    deq = coded.select("vec_id", "emb", dq_expr.alias("dq"))
+    q = pts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    stage1 = (
+        deq.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "q_emb",
+            F.col("emb").alias("c_emb"),
+            dot(F.col("q_emb"), F.col("dq")).alias("adc_score"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SQ_RERANK)
+        .drop("r1")
+    )
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_score", 6).alias("adc_score"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_score", "cos_sim", "rank")
+    )

@@ -1185,7 +1185,10 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "round_added * 100 + seed_rank")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v11_nn_descent"],
-           "'v11', vec_id, neighbor_id, cos_sim, rank * 10 + was_in_v8"),
+           "'v11', vec_id, neighbor_id, cos_sim, rank * 10 + was_in_v8")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v12_sq_train_adc"],
+           "'v12', query_id, neighbor_id, cos_sim, rank"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1256,6 +1259,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").alias("score"),
         (F.col("rank") * 10 + F.col("was_in_v8")).cast("bigint").alias("rank"),
     )
+    v12 = similarity.v12_sq_train_adc(spark, sf_dir).select(
+        F.lit("v12").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.col("cos_sim").alias("score"),
+        "rank",
+    )
     return (
         v3.unionByName(v4)
         .unionByName(v5)
@@ -1265,6 +1275,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v9)
         .unionByName(v10)
         .unionByName(v11)
+        .unionByName(v12)
     )
 
 

