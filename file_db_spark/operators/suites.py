@@ -517,6 +517,13 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'d31', doc_id, CAST(NULL AS VARCHAR), shard, n_tokens, "
         "split || '#' || quality_keep || is_keeper || in_mix || selected, "
         "CAST(NULL AS DOUBLE)",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d37_leakage_safe_split"],
+        "'d37', doc_id, CAST(NULL AS VARCHAR), family_key, "
+        "family_members * 100 + family_leaky * 10 + moved, "
+        "split || '#' || naive_split, CAST(NULL AS DOUBLE)",
     ),
 )
 def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,12 +604,26 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s1"),
         _dn().alias("v1"),
     )
+    d37 = textops.d37_leakage_safe_split(spark, sf_dir).select(
+        F.lit("d37").alias("part"),
+        "doc_id",
+        _sn().alias("source"),
+        F.col("family_key").alias("k1"),
+        (
+            F.col("family_members") * 100
+            + F.col("family_leaky") * 10
+            + F.col("moved")
+        ).cast("bigint").alias("k2"),
+        F.concat(F.col("split"), F.lit("#"), F.col("naive_split")).alias("s1"),
+        _dn().alias("v1"),
+    )
     return (
         d6d8.unionByName(d18)
         .unionByName(d26)
         .unionByName(d28)
         .unionByName(d29)
         .unionByName(d31)
+        .unionByName(d37)
     )
 
 

@@ -2699,3 +2699,122 @@ def d36_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg, 6).alias("avg_logprob_kn"),
         F.round(F.exp(-avg), 6).alias("ppl_kn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d37: LEAKAGE-SAFE train/validation/test split — the d6 hash split is
+# per-document, so two near-duplicate documents can land on opposite
+# sides of the train/test boundary and leak evaluation content into
+# training. The fix every careful pipeline ships: make the split
+# decision per DEDUP FAMILY (x7 connected components; singletons are
+# their own family) so a family is always wholly inside one split.
+# ---------------------------------------------------------------------------
+
+
+def _d37_oracle() -> str:
+    from .dedup import _X3_PAIR_CTES
+
+    fam_bucket = _HEX_BUCKET.replace("doc_id", "family_key")
+    return f"""
+    WITH RECURSIVE {_X3_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, lab) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (
+      SELECT v AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+      FROM reach GROUP BY v
+    ),
+    fam AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS family_key
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    lab AS (
+      SELECT doc_id, family_key,
+             CASE WHEN ({fam_bucket}) < 900 THEN 'train'
+                  WHEN ({fam_bucket}) < 950 THEN 'validation'
+                  ELSE 'test' END AS split,
+             CASE WHEN ({_HEX_BUCKET}) < 900 THEN 'train'
+                  WHEN ({_HEX_BUCKET}) < 950 THEN 'validation'
+                  ELSE 'test' END AS naive_split
+      FROM fam
+    ),
+    famstat AS (
+      SELECT family_key, CAST(COUNT(*) AS BIGINT) AS family_members,
+             CAST(COUNT(DISTINCT naive_split) > 1 AS BIGINT) AS family_leaky
+      FROM lab GROUP BY family_key
+    )
+    SELECT l.doc_id, l.family_key, l.split, l.naive_split,
+           CAST(l.split <> l.naive_split AS BIGINT) AS moved,
+           f.family_members, f.family_leaky
+    FROM lab l JOIN famstat f ON f.family_key = l.family_key
+    """
+
+
+@_q("d37_leakage_safe_split", None)  # oracle attached below (imports dedup)
+def d37_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family-keyed split: every document inherits its dedup family's
+    hash-bucket split decision (d6 thresholds: 900/950/1000), so no
+    near-dup family straddles train/validation/test. Emits the naive
+    per-doc split alongside, which documents the operator's value:
+    `family_leaky = 1` rows are families the naive split WOULD have
+    torn across the boundary (benchmark leakage), `moved = 1` rows are
+    the documents the family decision relocated.
+
+    Scale: the family label table is dup-family-sized (broadcast, the
+    x21 pattern); bucket derivation is a map-only md5 projection; the
+    family stats are one family-keyed aggregate joined back — no
+    corpus-wide window. The split stays deterministic and stable under
+    corpus growth exactly like d6 (hash buckets), but keyed on the
+    family id, which min-label components keep stable as families
+    absorb new members."""
+    from .dedup import x7_dup_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = x7_dup_components(spark, sf_dir)
+    fam = d.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").cast("bigint").alias("family_key"),
+    )
+    fbucket = F.expr(_HEX_BUCKET.replace("doc_id", "family_key"))
+    dbucket = F.expr(_HEX_BUCKET)
+
+    def split_of(bucket):
+        return (
+            F.when(bucket < 900, "train")
+            .when(bucket < 950, "validation")
+            .otherwise("test")
+        )
+
+    lab = fam.select(
+        "doc_id",
+        "family_key",
+        split_of(fbucket).alias("split"),
+        split_of(dbucket).alias("naive_split"),
+    )
+    famstat = lab.groupBy("family_key").agg(
+        F.count("*").cast("bigint").alias("family_members"),
+        (F.size(F.collect_set("naive_split")) > 1)
+        .cast("bigint")
+        .alias("family_leaky"),
+    )
+    return lab.join(famstat, "family_key").select(
+        "doc_id",
+        "family_key",
+        "split",
+        "naive_split",
+        (F.col("split") != F.col("naive_split")).cast("bigint").alias("moved"),
+        "family_members",
+        "family_leaky",
+    )
+
+
+ORACLES["d37_leakage_safe_split"] = _d37_oracle()

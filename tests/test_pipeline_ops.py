@@ -261,3 +261,29 @@ def test_d36_kn_distribution_sums_to_one(spark, sf_dir):
         ) * (n1p_b[b] / n_bb)
         lps.append(math.log(p))
     assert abs(rows[doc_id]["avg_logprob_kn"] - sum(lps) / len(lps)) < 1e-5
+
+
+def test_d37_family_split_consistency(spark, sf_dir):
+    """No family straddles a split boundary; the naive d6 split is
+    reproduced faithfully; leaky families are real (members whose
+    naive splits differ) and the fixture corpus contains at least one."""
+    from collections import defaultdict
+
+    from file_db_spark.operators.textops import d37_leakage_safe_split
+
+    rows = d37_leakage_safe_split(spark, sf_dir).collect()
+    fams = defaultdict(list)
+    for r in rows:
+        fams[r["family_key"]].append(r)
+    leaky_seen = 0
+    for members in fams.values():
+        assert len({m["split"] for m in members}) == 1  # never straddles
+        naive = {m["naive_split"] for m in members}
+        leaky = members[0]["family_leaky"]
+        assert all(m["family_leaky"] == leaky for m in members)
+        assert leaky == int(len(naive) > 1)
+        assert all(m["family_members"] == len(members) for m in members)
+        for m in members:
+            assert m["moved"] == int(m["split"] != m["naive_split"])
+        leaky_seen += leaky
+    assert leaky_seen > 0  # the operator's reason to exist, exercised
