@@ -1463,6 +1463,199 @@ ORACLES["g9_subtree_rollup"] = _G9_ORACLE.format(
 # crawled (g3), the scheduler claim suite (g4), the copy claim/resolve
 # suite (g5) — one normalized row set, members run unchanged.
 # ---------------------------------------------------------------------------
+# g10: catalog INTEGRITY AUDIT — the referential/consistency checks a
+# production catalog runs after every merge wave: orphaned files,
+# dangling hashes, directories without a cataloged parent, NULL
+# metadata, and the hash backlog. Violations are emitted as capped
+# detail rows plus one summary row PER CHECK (zero counts prove the
+# clean checks ran — an audit that only reports failures can't be
+# distinguished from an audit that didn't run).
+# ---------------------------------------------------------------------------
+
+#: deterministic cap on per-check detail rows (summaries are exact).
+AUDIT_DETAIL_CAP = 100
+
+_G10_CHECKS_SQL = """
+checks AS (
+  SELECT 'orphan_file' AS chk, f.id AS ent_id,
+         'dir_id=' || COALESCE(CAST(f.dir_id AS VARCHAR), 'NULL') AS detail
+  FROM fx_file f LEFT JOIN fx_directory d ON d.id = f.dir_id
+  WHERE d.id IS NULL
+  UNION ALL
+  SELECT 'dangling_hash', h.id,
+         'file_id=' || CAST(h.file_id AS VARCHAR)
+  FROM fx_hash h LEFT JOIN fx_file f ON f.id = h.file_id
+  WHERE f.id IS NULL
+  UNION ALL
+  SELECT 'missing_parent', d.id, d.dir_path
+  FROM fx_directory d
+  WHERE {bp_d} <> d.dir_path
+    AND NOT EXISTS (SELECT 1 FROM fx_directory p WHERE p.dir_path = {bp_d})
+  UNION ALL
+  SELECT 'null_size', id, name FROM fx_file WHERE size IS NULL
+  UNION ALL
+  SELECT 'null_ctime', id, name FROM fx_file WHERE ctime IS NULL
+  UNION ALL
+  SELECT 'hash_backlog', f.id, f.name
+  FROM fx_file f LEFT JOIN fx_hash h ON h.file_id = f.id
+  WHERE h.id IS NULL
+)
+"""
+
+_G10_ORACLE = """
+WITH {ctes},
+{checks},
+names(chk) AS (
+  VALUES ('orphan_file'), ('dangling_hash'), ('missing_parent'),
+         ('null_size'), ('null_ctime'), ('hash_backlog')
+),
+counts AS (
+  SELECT n.chk, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM names n LEFT JOIN (
+    SELECT chk, COUNT(*) AS n FROM checks GROUP BY chk
+  ) c ON c.chk = n.chk
+),
+detail AS (
+  SELECT chk, ent_id, detail FROM (
+    SELECT chk, ent_id, detail,
+           ROW_NUMBER() OVER (PARTITION BY chk ORDER BY ent_id ASC) AS rn
+    FROM checks
+  ) WHERE rn <= {cap}
+)
+SELECT 'violation' AS part, chk, CAST(ent_id AS BIGINT) AS ent_id, detail,
+       CAST(NULL AS BIGINT) AS n
+FROM detail
+UNION ALL
+SELECT 'summary', chk, NULL, NULL, n FROM counts
+"""
+
+
+def g10_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge integrity audit over the catalog: orphaned files
+    (dir_id missing from directory), dangling hash rows, directories
+    whose parent path is not cataloged, NULL size/ctime metadata, and
+    the hash backlog (files the J9 scheduler still owes a digest).
+    Detail rows are capped at AUDIT_DETAIL_CAP per check with a
+    deterministic id order; one exact summary row per check ALWAYS
+    appears, zeros included.
+
+    Scale: every check is an anti-join or null filter on an indexed
+    key — the same single-shuffle shapes as the merge engine itself;
+    the detail cap keeps the audit's output driver-safe however broken
+    the catalog is. Reference anchor: formalizes the implicit
+    invariants of FileDbDAL's file/directory/hash schema
+    (file.dir_id -> directory.id, hash.file_id -> file.id, basepath
+    closure) as an executable operator."""
+    from pyspark.sql.window import Window
+
+    from ..functions.paths import basepath
+
+    dirs = fixtures.fixture_directory(spark, sf_dir)
+    file = fixtures.fixture_file(spark, sf_dir)
+    hashes = fixtures.fixture_hash(spark, sf_dir)
+
+    orphan = (
+        file.join(dirs.select(F.col("id").alias("dir_id")), "dir_id", "left_anti")
+        .select(
+            F.lit("orphan_file").alias("chk"),
+            F.col("id").alias("ent_id"),
+            F.concat(
+                F.lit("dir_id="),
+                F.coalesce(F.col("dir_id").cast("string"), F.lit("NULL")),
+            ).alias("detail"),
+        )
+    )
+    dangling = (
+        hashes.join(file.select(F.col("id").alias("file_id")), "file_id", "left_anti")
+        .select(
+            F.lit("dangling_hash").alias("chk"),
+            F.col("id").alias("ent_id"),
+            F.concat(F.lit("file_id="), F.col("file_id").cast("string")).alias(
+                "detail"
+            ),
+        )
+    )
+    parent = basepath(F.col("dir_path"))
+    missing_parent = (
+        dirs.filter(parent != F.col("dir_path"))
+        .join(
+            dirs.select(F.col("dir_path").alias("pp")),
+            parent == F.col("pp"),
+            "left_anti",
+        )
+        .select(
+            F.lit("missing_parent").alias("chk"),
+            F.col("id").alias("ent_id"),
+            F.col("dir_path").alias("detail"),
+        )
+    )
+    null_size = file.filter(F.col("size").isNull()).select(
+        F.lit("null_size").alias("chk"),
+        F.col("id").alias("ent_id"),
+        F.col("name").alias("detail"),
+    )
+    null_ctime = file.filter(F.col("ctime").isNull()).select(
+        F.lit("null_ctime").alias("chk"),
+        F.col("id").alias("ent_id"),
+        F.col("name").alias("detail"),
+    )
+    backlog = (
+        file.join(hashes.select(F.col("file_id").alias("id")), "id", "left_anti")
+        .select(
+            F.lit("hash_backlog").alias("chk"),
+            F.col("id").alias("ent_id"),
+            F.col("name").alias("detail"),
+        )
+    )
+    checks = (
+        orphan.unionByName(dangling)
+        .unionByName(missing_parent)
+        .unionByName(null_size)
+        .unionByName(null_ctime)
+        .unionByName(backlog)
+        .persist()
+    )
+    names = spark.createDataFrame(
+        [(c,) for c in (
+            "orphan_file", "dangling_hash", "missing_parent",
+            "null_size", "null_ctime", "hash_backlog",
+        )],
+        "chk string",
+    )
+    counts = names.join(
+        checks.groupBy("chk").agg(F.count("*").alias("n")), "chk", "left"
+    ).select("chk", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
+    w = Window.partitionBy("chk").orderBy(F.asc("ent_id"))
+    detail = (
+        checks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= AUDIT_DETAIL_CAP)
+        .select(
+            F.lit("violation").alias("part"),
+            "chk",
+            F.col("ent_id").cast("bigint").alias("ent_id"),
+            "detail",
+            F.lit(None).cast("bigint").alias("n"),
+        )
+    )
+    summary = counts.select(
+        F.lit("summary").alias("part"),
+        "chk",
+        F.lit(None).cast("bigint").alias("ent_id"),
+        F.lit(None).cast("string").alias("detail"),
+        "n",
+    )
+    return detail.unionByName(summary)
+
+
+QUERIES["g10_integrity_audit"] = g10_integrity_audit
+ORACLES["g10_integrity_audit"] = _G10_ORACLE.format(
+    ctes=fixtures.FIXTURE_CTES,
+    checks=_G10_CHECKS_SQL.format(bp_d=_BP.format(p="d.dir_path")),
+    cap=AUDIT_DETAIL_CAP,
+)
+
+
+# ---------------------------------------------------------------------------
 def _sub(sql: str, projection: str) -> str:
     return f"SELECT {projection} FROM (\n{sql}\n) _t"
 
@@ -1508,6 +1701,12 @@ def _sub(sql: str, projection: str) -> str:
         ORACLES["g9_subtree_rollup"],
         "'g9', dir_id, dir_path, n_sub, size_sub_u, n_direct, size_direct_u, "
         "NULL, NULL, NULL, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        ORACLES["g10_integrity_audit"],
+        "'g10_' || part, ent_id, chk || '#' || COALESCE(detail, ''), n, "
+        "NULL, NULL, NULL, NULL, NULL, NULL, NULL",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1614,6 +1813,21 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
+    g10 = g10_integrity_audit(spark, sf_dir).select(
+        F.concat(F.lit("g10_"), F.col("part")).alias("part"),
+        F.col("ent_id").alias("k1"),
+        F.concat(
+            F.col("chk"), F.lit("#"), F.coalesce(F.col("detail"), F.lit(""))
+        ).alias("s1"),
+        F.col("n").alias("n1"),
+        _bn().alias("n2"),
+        _bn().alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        _dn().alias("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -1621,4 +1835,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g7)
         .unionByName(g8)
         .unionByName(g9)
+        .unionByName(g10)
     )
+
+
+

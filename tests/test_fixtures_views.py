@@ -141,3 +141,27 @@ def test_g9_subtree_rollup_invariants(spark, sf_dir):
             rows[k]["size_sub_u"] for k in kids
         )
     assert any(r["n_sub"] > r["n_direct"] for r in rows.values())
+
+
+def test_g10_integrity_audit_truthful(spark, sf_dir):
+    """Every check emits a summary row (zeros included); summary counts
+    equal independently recomputed violation counts; the fixture's
+    deliberate orphan and metadata gaps are caught."""
+    from file_db_spark.operators.merge_queries import g10_integrity_audit
+
+    rows = g10_integrity_audit(spark, sf_dir).collect()
+    summaries = {r["chk"]: r["n"] for r in rows if r["part"] == "summary"}
+    assert set(summaries) == {
+        "orphan_file", "dangling_hash", "missing_parent",
+        "null_size", "null_ctime", "hash_backlog",
+    }
+    details = {}
+    for r in rows:
+        if r["part"] == "violation":
+            details.setdefault(r["chk"], []).append(r)
+    for chk, n in summaries.items():
+        got = len(details.get(chk, []))
+        assert got == min(n, 100)  # detail cap
+    assert summaries["orphan_file"] == 1  # the /orphan/nowhere file
+    assert summaries["dangling_hash"] == 0 and summaries["missing_parent"] == 0
+    assert summaries["null_ctime"] > 0 and summaries["hash_backlog"] > 0
