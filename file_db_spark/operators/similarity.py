@@ -959,10 +959,15 @@ def v8_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(buckets(F.col("embedding"))).alias("tbl", "bucket"),
     )
     w_b = Window.partitionBy("tbl", "bucket")
+    # persist: the bucket table feeds BOTH sides of the pair self-join
+    # (and v11's expansion); without it the Arrow bucket kernel and the
+    # bucket-count window run once per consumer (4 ArrowEvalPython
+    # nodes in the executed plan at HEAD before this)
     capped = (
         b.withColumn("bucket_n", F.count("*").over(w_b))
         .filter(F.col("bucket_n") <= KNN_MAX_BUCKET)
         .drop("bucket_n")
+        .persist()
     )
     l = capped.alias("l")
     r = capped.alias("r")
