@@ -1095,6 +1095,11 @@ def dq5_quantile_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(
         textops.ORACLES["d32_bpe_encode"],
         "'d32', CAST(doc_id AS VARCHAR), n_words, n_bpe_tokens, NULL, tokens_per_word",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d38_bm25_search"],
+        "'d38', CAST(doc_id AS VARCHAR), rank, NULL, NULL, bm25",
     ),
 )
 def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1165,6 +1170,14 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("k3"),
         F.col("tokens_per_word").alias("v1"),
     )
+    d38 = textops.d38_bm25_search(spark, sf_dir).select(
+        F.lit("d38").alias("part"),
+        F.col("doc_id").cast("string").alias("s1"),
+        F.col("rank").alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("bm25").alias("v1"),
+    )
     return (
         d12.unionByName(d21)
         .unionByName(d22)
@@ -1172,6 +1185,7 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d24)
         .unionByName(d30)
         .unionByName(d32)
+        .unionByName(d38)
     )
 
 

@@ -2818,3 +2818,142 @@ def d37_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["d37_leakage_safe_split"] = _d37_oracle()
+
+
+# ---------------------------------------------------------------------------
+# d38: BM25 ranked retrieval — the lexical search operator every
+# document store grows: given query terms, rank documents by Okapi
+# BM25 (tf saturation k1 = 1.2, length normalization b = 0.75). The
+# reference's search surface is path/name lookup (c6/c7/c11); this is
+# its content-search counterpart over the documents table.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+#: fixed query terms (corpus vocabulary); per-term partial scores are
+#: summed in THIS literal order on both engines — no float-sum
+#: ambiguity however the per-doc rows arrive.
+BM25_QUERY = ("spark", "table", "query")
+
+
+def _d38_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    score_cols = " + ".join(f"s_{t}" for t in BM25_QUERY)
+    per_term = ",\n             ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN part END), 0.0) AS s_{t}"
+        for t in BM25_QUERY
+    )
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS BIGINT) AS total_len
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), parts AS (
+      SELECT t.doc_id, t.term,
+             ln((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (d.df + 0.5) + 1.0)
+             * ((t.tf * ({BM25_K1} + 1.0))
+                / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                   + {BM25_B} * (CAST(l.len AS DOUBLE)
+                                 / (CAST(s.total_len AS DOUBLE) / s.n_docs))))) AS part
+      FROM tf t
+      JOIN df d ON d.term = t.term
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id,
+             {per_term}
+      FROM parts GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, round({score_cols}, 6) AS bm25,
+             {", ".join(f"round(s_{t}, 6) AS s_{t}" for t in BM25_QUERY)}
+      FROM scored
+    )
+    SELECT doc_id, bm25, {", ".join(f"s_{t}" for t in BM25_QUERY)},
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM ranked
+    ) WHERE rank <= {BM25_TOPN}
+    """
+
+
+@_q("d38_bm25_search", _d38_oracle())
+def d38_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{BM25_TOPN} for a fixed conjunctive query:
+    per-term tf saturation, document-length normalization against the
+    corpus average, idf from document frequency — per-term partial
+    scores pivoted to columns and summed in a fixed literal order, so
+    the float total is engine-identical (round-6 absorbs ln ulp noise,
+    the d25 precedent; ranking uses the rounded score with a doc_id
+    tie-break on both engines).
+
+    Scale: the inverted-index shape without materializing one — the
+    term filter pushes into the token explode (only query-term rows
+    survive the scan stage), tf/df/length tables are all keyed
+    aggregates, stats is a 1-row broadcast, and the final top-N is
+    TakeOrderedAndProject. A standing query-set version would
+    materialize tf as the inverted-index artifact and reuse it per
+    query — same plan from the join down."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(normalize_text("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("len"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("len").cast("bigint").alias("total_len"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    part = idf * (
+        (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * (F.col("len").cast("double") / avgdl))
+        )
+    )
+    parts = (
+        tf.join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", part.alias("part"))
+    )
+    scored = parts.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("part"))), F.lit(0.0)
+            ).alias(f"s_{t}")
+            for t in BM25_QUERY
+        ]
+    )
+    total = None
+    for t in BM25_QUERY:
+        total = F.col(f"s_{t}") if total is None else total + F.col(f"s_{t}")
+    ranked = scored.select(
+        "doc_id",
+        F.round(total, 6).alias("bm25"),
+        *[F.round(f"s_{t}", 6).alias(f"s_{t}") for t in BM25_QUERY],
+    )
+    top = ranked.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPN)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -287,3 +287,51 @@ def test_d37_family_split_consistency(spark, sf_dir):
             assert m["moved"] == int(m["split"] != m["naive_split"])
         leaky_seen += leaky
     assert leaky_seen > 0  # the operator's reason to exist, exercised
+
+
+def test_d38_bm25_agrees_with_reference_formula(spark, sf_dir):
+    """BM25 scores recomputed independently in pure Python (rank-1 doc
+    and full ordering) must match the operator."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from file_db_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        d38_bm25_search,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    toks = {
+        did: [t for t in re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 ]", " ", tx.lower())).strip().split(" ") if t]
+        for did, tx in docs
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n_docs
+    df = Counter(t for w in toks.values() for t in set(w) if t in BM25_QUERY)
+    scores = {}
+    for did, w in toks.items():
+        c = Counter(w)
+        s = 0.0
+        for t in BM25_QUERY:
+            tf = c.get(t, 0)
+            if not tf:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(w) / avgdl)
+            )
+        scores[did] = round(s, 6)
+    want = sorted(
+        ((s, d) for d, s in scores.items() if s > 0), key=lambda x: (-x[0], x[1])
+    )[:20]
+    rows = sorted(d38_bm25_search(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert [(r["bm25"], r["doc_id"]) for r in rows] == [
+        (round(s, 6), d) for s, d in want
+    ]
