@@ -918,23 +918,11 @@ KNN_MAX_BUCKET = 100  # degenerate-bucket cap, the x4/x5 pattern
 KNN_NEIGHBORS = 3
 
 
-def v8_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN graph over ALL vectors: multi-table sign-LSH
-    buckets (KNN_TABLES x KNN_BITS — finer than v2's because every
-    vector is a query, so bucket population, not probe cost, is the
-    binding constraint), canonical same-bucket candidate pairs with the
-    degenerate-bucket cap, ONE exact cosine per undirected pair, then
-    per-vector top-KNN_NEIGHBORS after mirroring to both directions.
-    Vectors whose buckets yield no candidates are absent (approximate
-    graphs are sparse at the tail; raise KNN_TABLES for recall).
-
-    Scale: candidates are a bucketed self-equi-join — never all-pairs;
-    cosine runs once per undirected pair, not twice; the only window
-    partitions by vec_id. This is the batch artifact the semantic-dedup
-    family consumes (x6/x14 threshold variant; this one keeps ranked
-    neighbors, which is what clustering and graph-ANN indexes need).
-    Determinism: same sign-margin argument as _v2_oracle (validated
-    bit-exact by the strict gate)."""
+def _lsh_scored_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared v8/v13 candidate stage: multi-table sign-LSH buckets
+    (Arrow numpy kernel), hot-bucket cap, canonical same-bucket pairs,
+    ONE exact cosine per undirected pair, mirrored to both directions.
+    Returns (vec_id, neighbor_id, cos_sim), persisted."""
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -994,13 +982,37 @@ def v8_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    sym = scored.select(
-        F.col("a").alias("vec_id"), F.col("b").alias("neighbor_id"), "cos_sim"
-    ).unionByName(
+    return (
         scored.select(
-            F.col("b").alias("vec_id"), F.col("a").alias("neighbor_id"), "cos_sim"
+            F.col("a").alias("vec_id"), F.col("b").alias("neighbor_id"), "cos_sim"
         )
+        .unionByName(
+            scored.select(
+                F.col("b").alias("vec_id"), F.col("a").alias("neighbor_id"), "cos_sim"
+            )
+        )
+        .persist()
     )
+
+
+def v8_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph over ALL vectors: multi-table sign-LSH
+    buckets (KNN_TABLES x KNN_BITS — finer than v2's because every
+    vector is a query, so bucket population, not probe cost, is the
+    binding constraint), canonical same-bucket candidate pairs with the
+    degenerate-bucket cap, ONE exact cosine per undirected pair, then
+    per-vector top-KNN_NEIGHBORS after mirroring to both directions.
+    Vectors whose buckets yield no candidates are absent (approximate
+    graphs are sparse at the tail; raise KNN_TABLES for recall).
+
+    Scale: candidates are a bucketed self-equi-join — never all-pairs;
+    cosine runs once per undirected pair, not twice; the only window
+    partitions by vec_id. This is the batch artifact the semantic-dedup
+    family consumes (x6/x14 threshold variant; this one keeps ranked
+    neighbors, which is what clustering and graph-ANN indexes need).
+    Determinism: same sign-margin argument as _v2_oracle (validated
+    bit-exact by the strict gate)."""
+    sym = _lsh_scored_sym(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1779,4 +1791,85 @@ def v12_sq_train_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_score", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v13: HARD-NEGATIVE MINING for embedding training — per anchor, the
+# highest-similarity candidates that are NOT near-duplicates. The
+# textbook contrastive-training data op (DPR/Contriever): random
+# negatives are too easy, near-duplicates are false negatives that
+# poison the loss; the gold negatives are the band in between — close
+# enough to be confusable, verifiably not the same content.
+# ---------------------------------------------------------------------------
+
+NEG_K = 3
+#: near-dup exclusion threshold — x6's NEARDUP_COS (dedup.py): a
+#: candidate at or above it is a duplicate (a POSITIVE), not a negative.
+HARDNEG_MAX_COS = 0.4
+
+
+def _v13_oracle() -> str:
+    return f"""
+    WITH {_v8_graph_ctes()},
+    filtered AS (
+      SELECT vec_id, neighbor_id, cos_sim FROM sym
+      WHERE cos_sim < {HARDNEG_MAX_COS}
+    ), excluded AS (
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups_excluded
+      FROM sym WHERE cos_sim >= {HARDNEG_MAX_COS} GROUP BY vec_id
+    ), ranked AS (
+      SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+        SELECT vec_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC
+               ) AS BIGINT) AS rank
+        FROM filtered
+      ) WHERE rank <= {NEG_K}
+    )
+    SELECT r.vec_id AS anchor_id, r.neighbor_id AS negative_id,
+           r.cos_sim, r.rank,
+           CAST(COALESCE(e.n_dups_excluded, 0) AS BIGINT) AS n_dups_excluded
+    FROM ranked r LEFT JOIN excluded e ON e.vec_id = r.vec_id
+    """
+
+
+@_q("v13_hard_negatives", _v13_oracle())
+def v13_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives per anchor vector: among the LSH candidate pairs
+    (v8's scored set, both directions), drop everything at or above
+    the near-dup threshold (those are positives — false negatives if
+    trained against), rank the rest by cosine, keep the top NEG_K.
+    Each row also carries how many near-dup candidates were excluded
+    for that anchor — the poison the filter removed.
+
+    Scale: rides the SAME bounded candidate generation as the kNN
+    graph (capped bucket equi-join, one cosine per undirected pair) —
+    mining negatives for a billion anchors costs one graph build, not
+    a per-anchor search; the dup filter is a map-side predicate and
+    the rank is the standard anchor-keyed window. Composes with x7/x21
+    when text-level family labels are available (exclude same-family
+    instead of thresholding)."""
+    sym = _lsh_scored_sym(spark, sf_dir)
+    filtered = sym.filter(F.col("cos_sim") < HARDNEG_MAX_COS)
+    excluded = (
+        sym.filter(F.col("cos_sim") >= HARDNEG_MAX_COS)
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("bigint").alias("n_dups_excluded"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        filtered.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= NEG_K)
+    )
+    return ranked.join(excluded, "vec_id", "left").select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("negative_id"),
+        "cos_sim",
+        "rank",
+        F.coalesce("n_dups_excluded", F.lit(0)).cast("bigint").alias(
+            "n_dups_excluded"
+        ),
     )

@@ -1223,7 +1223,11 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'v11', vec_id, neighbor_id, cos_sim, rank * 10 + was_in_v8")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v12_sq_train_adc"],
-           "'v12', query_id, neighbor_id, cos_sim, rank"),
+           "'v12', query_id, neighbor_id, cos_sim, rank")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v13_hard_negatives"],
+           "'v13', anchor_id, negative_id, cos_sim, "
+           "rank * 1000 + n_dups_excluded"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1301,6 +1305,15 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").alias("score"),
         "rank",
     )
+    v13 = similarity.v13_hard_negatives(spark, sf_dir).select(
+        F.lit("v13").alias("variant"),
+        F.col("anchor_id").alias("query_id"),
+        F.col("negative_id").alias("neighbor_id"),
+        F.col("cos_sim").alias("score"),
+        (F.col("rank") * 1000 + F.col("n_dups_excluded"))
+        .cast("bigint")
+        .alias("rank"),
+    )
     return (
         v3.unionByName(v4)
         .unionByName(v5)
@@ -1311,6 +1324,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v10)
         .unionByName(v11)
         .unionByName(v12)
+        .unionByName(v13)
     )
 
 

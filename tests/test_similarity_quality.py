@@ -145,3 +145,27 @@ def test_v12_trained_sq_beats_or_matches_fixed_sq(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         cs = [r["cos_sim"] for r in rs]
         assert cs == sorted(cs, reverse=True)
+
+
+def test_v13_hard_negatives_are_not_dups(spark, sf_dir):
+    """No mined negative may be a near-duplicate (cos >= threshold);
+    ranks are contiguous per anchor; excluded counts match the
+    candidate set's near-dup edges."""
+    from collections import defaultdict
+
+    sym_dups = defaultdict(int)
+    for r in sim._lsh_scored_sym(spark, sf_dir).collect():
+        if r["cos_sim"] >= sim.HARDNEG_MAX_COS:
+            sym_dups[r["vec_id"]] += 1
+    rows = sim.v13_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        assert r["cos_sim"] < sim.HARDNEG_MAX_COS
+        assert r["n_dups_excluded"] == sym_dups.get(r["anchor_id"], 0)
+        per[r["anchor_id"]].append(r["rank"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # at least one anchor had a near-dup filtered out (the threshold
+    # genuinely fired on the fixture corpus)
+    assert any(r["n_dups_excluded"] > 0 for r in rows)
