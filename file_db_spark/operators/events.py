@@ -724,3 +724,77 @@ def e13_hll_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e14: event-sequence transition matrix — per-user next-event Markov
+# statistics, the session-flow analytics complement to e9's fixed
+# funnel (which transitions actually dominate, not whether one ordered
+# path completes).
+# ---------------------------------------------------------------------------
+
+E14_TOP_NEXT = 3
+
+
+@_q(
+    "e14_markov_transitions",
+    f"""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, next_type, n,
+             CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type) AS p,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY n DESC, next_type ASC
+             ) AS BIGINT) AS rank
+      FROM trans
+    )
+    SELECT event_type, next_type, n, p, rank
+    FROM ranked WHERE rank <= {E14_TOP_NEXT}
+    """,
+)
+def e14_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition statistics over per-user event
+    sequences: LEAD the next event type within each user's (ts,
+    event_id)-ordered stream, count (from, to) transitions, and keep
+    each event type's top-{E14_TOP_NEXT} successors with their
+    transition probability. The (ts, event_id) tie-break makes the
+    sequence — and therefore the counts — deterministic on both engines
+    (the e6 lesson). p = exact-int / exact-int in one IEEE division,
+    engine-identical with no rounding needed.
+
+    Scale: one shuffle on user_id for the sequence window, one
+    map-side-combined aggregate on (event_type, next_type) — the
+    transition matrix is |event_types|^2, tiny — and the ranking
+    windows partition by event_type over that tiny table. No global
+    window, no collect. Event-time semantics extend the reference's
+    poll-driven change feed (FileDbDAL/DirectoryCrawl.py:1011-1031,
+    SURVEY §2.10)."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w_tot = Window.partitionBy("event_type")
+    w_rank = w_tot.orderBy(F.col("n").desc(), F.col("next_type").asc())
+    return (
+        trans.withColumn("p", F.col("n").cast("double") / F.sum("n").over(w_tot))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= E14_TOP_NEXT)
+        .select("event_type", "next_type", "n", "p", "rank")
+    )

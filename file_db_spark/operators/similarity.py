@@ -1873,3 +1873,100 @@ def v13_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dups_excluded"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# v14: GRAPH-EXPANSION ANN SEARCH — serve queries off the v8 kNN graph:
+# seed at the query's graph adjacency, expand one hop along neighbor
+# edges, exact-re-rank the candidate pool. The batch expression of
+# graph-walk ANN serving (DiskANN/HNSW-style greedy search flattened to
+# a fixed 2-hop frontier so it is one declarative plan, not a loop).
+# ---------------------------------------------------------------------------
+
+
+def _v14_oracle() -> str:
+    return f"""
+    WITH {_v8_graph_ctes()},
+    hop1 AS (
+      SELECT vec_id AS query_id, neighbor_id AS cand
+      FROM g WHERE vec_id < {N_QUERIES}
+    ), hop2 AS (
+      SELECT h.query_id, g2.neighbor_id AS cand
+      FROM hop1 h JOIN g g2 ON g2.vec_id = h.cand
+    ), cands AS (
+      SELECT DISTINCT query_id, cand
+      FROM (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)
+      WHERE cand <> query_id
+    ), rescored AS (
+      SELECT c.query_id, c.cand AS neighbor_id,
+             list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                    CAST(ec.embedding AS DOUBLE[])) AS cos_sim
+      FROM cands c
+      JOIN embeddings eq ON eq.vec_id = c.query_id
+      JOIN embeddings ec ON ec.vec_id = c.cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@_q("v14_graph_search", _v14_oracle())
+def v14_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN queries served from the kNN graph: each query vector seeds
+    at its own v8 adjacency list, expands one hop along the graph's
+    directed edges (neighbors-of-neighbors), and the pooled frontier
+    (minus the query itself) is exactly re-ranked by true cosine —
+    the graph-walk serving pattern (seed -> expand -> re-rank) with
+    the iterative beam flattened to a fixed 2-hop frontier, which
+    keeps it a single declarative plan both engines can verify.
+
+    Scale: the graph build amortizes across every query (v8 is the
+    batch artifact); per-query work is two equi-joins on vec_id over a
+    (n_vectors x {KNN_NEIGHBORS})-edge table — frontier size is bounded
+    by {KNN_NEIGHBORS} + {KNN_NEIGHBORS}^2 per query regardless of
+    corpus size, so serving cost is O(queries), never O(corpus). The
+    exact re-rank touches only frontier ids (an id equi-join into the
+    vector table, pruned to the embedding column). Queries absent from
+    the graph (sparse LSH tail) return no rows, as in v8; raise
+    KNN_TABLES for recall."""
+    g = v8_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id").persist()
+    hop1 = g.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("neighbor_id").alias("cand")
+    )
+    hop2 = hop1.join(
+        g.select(F.col("vec_id").alias("cand"), F.col("neighbor_id").alias("cand2")),
+        "cand",
+    ).select("query_id", F.col("cand2").alias("cand"))
+    cands = (
+        hop1.unionByName(hop2)
+        .filter(F.col("cand") != F.col("query_id"))
+        .dropDuplicates(["query_id", "cand"])
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    eq = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ec = e.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("c_emb"))
+    rescored = (
+        cands.join(eq, "query_id")
+        .join(ec, "cand")
+        .select(
+            "query_id",
+            F.col("cand").alias("neighbor_id"),
+            cosine(
+                F.col("q_emb").cast("array<double>"),
+                F.col("c_emb").cast("array<double>"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

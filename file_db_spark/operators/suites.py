@@ -524,6 +524,12 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'d37', doc_id, CAST(NULL AS VARCHAR), family_key, "
         "family_members * 100 + family_leaky * 10 + moved, "
         "split || '#' || naive_split, CAST(NULL AS DOUBLE)",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d39_dsir_sampling"],
+        "'d39', doc_id, CAST(NULL AS VARCHAR), n_toks, rank, "
+        "CAST(NULL AS VARCHAR), log_w",
     ),
 )
 def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,9 +540,11 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted source re-balancing (T=2 mix), d28's curriculum
     total-order export (exact global position from range-partitioned
     ranking), d29's Efraimidis-Spirakis weighted sample (exp-key
-    top-K reservoir), and d31's per-document training manifest (all
+    top-K reservoir), d31's per-document training manifest (all
     curation decisions composed: quality gate, dup keeper, split,
-    shard, mix, final selected bit) in one graded row."""
+    shard, mix, final selected bit), and d39's DSIR importance
+    resampling (hashed-unigram target-domain weights) in one graded
+    row."""
     d = load_table(spark, sf_dir, "documents")
     bucket = F.expr(textops._HEX_BUCKET)
     rate = F.when(F.col("source").isin("src0", "src1", "src2"), 500).otherwise(100)
@@ -617,6 +625,15 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("split"), F.lit("#"), F.col("naive_split")).alias("s1"),
         _dn().alias("v1"),
     )
+    d39 = textops.d39_dsir_sampling(spark, sf_dir).select(
+        F.lit("d39").alias("part"),
+        "doc_id",
+        _sn().alias("source"),
+        F.col("n_toks").alias("k1"),
+        F.col("rank").alias("k2"),
+        _sn().alias("s1"),
+        F.col("log_w").alias("v1"),
+    )
     return (
         d6d8.unionByName(d18)
         .unionByName(d26)
@@ -624,6 +641,7 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d29)
         .unionByName(d31)
         .unionByName(d37)
+        .unionByName(d39)
     )
 
 
@@ -1227,7 +1245,10 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v13_hard_negatives"],
            "'v13', anchor_id, negative_id, cos_sim, "
-           "rank * 1000 + n_dups_excluded"),
+           "rank * 1000 + n_dups_excluded")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v14_graph_search"],
+           "'v14', query_id, neighbor_id, cos_sim, rank"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1241,9 +1262,11 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     base-trained cells without retraining (the index "add" path; its
     rank column packs cell occupancy n_base*100000+n_new), and v10
     seeds centers by deterministic k-means|| (candidate weights in
-    neighbor_id, round/seed-rank packed in rank). Same normalized
-    schema with a variant tag; `score` is cosine for v3-v6/v8/v9 and
-    the ADC squared distance for v7."""
+    neighbor_id, round/seed-rank packed in rank), and v14 serves
+    queries by graph expansion off the v8 adjacency (seed -> 2-hop
+    frontier -> exact re-rank). Same normalized schema with a variant
+    tag; `score` is cosine for v3-v6/v8/v9/v14 and the ADC squared
+    distance for v7."""
     v3 = similarity.v3_ivf_topk(spark, sf_dir).select(
         F.lit("v3").alias("variant"), "query_id", "neighbor_id",
         F.col("cos_sim").alias("score"), "rank"
@@ -1314,6 +1337,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank"),
     )
+    v14 = similarity.v14_graph_search(spark, sf_dir).select(
+        F.lit("v14").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.col("cos_sim").alias("score"),
+        "rank",
+    )
     return (
         v3.unionByName(v4)
         .unionByName(v5)
@@ -1325,6 +1355,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v11)
         .unionByName(v12)
         .unionByName(v13)
+        .unionByName(v14)
     )
 
 
@@ -1940,15 +1971,21 @@ _E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
         "CAST(wau_register_sum AS VARCHAR) || '#' || "
         "CAST(dau_exact AS VARCHAR) || '#' || CAST(wau_exact AS VARCHAR), "
         "dau_exact, dau_hll + wau_hll / 1000000",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e14_markov_transitions"],
+        "'e14', rank, event_type || '>' || next_type, n, p",
     ),
 )
 def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e8 hypertable-style continuous-aggregate cascade (daily FROM
     hourly partials) + e12 declared-values PIVOT daily activity matrix
     + e13 mergeable-HLL DAU/rolling-WAU (register tables + exact error
-    baseline '#'-packed into s1) in one graded row. e12's per-type
-    counts are '#'-packed into s1 as integers (engine-stable strings);
-    all members run unchanged."""
+    baseline '#'-packed into s1) + e14 Markov next-event transition
+    top-list in one graded row. e12's per-type counts are '#'-packed
+    into s1 as integers (engine-stable strings); all members run
+    unchanged."""
     e8 = events.e8_rollup_cascade(spark, sf_dir).select(
         F.lit("e8").alias("part"),
         _epoch(F.col("day")).alias("k1"),
@@ -1978,7 +2015,14 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dau_exact").alias("n"),
         (F.col("dau_hll") + F.col("wau_hll") / F.lit(1000000.0)).alias("v1"),
     )
-    return e8.unionByName(e12).unionByName(e13)
+    e14 = events.e14_markov_transitions(spark, sf_dir).select(
+        F.lit("e14").alias("part"),
+        F.col("rank").alias("k1"),
+        F.concat_ws(">", "event_type", "next_type").alias("s1"),
+        F.col("n"),
+        F.col("p").alias("v1"),
+    )
+    return e8.unionByName(e12).unionByName(e13).unionByName(e14)
 
 
 # ---------------------------------------------------------------------------

@@ -2957,3 +2957,122 @@ def d38_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = ranked.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPN)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# d39: DSIR-style importance resampling — select the raw-corpus slice
+# that best matches a target domain by hashed n-gram importance weights
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling" — the public method; hashed unigram variant).
+# ---------------------------------------------------------------------------
+
+#: hashed-feature bucket count: small enough that both the raw and the
+#: target distribution are dense at every SF (no zero-count buckets to
+#: special-case beyond Laplace smoothing), large enough to separate the
+#: vocabulary.
+DSIR_BUCKETS = 64
+#: documents kept by the resampling pass
+DSIR_TOPN = 150
+#: the target domain: English documents (the raw corpus is multilingual)
+_DSIR_TGT = "lang = 'en'"
+
+_DSIR_BUCKET_SQL = f"(({DUCKDB_BASE_HASH.format(s='t')}) % {DSIR_BUCKETS})"
+
+
+def _d39_oracle() -> str:
+    return f"""
+    WITH staged AS (
+      SELECT doc_id, (lang = 'en') AS is_tgt,
+             list_transform({_TOKS_DUCK}, t -> {_DSIR_BUCKET_SQL}) AS bks
+      FROM documents
+    ), dbc AS (
+      SELECT doc_id, is_tgt, unnest(bks) AS b FROM staged
+    ), per_doc AS (
+      SELECT doc_id, is_tgt, b, COUNT(*) AS c FROM dbc GROUP BY 1, 2, 3
+    ), dist AS (
+      SELECT b, SUM(c) AS c_raw, SUM(CASE WHEN is_tgt THEN c ELSE 0 END) AS c_tgt
+      FROM per_doc GROUP BY b
+    ), tot AS (
+      SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM dist
+    ), lr AS (
+      SELECT b,
+             ln((c_tgt + 1.0) / (tot.n_tgt + {DSIR_BUCKETS}))
+             - ln((c_raw + 1.0) / (tot.n_raw + {DSIR_BUCKETS})) AS lr
+      FROM dist CROSS JOIN tot
+    ), docw AS (
+      SELECT p.doc_id, CAST(SUM(p.c) AS BIGINT) AS n_toks,
+             round(SUM(p.c * lr.lr), 6) AS log_w
+      FROM per_doc p JOIN lr USING (b)
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_toks, log_w, rank FROM (
+      SELECT doc_id, n_toks, log_w,
+             CAST(ROW_NUMBER() OVER (ORDER BY log_w DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM docw
+    ) WHERE rank <= {DSIR_TOPN}
+    """
+
+
+@_q("d39_dsir_sampling", _d39_oracle())
+def d39_dsir_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: estimate the target-domain (English)
+    and raw-corpus unigram distributions over {DSIR_BUCKETS} hashed
+    feature buckets (Laplace-smoothed), weight every document by its
+    summed log importance ratio sum_b c_b * ln(p_tgt(b)/p_raw(b)), and
+    keep the top-{DSIR_TOPN} — the documents whose token distribution
+    looks most like the target domain. Deterministic stand-in for the
+    paper's Gumbel-noise sampling: rank on the rounded weight with a
+    doc_id tie-break (d29 carries the randomized weighted-sampling
+    idiom).
+
+    Scale: ONE corpus token explode, immediately compacted to per-doc
+    bucket counts (<= {DSIR_BUCKETS} rows/doc); both distributions fall
+    out of one map-side-combined aggregate over that table (no second
+    scan — target counts are a conditional sum); `lr` is a
+    {DSIR_BUCKETS}-row broadcast; scoring is one keyed aggregate; the
+    final top-N is TakeOrderedAndProject. Float policy: round-6 on the
+    per-doc weight before ranking (ln ulp + sum-order noise, d25/d38
+    precedent). Extends the reference's quality-screening surface
+    (robtoyota/file_db has no corpus ops; anchor: SURVEY §2 LLM-pipeline
+    extensions)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_tgt"),
+        F.transform(
+            tokens(normalize_text("text")),
+            lambda t: portable_base_hash(t) % DSIR_BUCKETS,
+        ).alias("bks"),
+    )
+    per_doc = (
+        staged.select("doc_id", "is_tgt", F.explode("bks").alias("b"))
+        .groupBy("doc_id", "is_tgt", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    dist = per_doc.groupBy("b").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(F.lit(0))).alias("c_tgt"),
+    )
+    tot = dist.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    lr = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + DSIR_BUCKETS))
+            - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    docw = (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_toks"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("log_w"),
+        )
+    )
+    top = docw.orderBy(F.desc("log_w"), F.asc("doc_id")).limit(DSIR_TOPN)
+    w = Window.orderBy(F.desc("log_w"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "doc_id", "n_toks", "log_w", "rank"
+    )

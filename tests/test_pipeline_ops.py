@@ -335,3 +335,46 @@ def test_d38_bm25_agrees_with_reference_formula(spark, sf_dir):
     assert [(r["bm25"], r["doc_id"]) for r in rows] == [
         (round(s, 6), d) for s, d in want
     ]
+
+
+def test_d39_dsir_enriches_target_domain(spark, sf_dir):
+    """The point of importance resampling: the selected slice must look
+    more like the target domain (lang='en') than the raw corpus does.
+    Also pins the contract: TOPN rows, contiguous ranks, weights
+    non-increasing in rank order."""
+    from file_db_spark.catalog import load_table
+    from file_db_spark.operators.textops import DSIR_TOPN, d39_dsir_sampling
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    lang = {r["doc_id"]: r["lang"] for r in d}
+    base_rate = sum(1 for v in lang.values() if v == "en") / len(lang)
+
+    rows = sorted(d39_dsir_sampling(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert len(rows) == min(DSIR_TOPN, len(lang))
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a["log_w"] >= b["log_w"]
+    sel_rate = sum(1 for r in rows if lang[r["doc_id"]] == "en") / len(rows)
+    assert sel_rate > base_rate
+
+
+def test_e14_markov_transitions_are_probabilities(spark, sf_dir):
+    """Transition rows: p in (0, 1], per-type ranks contiguous from 1
+    and ordered by (n desc, next_type asc); per-type p sums to <= 1
+    (top-3 of the full successor distribution)."""
+    from file_db_spark.operators.events import e14_markov_transitions
+
+    rows = e14_markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a["n"] > b["n"] or (
+                a["n"] == b["n"] and a["next_type"] < b["next_type"]
+            )
+        assert sum(r["p"] for r in rs) <= 1.0 + 1e-12

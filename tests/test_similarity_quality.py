@@ -169,3 +169,32 @@ def test_v13_hard_negatives_are_not_dups(spark, sf_dir):
     # at least one anchor had a near-dup filtered out (the threshold
     # genuinely fired on the fixture corpus)
     assert any(r["n_dups_excluded"] > 0 for r in rows)
+
+
+def test_v14_graph_search_frontier_and_rerank(spark, sf_dir):
+    """Graph-expansion serving invariants: every result lies in the
+    query's 2-hop graph frontier (minus the query itself), ranks are
+    contiguous from 1, and because the seed adjacency is contained in
+    the re-ranked pool, the served top-1 is at least as good as the
+    query's best graph edge."""
+    g = sim.v8_knn_graph(spark, sf_dir).collect()
+    adj: dict = {}
+    for r in g:
+        adj.setdefault(r["vec_id"], []).append((r["neighbor_id"], r["cos_sim"]))
+    served = sim.v14_graph_search(spark, sf_dir).collect()
+    assert served
+    by_q: dict = {}
+    for r in served:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        frontier = {n for n, _ in adj.get(q, [])}
+        for n, _ in adj.get(q, []):
+            frontier |= {m for m, _ in adj.get(n, [])}
+        frontier.discard(q)
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert r["neighbor_id"] in frontier
+        best_seed = max(c for _, c in adj[q])
+        assert rows[0]["cos_sim"] >= best_seed - 1e-12

@@ -64,6 +64,7 @@ BNLJ_OK_MEMBERS = {
     "d36_kneser_ney_lm",  # broadcast 1-row distinct-bigram total (d19/d23 pattern)
     "v12_sq_train_adc",  # broadcast 1-row trained ranges + broadcast query rows
     "d38_bm25_search",  # broadcast 1-row corpus stats (n_docs, total_len)
+    "d39_dsir_sampling",  # broadcast 1-row corpus token totals (d19/d23 pattern)
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
