@@ -2473,3 +2473,90 @@ def x25_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["x25_dedup_eval"] = _X25_ORACLE.format(x4=ORACLES["x4_minhash_lsh"])
+
+
+# ---------------------------------------------------------------------------
+# x26: soft dedup — duplicate-aware training WEIGHTS instead of hard
+# removal. Down-weight every member of a near-dup family by 1/size so
+# the family contributes one document's worth of gradient signal in
+# expectation while keeping all surface variants in the mix (the
+# SoftDeDup idea; public formulation). Complements x10's hard keeper
+# map: same family labels, opposite retention policy.
+# ---------------------------------------------------------------------------
+@_q(
+    "x26_soft_dedup_weights",
+    f"""
+    WITH RECURSIVE {_X3_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, lab) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (
+      SELECT v AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+      FROM reach GROUP BY v
+    ),
+    fam AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS family_id,
+             CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    fam_sizes AS (
+      SELECT component_id AS family_id, CAST(COUNT(*) AS BIGINT) AS family_size
+      FROM comp GROUP BY component_id
+    )
+    SELECT f.doc_id, f.family_id,
+           COALESCE(s.family_size, 1) AS family_size,
+           1.0 / COALESCE(s.family_size, 1) AS weight,
+           f.n_tokens,
+           CAST(f.n_tokens AS DOUBLE) * (1.0 / COALESCE(s.family_size, 1))
+             AS eff_tokens
+    FROM fam f LEFT JOIN fam_sizes s ON f.family_id = s.family_id
+    """,
+)
+def x26_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every document keeps a training weight 1/|family|
+    (x7's near-dup families; singletons weigh 1.0), plus the
+    effective-token contribution n_tokens * weight — the knob a data
+    mixer consumes instead of x10's binary keep/drop. weight is ONE
+    IEEE division and eff_tokens ONE multiplication, identical on both
+    engines; token counts are d1's whitespace tokenizer.
+
+    Scale: family sizes come from the LABEL table (only dup-family
+    members appear there — tiny next to the corpus), aggregated on the
+    component key and broadcast; the corpus itself is scanned once and
+    joined map-side against two broadcast tables. No corpus shuffle at
+    all."""
+    labels = x7_dup_components(spark, sf_dir)  # cached artifact (x7/x10)
+    sizes = labels.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("family_size")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    fam = d.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id"))
+        .cast("bigint")
+        .alias("family_id"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    fs = F.coalesce(F.col("family_size"), F.lit(1).cast("bigint"))
+    weight = F.lit(1.0) / fs
+    return fam.join(
+        F.broadcast(sizes.withColumnRenamed("component_id", "family_id")),
+        "family_id",
+        "left",
+    ).select(
+        "doc_id",
+        "family_id",
+        fs.alias("family_size"),
+        weight.alias("weight"),
+        "n_tokens",
+        (F.col("n_tokens").cast("double") * weight).alias("eff_tokens"),
+    )

@@ -798,3 +798,148 @@ def e14_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= E14_TOP_NEXT)
         .select("event_type", "next_type", "n", "p", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# e15: RFM user segmentation — recency/frequency/monetary quartile
+# scoring over the purchase stream, the classic customer-equity
+# report (the user-level complement to e10's cohort retention).
+# ---------------------------------------------------------------------------
+
+_E15_CUTS = ", ".join(
+    f"quantile_cont(CAST({col} AS DOUBLE), {q}) AS {name}{int(q * 100)}"
+    for col, name in (
+        ("recency_days", "r"),
+        ("frequency", "f"),
+        ("monetary", "m"),
+    )
+    for q in (0.25, 0.5, 0.75)
+)
+
+
+def _e15_score(col: str, name: str, ascending_good: bool) -> str:
+    """1-4 quartile score SQL: count of cutoffs strictly exceeded."""
+    hits = " + ".join(
+        f"(CASE WHEN {col} > {name}{p} THEN 1 ELSE 0 END)" for p in (25, 50, 75)
+    )
+    return f"CAST({'1 + ' if ascending_good else '4 - '}({hits}) AS INT)"
+
+
+@_q(
+    "e15_rfm_segments",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    ), anchor AS (
+      SELECT MAX(last_ts) AS max_ts FROM per_user
+    ), rfm AS (
+      SELECT user_id,
+             CAST((epoch_us(a.max_ts) - epoch_us(last_ts)) // 86400000000 AS BIGINT)
+               AS recency_days,
+             frequency, monetary
+      FROM per_user, anchor a
+    ), cuts AS (
+      SELECT {_E15_CUTS} FROM rfm
+    ), scored AS (
+      SELECT user_id, recency_days, frequency, monetary,
+             {_e15_score("recency_days", "r", False)} AS r_score,
+             {_e15_score("frequency", "f", True)} AS f_score,
+             {_e15_score("monetary", "m", True)} AS m_score
+      FROM rfm, cuts
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score >= 3 AND f_score <= 2 THEN 'recent'
+                ELSE 'casual' END AS segment
+    FROM scored
+    """,
+)
+def e15_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (whole days since the last
+    purchase, anchored at the corpus's latest purchase), frequency
+    (purchase count), monetary (decimal-exact spend), quartile-scored
+    1-4 per dimension (score = count of quartile cutoffs exceeded —
+    interpolation-point-safe on both engines) and mapped to a named
+    segment. Recency days use exact epoch-microsecond integer division
+    (`div`), never a double round-trip; monetary sums decimal-first
+    (the e1 lesson) so the per-user value is bit-stable.
+
+    Scale: ONE scan of events filtered to purchases, one shuffle on
+    user_id for the per-user aggregate (persisted — anchor, cutoffs
+    and scoring all read it), then two 1-row broadcast joins (anchor
+    timestamp, quartile cutoffs). The cutoffs use exact `percentile`
+    over the per-user table — per-user, not per-event, so the sort is
+    over |users| rows; at 100 TB swap approx_percentile into the same
+    plan (the d14/e11 caveat)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .persist()  # anchor + cutoffs + final scoring all consume it
+    )
+    anchor = per_user.agg(F.max("last_ts").alias("max_ts"))
+    rfm = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr("(unix_micros(max_ts) - unix_micros(last_ts)) div 86400000000")
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    cuts = rfm.agg(
+        *[
+            F.expr(f"percentile(CAST({col} AS DOUBLE), {q})").alias(
+                f"{name}{int(q * 100)}"
+            )
+            for col, name in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(col: str, name: str, ascending_good: bool) -> F.Column:
+        hits = sum(
+            F.when(F.col(col) > F.col(f"{name}{p}"), 1).otherwise(0)
+            for p in (25, 50, 75)
+        )
+        base = (F.lit(1) + hits) if ascending_good else (F.lit(4) - hits)
+        return base.cast("int")
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", "r", False).alias("r_score"),
+        score("frequency", "f", True).alias("f_score"),
+        score("monetary", "m", True).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "recent")
+        .otherwise("casual")
+        .alias("segment"),
+    )

@@ -1970,3 +1970,194 @@ def v14_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v15: MMR diversified re-ranking (Carbonell & Goldstein 1998, public
+# formulation) — retrieval that trades pure relevance for coverage:
+# each round picks argmax lambda*rel - (1-lambda)*max-sim-to-already-
+# selected. The standard answer to near-duplicate result lists (and
+# the serving-side complement to x6/x14's corpus-side semantic dedup).
+# ---------------------------------------------------------------------------
+
+#: rounds of greedy MMR selection per query
+MMR_K = 4
+#: relevance candidates entering the re-rank (top-C by cosine)
+MMR_CANDS = 10
+
+
+def _v15_oracle() -> str:
+    parts = [
+        f"""scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nid,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS rel,
+             c.embedding AS emb
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT query_id, nid, rel, emb FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, nid ASC) AS rk
+        FROM scored
+      ) WHERE rk <= {MMR_CANDS}
+    ), pairs AS (
+      SELECT a.query_id, a.nid AS cid, b.nid AS sid,
+             list_cosine_similarity(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])) AS sim
+      FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.nid <> b.nid
+    ), sel1 AS (
+      SELECT query_id, nid, rel, CAST(0.0 AS DOUBLE) AS maxsim, rel AS mmr,
+             CAST(1 AS BIGINT) AS round
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, nid ASC) AS rk
+        FROM cand
+      ) WHERE rk = 1
+    )"""
+    ]
+    for r in range(2, MMR_K + 1):
+        prev_union = "\n        UNION ALL ".join(
+            f"SELECT query_id, nid FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""prev{r} AS (
+      {prev_union}
+    ), ms{r} AS (
+      SELECT c.query_id, c.nid, c.rel, MAX(p.sim) AS maxsim
+      FROM cand c
+      JOIN pairs p ON p.query_id = c.query_id AND p.cid = c.nid
+      JOIN prev{r} s ON s.query_id = p.query_id AND s.nid = p.sid
+      WHERE NOT EXISTS (
+        SELECT 1 FROM prev{r} x WHERE x.query_id = c.query_id AND x.nid = c.nid
+      )
+      GROUP BY c.query_id, c.nid, c.rel
+    ), sel{r} AS (
+      SELECT query_id, nid, rel, maxsim, 0.5 * rel - 0.5 * maxsim AS mmr,
+             CAST({r} AS BIGINT) AS round
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY (0.5 * rel - 0.5 * maxsim) DESC, nid ASC) AS rk
+        FROM ms{r}
+      ) WHERE rk = 1
+    )"""
+        )
+    final = "\n    UNION ALL ".join(
+        f"SELECT query_id, nid AS neighbor_id, round, rel, maxsim, mmr FROM sel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+@_q("v15_mmr_rerank", _v15_oracle())
+def v15_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-rank: top-{MMR_CANDS} cosine candidates per query, then
+    {MMR_K} unrolled greedy rounds of lambda=0.5 maximal marginal
+    relevance (argmax 0.5*rel - 0.5*max-sim-to-selected, vec_id
+    tie-break). The mmr expression is written with the identical
+    parenthesization in the oracle, and all similarities come from the
+    same double-cast cosine both engines agree on bit-for-bit (the v1
+    precedent).
+
+    Scale: the ONLY corpus-sized stage is the v1-shaped candidate scan
+    (broadcast queries, map-only scoring, per-query top-C window);
+    candidates (Q x C rows) and their pairwise-sim table (Q x C^2) are
+    persisted and every greedy round runs on those tiny tables — the
+    greedy loop never touches the corpus again. Rounds are a fixed
+    unrolled depth (the v6/v10 pattern), no driver-side collect."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("emb"))
+    rel = cosine(F.col("q_emb").cast("array<double>"), F.col("emb").cast("array<double>"))
+    scored = c.join(F.broadcast(q), F.col("nid") != F.col("query_id")).select(
+        "query_id", "nid", rel.alias("rel"), "emb"
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("nid").asc()
+    )
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w_rel))
+        .filter(F.col("rk") <= MMR_CANDS)
+        .drop("rk")
+        .persist()  # Q x C rows; pairs + every greedy round read it
+    )
+    a = cand.select("query_id", F.col("nid").alias("cid"), F.col("emb").alias("a_emb"))
+    b = cand.select(
+        F.col("query_id").alias("b_qid"),
+        F.col("nid").alias("sid"),
+        F.col("emb").alias("b_emb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("b_qid")) & (F.col("cid") != F.col("sid")),
+        )
+        .select(
+            "query_id",
+            "cid",
+            "sid",
+            cosine(
+                F.col("a_emb").cast("array<double>"),
+                F.col("b_emb").cast("array<double>"),
+            ).alias("sim"),
+        )
+        .persist()  # Q x C^2 rows; read once per greedy round
+    )
+    sel = (
+        cand.withColumn("rk", F.row_number().over(w_rel))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "nid",
+            "rel",
+            F.lit(0.0).cast("double").alias("maxsim"),
+            F.col("rel").alias("mmr"),
+            F.lit(1).cast("bigint").alias("round"),
+        )
+    )
+    picks = [sel]
+    for r in range(2, MMR_K + 1):
+        prev = picks[0].select("query_id", "nid")
+        for p_df in picks[1:]:
+            prev = prev.unionByName(p_df.select("query_id", "nid"))
+        ms = (
+            cand.join(prev.withColumnRenamed("nid", "x_nid"), "query_id")
+            .where(F.col("nid") == F.col("x_nid"))
+            .select("query_id", "nid")
+        )
+        remaining = cand.join(ms, ["query_id", "nid"], "left_anti")
+        scored_r = (
+            remaining.join(
+                pairs.withColumnRenamed("cid", "nid"), ["query_id", "nid"]
+            )
+            .join(
+                prev.withColumnRenamed("nid", "sid"),
+                ["query_id", "sid"],
+            )
+            .groupBy("query_id", "nid", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        mmr = F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
+        w_mmr = Window.partitionBy("query_id").orderBy(
+            mmr.desc(), F.col("nid").asc()
+        )
+        pick = (
+            scored_r.withColumn("rk", F.row_number().over(w_mmr))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "nid",
+                "rel",
+                "maxsim",
+                mmr.alias("mmr"),
+                F.lit(r).cast("bigint").alias("round"),
+            )
+        )
+        picks.append(pick)
+    out = picks[0]
+    for p_df in picks[1:]:
+        out = out.unionByName(p_df)
+    return out.select(
+        "query_id", F.col("nid").alias("neighbor_id"), "round", "rel", "maxsim", "mmr"
+    )

@@ -530,6 +530,12 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.ORACLES["d39_dsir_sampling"],
         "'d39', doc_id, CAST(NULL AS VARCHAR), n_toks, rank, "
         "CAST(NULL AS VARCHAR), log_w",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d40_unimax_mix"],
+        "'d40', CAST(NULL AS BIGINT), lang, avail_tokens, cap_tokens, "
+        "CAST(NULL AS VARCHAR), alloc_tokens",
     ),
 )
 def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,6 +640,15 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sn().alias("s1"),
         F.col("log_w").alias("v1"),
     )
+    d40 = textops.d40_unimax_mix(spark, sf_dir).select(
+        F.lit("d40").alias("part"),
+        _bn().alias("doc_id"),
+        F.col("lang").alias("source"),
+        F.col("avail_tokens").alias("k1"),
+        F.col("cap_tokens").alias("k2"),
+        _sn().alias("s1"),
+        F.col("alloc_tokens").alias("v1"),
+    )
     return (
         d6d8.unionByName(d18)
         .unionByName(d26)
@@ -642,6 +657,7 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d31)
         .unionByName(d37)
         .unionByName(d39)
+        .unionByName(d40)
     )
 
 
@@ -814,6 +830,11 @@ _DQ4_PARTS = {
         "'kn', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), n_bigrams, "
         "NULL, avg_logprob_kn, ppl_kn",
     ),
+    "d41": (
+        "d41_tokenizer_fertility",
+        "'fertility', lang, source, n_docs, total_bpe_tokens, "
+        "fertility, chars_per_token",
+    ),
     "d35": (
         "d35_gopher_rules",
         "'gopher', CAST(doc_id AS VARCHAR), "
@@ -971,6 +992,15 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_word_len").alias("v1"),
         F.col("frac_alpha").alias("v2"),
     )
+    d41 = t.d41_tokenizer_fertility(spark, sf_dir).select(
+        F.lit("fertility").alias("report"),
+        F.col("lang").alias("k1"),
+        F.col("source").alias("k2"),
+        F.col("n_docs").alias("n_docs"),
+        F.col("total_bpe_tokens").alias("total_tokens"),
+        F.col("fertility").alias("v1"),
+        F.col("chars_per_token").alias("v2"),
+    )
     return (
         d1.unionByName(d7)
         .unionByName(d11)
@@ -982,6 +1012,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d27)
         .unionByName(d33)
         .unionByName(d34)
+        .unionByName(d41)
         .unionByName(d36)
         .unionByName(d35)
     )
@@ -1248,7 +1279,10 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "rank * 1000 + n_dups_excluded")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v14_graph_search"],
-           "'v14', query_id, neighbor_id, cos_sim, rank"),
+           "'v14', query_id, neighbor_id, cos_sim, rank")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v15_mmr_rerank"],
+           "'v15', query_id, neighbor_id, mmr, round"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1344,6 +1378,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").alias("score"),
         "rank",
     )
+    v15 = similarity.v15_mmr_rerank(spark, sf_dir).select(
+        F.lit("v15").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.col("mmr").alias("score"),
+        F.col("round").alias("rank"),
+    )
     return (
         v3.unionByName(v4)
         .unionByName(v5)
@@ -1356,6 +1397,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v12)
         .unionByName(v13)
         .unionByName(v14)
+        .unionByName(v15)
     )
 
 
@@ -1637,6 +1679,16 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(c.component_id, d.doc_id) <> d.doc_id AS BIGINT)
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     UNION ALL
+    SELECT 'x26', d.doc_id,
+           CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT),
+           CAST(COALESCE(fs.family_size, 1) AS BIGINT)
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    LEFT JOIN (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS family_size
+      FROM comp GROUP BY component_id
+    ) fs ON COALESCE(c.component_id, d.doc_id) = fs.component_id
+    UNION ALL
     """
     + _sub(
         dedup.ORACLES["x14_semantic_dedup"],
@@ -1708,6 +1760,12 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_id").alias("k2"),
         F.col("is_keeper").alias("flag"),
     )
+    x26 = dedup.x26_soft_dedup_weights(spark, sf_dir).select(
+        F.lit("x26").alias("member"),
+        F.col("doc_id").alias("k1"),
+        F.col("family_id").alias("k2"),
+        F.col("family_size").alias("flag"),
+    )
     return (
         x7.unionByName(x16)
         .unionByName(x17)
@@ -1715,6 +1773,7 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(x14)
         .unionByName(x19)
         .unionByName(x21)
+        .unionByName(x26)
     )
 
 
@@ -1976,6 +2035,13 @@ _E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
     + _sub(
         events.ORACLES["e14_markov_transitions"],
         "'e14', rank, event_type || '>' || next_type, n, p",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e15_rfm_segments"],
+        "'e15', user_id, segment || '#' || CAST(r_score AS VARCHAR)"
+        " || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR)"
+        " || '#' || CAST(recency_days AS VARCHAR), frequency, monetary",
     ),
 )
 def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2022,7 +2088,24 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.col("p").alias("v1"),
     )
-    return e8.unionByName(e12).unionByName(e13).unionByName(e14)
+    e15 = events.e15_rfm_segments(spark, sf_dir).select(
+        F.lit("e15").alias("part"),
+        F.col("user_id").alias("k1"),
+        F.concat(
+            F.col("segment"),
+            F.lit("#"),
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+            F.lit("#"),
+            F.col("recency_days").cast("string"),
+        ).alias("s1"),
+        F.col("frequency").alias("n"),
+        F.col("monetary").alias("v1"),
+    )
+    return (
+        e8.unionByName(e12).unionByName(e13).unionByName(e14).unionByName(e15)
+    )
 
 
 # ---------------------------------------------------------------------------

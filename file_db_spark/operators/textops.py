@@ -3076,3 +3076,188 @@ def d39_dsir_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
         "doc_id", "n_toks", "log_w", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# d40: UniMax language-balanced budget allocation (Chung et al. 2023,
+# public formulation) — waterfill a total token budget across languages
+# with a per-language epoch cap, so high-resource languages stop
+# crowding out the tail without hand-tuned temperature exponents (the
+# principled alternative to d26's temperature mixing).
+# ---------------------------------------------------------------------------
+
+#: per-language epoch cap: no language is repeated more than this many
+#: times however much budget is left (integer so caps stay bigint-exact)
+UNIMAX_EPOCH_CAP = 3
+#: budget as a fraction of total corpus tokens, exact integer 3/5
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 3, 5
+
+_D40_TOK = r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)"
+
+
+@_q(
+    "d40_unimax_mix",
+    f"""
+    WITH lt AS (
+      SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS avail,
+             CAST({UNIMAX_EPOCH_CAP} * SUM(n_tok) AS BIGINT) AS cap
+      FROM (SELECT lang, {_D40_TOK} AS n_tok FROM documents)
+      GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(avail) * {UNIMAX_BUDGET_NUM} // {UNIMAX_BUDGET_DEN} AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS l
+      FROM lt
+    ), ord AS (
+      SELECT lang, avail, cap,
+             CAST(ROW_NUMBER() OVER (ORDER BY avail, lang) AS BIGINT) AS idx,
+             CAST(COALESCE(SUM(cap) OVER (
+               ORDER BY avail, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev
+      FROM lt
+    ), flagged AS (
+      SELECT o.*, t.b, t.l,
+             (o.cap * (t.l - o.idx + 1) > t.b - o.cum_prev) AS hit
+      FROM ord o, tot t
+    ), star AS (
+      SELECT CAST(MIN(idx) AS BIGINT) AS istar,
+             CAST(arg_min(cum_prev, idx) AS BIGINT) AS star_cum
+      FROM flagged WHERE hit
+    )
+    SELECT f.lang, f.avail AS avail_tokens, f.cap AS cap_tokens,
+           CASE WHEN f.idx < COALESCE(s.istar, f.l + 1)
+                THEN CAST(f.cap AS DOUBLE)
+                ELSE (f.b - s.star_cum) / (f.l - s.istar + 1) END AS alloc_tokens,
+           CASE WHEN f.idx < COALESCE(s.istar, f.l + 1)
+                THEN CAST(f.cap AS DOUBLE)
+                ELSE (f.b - s.star_cum) / (f.l - s.istar + 1) END / f.avail
+             AS epochs,
+           CASE WHEN f.idx < COALESCE(s.istar, f.l + 1)
+                THEN CAST(f.cap AS DOUBLE)
+                ELSE (f.b - s.star_cum) / (f.l - s.istar + 1) END / f.b
+             AS budget_share
+    FROM flagged f LEFT JOIN star s ON TRUE
+    """,
+)
+def d40_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget waterfill: sort languages ascending by available
+    tokens; each takes min(epoch-cap, even share of what's left). The
+    closed form (sorted ascending, caps monotone): the first language
+    whose cap exceeds its even share marks the waterline — everything
+    before keeps its full cap, everything after splits the remaining
+    budget evenly. All cumulative terms are bigint-exact (integer cap,
+    integer budget = 3/5 of total via `div`); the only floating-point
+    ops are the final divisions, written identically in the oracle.
+
+    Scale: ONE corpus scan (map-side-combined token sum per language);
+    everything after runs on the |languages|-row aggregate. The
+    rank/cumulative terms come from a broadcast theta self-join of that
+    tiny table against itself (strictly-before relation) — bounded by
+    |langs|^2, never a global window over unbounded input — and the
+    waterline is a 1-row broadcast aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = (
+        d.select(
+            "lang", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok")
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("avail"))
+        .withColumn("cap", (F.lit(UNIMAX_EPOCH_CAP) * F.col("avail")).cast("bigint"))
+    )
+    tot = lt.agg(
+        F.expr(
+            f"CAST(SUM(avail) * {UNIMAX_BUDGET_NUM} div {UNIMAX_BUDGET_DEN} AS BIGINT)"
+        ).alias("b"),
+        F.count("*").cast("bigint").alias("l"),
+    )
+    a = lt.alias("a")
+    p = lt.select(
+        F.col("lang").alias("p_lang"),
+        F.col("avail").alias("p_avail"),
+        F.col("cap").alias("p_cap"),
+    ).alias("p")
+    before = (F.col("p.p_avail") < F.col("a.avail")) | (
+        (F.col("p.p_avail") == F.col("a.avail")) & (F.col("p.p_lang") < F.col("a.lang"))
+    )
+    ord_df = (
+        a.join(F.broadcast(p), before, "left")
+        .groupBy("a.lang", "a.avail", "a.cap")
+        .agg(
+            (F.count("p.p_lang") + 1).cast("bigint").alias("idx"),
+            F.coalesce(F.sum("p.p_cap"), F.lit(0)).cast("bigint").alias("cum_prev"),
+        )
+    )
+    flagged = ord_df.crossJoin(F.broadcast(tot)).withColumn(
+        "hit",
+        F.col("cap") * (F.col("l") - F.col("idx") + 1) > F.col("b") - F.col("cum_prev"),
+    )
+    star = flagged.where("hit").agg(
+        F.min("idx").cast("bigint").alias("istar"),
+        F.expr("min_by(cum_prev, idx)").cast("bigint").alias("star_cum"),
+    )
+    f = flagged.join(F.broadcast(star), F.lit(True), "left")
+    waterline = F.col("idx") < F.coalesce(F.col("istar"), F.col("l") + 1)
+    alloc = F.when(waterline, F.col("cap").cast("double")).otherwise(
+        (F.col("b") - F.col("star_cum")) / (F.col("l") - F.col("istar") + 1)
+    )
+    return f.select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        alloc.alias("alloc_tokens"),
+        (alloc / F.col("avail")).alias("epochs"),
+        (alloc / F.col("b")).alias("budget_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d41: tokenizer fertility / compression report — subword tokens per
+# whitespace word and characters per subword token, per (lang, source).
+# The standard health check when fitting one tokenizer to a mixed
+# corpus: high-fertility slices burn sequence length (and training
+# budget) on fragmentation.
+# ---------------------------------------------------------------------------
+@_q(
+    "d41_tokenizer_fertility",
+    f"""
+    WITH t AS (
+      SELECT lang, source,
+             {_D40_TOK} AS n_words,
+             CAST(len(regexp_extract_all(text, '{{bpe}}')) AS BIGINT) AS n_bpe,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words) AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe) AS chars_per_token
+    FROM t GROUP BY lang, source
+    """.replace("{bpe}", _BPE_SQL),
+)
+def d41_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per (lang, source): BPE-pretokens per
+    whitespace word (fertility) and characters per BPE pretoken
+    (compression). Counts are integer-exact corpus-wide sums (the
+    BPE_TOKEN_RE Java/RE2 parity is verified corpus-wide by d16's
+    carrier); the two ratios are final IEEE divisions.
+
+    Scale: one scan, all counting inside codegen (regexp_count), one
+    map-side-combined aggregate on a tiny (lang, source) key."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_words"),
+        bpe_token_count("text").cast("bigint").alias("n_bpe"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_bpe").cast("double") / F.sum("n_words")).alias("fertility"),
+        (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias("chars_per_token"),
+    )

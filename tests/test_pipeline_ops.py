@@ -378,3 +378,80 @@ def test_e14_markov_transitions_are_probabilities(spark, sf_dir):
                 a["n"] == b["n"] and a["next_type"] < b["next_type"]
             )
         assert sum(r["p"] for r in rs) <= 1.0 + 1e-12
+
+
+def test_d40_unimax_waterfill_invariants(spark, sf_dir):
+    from file_db_spark.operators.textops import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_EPOCH_CAP,
+        d40_unimax_mix,
+    )
+
+    rows = d40_unimax_mix(spark, sf_dir).collect()
+    total = sum(r["avail_tokens"] for r in rows)
+    budget = total * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    # budget conservation: allocations spend exactly the budget (the
+    # waterline split is exact up to fp on the even shares)
+    assert abs(sum(r["alloc_tokens"] for r in rows) - budget) < 1e-6 * budget
+    for r in rows:
+        # the epoch cap binds everywhere
+        assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-9
+        assert r["cap_tokens"] == UNIMAX_EPOCH_CAP * r["avail_tokens"]
+        assert 0.0 < r["budget_share"] <= 1.0
+    # waterfill shape: languages at full cap are exactly the small ones —
+    # every capped language is no larger than every uncapped one
+    capped = [r["avail_tokens"] for r in rows if r["alloc_tokens"] == r["cap_tokens"]]
+    uncapped = [r["avail_tokens"] for r in rows if r["alloc_tokens"] < r["cap_tokens"]]
+    if capped and uncapped:
+        assert max(capped) <= min(uncapped)
+
+
+def test_x26_soft_weights_sum_to_one_per_family(spark, sf_dir):
+    from file_db_spark.operators.dedup import x26_soft_dedup_weights
+
+    df = x26_soft_dedup_weights(spark, sf_dir)
+    # per-family weight mass is exactly 1 (family_size * 1/family_size)
+    bad = (
+        df.groupBy("family_id")
+        .agg(F.sum("weight").alias("w"), F.count("*").alias("n"))
+        .where(F.abs(F.col("w") - 1.0) > 1e-9)
+        .count()
+    )
+    assert bad == 0
+    # every document appears exactly once
+    from file_db_spark.catalog import load_table
+
+    assert df.count() == load_table(spark, sf_dir, "documents").count()
+    assert df.where(F.col("weight") * F.col("family_size") != 1.0).count() == 0
+
+
+def test_e15_rfm_scores_and_segments(spark, sf_dir):
+    from file_db_spark.operators.events import e15_rfm_segments
+
+    df = e15_rfm_segments(spark, sf_dir)
+    for c in ("r_score", "f_score", "m_score"):
+        assert df.where((F.col(c) < 1) | (F.col(c) > 4)).count() == 0
+    # segment rules are a function of the scores, total coverage
+    assert df.where(F.col("segment").isNull()).count() == 0
+    mism = df.where(
+        (
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3)
+        )
+        != (F.col("segment") == "champion")
+    ).count()
+    assert mism == 0
+    # recency anchored at the max: at least one user has recency 0
+    assert df.where(F.col("recency_days") == 0).count() >= 1
+
+
+def test_d41_fertility_bounds(spark, sf_dir):
+    from file_db_spark.operators.textops import d41_tokenizer_fertility
+
+    rows = d41_tokenizer_fertility(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # BPE pre-tokenization splits at least at whitespace boundaries
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_token"] > 0
+        assert r["total_bpe_tokens"] >= r["total_words"]

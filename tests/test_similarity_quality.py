@@ -198,3 +198,50 @@ def test_v14_graph_search_frontier_and_rerank(spark, sf_dir):
             assert r["neighbor_id"] in frontier
         best_seed = max(c for _, c in adj[q])
         assert rows[0]["cos_sim"] >= best_seed - 1e-12
+
+
+def test_v15_mmr_diversity_and_round1(spark, sf_dir):
+    """Round 1 equals the relevance top-1; the MMR set is at least as
+    diverse (lower mean pairwise cosine) as the plain top-K prefix."""
+    from itertools import combinations
+
+    from file_db_spark.operators.similarity import (
+        MMR_K,
+        v1_knn_bruteforce,
+        v15_mmr_rerank,
+    )
+    from file_db_spark.catalog import load_table
+    import numpy as np
+
+    mmr = v15_mmr_rerank(spark, sf_dir).collect()
+    v1 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in v1_knn_bruteforce(spark, sf_dir).collect()
+    }
+    embs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_q: dict = {}
+    for r in mmr:
+        by_q.setdefault(r["query_id"], {})[r["round"]] = r["neighbor_id"]
+    assert by_q and all(len(v) == MMR_K for v in by_q.values())
+    for qid, picks in by_q.items():
+        # greedy round 1 is exactly the relevance argmax
+        assert picks[1] == v1[(qid, 1)]
+        mmr_set = [embs[picks[i]] for i in sorted(picks)]
+        # relevance top-MMR_K prefix needs v1 ranks 1..MMR_K; v1 TOP_K
+        # may be smaller, so rebuild from scratch when missing
+        top = [
+            embs[v1[(qid, k)]] for k in range(1, MMR_K + 1) if (qid, k) in v1
+        ]
+        if len(top) == MMR_K:
+            mean = lambda vs: (
+                sum(cos(a, b) for a, b in combinations(vs, 2))
+                / (len(vs) * (len(vs) - 1) / 2)
+            )
+            assert mean(mmr_set) <= mean(top) + 1e-12

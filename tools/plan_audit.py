@@ -65,6 +65,9 @@ BNLJ_OK_MEMBERS = {
     "v12_sq_train_adc",  # broadcast 1-row trained ranges + broadcast query rows
     "d38_bm25_search",  # broadcast 1-row corpus stats (n_docs, total_len)
     "d39_dsir_sampling",  # broadcast 1-row corpus token totals (d19/d23 pattern)
+    "d40_unimax_mix",  # broadcast |langs|-row theta self-join + 1-row waterline
+    "e15_rfm_segments",  # broadcast 1-row anchor + 1-row quartile cutoffs
+    "v15_mmr_rerank",  # broadcast query rows (v1 pattern) + tiny cand tables
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
@@ -74,6 +77,7 @@ BNLJ_OK = BNLJ_OK_MEMBERS | {
     "dq6_term_sketches",
     "rq2_join_suite",
     "x710_components_survivors",
+    "e812_rollup_pivot",
 }
 
 
