@@ -1660,6 +1660,136 @@ def _sub(sql: str, projection: str) -> str:
     return f"SELECT {projection} FROM (\n{sql}\n) _t"
 
 
+
+
+# ---------------------------------------------------------------------------
+# g11: Z-ORDER clustered layout (lakehouse OPTIMIZE ZORDER BY analog) —
+# multidimensional clustering so 2-D range queries skip data at the
+# row-group level, the layout complement to g7's 1-D day partitioning.
+# ---------------------------------------------------------------------------
+
+#: bits per dimension of the z-key (16 + 16 -> 32-bit key)
+ZQ_BITS = 16
+_ZQ_MAX = (1 << ZQ_BITS) - 1  # 65535
+#: the probe box: the [2^14, 2^15) quadrant in BOTH dimensions. Aligned
+#: power-of-two boxes are exactly one contiguous z-range, so the zkey
+#: BETWEEN scan is provably equal to the 2-D bucket predicate — which
+#: is precisely what the oracle (direct 2-D predicate) certifies.
+_ZQ_LO, _ZQ_HI = 1 << 14, (1 << 15) - 1
+
+
+def _z_interleave_py(bu: int, bt: int) -> int:
+    z = 0
+    for i in range(ZQ_BITS):
+        z |= ((bu >> i) & 1) << (2 * i)
+        z |= ((bt >> i) & 1) << (2 * i + 1)
+    return z
+
+
+_Z_LO_KEY = _z_interleave_py(_ZQ_LO, _ZQ_LO)
+_Z_HI_KEY = _z_interleave_py(_ZQ_HI, _ZQ_HI)
+
+#: generated bit-interleave expression over integer columns b_user /
+#: b_time — plain shifts and masks, identical integer semantics in
+#: Spark SQL and DuckDB (only the shift spelling differs)
+_Z_EXPR_SPARK = " + ".join(
+    f"shiftleft(shiftright(b_user, {i}) & 1, {2 * i}) + "
+    f"shiftleft(shiftright(b_time, {i}) & 1, {2 * i + 1})"
+    for i in range(ZQ_BITS)
+)
+_Z_EXPR_DUCK = " + ".join(
+    f"(((b_user >> {i}) & 1) << {2 * i}) + (((b_time >> {i}) & 1) << {2 * i + 1})"
+    for i in range(ZQ_BITS)
+)
+
+
+@_q(
+    "g11_zorder_layout",
+    f"""
+    WITH ext AS (
+      SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+             MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+      FROM events
+    ), bucketed AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CAST((user_id - e.umin) * {_ZQ_MAX} // (e.umax - e.umin) AS BIGINT) AS b_user,
+             CAST((epoch_us(ts) - e.tmin) * {_ZQ_MAX} // (e.tmax - e.tmin) AS BIGINT) AS b_time
+      FROM events, ext e
+    ), keyed AS (
+      SELECT event_id, b_user, b_time,
+             CAST({_Z_EXPR_DUCK} AS BIGINT) AS zkey
+      FROM bucketed
+    )
+    SELECT event_id, b_user, b_time, zkey
+    FROM keyed
+    WHERE b_user BETWEEN {_ZQ_LO} AND {_ZQ_HI}
+      AND b_time BETWEEN {_ZQ_LO} AND {_ZQ_HI}
+    """,
+)
+def g11_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered store: quantize (user_id, event time) into
+    {ZQ_BITS}-bit rank buckets (exact integer min/max scaling from a
+    1-row broadcast extent), bit-interleave them into a z-key, write
+    the events RANGE-CLUSTERED by z-key (repartitionByRange +
+    sortWithinPartitions — the OPTIMIZE ZORDER BY layout), then answer
+    a 2-D box query with a single zkey BETWEEN range scan off the
+    clustered store.
+
+    The probe box is the aligned [2^14, 2^15) quadrant of both
+    dimensions, for which the z-curve is exactly one contiguous key
+    range — so the oracle's direct 2-D bucket predicate must select
+    the identical rows the z-range scan returns; the green row IS the
+    proof that the layout answers the 2-D query by 1-D range.
+
+    Scale: the extent is a 1-row broadcast; bucketing/interleaving is
+    integer Column math inside codegen; the clustered write is one
+    range shuffle on zkey. On the clustered store the zkey predicate
+    prunes at parquet row-group granularity (sorted min/max), so the
+    box query reads ~1/16th of the data at any table size —
+    tests/test_incremental_ops.py pins PushedFilters on zkey and the
+    z-range == 2-D-predicate equivalence on an unaligned box too
+    (superset there, verified exact here)."""
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    ext = e.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min(F.unix_micros("ts")).alias("tmin"),
+        F.max(F.unix_micros("ts")).alias("tmax"),
+    )
+    bucketed = e.crossJoin(F.broadcast(ext)).select(
+        "event_id",
+        F.expr(f"CAST((user_id - umin) * {_ZQ_MAX} div (umax - umin) AS BIGINT)").alias(
+            "b_user"
+        ),
+        F.expr(
+            f"CAST((unix_micros(ts) - tmin) * {_ZQ_MAX} div (tmax - tmin) AS BIGINT)"
+        ).alias("b_time"),
+    )
+    keyed = bucketed.withColumn(
+        "zkey", F.expr(_Z_EXPR_SPARK).cast("bigint")
+    )
+    root = tempfile.mkdtemp(prefix="fdb_g11_")
+    (
+        keyed.repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    clustered = spark.read.parquet(root)
+    out = (
+        clustered.filter(F.col("zkey").between(_Z_LO_KEY, _Z_HI_KEY))
+        .select("event_id", "b_user", "b_time", "zkey")
+        .localCheckpoint(eager=True)  # g7 pattern: detach from scratch dir
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @_q(
     "g3456_control_suite",
     _sub(
@@ -1707,6 +1837,12 @@ def _sub(sql: str, projection: str) -> str:
         ORACLES["g10_integrity_audit"],
         "'g10_' || part, ent_id, chk || '#' || COALESCE(detail, ''), n, "
         "NULL, NULL, NULL, NULL, NULL, NULL, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        ORACLES["g11_zorder_layout"],
+        "'g11', event_id, CAST(NULL AS VARCHAR), b_user, b_time, zkey, "
+        "NULL, NULL, NULL, NULL, NULL",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1828,6 +1964,19 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
+    g11 = g11_zorder_layout(spark, sf_dir).select(
+        F.lit("g11").alias("part"),
+        F.col("event_id").alias("k1"),
+        _sn().alias("s1"),
+        F.col("b_user").alias("n1"),
+        F.col("b_time").alias("n2"),
+        F.col("zkey").alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        _dn().alias("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -1836,6 +1985,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g8)
         .unionByName(g9)
         .unionByName(g10)
+        .unionByName(g11)
     )
 
 
