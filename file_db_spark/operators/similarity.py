@@ -2161,3 +2161,335 @@ def v15_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", F.col("nid").alias("neighbor_id"), "round", "rel", "maxsim", "mmr"
     )
+
+
+# ---------------------------------------------------------------------------
+# v16: IVF-PQ with RESIDUAL quantization — the composed production ANN
+# index (FAISS IndexIVFPQ shape, public architecture): coarse k-means
+# cells route the query (v6/v4 machinery), product quantization
+# compresses the RESIDUAL vector inside each cell (v7 machinery), and
+# queries ADC-score only the probed cells' codes against per-probe
+# residual distance tables. Residual PQ beats raw-vector PQ because
+# residuals are centered near zero — the same codebook budget buys
+# finer resolution.
+# ---------------------------------------------------------------------------
+
+#: coarse cells probed per query (the recall knob, v4 parity)
+V16_NPROBE = 2
+_V16_DIM = PQ_M * PQ_SUB_DIM  # 64
+
+
+def v16_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual index end-to-end: train coarse cells (the v6
+    Lloyd loop), freeze the coarse codebook, subtract each vector's
+    cell centroid to get its residual, train PQ codebooks over residual
+    subspaces (the v7 loop, seeded (vec_id+m)%%K), encode every vector
+    as (coarse cell, 4 residual codes). Queries route to their
+    {V16_NPROBE} closest coarse cells, form a PER-PROBE residual
+    (q - probed centroid), and ADC-score only that cell's codes via the
+    per-(query, cell) distance table — sum of 4 looked-up subspace
+    distances in fixed order, exact squared-L2 by the three-dot form.
+
+    Scale: the index artifacts are tiny (k x dim coarse codebook +
+    M x K x subdim PQ codebook, both broadcast); the corpus is stored
+    as 4-byte codes + a cell id (16x compression). A query touches only
+    nprobe cells' codes — with cell-partitioned storage that's a
+    partition-pruned scan (the v3 note) — and scoring is 4 map lookups
+    + 3 adds per candidate, no float dot against raw vectors at all;
+    one per-query top-k window. Training is the v6/v7 fixed-depth
+    broadcast loops, all per-round state persisted."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("vec_id") % KMEANS_K).alias("cell"),
+    )
+    assigned = _lloyd_assign(pts, KMEANS_ITERS)
+    cents = _km_centroids(assigned).persist()  # frozen coarse codebook
+    res = (
+        assigned.select("vec_id", "emb", "cell")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("emb", "centroid", lambda a, b: a - b).alias("remb"),
+        )
+        .persist()  # residuals feed PQ training AND the final code join
+    )
+    rsub = res.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "remb",
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("remb"), F.col("m") * PQ_SUB_DIM + 1, F.lit(PQ_SUB_DIM)).alias(
+            "se"
+        ),
+        ((F.col("vec_id") + F.col("m")) % PQ_K).alias("cell"),
+    )
+    passigned = rsub.persist()
+    pcents = None
+    for _ in range(PQ_ITERS):
+        pcents = _pq_centroids(passigned).withColumnRenamed("cell", "c_cell")
+        scored = (
+            passigned.select("vec_id", "m", "se")
+            .join(F.broadcast(pcents), "m")
+            .select(
+                "vec_id",
+                "m",
+                "se",
+                F.col("c_cell").alias("cand_cell"),
+                _d2(F.col("se"), F.col("centroid")).alias("d2"),
+            )
+        )
+        passigned = (
+            scored.groupBy("vec_id", "m")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cand_cell").alias("cell"), F.col("se").alias("se")),
+                    F.struct(F.col("d2"), F.col("cand_cell")),
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                "m",
+                F.col("best.se").alias("se"),
+                F.col("best.cell").alias("cell"),
+            )
+            .persist()
+        )
+    codes = (
+        passigned.groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == i, F.col("cell"))).alias(f"c{i}")
+                for i in range(PQ_M)
+            ]
+        )
+        .join(res.select("vec_id", "cell"), "vec_id")  # coarse cell back on
+    )
+    # query routing: top-nprobe coarse cells by cosine (v4 parity)
+    q = pts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    routed = q.crossJoin(F.broadcast(cents.withColumnRenamed("cell", "r_cell"))).select(
+        "query_id",
+        "q_emb",
+        F.col("r_cell").alias("cell"),
+        "centroid",
+        cosine(F.col("q_emb"), F.col("centroid")).alias("cos"),
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cell").asc()
+    )
+    probed = (
+        routed.withColumn("rn", F.row_number().over(w_route))
+        .filter(F.col("rn") <= V16_NPROBE)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("q_emb", "centroid", lambda a, b: a - b).alias("qres"),
+        )
+        .persist()  # per-(query, probe) residual: pd table + the code join
+    )
+    qrsub = probed.select(
+        "query_id",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "qres",
+    ).select(
+        "query_id",
+        "cell",
+        "m",
+        F.slice(F.col("qres"), F.col("m") * PQ_SUB_DIM + 1, F.lit(PQ_SUB_DIM)).alias(
+            "se"
+        ),
+    )
+    pd = qrsub.join(F.broadcast(pcents), "m").select(
+        "query_id",
+        "cell",
+        "m",
+        F.col("c_cell").alias("code"),
+        _d2(F.col("se"), F.col("centroid")).alias("pd"),
+    )
+    out = codes.join(F.broadcast(probed.select("query_id", "cell")), "cell")
+    for i in range(PQ_M):
+        pd_i = pd.filter(F.col("m") == i).select(
+            "query_id",
+            "cell",
+            F.col("code").alias(f"c{i}"),
+            F.col("pd").alias(f"pd{i}"),
+        )
+        out = out.join(F.broadcast(pd_i), ["query_id", "cell", f"c{i}"])
+    adc = None
+    for i in range(PQ_M):
+        adc = F.col(f"pd{i}") if adc is None else adc + F.col(f"pd{i}")
+    scored_q = out.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored_q.withColumn("rank", F.row_number().over(w_k).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("adc", 6).alias("adc_dist"), "rank"
+        )
+    )
+
+
+def _v16_oracle() -> str:
+    """Coarse Lloyd + residual + PQ Lloyd + routed ADC, all unrolled —
+    the v6 and v7 oracle generators composed over the residual table."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+            f" - 2 * list_dot_product({a}, {b})"
+        )
+
+    def kcent(src: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT cell, list(avg_v ORDER BY idx) AS centroid FROM (
+        SELECT s.cell, t.idx, AVG(s.emb[t.idx]) AS avg_v
+        FROM {src} s, unnest(range(1, len(s.emb) + 1)) AS t(idx)
+        GROUP BY s.cell, t.idx
+      ) GROUP BY cell
+    )"""
+
+    def kassign(cent_name: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, emb, cell, cos FROM (
+        SELECT p.vec_id, p.emb, c.cell,
+               list_cosine_similarity(p.emb, c.centroid) AS cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(p.emb, c.centroid) DESC, c.cell ASC
+               ) AS rn
+        FROM pts p CROSS JOIN {cent_name} c
+      ) WHERE rn = 1
+    )"""
+
+    def pcent(src: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT m, cell, list(avg_v ORDER BY idx) AS centroid FROM (
+        SELECT s.m, s.cell, t.idx, AVG(s.se[t.idx]) AS avg_v
+        FROM {src} s, unnest(range(1, {PQ_SUB_DIM} + 1)) AS t(idx)
+        GROUP BY s.m, s.cell, t.idx
+      ) GROUP BY m, cell
+    )"""
+
+    def passign(cent_name: str, name: str) -> str:
+        expr = d2("s.se", "c.centroid")
+        return f"""{name} AS (
+      SELECT vec_id, m, se, cell FROM (
+        SELECT s.vec_id, s.m, s.se, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {expr} ASC, c.cell ASC
+               ) AS rn
+        FROM rsub s JOIN {cent_name} c ON c.m = s.m
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             vec_id % {KMEANS_K} AS cell
+      FROM embeddings
+    )"""
+    ]
+    src = "pts"
+    for i in range(KMEANS_ITERS):
+        parts.append(kcent(src, f"kc{i}"))
+        parts.append(kassign(f"kc{i}", f"ka{i}"))
+        src = f"ka{i}"
+    parts.append(kcent(src, "kcf"))  # frozen coarse codebook
+    parts.append(
+        f"""res AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1, {_V16_DIM} + 1),
+                            i -> a.emb[i] - c.centroid[i]) AS remb
+      FROM {src} a JOIN kcf c ON c.cell = a.cell
+    )""",
+    )
+    parts.append(
+        f"""rsub AS (
+      SELECT vec_id, t.m,
+             list_slice(remb, t.m * {PQ_SUB_DIM} + 1, t.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS se,
+             (vec_id + t.m) % {PQ_K} AS cell
+      FROM res, unnest(range(0, {PQ_M})) AS t(m)
+    )"""
+    )
+    psrc = "rsub"
+    for i in range(PQ_ITERS):
+        parts.append(pcent(psrc, f"pc{i}"))
+        parts.append(passign(f"pc{i}", f"pa{i}"))
+        psrc = f"pa{i}"
+    final_pc = f"pc{PQ_ITERS - 1}"
+    parts.append(
+        f"""codes AS (
+      SELECT p.vec_id,
+             {', '.join(f"MAX(CASE WHEN p.m = {i} THEN p.cell END) AS c{i}" for i in range(PQ_M))},
+             MAX(r.cell) AS cell
+      FROM {psrc} p JOIN res r ON r.vec_id = p.vec_id
+      GROUP BY p.vec_id
+    )"""
+    )
+    parts.append(
+        f"""probed AS (
+      SELECT query_id, cell, qres FROM (
+        SELECT p.vec_id AS query_id, c.cell,
+               list_transform(range(1, {_V16_DIM} + 1),
+                              i -> p.emb[i] - c.centroid[i]) AS qres,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(p.emb, c.centroid) DESC, c.cell ASC
+               ) AS rn
+        FROM pts p CROSS JOIN kcf c
+        WHERE p.vec_id < {N_QUERIES}
+      ) WHERE rn <= {V16_NPROBE}
+    )"""
+    )
+    parts.append(
+        f"""pd AS (
+      SELECT q.query_id, q.cell, t.m, c.cell AS code,
+             {d2(f"list_slice(q.qres, t.m * {PQ_SUB_DIM} + 1, t.m * {PQ_SUB_DIM} + {PQ_SUB_DIM})", "c.centroid")} AS pd
+      FROM probed q, unnest(range(0, {PQ_M})) AS t(m)
+      JOIN {final_pc} c ON c.m = t.m
+    )"""
+    )
+    joins = "\n      ".join(
+        f"JOIN pd q{i} ON q{i}.query_id = r.query_id AND q{i}.cell = r.cell"
+        f" AND q{i}.m = {i} AND q{i}.code = w.c{i}"
+        for i in range(PQ_M)
+    )
+    parts.append(
+        f"""adc AS (
+      SELECT r.query_id, w.vec_id AS neighbor_id,
+             q0.pd + q1.pd + q2.pd + q3.pd AS adc
+      FROM codes w
+      JOIN probed r ON r.cell = w.cell
+      {joins}
+      WHERE w.vec_id <> r.query_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank FROM (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
+             ) AS rank
+      FROM adc
+    ) WHERE rank <= {TOP_K}
+    """
+    )
+
+
+QUERIES["v16_ivf_pq_residual"] = v16_ivf_pq_residual
+ORACLES["v16_ivf_pq_residual"] = _v16_oracle()

@@ -1282,7 +1282,10 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'v14', query_id, neighbor_id, cos_sim, rank")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v15_mmr_rerank"],
-           "'v15', query_id, neighbor_id, mmr, round"),
+           "'v15', query_id, neighbor_id, mmr, round")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v16_ivf_pq_residual"],
+           "'v16', query_id, neighbor_id, adc_dist, rank"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1385,6 +1388,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mmr").alias("score"),
         F.col("round").alias("rank"),
     )
+    v16 = similarity.v16_ivf_pq_residual(spark, sf_dir).select(
+        F.lit("v16").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.col("adc_dist").alias("score"),
+        "rank",
+    )
     return (
         v3.unionByName(v4)
         .unionByName(v5)
@@ -1398,6 +1408,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v13)
         .unionByName(v14)
         .unionByName(v15)
+        .unionByName(v16)
     )
 
 

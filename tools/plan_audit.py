@@ -68,6 +68,7 @@ BNLJ_OK_MEMBERS = {
     "d40_unimax_mix",  # broadcast |langs|-row theta self-join + 1-row waterline
     "e15_rfm_segments",  # broadcast 1-row anchor + 1-row quartile cutoffs
     "v15_mmr_rerank",  # broadcast query rows (v1 pattern) + tiny cand tables
+    "v16_ivf_pq_residual",  # broadcast coarse/PQ codebooks (v6/v7 pattern)
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
