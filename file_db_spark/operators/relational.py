@@ -517,6 +517,58 @@ def a6_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "a8_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(CAST(sy AS VARCHAR), 'ALL') AS ship_year,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(sy) AS INT) AS g_year,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM (SELECT l_returnflag, year(l_shipdate) AS sy, l_extendedprice
+          FROM lineitem)
+    GROUP BY CUBE (l_returnflag, sy)
+    """,
+)
+def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (engine addition): full CUBE over (returnflag, ship year) —
+    every subtotal combination plus the grand total in one pass, with
+    grouping flags disambiguating "NULL because subtotal" from data
+    NULLs (the a6 ROLLUP's bigger sibling; the reference has no
+    grouping-set operator at all). Revenue goes through DECIMAL so
+    every subtotal level is order-independent and engine-exact.
+
+    Scale: Spark compiles cube() to ONE expand + one shuffle on the
+    tiny grouping-key space with map-side partial aggregation — the
+    corpus is read once for all four grouping sets, never once per
+    level."""
+    lt = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    return (
+        lt.cube("l_returnflag", "ship_year")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("ship_year").cast("int").alias("g_year"),
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("ship_year").cast("string"), F.lit("ALL")).alias(
+                "ship_year"
+            ),
+            "g_flag",
+            "g_year",
+            "n_items",
+            "revenue",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k
 # ---------------------------------------------------------------------------

@@ -275,6 +275,10 @@ _RQ3_PARTS = {
         "a6_rollup_totals",
         "'a6', g_flag, g_status, n_items, returnflag || '#' || linestatus, sum_qty",
     ),
+    "a8": (
+        "a8_grouping_sets",
+        "'a8', g_flag, g_year, n_items, returnflag || '#' || ship_year, revenue",
+    ),
     "t1": ("t1_topk_priority", f"'t1', o_orderkey, {_ep('o_orderdate')}, NULL, NULL, o_totalprice"),
     "t2": ("t2_topk_smallest", "'t2', l_orderkey, l_linenumber, NULL, NULL, l_quantity"),
     "t3": ("t3_fifo_batch", f"'t3', o_orderkey, {_ep('o_orderdate')}, NULL, NULL, o_totalprice"),
@@ -348,6 +352,9 @@ def rq3_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm(r.a6_rollup_totals(spark, sf_dir), "a6", k1=c("g_flag"),
              k2=c("g_status"), k3=c("n_items"),
              s1=F.concat_ws("#", "returnflag", "linestatus"), v1=c("sum_qty")),
+        norm(r.a8_grouping_sets(spark, sf_dir), "a8", k1=c("g_flag"),
+             k2=c("g_year"), k3=c("n_items"),
+             s1=F.concat_ws("#", "returnflag", "ship_year"), v1=c("revenue")),
         norm(r.t1_topk_priority(spark, sf_dir), "t1", k1=c("o_orderkey"),
              k2=_epoch(c("o_orderdate")), v1=c("o_totalprice")),
         norm(r.t2_topk_smallest(spark, sf_dir), "t2", k1=c("l_orderkey"),
