@@ -478,3 +478,137 @@ ORACLES["m5_phash_neardup"] = f"""
            CAST(COALESCE(s.min_hamming, 999) <= {PHASH_MAX_HAM} AS BIGINT) AS is_neardup
     FROM hashed h LEFT JOIN best s ON s.doc_id = h.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# m6: AUDIO-modality frame energy / silence analysis — the audio
+# counterpart of m2/m4: treat the binary payload as fixed-rate PCM,
+# compute per-frame energy, flag silence, and report voice-activity
+# ratio + lead/tail trim points (the preprocessing every speech
+# pipeline runs before feature extraction). The "PCM decode" is the
+# same STUB convention as m2-m5 (payload bytes as unsigned samples;
+# a real deployment plugs ffmpeg/soundfile here); every statistic
+# downstream of the stub is exact integer math the oracle mirrors.
+# ---------------------------------------------------------------------------
+
+#: samples (bytes) per analysis frame
+M6_FRAME = 256
+#: a frame is silent when its mean-square deviation from the 128
+#: midpoint is below this (integer threshold, engine-exact)
+M6_SIL_MS = 900
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("voice_ratio", T.DoubleType()),
+        T.StructField("lead_trim_frames", T.LongType()),
+        T.StructField("tail_keep_frames", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+    ]
+)
+
+
+def m6_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-energy profile per payload: {M6_FRAME}-sample frames,
+    per-frame integer energy sum((s-128)^2), silence = mean-square <
+    {M6_SIL_MS}, voice_ratio = voiced/total frames (one IEEE division),
+    lead/tail trim = first/last voiced frame. Arrow-batched mapInPandas
+    with a numpy reduceat kernel — integer-exact, so the DuckDB oracle
+    reproduces every column bit-for-bit (full value verification for an
+    'audio' pipeline, not rows-only).
+
+    Scale: one corpus scan, per-row kernel work linear in payload
+    bytes, zero shuffles — the aggregate rides the map stage."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                n = int(b.size)
+                nf = max(1, -(-n // M6_FRAME))
+                dev2 = (b - 128) ** 2
+                if n == 0:
+                    ms = np.zeros(1, dtype=np.int64)
+                    energies = np.zeros(1, dtype=np.int64)
+                    lens = np.ones(1, dtype=np.int64)
+                else:
+                    idx = np.arange(0, n, M6_FRAME)
+                    energies = np.add.reduceat(dev2, idx)
+                    lens = np.minimum(n - idx, M6_FRAME)
+                    # integer mean-square per frame (floor division,
+                    # mirrored by // in the oracle)
+                    ms = energies // lens
+                voiced = ms >= M6_SIL_MS
+                n_sil = int(nf - voiced.sum())
+                first_v = int(np.argmax(voiced)) if voiced.any() else nf
+                last_v = (
+                    int(nf - 1 - np.argmax(voiced[::-1])) + 1 if voiced.any() else 0
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        nf,
+                        n_sil,
+                        float(nf - n_sil) / nf,
+                        first_v,
+                        last_v,
+                        int(energies.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in _AUDIO_SCHEMA.fields],
+            )
+
+    return d.mapInPandas(analyze, schema=_AUDIO_SCHEMA)
+
+
+QUERIES["m6_audio_energy"] = m6_audio_energy
+
+
+def _m6_frame_energy(lo: str, cnt: str) -> str:
+    return (
+        f"COALESCE(list_sum(list_transform(range({lo} + 1, {lo} + {cnt} + 1),"
+        f" j -> (ord(substr(text, j, 1)) - 128) * (ord(substr(text, j, 1)) - 128))), 0)"
+    )
+
+
+ORACLES["m6_audio_energy"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n,
+             greatest(1, CAST(ceil(strlen(text) / {M6_FRAME}.0) AS BIGINT)) AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, n, nf, CAST(i AS BIGINT) AS frame_no,
+             CASE WHEN n = 0 THEN 0
+                  ELSE {_m6_frame_energy(f"i * {M6_FRAME}", f"least(n - i * {M6_FRAME}, {M6_FRAME})")}
+             END AS energy,
+             CASE WHEN n = 0 THEN 1
+                  ELSE least(n - i * {M6_FRAME}, {M6_FRAME}) END AS chunk_len
+      FROM b, unnest(range(0, nf)) AS t(i)
+    ), flagged AS (
+      SELECT *, (energy // chunk_len >= {M6_SIL_MS}) AS voiced FROM fr
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN voiced THEN 0 ELSE 1 END) AS BIGINT) AS n_silent,
+           CAST(SUM(CASE WHEN voiced THEN 1 ELSE 0 END) AS DOUBLE) / MAX(nf)
+             AS voice_ratio,
+           CAST(COALESCE(MIN(CASE WHEN voiced THEN frame_no END), MAX(nf)) AS BIGINT)
+             AS lead_trim_frames,
+           CAST(COALESCE(MAX(CASE WHEN voiced THEN frame_no END) + 1, 0) AS BIGINT)
+             AS tail_keep_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy
+    FROM flagged GROUP BY doc_id
+    """

@@ -1441,7 +1441,12 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'phash', doc_id, n_candidates, min_hamming, best_match, "
            "CAST(is_neardup AS DOUBLE), "
            "CAST(b0 AS VARCHAR) || ':' || CAST(b1 AS VARCHAR) || ':' || "
-           "CAST(b2 AS VARCHAR) || ':' || CAST(b3 AS VARCHAR)"),
+           "CAST(b2 AS VARCHAR) || ':' || CAST(b3 AS VARCHAR)")
+    + "\nUNION ALL\n"
+    + _sub(multimodal.ORACLES["m6_audio_energy"],
+           "'audio', doc_id, n_frames, n_silent, "
+           "lead_trim_frames * 100000 + tail_keep_frames, voice_ratio, "
+           "CAST(total_energy AS VARCHAR)"),
 )
 def m124_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m1 typed metadata + m2 decode/feature-extract + m4 frame
@@ -1491,7 +1496,16 @@ def m124_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b3").cast("string"),
         ).alias("s1"),
     )
-    return m1.unionByName(m2).unionByName(m4).unionByName(m5)
+    m6 = multimodal.m6_audio_energy(spark, sf_dir).select(
+        F.lit("audio").alias("kernel"),
+        F.col("doc_id"),
+        F.col("n_frames").alias("i1"),
+        F.col("n_silent").alias("i2"),
+        (F.col("lead_trim_frames") * 100000 + F.col("tail_keep_frames")).alias("i3"),
+        F.col("voice_ratio").alias("v1"),
+        F.col("total_energy").cast("string").alias("s1"),
+    )
+    return m1.unionByName(m2).unionByName(m4).unionByName(m5).unionByName(m6)
 
 
 # ---------------------------------------------------------------------------

@@ -455,3 +455,23 @@ def test_d41_fertility_bounds(spark, sf_dir):
         assert r["fertility"] >= 1.0
         assert r["chars_per_token"] > 0
         assert r["total_bpe_tokens"] >= r["total_words"]
+
+
+def test_m6_audio_invariants(spark, sf_dir):
+    from file_db_spark.operators.multimodal import M6_FRAME, m6_audio_energy
+
+    rows = m6_audio_energy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        nf_expected = max(1, -(-r["n_samples"] // M6_FRAME))
+        assert r["n_frames"] == nf_expected
+        assert 0 <= r["n_silent"] <= r["n_frames"]
+        voiced = r["n_frames"] - r["n_silent"]
+        assert abs(r["voice_ratio"] - voiced / r["n_frames"]) < 1e-12
+        # trim window sandwiches the voiced region (empty when silent)
+        if voiced:
+            assert 0 <= r["lead_trim_frames"] < r["tail_keep_frames"] <= r["n_frames"]
+        else:
+            assert r["lead_trim_frames"] == r["n_frames"]
+            assert r["tail_keep_frames"] == 0
+        assert r["total_energy"] >= 0
