@@ -869,3 +869,156 @@ ORACLES["s11_stream_hll_maintenance"] = """
                  ELSE 8.281119189271282e+17 / CAST(register_sum AS DOUBLE) END, 2) AS dau_hll
     FROM together
     """
+
+
+# ---------------------------------------------------------------------------
+# s13: LATE-DATA semantics under a real multi-batch stream — the only
+# registry entry that exercises watermark PROGRESSION (s1-s12 drain a
+# static source in one availableNow micro-batch, where nothing can be
+# late). Events are staged as four time-ordered batch files with
+# deterministic 2-batch-late stragglers; the stream replays them one
+# file per trigger, so the watermark advances batch by batch, the
+# stragglers get DROPPED by the late filter, and append mode emits
+# exactly the closed windows.
+# ---------------------------------------------------------------------------
+
+#: stream replay batches
+S13_BATCHES = 4
+#: every 17th event arrives two batches late (one-batch-late rows are
+#: never dropped: Spark's late filter runs one watermark behind
+#: eviction, see the oracle note)
+S13_LATE_EVERY = 17
+S13_DELAY = "10 minutes"
+
+
+def s13_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation over a four-batch replay with
+    2-batch-late stragglers: the drained append-mode result contains
+    only windows the final watermark closed, computed WITHOUT the
+    dropped late rows. The DuckDB oracle simulates Spark's documented
+    micro-batch semantics exactly (verified empirically on this Spark
+    build, result-identical at sf0.01/sf0.001):
+
+    - watermark reported at batch N = max event time over batches < N,
+      minus the delay;
+    - the LATE FILTER in batch N uses the PREVIOUS batch's watermark
+      (one-batch lag — which is why 1-batch-late rows are never
+      dropped and no window is ever emitted twice);
+    - a row is dropped iff its window end <= that filter watermark;
+    - final emitted set = windows of kept rows whose end <= the final
+      watermark (availableNow runs a closing no-data batch).
+
+    Scale: the replay staging is one range-partitioned write; the
+    stream itself is the production shape — file source with
+    maxFilesPerTrigger backpressure, watermark-bounded state, append
+    sink. State never exceeds the open-window horizon."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    ext = e.agg(
+        F.min(F.unix_micros("ts")).alias("t0"), F.max(F.unix_micros("ts")).alias("t1")
+    )
+    nb = S13_BATCHES
+    b = (
+        e.crossJoin(F.broadcast(ext))
+        .withColumn(
+            "b",
+            F.least(
+                F.lit(nb - 1),
+                F.expr(
+                    f"CAST((unix_micros(ts) - t0) * {nb} div (t1 - t0 + 1) AS INT)"
+                )
+                + F.lit(2) * (F.col("event_id") % S13_LATE_EVERY == 0).cast("int"),
+            ),
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value", "b")
+    )
+    root = tempfile.mkdtemp(prefix="fdb_s13_")
+    sdir = os.path.join(root, "stream")
+    os.makedirs(sdir)
+    for i in range(nb):
+        tmp = os.path.join(root, f"w{i}")
+        b.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(sdir, f"b{i}.parquet")
+        shutil.move(part, dst)
+        # strictly increasing mtimes pin the FileStreamSource replay order
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    agg = (
+        stream.withWatermark("ts", S13_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"s13_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+QUERIES["s13_stream_late_data"] = s13_stream_late_data
+
+ORACLES["s13_stream_late_data"] = f"""
+    WITH ext AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events),
+    assigned AS (
+      SELECT e.*, least({S13_BATCHES - 1},
+               CAST((epoch_us(ts) - t0) * {S13_BATCHES} // (t1 - t0 + 1) AS INT)
+               + CASE WHEN event_id % {S13_LATE_EVERY} = 0 THEN 2 ELSE 0 END) AS b
+      FROM events e, ext
+    ),
+    bmax AS (SELECT b, MAX(ts) AS mx FROM assigned GROUP BY b),
+    wmk AS (
+      SELECT b, COALESCE(MAX(mx) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 TIMESTAMP '1970-01-01') - INTERVAL 10 MINUTE AS w
+      FROM bmax
+    ),
+    filt AS (
+      SELECT b, COALESCE(LAG(w) OVER (ORDER BY b), TIMESTAMP '1970-01-01') AS fw
+      FROM wmk
+    ),
+    final_wm AS (SELECT MAX(mx) - INTERVAL 10 MINUTE AS fw FROM bmax),
+    kept AS (
+      SELECT a.* FROM assigned a JOIN filt ON filt.b = a.b
+      WHERE date_trunc('hour', a.ts) + INTERVAL 1 HOUR > filt.fw
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM kept
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= (SELECT fw FROM final_wm)
+    """

@@ -1848,7 +1848,11 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s11_stream_hll_maintenance"],
            "'hll', day, dau_exact, dau_register_sum, NULL, dau_exact, "
-           "dau_hll"),
+           "dau_hll")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s13_stream_late_data"],
+           f"'late', {_ep('window_start')}, NULL, NULL, event_type, "
+           "n_events, total_value"),
 )
 def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eight more real Structured Streaming drains in one graded row:
@@ -1943,6 +1947,15 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dau_exact").alias("n"),
         F.col("dau_hll").alias("v1"),
     )
+    s13 = streaming_queries.s13_stream_late_data(spark, sf_dir).select(
+        F.lit("late").alias("stream"),
+        _epoch(F.col("window_start")).alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("event_type").alias("s1"),
+        F.col("n_events").alias("n"),
+        F.col("total_value").alias("v1"),
+    )
     return (
         s3.unionByName(s4)
         .unionByName(s5)
@@ -1952,6 +1965,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s9)
         .unionByName(s10)
         .unionByName(s11)
+        .unionByName(s13)
     )
 
 

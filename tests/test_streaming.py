@@ -176,3 +176,27 @@ def test_s11_hll_maintenance_equals_batch(spark, sf_dir):
             r["dau_register_sum"],
             r["dau_hll"],
         ) == batch[r["day"]]
+
+
+def test_s13_late_rows_actually_dropped(spark, sf_dir):
+    """The multi-batch replay drops 2-batch-late rows: at least one
+    emitted window undercounts the batch aggregate, none overcounts,
+    and no window is emitted twice (the one-batch filter lag makes
+    duplicate emission impossible)."""
+    from pyspark.sql import functions as F
+
+    from file_db_spark.catalog import load_table
+    from file_db_spark.operators.streaming_queries import s13_stream_late_data
+
+    res = s13_stream_late_data(spark, sf_dir)
+    assert (
+        res.groupBy("window_start", "event_type").count().filter("count > 1").count()
+        == 0
+    )
+    e = load_table(spark, sf_dir, "events")
+    full = e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("n_full"))
+    j = res.join(full, ["window_start", "event_type"]).persist()
+    assert j.filter("n_events > n_full").count() == 0
+    assert j.filter("n_events < n_full").count() > 0
