@@ -2560,3 +2560,135 @@ def x26_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("n_tokens").cast("double") * weight).alias("eff_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x27: FUSED dedup graph — union the four independent candidate
+# generators (x3 word-shingle Jaccard, x4 MinHash-LSH, x5 SimHash, x11
+# winnowing) into ONE near-dup graph and label its components. This is
+# the production topology: no single generator catches every paraphrase
+# family (word-level misses joined/split words, char-level misses
+# reorderings), so real pipelines run several and dedup on the union.
+# Per-doc provenance flags record which generators implicated each doc.
+# ---------------------------------------------------------------------------
+
+_X27_SOURCES = ("x3", "x4", "x5", "x11")
+
+
+def _x27_oracle() -> str:
+    subs = {
+        "x3": f"WITH {_X3_PAIR_CTES}\n    SELECT doc_a, doc_b FROM pairs",
+        "x4": ORACLES["x4_minhash_lsh"],
+        "x5": ORACLES["x5_simhash"],
+        "x11": ORACLES["x11_winnow_neardup"],
+    }
+    gen_ctes = ",\n    ".join(
+        f"p_{k} AS (SELECT doc_a, doc_b FROM (\n{sql}\n) _{k})"
+        for k, sql in subs.items()
+    )
+    pair_union = "\n      UNION\n      ".join(
+        f"SELECT doc_a, doc_b FROM p_{k}" for k in _X27_SOURCES
+    )
+    flag_union = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_a AS doc_id, '{k}' AS src FROM p_{k}"
+        f" UNION ALL SELECT doc_b, '{k}' FROM p_{k}"
+        for k in _X27_SOURCES
+    )
+    flag_cols = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN src = '{k}' THEN 1 ELSE 0 END) AS BIGINT) AS in_{k}"
+        for k in _X27_SOURCES
+    )
+    return f"""
+    WITH RECURSIVE {gen_ctes},
+    fused AS (
+      {pair_union}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM fused
+      UNION ALL
+      SELECT doc_b, doc_a FROM fused
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, lab) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (
+      SELECT v AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+      FROM reach GROUP BY v
+    ),
+    prov AS (
+      SELECT doc_id,
+           {flag_cols},
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+      FROM (
+      {flag_union}
+      ) GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.component_id, p.in_x3, p.in_x4, p.in_x5, p.in_x11,
+           p.n_sources
+    FROM comp c JOIN prov p ON p.doc_id = c.doc_id
+    """
+
+
+@_q("x27_fused_dedup_graph", _x27_oracle())
+def x27_fused_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused near-dup components over the UNION of all four candidate
+    generators, with per-doc provenance (which generators implicated
+    the doc, and how many). Labels via the shared min-label
+    propagation; the oracle runs the same four generator pipelines
+    (every one already bit-exact on its own) plus one recursive
+    closure.
+
+    Scale: the expensive parts are the generators themselves — each
+    already a capped, bucketed equi-join; the union/distinct of their
+    pair tables is tiny next to any of them, and the component pass is
+    the x7/x16 machinery (diameter-bounded rounds, per-round
+    localCheckpoint). Provenance is one explode + keyed agg over the
+    tagged pair table."""
+    srcs = {
+        "x3": x3_ngram_jaccard(spark, sf_dir),
+        "x4": x4_minhash_lsh(spark, sf_dir),
+        "x5": x5_simhash(spark, sf_dir),
+        "x11": x11_winnow_neardup(spark, sf_dir),
+    }
+    tagged = None
+    for k, df in srcs.items():
+        part = df.select("doc_a", "doc_b").withColumn("src", F.lit(k))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    tagged = tagged.persist()  # pairs + provenance both read it
+    pairs = tagged.select("doc_a", "doc_b").distinct()
+    edges = pairs.select(
+        F.col("doc_a").alias("src_v"), F.col("doc_b").alias("dst_v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src_v"), F.col("doc_a").alias("dst_v"))
+    ).select(F.col("src_v").alias("a"), F.col("dst_v").alias("b"))
+    labels = _propagate_min_labels(edges, "x27").select(
+        F.col("v").alias("doc_id"), F.col("lab").cast("bigint").alias("component_id")
+    )
+    prov = (
+        tagged.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"), "src"
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("src") == k, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"in_{k}")
+                for k in _X27_SOURCES
+            ],
+            F.countDistinct("src").cast("bigint").alias("n_sources"),
+        )
+    )
+    return labels.join(prov, "doc_id").select(
+        "doc_id",
+        "component_id",
+        "in_x3",
+        "in_x4",
+        "in_x5",
+        "in_x11",
+        "n_sources",
+    )

@@ -943,3 +943,94 @@ def e15_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("casual")
         .alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e16: conversion-window report — the funnel-with-timeout KPI: of each
+# day's purchases, how many were preceded by a VIEW from the same user
+# within the conversion window? (e9's ordered funnel has no time bound;
+# e6's as-of join has no aggregation — this is the daily business
+# metric built on both idioms.)
+# ---------------------------------------------------------------------------
+
+#: conversion attribution window
+E16_WINDOW_MIN = 60
+
+
+@_q(
+    "e16_conversion_windows",
+    f"""
+    WITH attributed AS (
+      SELECT p.event_id, p.ts,
+             (v.ts IS NOT NULL
+              AND epoch_us(p.ts) - epoch_us(v.ts) <= CAST({E16_WINDOW_MIN} AS BIGINT) * 60000000)
+               AS converted
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (
+        SELECT user_id, ts, MAX(event_id) AS event_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+      ) v ON p.user_id = v.user_id AND p.ts > v.ts
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS conversion_rate
+    FROM attributed GROUP BY 1
+    """,
+)
+def e16_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily conversion-window report: a purchase CONVERTS when the
+    same user's most recent strictly-prior view is within
+    {E16_WINDOW_MIN} minutes. Attribution uses the e6 zero-join as-of
+    idiom (union + one user_id-keyed running window — no range-join
+    blowup), then ONE day-keyed aggregate; the rate is exact-int /
+    exact-int in one IEEE division.
+
+    Scale: one shuffle on user_id, one map-side-combined aggregate on
+    ~days keys. The timeout predicate is a map-side comparison on the
+    carried last-view timestamp — no second pass, no interval join."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "view_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = views.unionByName(purchases).select(
+        "*",
+        F.last("view_ts", ignorenulls=True).over(w).alias("last_view_ts"),
+    )
+    converted = (
+        F.col("last_view_ts").isNotNull()
+        & (
+            F.unix_micros("ts") - F.unix_micros("last_view_ts")
+            <= E16_WINDOW_MIN * 60_000_000
+        )
+    )
+    attributed = tagged.where(F.col("purchase_id").isNotNull()).select(
+        "ts", converted.alias("converted")
+    )
+    return attributed.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum(F.col("converted").cast("int")).cast("bigint").alias("n_converted"),
+        (
+            F.sum(F.col("converted").cast("int")).cast("double") / F.count("*")
+        ).alias("conversion_rate"),
+    )

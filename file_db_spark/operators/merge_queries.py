@@ -1790,6 +1790,146 @@ def g11_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+# ---------------------------------------------------------------------------
+# g12: VACUUM / retention planner — the lakehouse maintenance job that
+# completes the store lifecycle: g6 proves superseded generations stay
+# readable (time travel), g12 plans and EXECUTES their reclamation
+# under a retention policy, verifying afterwards that exactly the
+# retained snapshot survives and still serves the current table.
+# ---------------------------------------------------------------------------
+
+#: generations retained by the vacuum policy
+G12_RETAIN = 1
+
+
+def _g12_wave2(f1):
+    """The g6 change wave (same expression, shared semantics)."""
+    fid = F.col("id")
+    from ..filedb import schemas
+
+    spark = f1.sparkSession
+    return (
+        f1.where(fid % 11 != 0)
+        .select(
+            "id",
+            "name",
+            "dir_id",
+            F.when(fid % 3 == 0, F.expr("size + CAST('0.001' AS DECIMAL(4,3))"))
+            .otherwise(F.col("size"))
+            .cast("decimal(18,6)")
+            .alias("size"),
+            "ctime",
+            F.when(fid % 3 == 0, F.col("mtime") + F.expr("INTERVAL 1 HOUR"))
+            .otherwise(F.col("mtime"))
+            .alias("mtime"),
+            "atime",
+            "inserted_on",
+            "updated_on",
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (
+                        900002,
+                        "brand_new.txt",
+                        1,
+                        __import__("decimal").Decimal("1.5"),
+                        None,
+                        __import__("datetime").datetime(2024, 6, 30),
+                        None,
+                        None,
+                        None,
+                    )
+                ],
+                schemas.FILE,
+            )
+        )
+    )
+
+
+@_q(
+    "g12_vacuum_plan",
+    f"""
+WITH {{ctes}},
+f2 AS (
+  SELECT id FROM fx_file WHERE id % 11 <> 0
+  UNION ALL SELECT 900002
+),
+f3 AS (SELECT id FROM f2 WHERE id % 7 <> 0),
+gens AS (
+  SELECT 0 AS back, (SELECT COUNT(*) FROM f3) AS n_rows
+  UNION ALL SELECT 1, (SELECT COUNT(*) FROM f2)
+  UNION ALL SELECT 2, (SELECT COUNT(*) FROM fx_file)
+)
+SELECT 'plan' AS phase, CAST(back AS BIGINT) AS back,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(CASE WHEN back < {G12_RETAIN} THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM gens
+UNION ALL
+SELECT 'post', 0, (SELECT COUNT(*) FROM f3), 1
+UNION ALL
+SELECT 'gens_after', CAST({G12_RETAIN} AS BIGINT), NULL, NULL
+""",
+)
+def g12_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention vacuum over the real generation store: write three
+    REAL generations (fixture file table, the g6 change wave, the wave
+    with id%7 rows dropped), emit the vacuum PLAN (per generation: row
+    count + keep/delete under retain={G12_RETAIN}), EXECUTE
+    store.vacuum, and verify the aftermath — exactly {G12_RETAIN}
+    generation left, still serving the newest snapshot. The oracle
+    re-derives every generation's cardinality from the same fixture
+    CTEs, so a green row certifies the plan, the delete, and the
+    survivor in one.
+
+    Scale: generation bookkeeping is O(generations) directory metadata;
+    the verification reads are ordinary parquet scans of the retained
+    snapshot. Deletion is directory-level (no per-row work) — the
+    generation-swap layout is what makes vacuum O(1) per superseded
+    snapshot."""
+    import shutil
+    import tempfile
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    f2 = _g12_wave2(f1)
+    f3 = f2.where(F.col("id") % 7 != 0)
+    root = tempfile.mkdtemp(prefix="fdb_g12_")
+    store = TableStore(spark, root, {"file": schemas.FILE}, bucketing=False)
+    store.replace("file", f1)
+    store.replace("file", f2)
+    store.replace("file", f3)
+    plan_rows = []
+    n_gens = len(store.generations("file"))
+    for back in range(n_gens):
+        plan_rows.append(
+            (
+                "plan",
+                back,
+                store.read_at("file", back=back).count(),
+                1 if back < G12_RETAIN else 0,
+            )
+        )
+    store.vacuum(retain=G12_RETAIN)
+    gens_after = store.generations("file")
+    plan_rows.append(("post", 0, store.read("file").count(), 1))
+    plan_rows.append(("gens_after", len(gens_after), None, None))
+    out = spark.createDataFrame(
+        plan_rows, "phase string, back long, n_rows long, keep long"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLES["g12_vacuum_plan"] = ORACLES["g12_vacuum_plan"].format(
+    ctes=fixtures.FIXTURE_CTES
+)
+
+
+
 @_q(
     "g3456_control_suite",
     _sub(
@@ -1843,6 +1983,12 @@ def g11_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORACLES["g11_zorder_layout"],
         "'g11', event_id, CAST(NULL AS VARCHAR), b_user, b_time, zkey, "
         "NULL, NULL, NULL, NULL, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        ORACLES["g12_vacuum_plan"],
+        "'g12_' || phase, back, CAST(NULL AS VARCHAR), n_rows, keep, "
+        "NULL, NULL, NULL, NULL, NULL, NULL",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1977,6 +2123,19 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
+    g12 = g12_vacuum_plan(spark, sf_dir).select(
+        F.concat(F.lit("g12_"), F.col("phase")).alias("part"),
+        F.col("back").alias("k1"),
+        _sn().alias("s1"),
+        F.col("n_rows").alias("n1"),
+        F.col("keep").alias("n2"),
+        _bn().alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        _dn().alias("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -1986,6 +2145,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g9)
         .unionByName(g10)
         .unionByName(g11)
+        .unionByName(g12)
     )
 
 

@@ -1735,6 +1735,12 @@ def x12_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(
         dedup.ORACLES["x21_quality_survivors"],
         "'x21', doc_id, keeper_id, is_keeper",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        dedup.ORACLES["x27_fused_dedup_graph"],
+        "'x27', doc_id, component_id, "
+        "in_x3 * 10000 + in_x4 * 1000 + in_x5 * 100 + in_x11 * 10 + n_sources",
     ),
 )
 def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1798,6 +1804,18 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("family_id").alias("k2"),
         F.col("family_size").alias("flag"),
     )
+    x27 = dedup.x27_fused_dedup_graph(spark, sf_dir).select(
+        F.lit("x27").alias("member"),
+        F.col("doc_id").alias("k1"),
+        F.col("component_id").alias("k2"),
+        (
+            F.col("in_x3") * 10000
+            + F.col("in_x4") * 1000
+            + F.col("in_x5") * 100
+            + F.col("in_x11") * 10
+            + F.col("n_sources")
+        ).alias("flag"),
+    )
     return (
         x7.unionByName(x16)
         .unionByName(x17)
@@ -1806,6 +1824,7 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(x19)
         .unionByName(x21)
         .unionByName(x26)
+        .unionByName(x27)
     )
 
 
@@ -2088,6 +2107,12 @@ _E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
         "'e15', user_id, segment || '#' || CAST(r_score AS VARCHAR)"
         " || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR)"
         " || '#' || CAST(recency_days AS VARCHAR), frequency, monetary",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e16_conversion_windows"],
+        "'e16', " + _ep("day") + ", CAST(n_converted AS VARCHAR), "
+        "n_purchases, conversion_rate",
     ),
 )
 def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2149,8 +2174,19 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frequency").alias("n"),
         F.col("monetary").alias("v1"),
     )
+    e16 = events.e16_conversion_windows(spark, sf_dir).select(
+        F.lit("e16").alias("part"),
+        _epoch(F.col("day")).alias("k1"),
+        F.col("n_converted").cast("string").alias("s1"),
+        F.col("n_purchases").alias("n"),
+        F.col("conversion_rate").alias("v1"),
+    )
     return (
-        e8.unionByName(e12).unionByName(e13).unionByName(e14).unionByName(e15)
+        e8.unionByName(e12)
+        .unionByName(e13)
+        .unionByName(e14)
+        .unionByName(e15)
+        .unionByName(e16)
     )
 
 

@@ -272,3 +272,27 @@ def test_x25_confusion_consistency(spark, sf_dir):
     n_pred = dedup.x4_minhash_lsh(spark, sf_dir).count()
     assert s["tp"] + s["fn"] == n_truth
     assert s["tp"] + s["fp"] == n_pred
+
+
+def test_x27_fused_graph_subsumes_x7(spark, sf_dir):
+    """The fused graph's edge set contains x7's (x3-only) edges, so any
+    two docs x7 puts in one family share a fused component; provenance
+    flags are consistent with n_sources."""
+    from file_db_spark.operators.dedup import (
+        x7_dup_components,
+        x27_fused_dedup_graph,
+    )
+
+    fused = {
+        r["doc_id"]: r for r in x27_fused_dedup_graph(spark, sf_dir).collect()
+    }
+    for r in fused.values():
+        flags = [r["in_x3"], r["in_x4"], r["in_x5"], r["in_x11"]]
+        assert all(f in (0, 1) for f in flags)
+        assert sum(flags) == r["n_sources"] >= 1
+    x7 = {}
+    for r in x7_dup_components(spark, sf_dir).collect():
+        x7.setdefault(r["component_id"], []).append(r["doc_id"])
+    for members in x7.values():
+        comps = {fused[d]["component_id"] for d in members}
+        assert len(comps) == 1  # x7 family stays together in the fusion

@@ -199,6 +199,17 @@ _BNLJ_OK = {
     # broadcast vanished-roots list (few rows per wave); prefix matching
     # is inherently non-equi and the loop side is the tiny broadcast
     "g2_hash_lifecycle",
+    # e15's recency anchor + quartile cutoffs are broadcast 1-row cross
+    # joins; e812 carries e15
+    "e15_rfm_segments",
+    "e812_rollup_pivot",
+    # d40's waterfill rank/cum terms come from a broadcast |langs|-row
+    # theta self-join plus the 1-row budget/waterline tables (dq2)
+    "d40_unimax_mix",
+    # v15's candidate stage is the v1 broadcast-query scan; v16 routes
+    # against broadcast coarse/PQ codebooks (both carried by v346)
+    "v15_mmr_rerank",
+    "v16_ivf_pq_residual",
 }
 
 
