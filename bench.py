@@ -70,6 +70,13 @@ HEADLINE = [
     "x20_prefix_ssjoin",
     "d34_novelty_scoring",
     "c9_duplicate_groups",
+    # round-3 additions: the expensive new plans, timed every round
+    "v15_mmr_rerank",
+    "v16_ivf_pq_residual",
+    "x27_fused_dedup_graph",
+    "g11_zorder_layout",
+    "e15_rfm_segments",
+    "m6_audio_energy",
 ]
 
 #: the 14-query headline set BENCH_r02 recorded (rounds 1-2). The

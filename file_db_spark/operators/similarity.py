@@ -2493,3 +2493,92 @@ def _v16_oracle() -> str:
 
 QUERIES["v16_ivf_pq_residual"] = v16_ivf_pq_residual
 ORACLES["v16_ivf_pq_residual"] = _v16_oracle()
+
+
+# ---------------------------------------------------------------------------
+# v17: ANN recall evaluation harness — score every approximate index
+# variant against the exact brute-force ground truth in one query (the
+# x25 evaluation pattern applied to similarity search). The number an
+# index owner actually watches: recall@k per method, per query and
+# averaged — measured, not guessed, which is how nprobe/band/codebook
+# knobs get tuned.
+# ---------------------------------------------------------------------------
+
+_V17_METHODS = ("v2_ann_lsh", "v3_ivf_topk", "v4_ivf_nprobe", "v16_ivf_pq_residual")
+
+
+def _v17_oracle() -> str:
+    meths = ",\n    ".join(
+        f"m_{name.split('_')[0]} AS (SELECT query_id, neighbor_id FROM (\n{ORACLES[name]}\n) _s)"
+        for name in _V17_METHODS
+    )
+    per_q = "\n      UNION ALL\n      ".join(
+        f"""SELECT '{name.split('_')[0]}' AS method, t.query_id,
+             CAST(COUNT(m.neighbor_id) AS BIGINT) AS n_hits
+      FROM truth t LEFT JOIN m_{name.split('_')[0]} m
+        ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id"""
+        for name in _V17_METHODS
+    )
+    return f"""
+    WITH truth AS (
+      SELECT query_id, neighbor_id FROM (\n{ORACLES["v1_knn_bruteforce"]}\n) _t
+    ),
+    {meths},
+    perq AS (
+      {per_q}
+    )
+    SELECT method, query_id, n_hits,
+           CAST(n_hits AS DOUBLE) / {TOP_K} AS recall
+    FROM perq
+    UNION ALL
+    SELECT method, CAST(-1 AS BIGINT), CAST(SUM(n_hits) AS BIGINT),
+           CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * {TOP_K})
+    FROM perq GROUP BY method
+    """
+
+
+@_q("v17_ann_recall_eval", _v17_oracle())
+def v17_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of every ANN variant (sign-LSH v2, single-cell
+    IVF v3, nprobe IVF v4, residual IVF-PQ v16) against the exact v1
+    ground truth: per (method, query) hit counts plus a per-method
+    summary row (query_id = -1). TRUE recall, because the truth side
+    is the exact scan.
+
+    Scale: each method's pipeline is its own (already bounded) plan;
+    the evaluation itself joins Q x k row tables — negligible. On a
+    cluster the per-method result tables are persisted artifacts and
+    this query is a metadata-sized report over them."""
+    truth = v1_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    out = None
+    for name in _V17_METHODS:
+        tag = name.split("_")[0]
+        m = QUERIES[name](spark, sf_dir).select(
+            "query_id", F.col("neighbor_id").alias("m_neighbor")
+        )
+        perq = (
+            truth.join(
+                m,
+                (truth.query_id == m.query_id)
+                & (truth.neighbor_id == m.m_neighbor),
+                "left",
+            )
+            .groupBy(truth.query_id)
+            .agg(F.count("m_neighbor").cast("bigint").alias("n_hits"))
+            .select(
+                F.lit(tag).alias("method"),
+                F.col("query_id"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
+            )
+        )
+        out = perq if out is None else out.unionByName(perq)
+    out = out.persist()
+    summary = out.groupBy("method").agg(
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+        (
+            F.sum("n_hits").cast("double") / (F.count("*") * TOP_K)
+        ).alias("recall"),
+    ).select("method", F.lit(-1).cast("bigint").alias("query_id"), "n_hits", "recall")
+    return out.unionByName(summary)

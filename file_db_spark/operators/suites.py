@@ -1292,7 +1292,10 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'v15', query_id, neighbor_id, mmr, round")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v16_ivf_pq_residual"],
-           "'v16', query_id, neighbor_id, adc_dist, rank"),
+           "'v16', query_id, neighbor_id, adc_dist, rank")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v17_ann_recall_eval"],
+           "'v17_' || method, query_id, n_hits, recall, NULL"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1402,6 +1405,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_dist").alias("score"),
         "rank",
     )
+    v17 = similarity.v17_ann_recall_eval(spark, sf_dir).select(
+        F.concat(F.lit("v17_"), F.col("method")).alias("variant"),
+        "query_id",
+        F.col("n_hits").alias("neighbor_id"),
+        F.col("recall").alias("score"),
+        _bn().alias("rank"),
+    )
     return (
         v3.unionByName(v4)
         .unionByName(v5)
@@ -1416,6 +1426,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v14)
         .unionByName(v15)
         .unionByName(v16)
+        .unionByName(v17)
     )
 
 

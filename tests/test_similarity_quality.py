@@ -245,3 +245,25 @@ def test_v15_mmr_diversity_and_round1(spark, sf_dir):
                 / (len(vs) * (len(vs) - 1) / 2)
             )
             assert mean(mmr_set) <= mean(top) + 1e-12
+
+
+def test_v17_recall_ordering_and_bounds(spark, sf_dir):
+    """Recall is in [0,1]; v4 (nprobe=2) can't do worse than v3 (its
+    own first probe is v3's cell); summaries equal the per-query mean."""
+    from file_db_spark.operators.similarity import v17_ann_recall_eval
+
+    rows = v17_ann_recall_eval(spark, sf_dir).collect()
+    per = {}
+    summ = {}
+    for r in rows:
+        if r["query_id"] == -1:
+            summ[r["method"]] = r
+        else:
+            per.setdefault(r["method"], []).append(r)
+    assert set(summ) == set(per)
+    for m, rs in per.items():
+        for r in rs:
+            assert 0.0 <= r["recall"] <= 1.0
+        mean = sum(r["n_hits"] for r in rs) / (3 * len(rs))
+        assert abs(summ[m]["recall"] - mean) < 1e-12
+    assert summ["v4"]["recall"] >= summ["v3"]["recall"] - 1e-12
