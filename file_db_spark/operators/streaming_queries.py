@@ -891,6 +891,74 @@ S13_LATE_EVERY = 17
 S13_DELAY = "10 minutes"
 
 
+def _replay_batches(spark: SparkSession, sf_dir: str):
+    """Events with the deterministic replay-batch assignment (time
+    quartile + 2-batch-late stragglers) — shared by s13/s14."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    ext = e.agg(
+        F.min(F.unix_micros("ts")).alias("t0"), F.max(F.unix_micros("ts")).alias("t1")
+    )
+    nb = S13_BATCHES
+    return (
+        e.crossJoin(F.broadcast(ext))
+        .withColumn(
+            "b",
+            F.least(
+                F.lit(nb - 1),
+                F.expr(
+                    f"CAST((unix_micros(ts) - t0) * {nb} div (t1 - t0 + 1) AS INT)"
+                )
+                + F.lit(2) * (F.col("event_id") % S13_LATE_EVERY == 0).cast("int"),
+            ),
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value", "b")
+    )
+
+
+def _place_batch_file(b, i: int, root: str, sdir: str) -> None:
+    """Write replay batch i as one parquet file with a strictly
+    increasing mtime (pins the FileStreamSource replay order)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tmp = os.path.join(root, f"w{i}")
+    b.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(sdir, f"b{i}.parquet")
+    shutil.move(part, dst)
+    os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+
+def _replay_agg(stream):
+    """The watermarked hourly aggregation both replay entries run."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark("ts", S13_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+
 def s13_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregation over a four-batch replay with
     2-batch-late stragglers: the drained append-mode result contains
@@ -912,46 +980,17 @@ def s13_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream itself is the production shape — file source with
     maxFilesPerTrigger backpressure, watermark-bounded state, append
     sink. State never exceeds the open-window horizon."""
-    import glob
     import os
     import shutil
     import tempfile
     import uuid
 
-    from pyspark.sql import functions as F
-
-    from ..catalog import load_table
-
-    e = load_table(spark, sf_dir, "events")
-    ext = e.agg(
-        F.min(F.unix_micros("ts")).alias("t0"), F.max(F.unix_micros("ts")).alias("t1")
-    )
-    nb = S13_BATCHES
-    b = (
-        e.crossJoin(F.broadcast(ext))
-        .withColumn(
-            "b",
-            F.least(
-                F.lit(nb - 1),
-                F.expr(
-                    f"CAST((unix_micros(ts) - t0) * {nb} div (t1 - t0 + 1) AS INT)"
-                )
-                + F.lit(2) * (F.col("event_id") % S13_LATE_EVERY == 0).cast("int"),
-            ),
-        )
-        .select("event_id", "ts", "user_id", "event_type", "value", "b")
-    )
+    b = _replay_batches(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="fdb_s13_")
     sdir = os.path.join(root, "stream")
     os.makedirs(sdir)
-    for i in range(nb):
-        tmp = os.path.join(root, f"w{i}")
-        b.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(sdir, f"b{i}.parquet")
-        shutil.move(part, dst)
-        # strictly increasing mtimes pin the FileStreamSource replay order
-        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    for i in range(S13_BATCHES):
+        _place_batch_file(b, i, root, sdir)
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, event_type string, value double"
@@ -959,22 +998,7 @@ def s13_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(sdir)
     )
-    agg = (
-        stream.withWatermark("ts", S13_DELAY)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("total_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
+    agg = _replay_agg(stream)
     name = f"s13_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode("append")
@@ -1009,6 +1033,111 @@ ORACLES["s13_stream_late_data"] = f"""
     filt AS (
       SELECT b, COALESCE(LAG(w) OVER (ORDER BY b), TIMESTAMP '1970-01-01') AS fw
       FROM wmk
+    ),
+    final_wm AS (SELECT MAX(mx) - INTERVAL 10 MINUTE AS fw FROM bmax),
+    kept AS (
+      SELECT a.* FROM assigned a JOIN filt ON filt.b = a.b
+      WHERE date_trunc('hour', a.ts) + INTERVAL 1 HOUR > filt.fw
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM kept
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= (SELECT fw FROM final_wm)
+    """
+
+
+# ---------------------------------------------------------------------------
+# s14: CHECKPOINTED RESTART — exactly-once across stop/resume. The s13
+# replay split across two separate streaming queries sharing one
+# checkpoint + one transactional file sink: run 1 drains batches 0-1
+# and stops; run 2 (a NEW query) restores source offsets AND the event-
+# time watermark from the checkpoint, drains batches 2-3, and the sink
+# log guarantees no emitted window is duplicated or lost.
+# ---------------------------------------------------------------------------
+
+
+def s14_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop/resume the s13 replay mid-stream on a shared checkpoint and
+    parquet file sink (the production exactly-once pair), then read the
+    sink back through its transaction log. Deterministic end state,
+    mirrored by the oracle with ONE semantic difference from s13's
+    single run: the first batch after restart filters with the
+    RESTORED watermark directly (no one-batch lag — the lag is an
+    in-memory artifact the checkpoint does not preserve), so boundary
+    rows whose window closed between the two pre-restart batches are
+    additionally dropped. Verified result-identical on this Spark
+    build at sf0.01 and sf0.001.
+
+    Scale: this is THE fault-tolerance contract a 1000-executor
+    streaming job runs on — offsets+watermark in the checkpoint,
+    idempotent sink commits via the _spark_metadata log; a restart
+    re-emits nothing and loses nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    b = _replay_batches(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_s14_")
+    sdir = os.path.join(root, "stream")
+    os.makedirs(sdir)
+    ckpt = os.path.join(root, "ckpt")
+    sink = os.path.join(root, "sink")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q = (
+            _replay_agg(stream)
+            .writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = S13_BATCHES // 2
+    for i in range(half):
+        _place_batch_file(b, i, root, sdir)
+    run_once()  # run 1: batches 0..half-1, then stop
+    for i in range(half, S13_BATCHES):
+        _place_batch_file(b, i, root, sdir)
+    run_once()  # run 2: restored offsets + watermark, batches half..
+    out = spark.read.parquet(sink).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+QUERIES["s14_stream_checkpoint_recovery"] = s14_stream_checkpoint_recovery
+
+ORACLES["s14_stream_checkpoint_recovery"] = f"""
+    WITH ext AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events),
+    assigned AS (
+      SELECT e.*, least({S13_BATCHES - 1},
+               CAST((epoch_us(ts) - t0) * {S13_BATCHES} // (t1 - t0 + 1) AS INT)
+               + CASE WHEN event_id % {S13_LATE_EVERY} = 0 THEN 2 ELSE 0 END) AS b
+      FROM events e, ext
+    ),
+    bmax AS (SELECT b, MAX(ts) AS mx FROM assigned GROUP BY b),
+    -- run 1 = batches 0..{S13_BATCHES // 2 - 1} (filter watermark still
+    -- epoch: the one-batch lag keeps it there); run 2 restarts from the
+    -- checkpoint, so its FIRST batch filters with the restored
+    -- watermark (max over run-1 batches, no lag) and later batches
+    -- lag one behind as usual (same value here)
+    filt AS (
+      SELECT b, CASE WHEN b < {S13_BATCHES // 2} THEN TIMESTAMP '1970-01-01'
+                     ELSE (SELECT MAX(mx) FROM bmax
+                           WHERE b < {S13_BATCHES // 2}) - INTERVAL 10 MINUTE
+                END AS fw
+      FROM bmax
     ),
     final_wm AS (SELECT MAX(mx) - INTERVAL 10 MINUTE AS fw FROM bmax),
     kept AS (

@@ -1882,6 +1882,10 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s13_stream_late_data"],
            f"'late', {_ep('window_start')}, NULL, NULL, event_type, "
+           "n_events, total_value")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s14_stream_checkpoint_recovery"],
+           f"'recovery', {_ep('window_start')}, NULL, NULL, event_type, "
            "n_events, total_value"),
 )
 def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1986,6 +1990,15 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         F.col("total_value").alias("v1"),
     )
+    s14 = streaming_queries.s14_stream_checkpoint_recovery(spark, sf_dir).select(
+        F.lit("recovery").alias("stream"),
+        _epoch(F.col("window_start")).alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("event_type").alias("s1"),
+        F.col("n_events").alias("n"),
+        F.col("total_value").alias("v1"),
+    )
     return (
         s3.unionByName(s4)
         .unionByName(s5)
@@ -1996,6 +2009,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s10)
         .unionByName(s11)
         .unionByName(s13)
+        .unionByName(s14)
     )
 
 

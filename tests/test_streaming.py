@@ -200,3 +200,30 @@ def test_s13_late_rows_actually_dropped(spark, sf_dir):
     j = res.join(full, ["window_start", "event_type"]).persist()
     assert j.filter("n_events > n_full").count() == 0
     assert j.filter("n_events < n_full").count() > 0
+
+
+def test_s14_recovery_matches_single_run_except_restart_boundary(spark, sf_dir):
+    """Exactly-once across restart: no duplicated windows, same window
+    set as the uninterrupted s13 run, and per-window counts differ only
+    downward (the restored watermark drops the lag-protected boundary
+    rows — strictly more conservative, never more permissive)."""
+    from file_db_spark.operators.streaming_queries import (
+        s13_stream_late_data,
+        s14_stream_checkpoint_recovery,
+    )
+
+    r14 = s14_stream_checkpoint_recovery(spark, sf_dir)
+    assert (
+        r14.groupBy("window_start", "event_type").count().filter("count > 1").count()
+        == 0
+    )
+    r13 = s13_stream_late_data(spark, sf_dir)
+    j = r13.selectExpr(
+        "window_start", "event_type", "n_events AS n13"
+    ).join(
+        r14.selectExpr("window_start", "event_type", "n_events AS n14"),
+        ["window_start", "event_type"],
+        "full",
+    ).persist()
+    assert j.filter("n13 IS NULL OR n14 IS NULL").count() == 0
+    assert j.filter("n14 > n13").count() == 0
