@@ -1930,6 +1930,125 @@ ORACLES["g12_vacuum_plan"] = ORACLES["g12_vacuum_plan"].format(
 
 
 
+
+# ---------------------------------------------------------------------------
+# g13: catalog statistics collection (ANALYZE TABLE analog) — the
+# column-level stats a cost-based optimizer consumes: row counts, null
+# counts, exact NDV, numeric/timestamp extents, string length extents.
+# The reference has no stats surface at all; Postgres ANALYZE is what
+# its planner leaned on implicitly. At 100 TB the same plan runs with
+# approx_count_distinct swapped in for the NDV column (documented).
+# ---------------------------------------------------------------------------
+
+#: (table, column, kind) — kind drives which stat slots are populated
+G13_COLUMNS = (
+    ("file", "name", "text"),
+    ("file", "dir_id", "num"),
+    ("file", "size", "num"),
+    ("file", "mtime", "ts"),
+    ("directory", "dir_path", "text"),
+    ("directory", "id", "num"),
+)
+
+
+def _g13_stats(df, table: str, cols) -> "DataFrame":
+    """One scan per table: every column's stats as agg expressions,
+    then one row per column via an explicit union of 1-row projections
+    (stack over a 1-row aggregate — no extra scans)."""
+    aggs = []
+    for col, kind in cols:
+        aggs.append(F.count(F.col(col)).cast("bigint").alias(f"{col}__nn"))
+        aggs.append(F.countDistinct(F.col(col)).cast("bigint").alias(f"{col}__ndv"))
+        if kind == "num":
+            aggs.append(F.min(F.col(col)).cast("double").alias(f"{col}__min"))
+            aggs.append(F.max(F.col(col)).cast("double").alias(f"{col}__max"))
+        elif kind == "ts":
+            aggs.append(
+                F.min(F.col(col)).cast("timestamp").cast("long").cast("double").alias(f"{col}__min")
+            )
+            aggs.append(
+                F.max(F.col(col)).cast("timestamp").cast("long").cast("double").alias(f"{col}__max")
+            )
+        else:
+            aggs.append(F.min(F.length(col)).cast("double").alias(f"{col}__min"))
+            aggs.append(F.max(F.length(col)).cast("double").alias(f"{col}__max"))
+    one = df.agg(F.count("*").cast("bigint").alias("__n"), *aggs)
+    out = None
+    for col, kind in cols:
+        row = one.select(
+            F.lit(table).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.lit(kind).alias("kind"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"{col}__nn")).cast("bigint").alias("n_nulls"),
+            F.col(f"{col}__ndv").alias("ndv"),
+            F.col(f"{col}__min").alias("vmin"),
+            F.col(f"{col}__max").alias("vmax"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _g13_oracle_stats(src: str, table: str, cols) -> str:
+    rows = []
+    for col, kind in cols:
+        if kind == "num":
+            vmin, vmax = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        elif kind == "ts":
+            vmin = f"CAST(epoch_us(MIN({col})) // 1000000 AS DOUBLE)"
+            vmax = f"CAST(epoch_us(MAX({col})) // 1000000 AS DOUBLE)"
+        else:
+            vmin, vmax = (
+                f"CAST(MIN(length({col})) AS DOUBLE)",
+                f"CAST(MAX(length({col})) AS DOUBLE)",
+            )
+        rows.append(
+            f"""SELECT '{table}' AS tbl, '{col}' AS col, '{kind}' AS kind,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+             {vmin} AS vmin, {vmax} AS vmax
+      FROM {src}"""
+        )
+    return "\n      UNION ALL\n      ".join(rows)
+
+
+@_q(
+    "g13_table_stats",
+    """
+WITH {ctes}
+{body}
+""",
+)
+def g13_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE: per-column statistics over the catalog's entity tables
+    (row count, nulls, exact NDV, numeric/epoch extents, string-length
+    extents) — the inputs a cost-based optimizer's cardinality
+    estimates and broadcast decisions come from. ONE scan per table
+    computes every column's stats as parallel aggregate expressions;
+    the per-column rows are 1-row projections of that single aggregate.
+
+    Scale: stats jobs are scan-bound; NDV is the only super-linear
+    term and swaps to approx_count_distinct (HLL, fixed-size state —
+    the d21 machinery) at 100 TB with everything else unchanged."""
+    f = fixtures.fixture_file(spark, sf_dir)
+    d = fixtures.fixture_directory(spark, sf_dir)
+    fcols = [(c, k) for t, c, k in G13_COLUMNS if t == "file"]
+    dcols = [(c, k) for t, c, k in G13_COLUMNS if t == "directory"]
+    return _g13_stats(f, "file", fcols).unionByName(
+        _g13_stats(d, "directory", dcols)
+    )
+
+
+ORACLES["g13_table_stats"] = ORACLES["g13_table_stats"].format(
+    ctes=fixtures.FIXTURE_CTES,
+    body=_g13_oracle_stats("fx_file", "file", [(c, k) for t, c, k in G13_COLUMNS if t == "file"])
+    + "\n      UNION ALL\n      "
+    + _g13_oracle_stats("fx_directory", "directory", [(c, k) for t, c, k in G13_COLUMNS if t == "directory"]),
+)
+
+
+
 @_q(
     "g3456_control_suite",
     _sub(
@@ -1989,6 +2108,13 @@ ORACLES["g12_vacuum_plan"] = ORACLES["g12_vacuum_plan"].format(
         ORACLES["g12_vacuum_plan"],
         "'g12_' || phase, back, CAST(NULL AS VARCHAR), n_rows, keep, "
         "NULL, NULL, NULL, NULL, NULL, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        ORACLES["g13_table_stats"],
+        "'g13', n_rows, tbl || '.' || col || '#' || kind, n_nulls, ndv, "
+        "CAST(floor(vmin) AS BIGINT), CAST(floor(vmax) AS BIGINT), "
+        "NULL, NULL, NULL, vmin + vmax / 1000000",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2123,6 +2249,19 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
+    g13 = g13_table_stats(spark, sf_dir).select(
+        F.lit("g13").alias("part"),
+        F.col("n_rows").alias("k1"),
+        F.concat(F.col("tbl"), F.lit("."), F.col("col"), F.lit("#"), F.col("kind")).alias("s1"),
+        F.col("n_nulls").alias("n1"),
+        F.col("ndv").alias("n2"),
+        F.floor(F.col("vmin")).cast("bigint").alias("e1"),
+        F.floor(F.col("vmax")).cast("bigint").alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        (F.col("vmin") + F.col("vmax") / F.lit(1000000.0)).alias("v1"),
+    )
     g12 = g12_vacuum_plan(spark, sf_dir).select(
         F.concat(F.lit("g12_"), F.col("phase")).alias("part"),
         F.col("back").alias("k1"),
@@ -2146,6 +2285,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g10)
         .unionByName(g11)
         .unionByName(g12)
+        .unionByName(g13)
     )
 
 
