@@ -1034,3 +1034,89 @@ def e16_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("converted").cast("int")).cast("double") / F.count("*")
         ).alias("conversion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e17: session bounce-rate report — per-session outcomes rolled up by
+# the session's start day: bounce (single-event session) share, mean
+# session depth, purchase-session share. The session-level KPI layer on
+# e2's sessionization (which stops at per-user session counts).
+# ---------------------------------------------------------------------------
+@_q(
+    "e17_session_bounce",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start,
+             CAST(COUNT(*) AS BIGINT) AS depth,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS bounce_rate,
+           CAST(SUM(depth) AS DOUBLE) / COUNT(*) AS mean_depth,
+           CAST(SUM(purchased) AS DOUBLE) / COUNT(*) AS purchase_rate
+    FROM per_session GROUP BY 1
+    """,
+)
+def e17_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate report: e2's lag/cumsum sessionization (same 30-min
+    gap, same (ts, event_id) determinism), then per-session outcomes
+    (depth, purchase flag, start time) rolled up by start day. The
+    three rates are exact-int / exact-int single IEEE divisions.
+
+    Scale: ONE shuffle on user_id covers both session windows and the
+    per-session aggregate (same key prefix); the day rollup is a
+    map-side-combined agg on ~days keys."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > 1_800_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").cast("bigint").alias("depth"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purchased"),
+    )
+    bounce = F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+    return per_session.groupBy(
+        F.date_trunc("day", "session_start").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounce"),
+        (bounce.cast("double") / F.count("*")).alias("bounce_rate"),
+        (F.sum("depth").cast("double") / F.count("*")).alias("mean_depth"),
+        (F.sum("purchased").cast("double") / F.count("*")).alias("purchase_rate"),
+    )

@@ -842,6 +842,12 @@ _DQ4_PARTS = {
         "'fertility', lang, source, n_docs, total_bpe_tokens, "
         "fertility, chars_per_token",
     ),
+    "d42": (
+        "d42_readability",
+        "'readability', CAST(doc_id AS VARCHAR), "
+        "CAST(n_sentences AS VARCHAR) || ':' || CAST(n_syllables AS VARCHAR), "
+        "n_words, NULL, flesch_ease, fk_grade",
+    ),
     "d35": (
         "d35_gopher_rules",
         "'gopher', CAST(doc_id AS VARCHAR), "
@@ -999,6 +1005,19 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_word_len").alias("v1"),
         F.col("frac_alpha").alias("v2"),
     )
+    d42 = t.d42_readability(spark, sf_dir).select(
+        F.lit("readability").alias("report"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat_ws(
+            ":",
+            F.col("n_sentences").cast("string"),
+            F.col("n_syllables").cast("string"),
+        ).alias("k2"),
+        F.col("n_words").alias("n_docs"),
+        _bn().alias("total_tokens"),
+        F.col("flesch_ease").alias("v1"),
+        F.col("fk_grade").alias("v2"),
+    )
     d41 = t.d41_tokenizer_fertility(spark, sf_dir).select(
         F.lit("fertility").alias("report"),
         F.col("lang").alias("k1"),
@@ -1020,6 +1039,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d33)
         .unionByName(d34)
         .unionByName(d41)
+        .unionByName(d42)
         .unionByName(d36)
         .unionByName(d35)
     )
@@ -2138,6 +2158,12 @@ _E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
         events.ORACLES["e16_conversion_windows"],
         "'e16', " + _ep("day") + ", CAST(n_converted AS VARCHAR), "
         "n_purchases, conversion_rate",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e17_session_bounce"],
+        "'e17', " + _ep("day") + ", CAST(n_bounce AS VARCHAR), n_sessions, "
+        "bounce_rate + mean_depth * 1000 + purchase_rate / 1000",
     ),
 )
 def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2206,12 +2232,24 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").alias("n"),
         F.col("conversion_rate").alias("v1"),
     )
+    e17 = events.e17_session_bounce(spark, sf_dir).select(
+        F.lit("e17").alias("part"),
+        _epoch(F.col("day")).alias("k1"),
+        F.col("n_bounce").cast("string").alias("s1"),
+        F.col("n_sessions").alias("n"),
+        (
+            F.col("bounce_rate")
+            + F.col("mean_depth") * F.lit(1000.0)
+            + F.col("purchase_rate") / F.lit(1000.0)
+        ).alias("v1"),
+    )
     return (
         e8.unionByName(e12)
         .unionByName(e13)
         .unionByName(e14)
         .unionByName(e15)
         .unionByName(e16)
+        .unionByName(e17)
     )
 
 

@@ -3261,3 +3261,63 @@ def d41_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_bpe").cast("double") / F.sum("n_words")).alias("fertility"),
         (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d42: readability scoring (Flesch reading-ease / Flesch-Kincaid grade,
+# public formulas) — the classic document-difficulty signal quality
+# filters bucket on; syllables via the standard vowel-group heuristic.
+# ---------------------------------------------------------------------------
+@_q(
+    "d42_readability",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+             CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch_ease,
+           0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59 AS fk_grade
+    FROM feats WHERE n_words > 0
+    """,
+)
+def d42_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document:
+    words = whitespace tokens, sentences = terminal-punctuation runs
+    (floor 1), syllables = vowel-group runs (the standard cheap
+    heuristic, floor 1). Counts are regexp_count inside codegen; the
+    two scores are fixed-order IEEE expressions written identically in
+    the oracle.
+
+    Scale: map-only, rides the scan — zero shuffles, zero Python."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count("text", F.lit(r"[.!?]+")).cast("bigint"),
+    )
+    n_syll = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("bigint"),
+    )
+    feats = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias("flesch_ease"),
+        (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("fk_grade"),
+    )
