@@ -2692,3 +2692,92 @@ def x27_fused_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in_x11",
         "n_sources",
     )
+
+
+# ---------------------------------------------------------------------------
+# x28: MinHash-LSH parameter planner — choose (bands, rows) from the
+# MEASURED pair-similarity distribution, not folklore. For every
+# (b, r) split of the 32-permutation budget, score the S-curve
+# P(detect | j) = 1 - (1 - j^r)^b against x3's exact-Jaccard candidate
+# pairs: expected true detections (j >= tau) vs expected false
+# candidates (j < tau), plus each config's closed-form 50%-detection
+# threshold. This is the measurement behind x4's 8x4 configuration —
+# the same role a7's skew profiler plays for j13's salting.
+# ---------------------------------------------------------------------------
+
+#: (bands, rows) splits of the 32-perm budget
+X28_CONFIGS = ((32, 1), (16, 2), (8, 4), (4, 8), (2, 16))
+#: near-dup decision threshold the planner optimizes for (x4's 0.5)
+X28_TAU = 0.5
+
+
+def _pow_chain(expr: str, n: int) -> str:
+    """Left-associated explicit product — fixed-order IEEE multiply,
+    bit-identical across engines (library pow() is not)."""
+    out = expr
+    for _ in range(n - 1):
+        out = f"({out} * {expr})"
+    return out
+
+
+def _x28_p(b: int, r: int, j: str) -> str:
+    jr = _pow_chain(j, r)
+    return f"(1.0 - {_pow_chain(f'(1.0 - {jr})', b)})"
+
+
+def _x28_oracle() -> str:
+    rows = []
+    for b, r in X28_CONFIGS:
+        jstar = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
+        p = _x28_p(b, r, "jaccard")
+        rows.append(
+            f"""SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+             CAST('{jstar!r}' AS DOUBLE) AS j50,
+             CAST(COUNT(*) FILTER (jaccard >= {X28_TAU}) AS BIGINT) AS n_true,
+             CAST(SUM(CASE WHEN jaccard >= {X28_TAU}
+                  THEN CAST(round({p}, 9) AS DECIMAL(12,9)) ELSE CAST(0 AS DECIMAL(12,9)) END)
+                  AS DOUBLE) AS exp_tp,
+             CAST(SUM(CASE WHEN jaccard < {X28_TAU}
+                  THEN CAST(round({p}, 9) AS DECIMAL(12,9)) ELSE CAST(0 AS DECIMAL(12,9)) END)
+                  AS DOUBLE) AS exp_fp
+      FROM pairs"""
+        )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"WITH {_X3_PAIR_CTES}\n    {body}"
+
+
+@_q("x28_lsh_planner", _x28_oracle())
+def x28_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected detection/false-candidate mass per LSH configuration
+    over the measured pair distribution. Powers are explicit
+    left-associated multiply chains (library pow() differs by ulps
+    across engines; a fixed-order product does not), per-pair
+    probabilities round to 9 digits and SUM through DECIMAL (the e1
+    lesson), and each config's j50 threshold is a Python-computed
+    literal embedded identically in both engines.
+
+    Scale: rides the cached x3 pair artifact (already bounded); the
+    scoring is one map-only projection per config over that pair table
+    and a 5-row result. The planner is how (bands, rows) gets re-tuned
+    when the corpus' similarity mix drifts — measured, not guessed."""
+    pairs = x3_ngram_jaccard(spark, sf_dir).select("jaccard").persist()
+    out = None
+    for b, r in X28_CONFIGS:
+        jstar = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
+        p = F.expr(_x28_p(b, r, "jaccard"))
+        p_dec = F.round(p, 9).cast("decimal(12,9)")
+        is_true = F.col("jaccard") >= X28_TAU
+        row = pairs.agg(
+            F.lit(b).cast("bigint").alias("bands"),
+            F.lit(r).cast("bigint").alias("rows_per_band"),
+            F.lit(jstar).alias("j50"),
+            F.sum(is_true.cast("int")).cast("bigint").alias("n_true"),
+            F.sum(F.when(is_true, p_dec).otherwise(F.lit(0).cast("decimal(12,9)")))
+            .cast("double")
+            .alias("exp_tp"),
+            F.sum(F.when(~is_true, p_dec).otherwise(F.lit(0).cast("decimal(12,9)")))
+            .cast("double")
+            .alias("exp_fp"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1120,3 +1120,149 @@ def e17_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("depth").cast("double") / F.count("*")).alias("mean_depth"),
         (F.sum("purchased").cast("double") / F.count("*")).alias("purchase_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e18: mergeable equi-width histogram + quantile estimation — the
+# fixed-size sketch that replaces exact percentile sorts at 100 TB
+# (d14/e11 document the approx_percentile swap; this is the portable,
+# merge-by-addition formulation of the same idea, with the sketch
+# error measured against the exact quantile in the same result).
+# ---------------------------------------------------------------------------
+
+E18_BUCKETS = 64
+_E18_QS = (0.5, 0.95, 0.99)
+
+
+@_q(
+    "e18_histogram_quantiles",
+    f"""
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), ext AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY event_type
+    ), bucketed AS (
+      SELECT v.event_type,
+             least({E18_BUCKETS - 1}, greatest(0,
+               CAST(floor((v.value - e.lo) * {E18_BUCKETS} / (e.hi - e.lo)) AS INT)))
+               AS b
+      FROM v JOIN ext e ON e.event_type = v.event_type
+    ), hist AS (
+      SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bucketed GROUP BY event_type, b
+    ), cum AS (
+      SELECT event_type, b, c,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev
+      FROM hist
+    ), qs AS (SELECT UNNEST([0.5, 0.95, 0.99]) AS q),
+    ranks AS (
+      SELECT e.event_type, q.q,
+             CAST(floor((e.n - 1) * q.q) AS BIGINT) AS rank, e.lo, e.hi
+      FROM ext e, qs q
+    ), est AS (
+      SELECT r.event_type, r.q,
+             r.lo + ((r.hi - r.lo) / {E18_BUCKETS})
+               * (CAST(c.b AS DOUBLE)
+                  + CAST(r.rank - c.cum_prev + 1 AS DOUBLE) / c.c) AS est
+      FROM ranks r JOIN cum c ON c.event_type = r.event_type
+       AND c.cum_prev <= r.rank AND r.rank < c.cum_prev + c.c
+    ), exact AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS ex_50, quantile_cont(value, 0.95) AS ex_95, quantile_cont(value, 0.99) AS ex_99
+      FROM v GROUP BY event_type
+    )
+    SELECT e.event_type, e.q, e.est,
+           CASE WHEN e.q = 0.5 THEN x.ex_50 WHEN e.q = 0.95 THEN x.ex_95 WHEN e.q = 0.99 THEN x.ex_99 END AS exact_q,
+           e.est - CASE WHEN e.q = 0.5 THEN x.ex_50 WHEN e.q = 0.95 THEN x.ex_95 WHEN e.q = 0.99 THEN x.ex_99 END AS err
+    FROM est e JOIN exact x ON x.event_type = e.event_type
+    """,
+)
+def e18_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a fixed {E18_BUCKETS}-bucket equi-width histogram
+    per event type, with the estimation error vs the exact percentile
+    in the same row. The histogram is THE mergeable form: per-partition
+    (or per-day) count vectors merge by plain addition, so a quantile
+    over any date range is O(buckets) however large the data — the
+    production pattern exact `percentile` sorts cannot survive.
+    Estimate = linear interpolation inside the bucket holding the
+    target rank (identical closed form in the oracle).
+
+    Scale: one 1-row-per-type broadcast extent, one map-side bucket
+    assignment, one (type, bucket) aggregate; the interpolation runs on
+    the {E18_BUCKETS}-row-per-type histogram. Exact percentile rides
+    along here only to MEASURE the sketch error."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = e.select("event_type", "value")
+    ext = v.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    b = F.least(
+        F.lit(E18_BUCKETS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("value") - F.col("lo")) * E18_BUCKETS / (F.col("hi") - F.col("lo"))
+            ).cast("int"),
+        ),
+    )
+    hist = (
+        v.join(F.broadcast(ext), "event_type")
+        .select("event_type", b.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn("cum_prev", F.coalesce(F.sum("c").over(w_cum), F.lit(0)))
+    cum = cum.join(F.broadcast(ext), "event_type")
+    outs = []
+    for q in _E18_QS:
+        # target rank (0-based, floor) — the bucket holding it, then
+        # linear interpolation inside the bucket
+        rank = F.expr(f"CAST(floor((n - 1) * {q}) AS BIGINT)")
+        inb = cum.where(
+            (F.col("cum_prev") <= rank) & (rank < F.col("cum_prev") + F.col("c"))
+        )
+        width = (F.col("hi") - F.col("lo")) / E18_BUCKETS
+        frac = (rank - F.col("cum_prev") + 1).cast("double") / F.col("c")
+        est = F.col("lo") + width * (F.col("b").cast("double") + frac)
+        outs.append(
+            inb.select(
+                "event_type",
+                F.lit(q).alias("q"),
+                est.alias("est"),
+            )
+        )
+    est_df = outs[0]
+    for o in outs[1:]:
+        est_df = est_df.unionByName(o)
+    exact = v.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"ex_{int(q * 100)}")
+            for q in _E18_QS
+        ]
+    )
+    exact_q = None
+    for q in _E18_QS:
+        c = F.when(F.col("q") == q, F.col(f"ex_{int(q * 100)}"))
+        exact_q = c if exact_q is None else exact_q.when(
+            F.col("q") == q, F.col(f"ex_{int(q * 100)}")
+        )
+    return (
+        est_df.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "q",
+            "est",
+            exact_q.alias("exact_q"),
+            (F.col("est") - exact_q).alias("err"),
+        )
+    )

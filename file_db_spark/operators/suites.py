@@ -2055,7 +2055,11 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(dedup.ORACLES["x25_dedup_eval"],
            "'x25:' || COALESCE(status, 'summary'), doc_a, doc_b, "
            "COALESCE(f1, exact_jaccard, est_jaccard), "
-           "tp * 1000000 + fp * 1000 + fn"),
+           "tp * 1000000 + fp * 1000 + fn")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x28_lsh_planner"],
+           "'x28', bands, rows_per_band, "
+           "j50 + exp_tp * 1000 + exp_fp / 1000, n_true"),
 )
 def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x3 word-3-gram Jaccard near-dup pairs + x11 winnowing-minima
@@ -2107,11 +2111,23 @@ def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n"),
     )
+    x28 = dedup.x28_lsh_planner(spark, sf_dir).select(
+        F.lit("x28").alias("member"),
+        F.col("bands").alias("doc_a"),
+        F.col("rows_per_band").alias("doc_b"),
+        (
+            F.col("j50")
+            + F.col("exp_tp") * F.lit(1000.0)
+            + F.col("exp_fp") / F.lit(1000.0)
+        ).alias("score"),
+        F.col("n_true").alias("n"),
+    )
     return (
         x3.unionByName(x11)
         .unionByName(x18)
         .unionByName(x20)
         .unionByName(x25)
+        .unionByName(x28)
     )
 
 
@@ -2164,6 +2180,12 @@ _E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
         events.ORACLES["e17_session_bounce"],
         "'e17', " + _ep("day") + ", CAST(n_bounce AS VARCHAR), n_sessions, "
         "bounce_rate + mean_depth * 1000 + purchase_rate / 1000",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e18_histogram_quantiles"],
+        "'e18', CAST(floor(q * 100 + 0.5) AS BIGINT), event_type, NULL, "
+        "est + exact_q * 1000",
     ),
 )
 def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2232,6 +2254,13 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").alias("n"),
         F.col("conversion_rate").alias("v1"),
     )
+    e18 = events.e18_histogram_quantiles(spark, sf_dir).select(
+        F.lit("e18").alias("part"),
+        F.floor(F.col("q") * 100 + F.lit(0.5)).cast("bigint").alias("k1"),
+        F.col("event_type").alias("s1"),
+        _bn().alias("n"),
+        (F.col("est") + F.col("exact_q") * F.lit(1000.0)).alias("v1"),
+    )
     e17 = events.e17_session_bounce(spark, sf_dir).select(
         F.lit("e17").alias("part"),
         _epoch(F.col("day")).alias("k1"),
@@ -2250,6 +2279,7 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e15)
         .unionByName(e16)
         .unionByName(e17)
+        .unionByName(e18)
     )
 
 

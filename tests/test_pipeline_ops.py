@@ -475,3 +475,57 @@ def test_m6_audio_invariants(spark, sf_dir):
             assert r["lead_trim_frames"] == r["n_frames"]
             assert r["tail_keep_frames"] == 0
         assert r["total_energy"] >= 0
+
+
+def test_e18_histogram_quantile_error_bound(spark, sf_dir):
+    """The estimate lands in the same bucket as the order statistic at
+    the target rank (the sketch's actual guarantee — the CONTINUOUS
+    quantile can sit buckets away when the tail is sparse, since it
+    interpolates toward the next order statistic), and err == est -
+    exact."""
+    import math
+
+    from file_db_spark.operators.events import E18_BUCKETS, e18_histogram_quantiles
+    from file_db_spark.catalog import load_table
+
+    rows = e18_histogram_quantiles(spark, sf_dir).collect()
+    assert rows
+    vals: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for v in vals.values():
+        v.sort()
+    for r in rows:
+        v = vals[r["event_type"]]
+        lo, hi = v[0], v[-1]
+        width = (hi - lo) / E18_BUCKETS
+
+        def bucket(x):
+            return min(E18_BUCKETS - 1, max(0, int((x - lo) * E18_BUCKETS / (hi - lo))))
+
+        v_rank = v[math.floor((len(v) - 1) * r["q"])]
+        assert lo <= r["est"] <= hi + 1e-9
+        assert abs(bucket(r["est"]) - bucket(v_rank)) <= 1
+        assert abs(r["err"] - (r["est"] - r["exact_q"])) < 1e-12
+
+
+def test_x28_planner_s_curve_shape(spark, sf_dir):
+    """More bands (fewer rows/band) never lowers expected detections at
+    a fixed budget, j50 decreases with bands, and the x4 configuration
+    (8x4) detects most true pairs."""
+    from file_db_spark.operators.dedup import x28_lsh_planner
+
+    rows = sorted(
+        x28_lsh_planner(spark, sf_dir).collect(), key=lambda r: r["bands"]
+    )
+    assert [r["bands"] * r["rows_per_band"] for r in rows] == [32] * len(rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b["exp_tp"] >= a["exp_tp"] - 1e-9
+        assert b["j50"] < a["j50"]
+    x4cfg = next(r for r in rows if r["bands"] == 8)
+    assert x4cfg["n_true"] == 0 or x4cfg["exp_tp"] >= 0.9 * x4cfg["n_true"]
