@@ -2582,3 +2582,106 @@ def v17_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall"),
     ).select("method", F.lit(-1).cast("bigint").alias("query_id"), "n_hits", "recall")
     return out.unionByName(summary)
+
+
+# ---------------------------------------------------------------------------
+# v18: FILTERED vector search — top-k under a metadata predicate (the
+# "where label = X" constraint every production vector store must
+# handle), computed both ways: PRE-filter (apply the predicate, then
+# search — exact under the constraint) and POST-filter (take the
+# unconstrained top-K', then apply the predicate — cheaper against a
+# prebuilt index but can come up short-handed). The per-query shortfall
+# the comparison exposes is exactly why engines push predicates INTO
+# the index scan.
+# ---------------------------------------------------------------------------
+
+#: unconstrained candidate depth the post-filter variant draws
+V18_POST_K = 10
+
+
+def _v18_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             c.vec_id AS neighbor_id, c.label AS c_label,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos_sim
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ), pre AS (
+      SELECT 'pre' AS mode, query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM scored WHERE c_label = q_label
+      ) WHERE rank <= {TOP_K}
+    ), post AS (
+      SELECT 'post' AS mode, query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM (
+        SELECT query_id, neighbor_id, cos_sim, c_label, q_label FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+          FROM scored
+        ) WHERE rk <= {V18_POST_K}
+      ) WHERE c_label = q_label
+      QUALIFY rank <= {TOP_K}
+    )
+    SELECT * FROM pre
+    UNION ALL
+    SELECT * FROM post
+    """
+
+
+@_q("v18_filtered_search", _v18_oracle())
+def v18_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered top-k both ways: `pre` filters the corpus to
+    the query's label before scoring (exact under the constraint);
+    `post` takes the unconstrained top-{V18_POST_K} and filters after —
+    the index-friendly shortcut that returns FEWER than k rows when the
+    constraint is selective (visible here as missing ranks, pinned in
+    pytest). Same deterministic (cos DESC, id ASC) ordering everywhere.
+
+    Scale: pre-filter is a map-side predicate on the scan (with
+    label-partitioned storage it prunes files — the v3 note); post-
+    filter reuses an unconstrained index's candidates. The comparison
+    IS the argument for predicate pushdown into ANN indexes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cos = cosine(
+        F.col("q_emb").cast("array<double>"), F.col("c_emb").cast("array<double>")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "q_label", "neighbor_id", "c_label", cos.alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    pre = (
+        scored.where(F.col("c_label") == F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(F.lit("pre").alias("mode"), "query_id", "neighbor_id", "cos_sim", "rank")
+    )
+    post = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= V18_POST_K)
+        .where(F.col("c_label") == F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.lit("post").alias("mode"), "query_id", "neighbor_id", "cos_sim", "rank"
+        )
+    )
+    return pre.unionByName(post)

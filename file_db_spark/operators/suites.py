@@ -1315,7 +1315,10 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'v16', query_id, neighbor_id, adc_dist, rank")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v17_ann_recall_eval"],
-           "'v17_' || method, query_id, n_hits, recall, NULL"),
+           "'v17_' || method, query_id, n_hits, recall, NULL")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v18_filtered_search"],
+           "'v18_' || mode, query_id, neighbor_id, cos_sim, rank"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1425,6 +1428,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_dist").alias("score"),
         "rank",
     )
+    v18 = similarity.v18_filtered_search(spark, sf_dir).select(
+        F.concat(F.lit("v18_"), F.col("mode")).alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.col("cos_sim").alias("score"),
+        "rank",
+    )
     v17 = similarity.v17_ann_recall_eval(spark, sf_dir).select(
         F.concat(F.lit("v17_"), F.col("method")).alias("variant"),
         "query_id",
@@ -1447,6 +1457,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v15)
         .unionByName(v16)
         .unionByName(v17)
+        .unionByName(v18)
     )
 
 

@@ -267,3 +267,28 @@ def test_v17_recall_ordering_and_bounds(spark, sf_dir):
         mean = sum(r["n_hits"] for r in rs) / (3 * len(rs))
         assert abs(summ[m]["recall"] - mean) < 1e-12
     assert summ["v4"]["recall"] >= summ["v3"]["recall"] - 1e-12
+
+
+def test_v18_post_filter_is_a_short_prefix_of_pre(spark, sf_dir):
+    """Post-filter can only return a (possibly shorter) prefix of the
+    pre-filter answer set ordering-wise: every post hit appears in pre
+    with the same relative order, and at least one query comes up
+    short-handed (the selectivity argument for pushdown)."""
+    from file_db_spark.operators.similarity import v18_filtered_search
+
+    rows = v18_filtered_search(spark, sf_dir).collect()
+    pre: dict = {}
+    post: dict = {}
+    for r in rows:
+        d = pre if r["mode"] == "pre" else post
+        d.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid, ps in post.items():
+        ps.sort()
+        pres = sorted(pre.get(qid, []))
+        pre_ids = [n for _, n in pres]
+        post_ids = [n for _, n in ps]
+        # post hits are pre hits, in the same order (subsequence of the
+        # pre list restricted to the unconstrained top-K' pool)
+        it = iter(pre_ids)
+        assert all(any(n == m for m in it) for n in post_ids)
+    assert sum(len(v) for v in post.values()) <= sum(len(v) for v in pre.values())
