@@ -2781,3 +2781,108 @@ def x28_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# x29: CONTAINMENT near-dup — the asymmetric complement of Jaccard:
+# C(A in B) = |A ∩ B| / |A| finds quote-inclusion / nesting pairs
+# (one document substantially contained in another) that symmetric
+# Jaccard scores low because the container is much larger. The
+# Broder containment formulation; same capped shingle machinery as x3.
+# ---------------------------------------------------------------------------
+
+#: minimum one-sided containment for a reported pair
+CONTAIN_TAU = 0.8
+
+_X29_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), eligible AS (
+      SELECT doc_id, w FROM norm WHERE len(w) >= 5
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+      FROM eligible, unnest(generate_series(1, len(w) - 4)) AS t(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), capped AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {cap}
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(s.n_shared AS DOUBLE) / sa.n_sh AS contain_a,
+           CAST(s.n_shared AS DOUBLE) / sb.n_sh AS contain_b,
+           CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE) / sa.n_sh >= {tau}
+       OR CAST(s.n_shared AS DOUBLE) / sb.n_sh >= {tau}
+    """.replace("{cap}", str(MAX_SHINGLE_DF)).replace("{tau}", str(CONTAIN_TAU))
+
+
+@_q("x29_containment_pairs", _X29_ORACLE)
+def x29_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where either side's shingle set is >= {CONTAIN_TAU}
+    contained in the other — both directed containments plus the
+    symmetric Jaccard for contrast (inclusion pairs score high on one
+    containment and can score LOW on Jaccard; the x3 threshold would
+    miss them). generate_series semantics keep the shingle universe
+    identical to x3's, so results compose with the other generators.
+
+    Scale: exactly x3's plan — capped-shingle equi-join, one pair
+    aggregate, two size joins; only the final predicate differs (an OR
+    of two one-sided ratios instead of the symmetric one)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(word_shingles_from_tokens(F.col("toks"), 5)).alias("shingle"),
+        )
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w_df = Window.partitionBy("shingle")
+    capped = (
+        sh.withColumn("shingle_df", F.count("*").over(w_df))
+        .filter(F.col("shingle_df") <= MAX_SHINGLE_DF)
+        .select("doc_id", "shingle")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    ca = F.col("n_shared").cast("double") / F.col("sa.n_sh")
+    cb = F.col("n_shared").cast("double") / F.col("sb.n_sh")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            ca.alias("contain_a"),
+            cb.alias("contain_b"),
+            jac.alias("jaccard"),
+        )
+        .filter((F.col("contain_a") >= CONTAIN_TAU) | (F.col("contain_b") >= CONTAIN_TAU))
+    )

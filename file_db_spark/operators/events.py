@@ -1266,3 +1266,84 @@ def e18_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") - exact_q).alias("err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e19: time-series gap-fill + last-observation-carried-forward — the
+# resample operator (TimescaleDB time_bucket_gapfill / pandas asfreq
+# analog): materialize EVERY hour of the observed range per event
+# type, flag the silent ones, and carry the last seen hourly total
+# forward so downstream charts/joins see a dense regular series.
+# ---------------------------------------------------------------------------
+@_q(
+    "e19_gapfill_locf",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ), ext AS (
+      SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+    ), spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM hourly) t,
+           ext e, unnest(generate_series(e.h0, e.h1, INTERVAL 1 HOUR)) AS g(h)
+    ), joined AS (
+      SELECT s.event_type, s.h, hr.n_events, hr.total_value
+      FROM spine s LEFT JOIN hourly hr
+        ON hr.event_type = s.event_type AND hr.h = s.h
+    )
+    SELECT event_type, CAST(h AS TIMESTAMP) AS hour,
+           COALESCE(n_events, 0) AS n_events,
+           CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+           LAST_VALUE(total_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_value
+    FROM joined
+    """,
+)
+def e19_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type: hour spine from the observed
+    range (1-row broadcast extent -> sequence), left join the hourly
+    aggregate, zero-fill counts, flag gaps, and LOCF the decimal-exact
+    hourly totals with last(ignorenulls) over an event_type-keyed
+    ordered window.
+
+    Scale: the spine is bounded by the TIME RANGE (hours x types), not
+    by data volume — a year is 8,760 rows per type whatever the event
+    count; the only corpus-sized work is the one hourly aggregate. The
+    LOCF window partitions by event_type, so no single-partition
+    funnel."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_value"),
+    ).persist()  # spine extent + types + the join all read it
+    ext = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = hourly.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(ext))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n_events").isNull().cast("bigint").alias("is_gap"),
+        F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+    )

@@ -2070,7 +2070,11 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nUNION ALL\n"
     + _sub(dedup.ORACLES["x28_lsh_planner"],
            "'x28', bands, rows_per_band, "
-           "j50 + exp_tp * 1000 + exp_fp / 1000, n_true"),
+           "j50 + exp_tp * 1000 + exp_fp / 1000, n_true")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x29_containment_pairs"],
+           "'x29', doc_a, doc_b, "
+           "contain_a + contain_b * 1000 + jaccard / 1000, n_shared"),
 )
 def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x3 word-3-gram Jaccard near-dup pairs + x11 winnowing-minima
@@ -2122,6 +2126,17 @@ def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n"),
     )
+    x29 = dedup.x29_containment_pairs(spark, sf_dir).select(
+        F.lit("x29").alias("member"),
+        F.col("doc_a"),
+        F.col("doc_b"),
+        (
+            F.col("contain_a")
+            + F.col("contain_b") * F.lit(1000.0)
+            + F.col("jaccard") / F.lit(1000.0)
+        ).alias("score"),
+        F.col("n_shared").alias("n"),
+    )
     x28 = dedup.x28_lsh_planner(spark, sf_dir).select(
         F.lit("x28").alias("member"),
         F.col("bands").alias("doc_a"),
@@ -2139,6 +2154,7 @@ def x311_chargram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(x20)
         .unionByName(x25)
         .unionByName(x28)
+        .unionByName(x29)
     )
 
 
@@ -2197,6 +2213,12 @@ _E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
         events.ORACLES["e18_histogram_quantiles"],
         "'e18', CAST(floor(q * 100 + 0.5) AS BIGINT), event_type, NULL, "
         "est + exact_q * 1000",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e19_gapfill_locf"],
+        "'e19', " + _ep("hour") + ", event_type || '#' || CAST(is_gap AS VARCHAR), "
+        "n_events, locf_value",
     ),
 )
 def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2265,6 +2287,13 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").alias("n"),
         F.col("conversion_rate").alias("v1"),
     )
+    e19 = events.e19_gapfill_locf(spark, sf_dir).select(
+        F.lit("e19").alias("part"),
+        _epoch(F.col("hour")).alias("k1"),
+        F.concat_ws("#", "event_type", F.col("is_gap").cast("string")).alias("s1"),
+        F.col("n_events").alias("n"),
+        F.col("locf_value").alias("v1"),
+    )
     e18 = events.e18_histogram_quantiles(spark, sf_dir).select(
         F.lit("e18").alias("part"),
         F.floor(F.col("q") * 100 + F.lit(0.5)).cast("bigint").alias("k1"),
@@ -2291,6 +2320,7 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e16)
         .unionByName(e17)
         .unionByName(e18)
+        .unionByName(e19)
     )
 
 

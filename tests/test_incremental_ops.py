@@ -188,3 +188,52 @@ def test_v16_routed_cells_and_ranks(spark, sf_dir):
         )
         assert worst <= 2.5 * best
     assert hits50 >= 1
+
+
+def test_e19_gapfill_dense_and_locf(spark, sf_dir):
+    """Dense spine: every (type, hour) cell present exactly once; gaps
+    carry the previous total forward; counts zero exactly on gaps."""
+    from file_db_spark.operators.events import e19_gapfill_locf
+
+    rows = e19_gapfill_locf(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    hours = {t: sorted(r["hour"] for r in rs) for t, rs in by_type.items()}
+    spans = {t: (h[0], h[-1], len(h)) for t, h in hours.items()}
+    # all types share the same full spine, no duplicate cells
+    assert len({s for s in spans.values()}) == 1
+    for t, h in hours.items():
+        assert len(set(h)) == len(h)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour"])
+        last = None
+        for r in rs:
+            if r["is_gap"]:
+                assert r["n_events"] == 0
+                assert r["locf_value"] == last or (last is None and r["locf_value"] is None)
+            else:
+                assert r["n_events"] > 0
+                last = r["locf_value"]
+
+
+def test_x29_containment_catches_low_jaccard_inclusions(spark, sf_dir):
+    """Containment is >= Jaccard on every pair, bounded by 1, and the
+    reported set includes every x3 pair whose jaccard >= tau (a
+    containment of tau implies one-sided ratio >= tau)."""
+    from file_db_spark.operators.dedup import (
+        CONTAIN_TAU,
+        x3_ngram_jaccard,
+        x29_containment_pairs,
+    )
+
+    rows = x29_containment_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert max(r["contain_a"], r["contain_b"]) >= CONTAIN_TAU - 1e-12
+        assert r["contain_a"] <= 1.0 + 1e-12 and r["contain_b"] <= 1.0 + 1e-12
+        assert r["jaccard"] <= min(r["contain_a"], r["contain_b"]) + 1e-12
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    for r in x3_ngram_jaccard(spark, sf_dir).collect():
+        if r["jaccard"] >= CONTAIN_TAU:
+            assert (r["doc_a"], r["doc_b"]) in got
