@@ -612,3 +612,155 @@ ORACLES["m6_audio_energy"] = f"""
            CAST(SUM(energy) AS BIGINT) AS total_energy
     FROM flagged GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# m7: VIDEO scene-change detection — segment each payload's frame
+# sequence at intensity discontinuities (the shot-boundary heuristic
+# every video pipeline runs before per-scene sampling). Frame decode is
+# the stub convention (payload bytes as intensities); the segmentation
+# downstream — frame-diff, cut threshold, cumulative scene ids, per-
+# scene/per-doc rollups — is the real production shape and is what the
+# oracle certifies bit-exactly.
+# ---------------------------------------------------------------------------
+
+#: bytes per frame (documents are short; 64 gives 1-9 frames each)
+M7_FRAME = 64
+#: |mean(frame) - mean(prev)| above this is a scene cut
+M7_CUT = 0.02
+
+_M7_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def _m7_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_no, frame_mean) for EVERY {M7_FRAME}-byte frame —
+    Arrow-batched kernel; the mean is integer byte-sum / len / 255.0
+    exactly as m2/m4 (oracle-mirrorable)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, means = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n = len(b)
+                nf = max(1, -(-n // M7_FRAME))
+                for i in range(nf):
+                    chunk = b[i * M7_FRAME : (i + 1) * M7_FRAME]
+                    ids.append(int(doc_id))
+                    nos.append(i)
+                    means.append(
+                        (sum(chunk) / len(chunk) / 255.0) if chunk else 0.0
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame_mean": means}
+            )
+
+    return d.mapInPandas(gen, schema=_M7_FRAME_SCHEMA)
+
+
+def m7_scene_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary segmentation per payload: frame-mean diffs over a
+    doc-keyed ordered window, cut where |diff| > {M7_CUT}, scene ids by
+    cumulative cut count (the e2 sessionization idiom on frames), then
+    the per-doc profile: frame/scene counts, longest scene, first cut.
+
+    Scale: the kernel is one Arrow map pass; segmentation is two
+    doc-keyed windows and two keyed aggregates — partitions are
+    frame-sequence-sized, never global."""
+    from pyspark.sql.window import Window
+
+    frames = _m7_frames(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    diff = F.abs(F.col("frame_mean") - F.lag("frame_mean").over(w))
+    cut = (
+        frames.withColumn("is_cut", (diff > M7_CUT).cast("int"))
+        .withColumn("is_cut", F.coalesce("is_cut", F.lit(0)))
+        .withColumn("scene", F.sum("is_cut").over(w_run))
+    )
+    scenes = cut.groupBy("doc_id", "scene").agg(
+        F.count("*").cast("bigint").alias("scene_frames")
+    )
+    per_doc = cut.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        (F.max("scene") + 1).cast("bigint").alias("n_scenes"),
+        F.min(F.when(F.col("is_cut") == 1, F.col("frame_no")))
+        .cast("bigint")
+        .alias("first_cut_frame"),
+    )
+    longest = scenes.groupBy("doc_id").agg(
+        F.max("scene_frames").alias("longest_scene_frames")
+    )
+    return per_doc.join(longest, "doc_id").select(
+        "doc_id",
+        "n_frames",
+        "n_scenes",
+        F.coalesce("first_cut_frame", F.lit(-1)).cast("bigint").alias(
+            "first_cut_frame"
+        ),
+        "longest_scene_frames",
+    )
+
+
+QUERIES["m7_scene_detection"] = m7_scene_detection
+
+
+def _m7_frame_sum(lo: str, cnt: str) -> str:
+    return (
+        f"COALESCE(list_sum(list_transform(range({lo} + 1, {lo} + {cnt} + 1),"
+        f" j -> ord(substr(text, j, 1)))), 0)"
+    )
+
+
+ORACLES["m7_scene_detection"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS len,
+             greatest(1, CAST(ceil(strlen(text) / {M7_FRAME}.0) AS BIGINT)) AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+             CASE WHEN len = 0 THEN 0
+                  ELSE least(len - i * {M7_FRAME}, {M7_FRAME}) END AS cl,
+             CASE WHEN len = 0 THEN 0
+                  ELSE {_m7_frame_sum(f"i * {M7_FRAME}", f"least(len - i * {M7_FRAME}, {M7_FRAME})")}
+             END AS fsum
+      FROM b, unnest(range(0, nf)) AS t(i)
+    ), means AS (
+      SELECT doc_id, frame_no,
+             CASE WHEN cl > 0 THEN CAST(fsum AS DOUBLE) / cl / 255.0
+                  ELSE 0.0 END AS m
+      FROM fr
+    ), cuts AS (
+      SELECT doc_id, frame_no,
+             CASE WHEN abs(m - LAG(m) OVER (PARTITION BY doc_id ORDER BY frame_no))
+                       > {M7_CUT} THEN 1 ELSE 0 END AS is_cut
+      FROM means
+    ), scened AS (
+      SELECT doc_id, frame_no, is_cut,
+             SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+      FROM cuts
+    ), scene_sizes AS (
+      SELECT doc_id, scene, CAST(COUNT(*) AS BIGINT) AS scene_frames
+      FROM scened GROUP BY doc_id, scene
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(s.scene) + 1 AS BIGINT) AS n_scenes,
+           CAST(COALESCE(MIN(CASE WHEN s.is_cut = 1 THEN s.frame_no END), -1)
+             AS BIGINT) AS first_cut_frame,
+           CAST(MAX(z.mx) AS BIGINT) AS longest_scene_frames
+    FROM scened s
+    JOIN (SELECT doc_id, MAX(scene_frames) AS mx FROM scene_sizes GROUP BY doc_id) z
+      ON z.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    """

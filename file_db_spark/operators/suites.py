@@ -1488,7 +1488,11 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _sub(multimodal.ORACLES["m6_audio_energy"],
            "'audio', doc_id, n_frames, n_silent, "
            "lead_trim_frames * 100000 + tail_keep_frames, voice_ratio, "
-           "CAST(total_energy AS VARCHAR)"),
+           "CAST(total_energy AS VARCHAR)")
+    + "\nUNION ALL\n"
+    + _sub(multimodal.ORACLES["m7_scene_detection"],
+           "'scenes', doc_id, n_frames, n_scenes, "
+           "first_cut_frame * 1000 + longest_scene_frames, NULL, NULL"),
 )
 def m124_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m1 typed metadata + m2 decode/feature-extract + m4 frame
@@ -1547,7 +1551,24 @@ def m124_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("voice_ratio").alias("v1"),
         F.col("total_energy").cast("string").alias("s1"),
     )
-    return m1.unionByName(m2).unionByName(m4).unionByName(m5).unionByName(m6)
+    m7 = multimodal.m7_scene_detection(spark, sf_dir).select(
+        F.lit("scenes").alias("kernel"),
+        F.col("doc_id"),
+        F.col("n_frames").alias("i1"),
+        F.col("n_scenes").alias("i2"),
+        (
+            F.col("first_cut_frame") * 1000 + F.col("longest_scene_frames")
+        ).alias("i3"),
+        _dn().alias("v1"),
+        _sn().alias("s1"),
+    )
+    return (
+        m1.unionByName(m2)
+        .unionByName(m4)
+        .unionByName(m5)
+        .unionByName(m6)
+        .unionByName(m7)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -529,3 +529,25 @@ def test_x28_planner_s_curve_shape(spark, sf_dir):
         assert b["j50"] < a["j50"]
     x4cfg = next(r for r in rows if r["bands"] == 8)
     assert x4cfg["n_true"] == 0 or x4cfg["exp_tp"] >= 0.9 * x4cfg["n_true"]
+
+
+def test_m7_scene_invariants(spark, sf_dir):
+    from file_db_spark.operators.multimodal import M7_FRAME, m7_scene_detection
+    from file_db_spark.catalog import load_table
+
+    rows = {r["doc_id"]: r for r in m7_scene_detection(spark, sf_dir).collect()}
+    lens = {
+        r["doc_id"]: len(r["text"].encode("utf-8"))
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    cuts_somewhere = 0
+    for doc_id, r in rows.items():
+        assert r["n_frames"] == max(1, -(-lens[doc_id] // M7_FRAME))
+        assert 1 <= r["n_scenes"] <= r["n_frames"]
+        assert r["longest_scene_frames"] >= -(-r["n_frames"] // r["n_scenes"])
+        if r["n_scenes"] > 1:
+            cuts_somewhere += 1
+            assert 1 <= r["first_cut_frame"] < r["n_frames"]
+        else:
+            assert r["first_cut_frame"] == -1
+    assert cuts_somewhere > 0
