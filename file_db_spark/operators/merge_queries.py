@@ -2049,6 +2049,230 @@ ORACLES["g13_table_stats"] = ORACLES["g13_table_stats"].format(
 
 
 
+
+# ---------------------------------------------------------------------------
+# g14: INCREMENTAL statistics maintenance — the g13 ANALYZE stats kept
+# fresh without rescanning: a delta batch's stats MERGE into the base's
+# (counts add, extents min/max, NDV via MAX-merged HyperLogLog
+# registers — the d21 machinery), and the merged row is certified
+# bit-identical to a from-scratch full scan. This is why stats stay
+# cheap at 100 TB: per-batch cost is O(delta), never O(table).
+# ---------------------------------------------------------------------------
+
+from .textops import (  # the portable HLL family (d21)
+    _HLL_ALPHA_NUM,
+    _HLL_EMPTY_TERM,
+    _HLL_M,
+    _HLL_RHO_MAX,
+)
+from ..functions.text import portable_hash60
+
+
+def _g14_registers(df):
+    """(bucket, m_j) HLL register table of df.name (d21 machinery)."""
+    hashed = df.select(portable_hash60(F.col("name")).alias("h"))
+    staged = hashed.select(
+        (F.col("h") % _HLL_M).alias("bucket"), F.expr(f"h div {_HLL_M}").alias("w")
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.least(
+            F.round(F.log2(F.expr("w & -w"))).cast("int") + F.lit(1),
+            F.lit(_HLL_RHO_MAX),
+        )
+    )
+    return (
+        staged.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def _g14_stats(df, regs, part: str):
+    """One stats row: counts/extents from df, NDV estimate from regs."""
+    per = regs.agg(
+        F.count("*").alias("hit"),
+        F.sum(F.expr(f"CAST(power(2, {_HLL_RHO_MAX} - m_j) AS BIGINT)")).alias(
+            "s_hit"
+        ),
+    ).select(
+        (F.col("s_hit") + (_HLL_M - F.col("hit")) * _HLL_EMPTY_TERM).alias(
+            "register_sum"
+        ),
+        "hit",
+    )
+    est = F.when(
+        ((_HLL_M - F.col("hit")) > 0)
+        & (
+            F.lit(float(_HLL_ALPHA_NUM)) / F.col("register_sum").cast("double")
+            <= 2.5 * _HLL_M
+        ),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (_HLL_M - F.col("hit")).cast("double")),
+    ).otherwise(
+        F.lit(float(_HLL_ALPHA_NUM)) / F.col("register_sum").cast("double")
+    )
+    base = df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count("size")).cast("bigint").alias("n_nulls_size"),
+        F.min("size").cast("double").alias("vmin_size"),
+        F.max("size").cast("double").alias("vmax_size"),
+    )
+    return base.crossJoin(F.broadcast(per)).select(
+        F.lit(part).alias("part"),
+        "n_rows",
+        "n_nulls_size",
+        "vmin_size",
+        "vmax_size",
+        F.col("register_sum").cast("bigint").alias("name_register_sum"),
+        F.round(est, 2).alias("name_ndv_hll"),
+    )
+
+
+@_q("g14_stats_merge")
+def g14_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats maintenance by merge: base (id%10 != 0) and delta
+    (id%10 == 0) each produce a stats row; `merged` is computed purely
+    from the two parts' artifacts — counts added, extents min/max-ed,
+    HLL registers MAX-merged per bucket — and `full` is a from-scratch
+    scan of everything. The oracle (and a pytest) certify merged ==
+    full on every column: the estimate, the register sum, the extents.
+
+    Scale: the merge path touches O(delta) rows plus two 256-register
+    tables — maintaining stats costs the batch, not the table."""
+    f = fixtures.fixture_file(spark, sf_dir)
+    base_df = f.where(F.col("id") % 10 != 0)
+    delta_df = f.where(F.col("id") % 10 == 0)
+    rb = _g14_registers(base_df).persist()
+    rd = _g14_registers(delta_df).persist()
+    merged_regs = (
+        rb.unionByName(rd).groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    )
+    full_regs = _g14_registers(f)
+    base_row = _g14_stats(base_df, rb, "base")
+    delta_row = _g14_stats(delta_df, rd, "delta")
+    # merged: derived from the PART rows' columns, not from any rescan
+    bd = base_row.select(
+        F.col("n_rows").alias("b_n"),
+        F.col("n_nulls_size").alias("b_nn"),
+        F.col("vmin_size").alias("b_min"),
+        F.col("vmax_size").alias("b_max"),
+    ).crossJoin(
+        delta_row.select(
+            F.col("n_rows").alias("d_n"),
+            F.col("n_nulls_size").alias("d_nn"),
+            F.col("vmin_size").alias("d_min"),
+            F.col("vmax_size").alias("d_max"),
+        )
+    )
+    merged_counts = bd.select(
+        (F.col("b_n") + F.col("d_n")).cast("bigint").alias("n_rows"),
+        (F.col("b_nn") + F.col("d_nn")).cast("bigint").alias("n_nulls_size"),
+        F.least("b_min", "d_min").alias("vmin_size"),
+        F.greatest("b_max", "d_max").alias("vmax_size"),
+    )
+    merged_sketch = _g14_stats(
+        # counts/extents come from merged_counts; feed a dummy df shape
+        # by reusing the stats builder only for the register half below
+        f.limit(0),
+        merged_regs,
+        "merged",
+    ).select("name_register_sum", "name_ndv_hll")
+    merged_row = merged_counts.crossJoin(F.broadcast(merged_sketch)).select(
+        F.lit("merged").alias("part"),
+        "n_rows",
+        "n_nulls_size",
+        "vmin_size",
+        "vmax_size",
+        "name_register_sum",
+        "name_ndv_hll",
+    )
+    full_row = _g14_stats(f, full_regs, "full")
+    return (
+        base_row.unionByName(delta_row)
+        .unionByName(merged_row)
+        .unionByName(full_row)
+    )
+
+
+
+
+
+_G14_RHO = (
+    f"MAX(CASE WHEN w = 0 THEN {_HLL_RHO_MAX} "
+    f"ELSE least(CAST(round(log2(w & (-w))) AS INT) + 1, {_HLL_RHO_MAX}) END)"
+)
+
+ORACLES["g14_stats_merge"] = f"""
+WITH {{ctes}},
+parts AS (
+  SELECT name, size,
+         CASE WHEN id % 10 = 0 THEN 'delta' ELSE 'base' END AS part
+  FROM fx_file
+),
+hashed AS (
+  SELECT part, CAST(('0x' || substr(md5(name), 1, 15)) AS BIGINT) AS h
+  FROM parts
+),
+staged AS (
+  SELECT part, h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM hashed
+),
+reg AS (
+  SELECT part, bucket, {_G14_RHO} AS m_j
+  FROM staged GROUP BY part, bucket
+),
+reg_all AS (
+  SELECT part, bucket, m_j FROM reg
+  UNION ALL
+  SELECT 'merged', bucket, MAX(m_j) FROM reg GROUP BY bucket
+  UNION ALL
+  SELECT 'full', bucket, {_G14_RHO}
+  FROM staged GROUP BY bucket
+),
+per AS (
+  SELECT part, COUNT(*) AS hit,
+         SUM(CAST(power(2, {_HLL_RHO_MAX} - m_j) AS BIGINT)) AS s_hit
+  FROM reg_all GROUP BY part
+),
+est AS (
+  SELECT part, hit,
+         s_hit + ({_HLL_M} - hit) * {_HLL_EMPTY_TERM} AS register_sum
+  FROM per
+),
+fin AS (
+  SELECT part, register_sum,
+         CASE WHEN ({_HLL_M} - hit) > 0
+                   AND ({_HLL_ALPHA_NUM} / CAST(register_sum AS DOUBLE)) <= {2.5 * _HLL_M}
+              THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST({_HLL_M} - hit AS DOUBLE))
+              ELSE {_HLL_ALPHA_NUM} / CAST(register_sum AS DOUBLE) END AS raw_est
+  FROM est
+),
+counts AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(size) AS BIGINT) AS n_nulls_size,
+         CAST(MIN(size) AS DOUBLE) AS vmin_size,
+         CAST(MAX(size) AS DOUBLE) AS vmax_size
+  FROM parts GROUP BY part
+),
+counts_all AS (
+  SELECT * FROM counts
+  UNION ALL
+  SELECT 'merged', b.n_rows + d.n_rows, b.n_nulls_size + d.n_nulls_size,
+         least(b.vmin_size, d.vmin_size), greatest(b.vmax_size, d.vmax_size)
+  FROM (SELECT * FROM counts WHERE part = 'base') b,
+       (SELECT * FROM counts WHERE part = 'delta') d
+  UNION ALL
+  SELECT 'full', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(size) AS BIGINT),
+         CAST(MIN(size) AS DOUBLE), CAST(MAX(size) AS DOUBLE)
+  FROM parts
+)
+SELECT c.part, c.n_rows, c.n_nulls_size, c.vmin_size, c.vmax_size,
+       CAST(f.register_sum AS BIGINT) AS name_register_sum,
+       round(f.raw_est, 2) AS name_ndv_hll
+FROM counts_all c JOIN fin f ON f.part = c.part
+""".format(ctes=fixtures.FIXTURE_CTES)
+
+
+
 @_q(
     "g3456_control_suite",
     _sub(
@@ -2108,6 +2332,13 @@ ORACLES["g13_table_stats"] = ORACLES["g13_table_stats"].format(
         ORACLES["g12_vacuum_plan"],
         "'g12_' || phase, back, CAST(NULL AS VARCHAR), n_rows, keep, "
         "NULL, NULL, NULL, NULL, NULL, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        ORACLES["g14_stats_merge"],
+        "'g14_' || part, n_rows, CAST(name_register_sum AS VARCHAR), "
+        "n_nulls_size, name_register_sum, CAST(floor(vmin_size) AS BIGINT), "
+        "CAST(floor(vmax_size) AS BIGINT), NULL, NULL, NULL, name_ndv_hll",
     )
     + "\nUNION ALL\n"
     + _sub(
@@ -2249,6 +2480,19 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
+    g14 = g14_stats_merge(spark, sf_dir).select(
+        F.concat(F.lit("g14_"), F.col("part")).alias("part"),
+        F.col("n_rows").alias("k1"),
+        F.col("name_register_sum").cast("string").alias("s1"),
+        F.col("n_nulls_size").alias("n1"),
+        F.col("name_register_sum").alias("n2"),
+        F.floor(F.col("vmin_size")).cast("bigint").alias("e1"),
+        F.floor(F.col("vmax_size")).cast("bigint").alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        F.col("name_ndv_hll").alias("v1"),
+    )
     g13 = g13_table_stats(spark, sf_dir).select(
         F.lit("g13").alias("part"),
         F.col("n_rows").alias("k1"),
@@ -2286,6 +2530,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g11)
         .unionByName(g12)
         .unionByName(g13)
+        .unionByName(g14)
     )
 
 

@@ -237,3 +237,23 @@ def test_x29_containment_catches_low_jaccard_inclusions(spark, sf_dir):
     for r in x3_ngram_jaccard(spark, sf_dir).collect():
         if r["jaccard"] >= CONTAIN_TAU:
             assert (r["doc_a"], r["doc_b"]) in got
+
+
+def test_g14_merged_stats_equal_full_scan(spark, sf_dir):
+    """The incrementally-merged stats row is bit-identical to the
+    from-scratch full scan on every column."""
+    from file_db_spark.operators.merge_queries import g14_stats_merge
+
+    rows = {r["part"]: r for r in g14_stats_merge(spark, sf_dir).collect()}
+    assert set(rows) == {"base", "delta", "merged", "full"}
+    m, f = rows["merged"], rows["full"]
+    for c in (
+        "n_rows",
+        "n_nulls_size",
+        "vmin_size",
+        "vmax_size",
+        "name_register_sum",
+        "name_ndv_hll",
+    ):
+        assert m[c] == f[c], c
+    assert rows["base"]["n_rows"] + rows["delta"]["n_rows"] == f["n_rows"]
