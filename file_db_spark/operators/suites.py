@@ -842,6 +842,11 @@ _DQ4_PARTS = {
         "'fertility', lang, source, n_docs, total_bpe_tokens, "
         "fertility, chars_per_token",
     ),
+    "d43": (
+        "d43_zipf_fit",
+        "'zipf', source, CAST(n_terms AS VARCHAR), NULL, NULL, "
+        "zipf_slope, zipf_intercept",
+    ),
     "d42": (
         "d42_readability",
         "'readability', CAST(doc_id AS VARCHAR), "
@@ -1005,6 +1010,15 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_word_len").alias("v1"),
         F.col("frac_alpha").alias("v2"),
     )
+    d43 = t.d43_zipf_fit(spark, sf_dir).select(
+        F.lit("zipf").alias("report"),
+        F.col("source").alias("k1"),
+        F.col("n_terms").cast("string").alias("k2"),
+        _bn().alias("n_docs"),
+        _bn().alias("total_tokens"),
+        F.col("zipf_slope").alias("v1"),
+        F.col("zipf_intercept").alias("v2"),
+    )
     d42 = t.d42_readability(spark, sf_dir).select(
         F.lit("readability").alias("report"),
         F.col("doc_id").cast("string").alias("k1"),
@@ -1040,6 +1054,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d34)
         .unionByName(d41)
         .unionByName(d42)
+        .unionByName(d43)
         .unionByName(d36)
         .unionByName(d35)
     )

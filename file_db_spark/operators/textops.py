@@ -3321,3 +3321,87 @@ def d42_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias("flesch_ease"),
         (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias("fk_grade"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d43: Zipf-fit corpus diagnostics — least-squares slope of
+# log(frequency) vs log(rank) over each source's top terms. Natural
+# corpora fit slope ~ -1; a slice that deviates hard (templated spam,
+# code, tables) shows up immediately. The classic one-number
+# vocabulary-health check.
+# ---------------------------------------------------------------------------
+
+#: top terms per source entering the fit
+ZIPF_TOPK = 100
+
+
+@_q(
+    "d43_zipf_fit",
+    rf"""
+    WITH tok AS (
+      SELECT source, {_NORM_TOK_SQL}
+      FROM documents
+    ), tf AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok GROUP BY source, term
+    ), ranked AS (
+      SELECT source, term, freq,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY freq DESC, term ASC) AS rank
+      FROM tf
+    ), top AS (
+      SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+      FROM ranked WHERE rank <= {ZIPF_TOPK}
+    ), sums AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM top GROUP BY source
+    )
+    SELECT source, k AS n_terms,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+             AS zipf_intercept
+    FROM sums
+    """,
+)
+def d43_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent: rank terms by frequency (term
+    tie-break), take the top {ZIPF_TOPK}, least-squares fit
+    ln(freq) ~ ln(rank). Slope/intercept from the standard closed form
+    over four aggregate sums, rounded to 6 (the d25 convention for
+    double-sum smoothing).
+
+    Scale: one (source, term) count shuffle, a source-keyed rank
+    window over the vocab table, and a {ZIPF_TOPK}-row-per-source
+    aggregate — no global window, no collect."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(normalize_text("text"))).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").cast("bigint").alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.col("term").asc())
+    top = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_TOPK)
+        .select(
+            "source",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    sums = top.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "source",
+        F.col("k").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "zipf_intercept"
+        ),
+    )

@@ -551,3 +551,16 @@ def test_m7_scene_invariants(spark, sf_dir):
         else:
             assert r["first_cut_frame"] == -1
     assert cuts_somewhere > 0
+
+
+def test_d43_zipf_slope_is_negative_and_sane(spark, sf_dir):
+    from file_db_spark.operators.textops import d43_zipf_fit
+
+    rows = d43_zipf_fit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_terms"] > 10
+        # frequencies decay with rank: strictly negative slope, in the
+        # band natural-language corpora produce
+        assert -3.0 < r["zipf_slope"] < -0.05
+        assert r["zipf_intercept"] > 0
