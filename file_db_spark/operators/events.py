@@ -1347,3 +1347,84 @@ def e19_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").isNull().cast("bigint").alias("is_gap"),
         F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e20: EWMA smoothing over the gap-filled series — exponentially-
+# weighted moving average with a FIXED 8-term window of literal
+# weights, composed on top of e19's dense LOCF output (smoothing a
+# gappy series directly would silently skip missing hours; composing
+# resample -> smooth is the correct time-series pipeline order).
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_TERMS = 8
+#: literal weights alpha*(1-alpha)^i — embedded identically in both
+#: engines, so the 8-term weighted sum is a fixed-order IEEE expression
+_EWMA_W = [repr(EWMA_ALPHA * (1 - EWMA_ALPHA) ** i) for i in range(EWMA_TERMS)]
+
+
+def _e20_sql_terms(col: str) -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(LAG({col}, {i}) OVER w * CAST('{w}' AS DOUBLE), 0.0)"
+        for i, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG({col}, {i}) OVER w IS NULL THEN 0.0"
+        f" ELSE CAST('{w}' AS DOUBLE) END)"
+        for i, w in enumerate(_EWMA_W)
+    )
+    return num, den
+
+
+_E20_NUM, _E20_DEN = _e20_sql_terms("locf_value")
+
+
+@_q(
+    "e20_ewma_smoothing",
+    f"""
+    WITH dense AS (
+      {{e19}}
+    )
+    SELECT event_type, hour, n_events, locf_value,
+           ({_E20_NUM}) / ({_E20_DEN}) AS ewma
+    FROM dense
+    WHERE locf_value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def e20_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA({EWMA_ALPHA}) over e19's dense hourly series: an 8-term
+    weighted sum of lagged LOCF values with literal weights (embedded
+    identically in both engines — fixed-order IEEE addition, no library
+    pow), re-normalized by the weight mass actually present so the
+    series start isn't biased toward zero.
+
+    Scale: e19's plan plus one more pass over the SAME event_type-keyed
+    window — the spine stays bounded by the time range; Catalyst
+    evaluates all 8 lags from one window frame."""
+    dense = e19_gapfill_locf(spark, sf_dir).where(F.col("locf_value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("hour")
+    num = None
+    den = None
+    for i, wt in enumerate(_EWMA_W):
+        lagv = F.lag("locf_value", i).over(w)
+        term = F.coalesce(lagv * F.expr(f"CAST('{wt}' AS DOUBLE)"), F.lit(0.0))
+        mass = F.when(lagv.isNull(), F.lit(0.0)).otherwise(
+            F.expr(f"CAST('{wt}' AS DOUBLE)")
+        )
+        num = term if num is None else num + term
+        den = mass if den is None else den + mass
+    return dense.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "locf_value",
+        (num / den).alias("ewma"),
+    )
+
+
+ORACLES["e20_ewma_smoothing"] = ORACLES["e20_ewma_smoothing"].format(
+    e19=ORACLES["e19_gapfill_locf"]
+)

@@ -2255,6 +2255,12 @@ _E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
         events.ORACLES["e19_gapfill_locf"],
         "'e19', " + _ep("hour") + ", event_type || '#' || CAST(is_gap AS VARCHAR), "
         "n_events, locf_value",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e20_ewma_smoothing"],
+        "'e20', " + _ep("hour") + ", event_type, n_events, "
+        "ewma + locf_value * 1000",
     ),
 )
 def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2323,6 +2329,13 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").alias("n"),
         F.col("conversion_rate").alias("v1"),
     )
+    e20 = events.e20_ewma_smoothing(spark, sf_dir).select(
+        F.lit("e20").alias("part"),
+        _epoch(F.col("hour")).alias("k1"),
+        F.col("event_type").alias("s1"),
+        F.col("n_events").alias("n"),
+        (F.col("ewma") + F.col("locf_value") * F.lit(1000.0)).alias("v1"),
+    )
     e19 = events.e19_gapfill_locf(spark, sf_dir).select(
         F.lit("e19").alias("part"),
         _epoch(F.col("hour")).alias("k1"),
@@ -2357,6 +2370,7 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e17)
         .unionByName(e18)
         .unionByName(e19)
+        .unionByName(e20)
     )
 
 

@@ -257,3 +257,21 @@ def test_g14_merged_stats_equal_full_scan(spark, sf_dir):
     ):
         assert m[c] == f[c], c
     assert rows["base"]["n_rows"] + rows["delta"]["n_rows"] == f["n_rows"]
+
+
+def test_e20_ewma_is_convex_and_tracks(spark, sf_dir):
+    """EWMA stays inside the min/max envelope of the values it weights
+    (convex combination after renormalization) and equals the raw value
+    at each series start."""
+    from file_db_spark.operators.events import EWMA_TERMS, e20_ewma_smoothing
+
+    rows = e20_ewma_smoothing(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r["hour"])
+        assert abs(rs[0]["ewma"] - rs[0]["locf_value"]) < 1e-9
+        for i, r in enumerate(rs):
+            window = [x["locf_value"] for x in rs[max(0, i - EWMA_TERMS + 1) : i + 1]]
+            assert min(window) - 1e-9 <= r["ewma"] <= max(window) + 1e-9
