@@ -2087,8 +2087,8 @@ def _g14_registers(df):
     )
 
 
-def _g14_stats(df, regs, part: str):
-    """One stats row: counts/extents from df, NDV estimate from regs."""
+def _g14_sketch(regs):
+    """1-row (name_register_sum, name_ndv_hll) from a register table."""
     per = regs.agg(
         F.count("*").alias("hit"),
         F.sum(F.expr(f"CAST(power(2, {_HLL_RHO_MAX} - m_j) AS BIGINT)")).alias(
@@ -2111,20 +2111,28 @@ def _g14_stats(df, regs, part: str):
     ).otherwise(
         F.lit(float(_HLL_ALPHA_NUM)) / F.col("register_sum").cast("double")
     )
+    return per.select(
+        F.col("register_sum").cast("bigint").alias("name_register_sum"),
+        F.round(est, 2).alias("name_ndv_hll"),
+    )
+
+
+def _g14_stats(df, regs, part: str):
+    """One stats row: counts/extents from df, NDV estimate from regs."""
     base = df.agg(
         F.count("*").cast("bigint").alias("n_rows"),
         (F.count("*") - F.count("size")).cast("bigint").alias("n_nulls_size"),
         F.min("size").cast("double").alias("vmin_size"),
         F.max("size").cast("double").alias("vmax_size"),
     )
-    return base.crossJoin(F.broadcast(per)).select(
+    return base.crossJoin(F.broadcast(_g14_sketch(regs))).select(
         F.lit(part).alias("part"),
         "n_rows",
         "n_nulls_size",
         "vmin_size",
         "vmax_size",
-        F.col("register_sum").cast("bigint").alias("name_register_sum"),
-        F.round(est, 2).alias("name_ndv_hll"),
+        "name_register_sum",
+        "name_ndv_hll",
     )
 
 
@@ -2170,13 +2178,7 @@ def g14_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("b_min", "d_min").alias("vmin_size"),
         F.greatest("b_max", "d_max").alias("vmax_size"),
     )
-    merged_sketch = _g14_stats(
-        # counts/extents come from merged_counts; feed a dummy df shape
-        # by reusing the stats builder only for the register half below
-        f.limit(0),
-        merged_regs,
-        "merged",
-    ).select("name_register_sum", "name_ndv_hll")
+    merged_sketch = _g14_sketch(merged_regs)
     merged_row = merged_counts.crossJoin(F.broadcast(merged_sketch)).select(
         F.lit("merged").alias("part"),
         "n_rows",

@@ -71,6 +71,8 @@ BNLJ_OK_MEMBERS = {
     "v16_ivf_pq_residual",  # broadcast coarse/PQ codebooks (v6/v7 pattern)
     "v17_ann_recall_eval",  # evaluates v1/v2/v3/v4/v16 — inherits their broadcast-query scans
     "v18_filtered_search",  # broadcast query rows (v1 pattern), both filter modes
+    "g11_zorder_layout",  # broadcast 1-row bucket extent (the d19 pattern)
+    "g14_stats_merge",  # broadcast 1-row part-stats + merged-sketch rows
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
@@ -81,6 +83,7 @@ BNLJ_OK = BNLJ_OK_MEMBERS | {
     "rq2_join_suite",
     "x710_components_survivors",
     "e812_rollup_pivot",
+    "g3456_control_suite",
 }
 
 
@@ -92,7 +95,11 @@ def _unbounded_single_partition(plan: str) -> bool:
         if "Exchange SinglePartition" not in line:
             continue
         child = lines[i + 1] if i + 1 < len(lines) else ""
-        if not ("keys=[]" in child and "partial_" in child):
+        # a keys=[] aggregate (partial scalar agg, or the columnless
+        # 1-row aggregate a pruned cross-join side leaves behind) emits
+        # at most one row per upstream partition — bounded by the
+        # partition count, not the data
+        if "keys=[]" not in child:
             return True
     return False
 
