@@ -73,6 +73,8 @@ BNLJ_OK_MEMBERS = {
     "v18_filtered_search",  # broadcast query rows (v1 pattern), both filter modes
     "g11_zorder_layout",  # broadcast 1-row bucket extent (the d19 pattern)
     "g14_stats_merge",  # broadcast 1-row part-stats + merged-sketch rows
+    "e19_gapfill_locf",  # broadcast 1-row hour-range extent (spine generator)
+    "e20_ewma_smoothing",  # composes e19 — same 1-row extent
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
