@@ -1428,3 +1428,67 @@ def e20_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["e20_ewma_smoothing"] = ORACLES["e20_ewma_smoothing"].format(
     e19=ORACLES["e19_gapfill_locf"]
 )
+
+
+# ---------------------------------------------------------------------------
+# e21: robust anomaly detection — modified z-score on median/MAD (the
+# Iglewicz-Hoaglin rule, public formulation). e11's p99 screen flags
+# the tail by construction; MAD-based scoring flags values far from
+# the BULK even when the tail itself is contaminated — the standard
+# robust alternative to mean/stddev z-scores.
+# ---------------------------------------------------------------------------
+
+#: modified z-score cutoff (Iglewicz & Hoaglin's recommended 3.5)
+E21_Z_CUT = 3.5
+
+
+@_q(
+    "e21_mad_outliers",
+    f"""
+    WITH v AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM v GROUP BY event_type
+    ), mad AS (
+      SELECT v.event_type, quantile_cont(abs(v.value - m.med), 0.5) AS mad
+      FROM v JOIN med m ON m.event_type = v.event_type
+      GROUP BY v.event_type
+    )
+    SELECT v.event_id, v.user_id, v.event_type, v.value, m.med, d.mad,
+           0.6745 * (v.value - m.med) / d.mad AS mod_z
+    FROM v
+    JOIN med m ON m.event_type = v.event_type
+    JOIN mad d ON d.event_type = v.event_type
+    WHERE d.mad > 0 AND abs(0.6745 * (v.value - m.med) / d.mad) > {E21_Z_CUT}
+    """,
+)
+def e21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outliers: modified z = 0.6745 * (x - median) /
+    MAD, flag |z| > {E21_Z_CUT}. Median and MAD via exact percentile
+    (the d14/e11 parity precedent); the z expression is one fixed-order
+    IEEE chain written identically in the oracle.
+
+    Scale: two aggregate passes over the typed values (median, then
+    MAD of deviations) each ending in a tiny per-type table broadcast
+    back — the corpus is never shuffled; swap approx_percentile into
+    the same plan at 100 TB."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = e.select("event_id", "user_id", "event_type", "value")
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        v.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        v.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.abs(z) > E21_Z_CUT))
+        .select("event_id", "user_id", "event_type", "value", "med", "mad",
+                z.alias("mod_z"))
+    )

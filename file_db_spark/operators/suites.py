@@ -2261,6 +2261,12 @@ _E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
         events.ORACLES["e20_ewma_smoothing"],
         "'e20', " + _ep("hour") + ", event_type, n_events, "
         "ewma + locf_value * 1000",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e21_mad_outliers"],
+        "'e21', event_id, event_type, user_id, "
+        "mod_z + value * 1000 + med / 1000 + mad / 1000000",
     ),
 )
 def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2329,6 +2335,18 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").alias("n"),
         F.col("conversion_rate").alias("v1"),
     )
+    e21 = events.e21_mad_outliers(spark, sf_dir).select(
+        F.lit("e21").alias("part"),
+        F.col("event_id").alias("k1"),
+        F.col("event_type").alias("s1"),
+        F.col("user_id").alias("n"),
+        (
+            F.col("mod_z")
+            + F.col("value") * F.lit(1000.0)
+            + F.col("med") / F.lit(1000.0)
+            + F.col("mad") / F.lit(1000000.0)
+        ).alias("v1"),
+    )
     e20 = events.e20_ewma_smoothing(spark, sf_dir).select(
         F.lit("e20").alias("part"),
         _epoch(F.col("hour")).alias("k1"),
@@ -2371,6 +2389,7 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e18)
         .unionByName(e19)
         .unionByName(e20)
+        .unionByName(e21)
     )
 
 

@@ -275,3 +275,31 @@ def test_e20_ewma_is_convex_and_tracks(spark, sf_dir):
         for i, r in enumerate(rs):
             window = [x["locf_value"] for x in rs[max(0, i - EWMA_TERMS + 1) : i + 1]]
             assert min(window) - 1e-9 <= r["ewma"] <= max(window) + 1e-9
+
+
+def test_e21_mad_outliers_are_far_from_the_bulk(spark, sf_dir):
+    """Every flagged value satisfies the modified-z rule recomputed
+    from scratch, and the flag set is one-sided-consistent: nothing
+    inside median +/- cut*mad/0.6745 appears."""
+    import statistics
+
+    from file_db_spark.operators.events import E21_Z_CUT, e21_mad_outliers
+    from file_db_spark.catalog import load_table
+
+    vals: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    rows = e21_mad_outliers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        v = vals[r["event_type"]]
+        med = statistics.median(v)
+        mad = statistics.median([abs(x - med) for x in v])
+        assert abs(r["med"] - med) < 1e-9
+        assert abs(r["mad"] - mad) < 1e-9
+        assert abs(0.6745 * (r["value"] - med) / mad) > E21_Z_CUT - 1e-9
