@@ -842,6 +842,11 @@ _DQ4_PARTS = {
         "'fertility', lang, source, n_docs, total_bpe_tokens, "
         "fertility, chars_per_token",
     ),
+    "d44": (
+        "d44_langid_eval",
+        "'langid_' || row_type, actual, COALESCE(predicted, ''), n, NULL, "
+        "precision + recall * 1000, f1",
+    ),
     "d43": (
         "d43_zipf_fit",
         "'zipf', source, CAST(n_terms AS VARCHAR), NULL, NULL, "
@@ -1010,6 +1015,15 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_word_len").alias("v1"),
         F.col("frac_alpha").alias("v2"),
     )
+    d44 = t.d44_langid_eval(spark, sf_dir).select(
+        F.concat(F.lit("langid_"), F.col("row_type")).alias("report"),
+        F.col("actual").alias("k1"),
+        F.coalesce(F.col("predicted"), F.lit("")).alias("k2"),
+        F.col("n").alias("n_docs"),
+        _bn().alias("total_tokens"),
+        (F.col("precision") + F.col("recall") * F.lit(1000.0)).alias("v1"),
+        F.col("f1").alias("v2"),
+    )
     d43 = t.d43_zipf_fit(spark, sf_dir).select(
         F.lit("zipf").alias("report"),
         F.col("source").alias("k1"),
@@ -1055,6 +1069,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d41)
         .unionByName(d42)
         .unionByName(d43)
+        .unionByName(d44)
         .unionByName(d36)
         .unionByName(d35)
     )

@@ -3405,3 +3405,120 @@ def d43_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d44: language-ID evaluation — confusion matrix + per-class
+# precision/recall/F1 of the d3 classifier against the corpus's lang
+# labels (the x25/v17 "measure the detector" pattern applied to
+# language identification; binary task: en vs other).
+# ---------------------------------------------------------------------------
+@_q(
+    "d44_langid_eval",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                  t -> list_contains(['the','a','an','and','or','of','to','in','is','are'], t)
+             )) AS BIGINT) AS n_stop
+      FROM documents
+    ), pred AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual,
+             CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+                  THEN 'en' ELSE 'other' END AS predicted
+      FROM scored WHERE n_tokens > 0
+    ), cm AS (
+      SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY actual, predicted
+    ), cls AS (
+      SELECT c AS cls,
+             CAST(COALESCE((SELECT n FROM cm WHERE actual = c AND predicted = c), 0) AS BIGINT) AS tp,
+             CAST(COALESCE((SELECT SUM(n) FROM cm WHERE predicted = c AND actual <> c), 0) AS BIGINT) AS fp,
+             CAST(COALESCE((SELECT SUM(n) FROM cm WHERE actual = c AND predicted <> c), 0) AS BIGINT) AS fn
+      FROM (SELECT UNNEST(['en', 'other']) AS c)
+    )
+    SELECT 'cell' AS row_type, actual, predicted, n,
+           CAST(NULL AS DOUBLE) AS precision, CAST(NULL AS DOUBLE) AS recall,
+           CAST(NULL AS DOUBLE) AS f1
+    FROM cm
+    UNION ALL
+    SELECT 'class', cls, CAST(NULL AS VARCHAR), tp,
+           CAST(tp AS DOUBLE) / (tp + fp),
+           CAST(tp AS DOUBLE) / (tp + fn),
+           2.0 * tp / (2.0 * tp + fp + fn)
+    FROM cls
+    """,
+)
+def d44_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of d3's stopword-density language classifier
+    against the labeled `lang` column (binarized en/other), plus
+    per-class precision/recall/F1 — TRUE metrics because the label
+    side is ground truth (the x25/v17 evaluation pattern). Counts are
+    integer-exact; the three rates are final IEEE divisions.
+
+    Scale: one scan -> one tiny (actual, predicted) aggregate; the
+    class summary reads the 4-cell matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(
+        *[
+            F.lit(w)
+            for w in ["the", "a", "an", "and", "or", "of", "to", "in", "is", "are"]
+        ]
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(
+        F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                 lambda t: F.array_contains(stop, t))
+    ).cast("bigint")
+    pred = (
+        d.select(
+            F.when(F.col("lang") == "en", "en").otherwise("other").alias("actual"),
+            n_tokens.alias("n_tokens"),
+            n_stop.alias("n_stop"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "actual",
+            F.when(
+                F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05, "en"
+            )
+            .otherwise("other")
+            .alias("predicted"),
+        )
+    )
+    cm = pred.groupBy("actual", "predicted").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).persist()
+    cells = cm.select(
+        F.lit("cell").alias("row_type"),
+        "actual",
+        "predicted",
+        "n",
+        F.lit(None).cast("double").alias("precision"),
+        F.lit(None).cast("double").alias("recall"),
+        F.lit(None).cast("double").alias("f1"),
+    )
+    classes = None
+    for c in ("en", "other"):
+        tp = F.sum(
+            F.when((F.col("actual") == c) & (F.col("predicted") == c), F.col("n")).otherwise(0)
+        )
+        fp = F.sum(
+            F.when((F.col("predicted") == c) & (F.col("actual") != c), F.col("n")).otherwise(0)
+        )
+        fn = F.sum(
+            F.when((F.col("actual") == c) & (F.col("predicted") != c), F.col("n")).otherwise(0)
+        )
+        row = cm.agg(
+            F.lit("class").alias("row_type"),
+            F.lit(c).alias("actual"),
+            F.lit(None).cast("string").alias("predicted"),
+            tp.cast("bigint").alias("n"),
+            (tp.cast("double") / (tp + fp)).alias("precision"),
+            (tp.cast("double") / (tp + fn)).alias("recall"),
+            (F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn)).alias("f1"),
+        )
+        classes = row if classes is None else classes.unionByName(row)
+    return cells.unionByName(classes)

@@ -564,3 +564,22 @@ def test_d43_zipf_slope_is_negative_and_sane(spark, sf_dir):
         # band natural-language corpora produce
         assert -3.0 < r["zipf_slope"] < -0.05
         assert r["zipf_intercept"] > 0
+
+
+def test_d44_confusion_is_consistent(spark, sf_dir):
+    from file_db_spark.operators.textops import d44_langid_eval
+
+    rows = d44_langid_eval(spark, sf_dir).collect()
+    cells = {(r["actual"], r["predicted"]): r["n"] for r in rows if r["row_type"] == "cell"}
+    cls = {r["actual"]: r for r in rows if r["row_type"] == "class"}
+    total = sum(cells.values())
+    assert total > 0
+    for c in ("en", "other"):
+        tp = cells.get((c, c), 0)
+        fp = sum(n for (a, p), n in cells.items() if p == c and a != c)
+        fn = sum(n for (a, p), n in cells.items() if a == c and p != c)
+        assert cls[c]["n"] == tp
+        if tp + fp:
+            assert abs(cls[c]["precision"] - tp / (tp + fp)) < 1e-12
+        if tp + fn:
+            assert abs(cls[c]["recall"] - tp / (tp + fn)) < 1e-12
