@@ -2685,3 +2685,240 @@ def v18_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pre.unionByName(post)
+
+
+# ---------------------------------------------------------------------------
+# v19: the SERVING CASCADE — the three-stage pipeline a production
+# retrieval endpoint actually runs, composed end-to-end: (1) recall:
+# IVF centroid routing to nprobe cells (v4 machinery) with a deeper
+# candidate budget, (2) precision: exact cosine re-rank of the routed
+# candidates, (3) diversity: greedy MMR over the re-ranked pool (v15
+# machinery). One graded query certifies the full path.
+# ---------------------------------------------------------------------------
+
+#: candidates surviving the recall+re-rank stages into MMR
+V19_CANDS = 10
+#: greedy MMR rounds served
+V19_K = 3
+
+
+def _v19_oracle() -> str:
+    parts = [
+        f"""cent AS (
+      SELECT label, list(avg_v ORDER BY idx) AS centroid FROM (
+        SELECT e.label, t.idx, AVG(CAST(e.embedding[t.idx] AS DOUBLE)) AS avg_v
+        FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(idx)
+        GROUP BY e.label, t.idx
+      ) GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), routed AS (
+      SELECT q.query_id, q.q_label, q.q_emb, c.label AS cent_label,
+             list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), c.centroid) AS cent_cos
+      FROM q CROSS JOIN cent c
+    ), probes AS (
+      SELECT query_id, q_emb, cent_label AS probe_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cent_cos DESC, cent_label ASC
+        ) AS cell_rank FROM routed
+      ) WHERE cell_rank <= 2 OR cent_label = q_label
+    ), scored AS (
+      SELECT p.query_id, e.vec_id AS nid,
+             list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS rel,
+             e.embedding AS emb
+      FROM probes p JOIN embeddings e
+        ON e.label = p.probe_label AND e.vec_id <> p.query_id
+    ), cand AS (
+      SELECT query_id, nid, rel, emb FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, nid ASC) AS rk
+        FROM scored
+      ) WHERE rk <= {V19_CANDS}
+    ), pairs AS (
+      SELECT a.query_id, a.nid AS cid, b.nid AS sid,
+             list_cosine_similarity(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])) AS sim
+      FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.nid <> b.nid
+    ), sel1 AS (
+      SELECT query_id, nid, rel, CAST(0.0 AS DOUBLE) AS maxsim, rel AS mmr,
+             CAST(1 AS BIGINT) AS round
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, nid ASC) AS rk
+        FROM cand
+      ) WHERE rk = 1
+    )"""
+    ]
+    for r in range(2, V19_K + 1):
+        prev_union = "\n        UNION ALL ".join(
+            f"SELECT query_id, nid FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""prev{r} AS (
+      {prev_union}
+    ), ms{r} AS (
+      SELECT c.query_id, c.nid, c.rel, MAX(p.sim) AS maxsim
+      FROM cand c
+      JOIN pairs p ON p.query_id = c.query_id AND p.cid = c.nid
+      JOIN prev{r} s ON s.query_id = p.query_id AND s.nid = p.sid
+      WHERE NOT EXISTS (
+        SELECT 1 FROM prev{r} x WHERE x.query_id = c.query_id AND x.nid = c.nid
+      )
+      GROUP BY c.query_id, c.nid, c.rel
+    ), sel{r} AS (
+      SELECT query_id, nid, rel, maxsim, 0.5 * rel - 0.5 * maxsim AS mmr,
+             CAST({r} AS BIGINT) AS round
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY (0.5 * rel - 0.5 * maxsim) DESC, nid ASC) AS rk
+        FROM ms{r}
+      ) WHERE rk = 1
+    )"""
+        )
+    final = "\n    UNION ALL ".join(
+        f"SELECT query_id, nid AS neighbor_id, round, rel, maxsim, mmr FROM sel{i}"
+        for i in range(1, V19_K + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+@_q("v19_retrieval_cascade", _v19_oracle())
+def v19_retrieval_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall -> precision -> diversity in one pipeline: IVF centroid
+    routing (nprobe=2 + own cell, the v4 stage) bounds the scan; exact
+    cosine keeps the top-{V19_CANDS} of the routed pool; {V19_K}
+    unrolled greedy MMR rounds (lambda=0.5, the v15 stage) serve a
+    de-redundified answer list.
+
+    Scale: the only corpus-touching stage is the cell-pruned probe
+    (partition-prunable equi-join on the cell id); re-rank is bounded
+    by the probe output; MMR runs on persisted Q x C tables. The
+    cascade is the standard production topology — each stage cuts the
+    next stage's input by orders of magnitude."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim_pos = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    centroids = (
+        dim_pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cent_label"),
+            F.transform("pc", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    routed = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_label",
+        "q_emb",
+        "cent_label",
+        cosine(F.col("q_emb").cast("array<double>"), F.col("centroid")).alias(
+            "cent_cos"
+        ),
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_label").asc()
+    )
+    probes = (
+        routed.withColumn("cell_rank", F.row_number().over(w_route))
+        .filter((F.col("cell_rank") <= 2) | (F.col("cent_label") == F.col("q_label")))
+        .select("query_id", "q_emb", F.col("cent_label").alias("probe_label"))
+    )
+    c = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("emb"),
+    )
+    rel = cosine(
+        F.col("q_emb").cast("array<double>"), F.col("emb").cast("array<double>")
+    )
+    scored = c.join(
+        F.broadcast(probes),
+        (F.col("c_label") == F.col("probe_label"))
+        & (F.col("nid") != F.col("query_id")),
+    ).select("query_id", "nid", rel.alias("rel"), "emb")
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("nid").asc()
+    )
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w_rel))
+        .filter(F.col("rk") <= V19_CANDS)
+        .drop("rk")
+        .persist()
+    )
+    a = cand.select("query_id", F.col("nid").alias("cid"), F.col("emb").alias("a_emb"))
+    b = cand.select(
+        F.col("query_id").alias("b_qid"),
+        F.col("nid").alias("sid"),
+        F.col("emb").alias("b_emb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("b_qid")) & (F.col("cid") != F.col("sid")),
+        )
+        .select(
+            "query_id",
+            "cid",
+            "sid",
+            cosine(
+                F.col("a_emb").cast("array<double>"),
+                F.col("b_emb").cast("array<double>"),
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    sel = (
+        cand.withColumn("rk", F.row_number().over(w_rel))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "nid",
+            "rel",
+            F.lit(0.0).cast("double").alias("maxsim"),
+            F.col("rel").alias("mmr"),
+            F.lit(1).cast("bigint").alias("round"),
+        )
+    )
+    picks = [sel]
+    for r in range(2, V19_K + 1):
+        prev = picks[0].select("query_id", "nid")
+        for p_df in picks[1:]:
+            prev = prev.unionByName(p_df.select("query_id", "nid"))
+        remaining = cand.join(prev, ["query_id", "nid"], "left_anti")
+        scored_r = (
+            remaining.join(pairs.withColumnRenamed("cid", "nid"), ["query_id", "nid"])
+            .join(prev.withColumnRenamed("nid", "sid"), ["query_id", "sid"])
+            .groupBy("query_id", "nid", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        mmr = F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
+        w_mmr = Window.partitionBy("query_id").orderBy(mmr.desc(), F.col("nid").asc())
+        pick = (
+            scored_r.withColumn("rk", F.row_number().over(w_mmr))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "nid",
+                "rel",
+                "maxsim",
+                mmr.alias("mmr"),
+                F.lit(r).cast("bigint").alias("round"),
+            )
+        )
+        picks.append(pick)
+    out = picks[0]
+    for p_df in picks[1:]:
+        out = out.unionByName(p_df)
+    return out.select(
+        "query_id", F.col("nid").alias("neighbor_id"), "round", "rel", "maxsim", "mmr"
+    )

@@ -1348,7 +1348,10 @@ def dq6_term_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'v17_' || method, query_id, n_hits, recall, NULL")
     + "\nUNION ALL\n"
     + _sub(similarity.ORACLES["v18_filtered_search"],
-           "'v18_' || mode, query_id, neighbor_id, cos_sim, rank"),
+           "'v18_' || mode, query_id, neighbor_id, cos_sim, rank")
+    + "\nUNION ALL\n"
+    + _sub(similarity.ORACLES["v19_retrieval_cascade"],
+           "'v19', query_id, neighbor_id, mmr + rel * 1000, round"),
 )
 def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index lifecycle in one graded row: v6 trains cells
@@ -1458,6 +1461,13 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_dist").alias("score"),
         "rank",
     )
+    v19 = similarity.v19_retrieval_cascade(spark, sf_dir).select(
+        F.lit("v19").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        (F.col("mmr") + F.col("rel") * F.lit(1000.0)).alias("score"),
+        F.col("round").alias("rank"),
+    )
     v18 = similarity.v18_filtered_search(spark, sf_dir).select(
         F.concat(F.lit("v18_"), F.col("mode")).alias("variant"),
         "query_id",
@@ -1488,6 +1498,7 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v16)
         .unionByName(v17)
         .unionByName(v18)
+        .unionByName(v19)
     )
 
 

@@ -292,3 +292,28 @@ def test_v18_post_filter_is_a_short_prefix_of_pre(spark, sf_dir):
         it = iter(pre_ids)
         assert all(any(n == m for m in it) for n in post_ids)
     assert sum(len(v) for v in post.values()) <= sum(len(v) for v in pre.values())
+
+
+def test_v19_cascade_round1_and_candidate_provenance(spark, sf_dir):
+    """Round 1 equals the v4-style routed exact top-1 and every served
+    answer comes from the query's probed cells (nprobe=2 + own)."""
+    from file_db_spark.operators.similarity import (
+        V19_K,
+        v4_ivf_nprobe,
+        v19_retrieval_cascade,
+    )
+
+    served = v19_retrieval_cascade(spark, sf_dir).collect()
+    byq: dict = {}
+    for r in served:
+        byq.setdefault(r["query_id"], {})[r["round"]] = r
+    assert byq and all(len(v) == V19_K for v in byq.values())
+    v4 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in v4_ivf_nprobe(spark, sf_dir).collect()
+    }
+    for qid, picks in byq.items():
+        assert picks[1]["neighbor_id"] == v4[(qid, 1)]
+        # mmr never exceeds relevance after round 1
+        for rnd in range(2, V19_K + 1):
+            assert picks[rnd]["mmr"] <= picks[rnd]["rel"] + 1e-12

@@ -75,6 +75,7 @@ BNLJ_OK_MEMBERS = {
     "g14_stats_merge",  # broadcast 1-row part-stats + merged-sketch rows
     "e19_gapfill_locf",  # broadcast 1-row hour-range extent (spine generator)
     "e20_ewma_smoothing",  # composes e19 — same 1-row extent
+    "v19_retrieval_cascade",  # broadcast centroid routing (v4 pattern)
 }
 #: graded carriers of those members
 BNLJ_OK = BNLJ_OK_MEMBERS | {
