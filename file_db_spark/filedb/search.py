@@ -33,6 +33,8 @@ __all__ = [
     "search_file_suffix",
     "search_duplicate_file",
     "search_duplicate_files_by_id",
+    "search_duplicate_dir",
+    "duplicate_dir_contents",
     "duplicate_groups",
     "file_path_exists",
     "dir_path_exists",
@@ -174,6 +176,116 @@ def search_duplicate_files_by_id(
         files.where(F.col("file_id").isin(*[int(i) for i in _as_list(file_ids)]))
     )
     return _duplicates_of(files, needle).withColumnRenamed("n_file_id", "needle_file_id")
+
+
+def search_duplicate_dir(
+    listing: DataFrame,
+    dir_path: str,
+    hash_match_files: bool = True,
+    name_match_files: bool = False,
+) -> DataFrame:
+    """J6 directory variant (FileDbDAL/Search.py:298-345): the needle is
+    EVERY file at `dir_path`; return the catalog files that duplicate any
+    of them — "which folders hold copies of this folder's files?".
+
+    Reference semantics, per the SURVEY §4 documented-intent rulings
+    shared with the file form:
+
+    - the `f.id = n.id` clause ("at least return the files at the given
+      path") keeps the needle's own rows in the result — unlike
+      `search_duplicate_file`, the dir form does NOT exclude self rows;
+    - hash match = SHA1-preferred / MD5-fallback keyed on the needle
+      (`n.sha1_hash IS NULL` -> try md5), ANDed with size equality;
+    - `_name_match_files` compares file names only (the reference's
+      flag name and comments scope the match to files; dir rows carry
+      NULL file_id/size/hashes and never satisfy the other branches).
+
+    Shape: the needle is one directory's listing (small) -> broadcast;
+    each OR branch is a separate broadcast equi-join, unioned + distinct
+    — the same OR-join decomposition as `_duplicates_of`, never a
+    nested-loop join. At catalog scale the probe side stays a metadata
+    lookup; the catalog side is an equi-join on (sha1, size) which AQE
+    plans as broadcast because the needle is tiny.
+    """
+    p = sql_path_parse_exact_search(dir_path)
+    files = listing.where(F.col("type") == "file")
+    needle_rows = files.where(F.col("dir_path") == p)
+    needle = _needle_cols(needle_rows)
+
+    out_cols = [c for c in files.columns]
+    branches = [needle_rows.select(*out_cols)]  # f.id = n.id: the dir's own files
+    if hash_match_files:
+        by_sha1 = files.join(
+            F.broadcast(needle.where(F.col("n_sha1").isNotNull())),
+            (F.col("sha1_hash") == F.col("n_sha1"))
+            & (F.col("size") == F.col("n_size")),
+        )
+        by_md5 = files.join(
+            F.broadcast(needle.where(F.col("n_sha1").isNull())),
+            (F.col("md5_hash") == F.col("n_md5"))
+            & (F.col("size") == F.col("n_size")),
+        )
+        branches += [by_sha1.select(*out_cols), by_md5.select(*out_cols)]
+    if name_match_files:
+        by_name = files.join(F.broadcast(needle), F.col("name") == F.col("n_name"))
+        branches.append(by_name.select(*out_cols))
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.distinct()
+
+
+def duplicate_dir_contents(listing: DataFrame) -> DataFrame:
+    """The scale-correct "identical directory contents" report — the
+    aggregate form the reference TODOs at FileDbDAL/Search.py:305-307
+    (`_num_of_files_match` + hash match ≙ "dirs with identical
+    contents").
+
+    Per directory, fingerprint the MULTISET of file content keys
+    (sha1-preferred, md5 fallback, name as the unhashed sentinel — the
+    same preference ladder as the search functions — each paired with
+    size), then count directories sharing each fingerprint. Two dirs
+    share a fingerprint iff their content multisets are identical.
+
+    Shape: one groupBy(dir) building a sorted-array digest + one window
+    count over the 1-row-per-dir result — O(files) with map-side
+    partial aggregation, no pairwise dir×dir join anywhere. At 100 TB
+    this is the only formulation that works: the quadratic needle-join
+    form degenerates when every dir is a needle, while the fingerprint
+    groupBy stays a single shuffle keyed by dir and a second keyed by
+    the 32-char digest.
+    """
+    from pyspark.sql.window import Window
+
+    files = listing.where(F.col("type") == "file")
+    content_key = F.concat_ws(
+        ":",
+        F.coalesce(
+            F.col("sha1_hash"),
+            F.concat(F.lit("m:"), F.col("md5_hash")),
+            F.concat(F.lit("n:"), F.col("name")),
+        ),
+        F.coalesce(F.col("size").cast("string"), F.lit("~")),
+    )
+    per_dir = (
+        files.select("dir_id", "dir_path", content_key.alias("ck"))
+        .groupBy("dir_id", "dir_path")
+        .agg(
+            F.count("*").alias("file_count"),
+            F.md5(F.array_join(F.sort_array(F.collect_list("ck")), "|")).alias(
+                "content_fingerprint"
+            ),
+        )
+    )
+    w = Window.partitionBy("content_fingerprint")
+    return per_dir.select(
+        "dir_id",
+        "dir_path",
+        F.col("file_count").cast("bigint").alias("file_count"),
+        "content_fingerprint",
+        F.count("*").over(w).cast("bigint").alias("n_dirs_sharing"),
+    )
 
 
 def duplicate_groups(listing: DataFrame, min_count: int = 2) -> DataFrame:

@@ -61,13 +61,13 @@ _GRADED_ORDER = (
     "c3_dir_detail",
     "c4_dir_contents",
     "c5_directory_activity",
-    "c6_search_file",
+    "cs1_name_search_suite",  # packs c6 + c11 + c12 (members stay in ALL_QUERIES)
     "c7_search_full_path",
     "c8_duplicate_search",
     "c9_duplicate_groups",
     "c10_path_probes",
-    "c11_search_suffix",
-    "c12_search_dir",
+    "c13_duplicate_dir",
+    "c14_duplicate_dir_contents",
     # event analytics (F11/§2.10 batch family)
     "e1_tumbling_window",
     "e2_sessionize",

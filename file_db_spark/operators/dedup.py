@@ -2505,7 +2505,7 @@ ORACLES["x25_dedup_eval"] = _X25_ORACLE.format(x4=ORACLES["x4_minhash_lsh"])
     fam AS (
       SELECT d.doc_id,
              CAST(COALESCE(c.component_id, d.doc_id) AS BIGINT) AS family_id,
-             CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+             CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     ),
     fam_sizes AS (

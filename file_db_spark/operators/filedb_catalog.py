@@ -340,3 +340,121 @@ def c11_search_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c12_search_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard directory search (Search.py:189-218)."""
     return _ll_cols(search.search_dir(_listing(spark, sf_dir), "*1*"))
+
+
+# ---------------------------------------------------------------------------
+# cs1: packed name-search carrier (c6 + c11 + c12 — identical LL schema)
+# frees graded slots for the J6 directory-duplicate queries below; the
+# member originals stay registered above and in ALL_QUERIES.
+# ---------------------------------------------------------------------------
+@_q(
+    "cs1_name_search_suite",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE}
+    SELECT 'c6' AS probe, {_LL_COLS} FROM vw_ll
+    WHERE type = 'file' AND name LIKE 'doc\\_1%' ESCAPE '\\'
+    UNION ALL
+    SELECT 'c11', {_LL_COLS} FROM vw_ll
+    WHERE type = 'file' AND name LIKE '%.t\\_t' ESCAPE '\\'
+    UNION ALL
+    SELECT 'c12', {_LL_COLS} FROM vw_ll
+    WHERE type = 'dir' AND name LIKE '%1%'
+    """,
+)
+def cs1_name_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/F8 + F10 + dir wildcard in one graded row: each member runs
+    the SAME search-function implementation unchanged (suites.py
+    convention — member tag first so a mismatch pinpoints the
+    operator)."""
+    ll = _listing(spark, sf_dir)
+    parts = [
+        _ll_cols(search.search_file(ll, "doc_1*")).select(
+            F.lit("c6").alias("probe"), "*"
+        ),
+        _ll_cols(search.search_file_suffix(ll, ".t_t")).select(
+            F.lit("c11").alias("probe"), "*"
+        ),
+        _ll_cols(search.search_dir(ll, "*1*")).select(
+            F.lit("c12").alias("probe"), "*"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# c13/c14: the J6 DIRECTORY duplicate search (reference Search.py:298-345)
+# ---------------------------------------------------------------------------
+# Shared oracle text for the sha1-preferred / md5-fallback / size match,
+# mirroring the documented-intent semantics used by c8 (needle-keyed
+# fallback: try md5 only when the needle's sha1 is NULL).
+_DUP_DIR_ORACLE = f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE},
+    files AS (SELECT * FROM vw_ll WHERE type = 'file'),
+    needle AS (
+      SELECT file_id AS n_file_id, name AS n_name, size AS n_size,
+             md5_hash AS n_md5, sha1_hash AS n_sha1
+      FROM files WHERE dir_path = '/corpus/src2'
+    )
+    SELECT {_LL_COLS} FROM files WHERE dir_path = '/corpus/src2'
+    UNION
+    SELECT {_LL_COLS} FROM files f
+    WHERE EXISTS (
+      SELECT 1 FROM needle n
+      WHERE n.n_sha1 IS NOT NULL AND f.sha1_hash = n.n_sha1
+        AND f.size = n.n_size
+    )
+    UNION
+    SELECT {_LL_COLS} FROM files f
+    WHERE EXISTS (
+      SELECT 1 FROM needle n
+      WHERE n.n_sha1 IS NULL AND n.n_md5 IS NOT NULL
+        AND f.md5_hash = n.n_md5 AND f.size = n.n_size
+    )
+    """
+
+
+@_q("c13_duplicate_dir", _DUP_DIR_ORACLE)
+def c13_duplicate_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 directory form (Search.py:298-345): needle = every file in
+    '/corpus/src2'; result = the needle's own rows (the `f.id = n.id`
+    clause) plus every catalog file matching a needle on
+    sha1-preferred/md5-fallback hash AND size. Decomposed as unioned
+    broadcast equi-joins; see search.search_duplicate_dir."""
+    out = search.search_duplicate_dir(
+        _listing(spark, sf_dir), "/corpus/src2", hash_match_files=True
+    )
+    return _ll_cols(out)
+
+
+@_q(
+    "c14_duplicate_dir_contents",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE},
+    files AS (SELECT * FROM vw_ll WHERE type = 'file'),
+    per_dir AS (
+      SELECT dir_id, dir_path,
+             CAST(COUNT(*) AS BIGINT) AS file_count,
+             md5(string_agg(ck, '|' ORDER BY ck)) AS content_fingerprint
+      FROM (
+        SELECT dir_id, dir_path,
+               COALESCE(sha1_hash, 'm:' || md5_hash, 'n:' || name)
+                 || ':' || COALESCE(CAST(size AS VARCHAR), '~') AS ck
+        FROM files
+      ) GROUP BY dir_id, dir_path
+    )
+    SELECT dir_id, dir_path, file_count, content_fingerprint,
+           CAST(COUNT(*) OVER (PARTITION BY content_fingerprint) AS BIGINT)
+             AS n_dirs_sharing
+    FROM per_dir
+    """,
+)
+def c14_duplicate_dir_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TODO'd identical-dir-contents match
+    (Search.py:305-307) in its scale-correct form: per-dir multiset
+    fingerprint of (content key, size) + a count of dirs sharing each
+    fingerprint — one groupBy + one window, no dir×dir join. See
+    search.duplicate_dir_contents."""
+    return search.duplicate_dir_contents(_listing(spark, sf_dir))

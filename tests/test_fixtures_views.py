@@ -165,3 +165,88 @@ def test_g10_integrity_audit_truthful(spark, sf_dir):
     assert summaries["orphan_file"] == 1  # the /orphan/nowhere file
     assert summaries["dangling_hash"] == 0 and summaries["missing_parent"] == 0
     assert summaries["null_ctime"] > 0 and summaries["hash_backlog"] > 0
+
+
+def _dup_dir_listing(spark):
+    """Synthetic vw_ll-shaped listing exercising every J6-dir branch:
+    dirs A and B have identical content multisets (incl. a repeated
+    key), C differs only by count, D shares one file with A."""
+    rows = [
+        # type, full_path, file_id, name, dir_id, size, md5, sha1, dir_path
+        ("file", "/a/f1", 1, "f1", 1, 10.0, "m1", "s1", "/a"),
+        ("file", "/a/f2", 2, "f2", 1, 10.0, "m1", "s1", "/a"),  # repeated key
+        ("file", "/a/f3", 3, "f3", 1, 20.0, "m3", None, "/a"),  # md5 fallback
+        ("file", "/b/g1", 4, "g1", 2, 10.0, "m1", "s1", "/b"),
+        ("file", "/b/g2", 5, "g2", 2, 10.0, "m1", "s1", "/b"),
+        ("file", "/b/g3", 6, "g3", 2, 20.0, "m3", None, "/b"),
+        ("file", "/c/h1", 7, "h1", 3, 10.0, "m1", "s1", "/c"),  # count differs
+        ("file", "/c/h3", 8, "h3", 3, 20.0, "m3", None, "/c"),
+        ("file", "/d/f1", 9, "f1", 4, 99.0, "m9", "s9", "/d"),  # name match only
+        ("dir", "/a", None, "a", 0, None, None, None, "/"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "type string, full_path string, file_id bigint, name string, "
+        "dir_id bigint, size double, md5_hash string, sha1_hash string, "
+        "dir_path string",
+    )
+
+
+def test_search_duplicate_dir_branches(spark):
+    ll = _dup_dir_listing(spark)
+    got = {r["full_path"] for r in search.search_duplicate_dir(ll, "/a").collect()}
+    # self rows + sha1+size matches in /b,/c + md5-fallback matches
+    assert got == {
+        "/a/f1", "/a/f2", "/a/f3",
+        "/b/g1", "/b/g2", "/b/g3",
+        "/c/h1", "/c/h3",
+    }
+    # name matching pulls in /d/f1 (same name, different content)
+    with_names = {
+        r["full_path"]
+        for r in search.search_duplicate_dir(
+            ll, "/a", name_match_files=True
+        ).collect()
+    }
+    assert with_names == got | {"/d/f1"}
+    # hash matching off, name on: self rows + name matches only
+    names_only = {
+        r["full_path"]
+        for r in search.search_duplicate_dir(
+            ll, "/a", hash_match_files=False, name_match_files=True
+        ).collect()
+    }
+    assert names_only == {"/a/f1", "/a/f2", "/a/f3", "/d/f1"}
+    # dir rows never leak into the result
+    assert all(r["type"] == "file" for r in search.search_duplicate_dir(ll, "/a").collect())
+
+
+def test_search_duplicate_dir_on_fixtures(spark, sf_dir):
+    d, f, h, _ = _catalog(spark, sf_dir)
+    listing = views.vw_ll(d, f, h)
+    out = search.search_duplicate_dir(listing, "/corpus/src2").collect()
+    needle_paths = {
+        r["full_path"]
+        for r in listing.where(
+            (F.col("type") == "file") & (F.col("dir_path") == "/corpus/src2")
+        ).collect()
+    }
+    got_paths = {r["full_path"] for r in out}
+    # the f.id = n.id clause: every needle row is in the result
+    assert needle_paths <= got_paths
+    # no duplicates in the distinct result
+    assert len(out) == len(got_paths)
+
+
+def test_duplicate_dir_contents_multiset(spark):
+    ll = _dup_dir_listing(spark)
+    rep = {r["dir_path"]: r for r in search.duplicate_dir_contents(ll).collect()}
+    # A == B (identical multisets, repeated key preserved); C differs by count
+    assert rep["/a"]["content_fingerprint"] == rep["/b"]["content_fingerprint"]
+    assert rep["/a"]["n_dirs_sharing"] == 2
+    assert rep["/b"]["n_dirs_sharing"] == 2
+    assert rep["/c"]["content_fingerprint"] != rep["/a"]["content_fingerprint"]
+    assert rep["/c"]["n_dirs_sharing"] == 1
+    assert rep["/a"]["file_count"] == 3
+    # dir rows are not fingerprinted
+    assert "/" not in rep
