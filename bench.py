@@ -77,6 +77,10 @@ HEADLINE = [
     "g11_zorder_layout",
     "e15_rfm_segments",
     "m6_audio_energy",
+    # round-4 additions
+    "v16_serve",  # IVF-PQ query path against the persisted index
+    "c13_duplicate_dir",
+    "c14_duplicate_dir_contents",
 ]
 
 #: the 14-query headline set BENCH_r02 recorded (rounds 1-2). The
@@ -124,6 +128,10 @@ def main() -> None:
     from file_db_spark.operators.filedb_catalog import _listing
 
     _listing(spark, sf_dir).count()
+    # v16 index build is one-time setup (train once, persist, serve
+    # many) — like the fixture catalog, it's pre-existing state for the
+    # serve-path query, so it happens outside the timed region.
+    ops.similarity.v16_ensure_index(spark, sf_dir)
     cold = os.environ.get("BENCH_COLD", "") not in ("", "0")
     warm_dir = "/root/testdata/sf0.001"
     if not cold:

@@ -128,24 +128,38 @@ def crawl_tree(
 ) -> DataFrame:
     """Breadth-first full-tree crawl: repeatedly scan the frontier and
     feed discovered subdirs back in. Each level is one distributed scan
-    job; the union of levels is the full listing. The frontier (paths
-    only) is collected per level — it is the work queue, not the data,
-    mirroring the reference's crawl queue (Server/__init__.py:228-261)."""
+    job; the union of levels is the full listing.
+
+    The frontier stays a DataFrame end-to-end: each level's subdir
+    paths are derived column-side from the persisted listing and fed
+    straight back into scan_dirs — the driver sees only a 0/1-row
+    emptiness probe per level, never the paths. At catalog scale a
+    single level can be millions of directories; keeping the work queue
+    executor-side bounds driver memory at O(levels), not O(frontier)
+    (the reference's crawl queue, Server/__init__.py:228-261, is the
+    claimed-batch equivalent — engine.crawl_once drives THAT bounded
+    path through directory_control; this is the bootstrap full walk).
+
+    Each persisted level is materialized exactly once: the emptiness
+    probe and the final union both read the cache, so no directory is
+    os.scandir'd twice."""
     all_levels: list[DataFrame] = []
-    frontier = list(dict.fromkeys(roots))
+    frontier = spark.createDataFrame(
+        [(p,) for p in dict.fromkeys(roots)], "dir_path string"
+    )
     depth = 0
-    while frontier and depth < max_depth:
+    while depth < max_depth:
         listing = scan_dirs(spark, frontier, partitions=partitions)
         listing = listing.persist()
         all_levels.append(listing)
-        frontier = [
-            child_path(r["dir_path"], r["name"])
-            for r in listing.where(
-                (F.col("entry_type") == "dir") & F.col("error").isNull()
-            )
-            .select("dir_path", "name")
-            .collect()
-        ]
+        next_frontier = (
+            listing.where((F.col("entry_type") == "dir") & F.col("error").isNull())
+            .select(child_path_col("dir_path", "name").alias("dir_path"))
+            .persist()
+        )
+        if next_frontier.limit(1).count() == 0:
+            break
+        frontier = next_frontier
         depth += 1
     if not all_levels:
         return spark.createDataFrame([], SCAN_SCHEMA)

@@ -806,8 +806,12 @@ def e14_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # report (the user-level complement to e10's cohort retention).
 # ---------------------------------------------------------------------------
 
+# Cutoffs are rounded to 6 decimals (the d25 convention) IDENTICALLY in
+# both engines before the strict '>' comparisons: interpolated doubles
+# from two independent quantile implementations are bit-parity only
+# while no data value lands within an ulp of a cutoff (ADVICE r3).
 _E15_CUTS = ", ".join(
-    f"quantile_cont(CAST({col} AS DOUBLE), {q}) AS {name}{int(q * 100)}"
+    f"round(quantile_cont(CAST({col} AS DOUBLE), {q}), 6) AS {name}{int(q * 100)}"
     for col, name in (
         ("recency_days", "r"),
         ("frequency", "f"),
@@ -901,9 +905,10 @@ def e15_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+    # round-6 cutoffs, matching _E15_CUTS exactly (see comment there)
     cuts = rfm.agg(
         *[
-            F.expr(f"percentile(CAST({col} AS DOUBLE), {q})").alias(
+            F.expr(f"round(percentile(CAST({col} AS DOUBLE), {q}), 6)").alias(
                 f"{name}{int(q * 100)}"
             )
             for col, name in (
@@ -1145,9 +1150,10 @@ _E18_QS = (0.5, 0.95, 0.99)
       FROM v GROUP BY event_type
     ), bucketed AS (
       SELECT v.event_type,
-             least({E18_BUCKETS - 1}, greatest(0,
+             CASE WHEN e.hi = e.lo THEN 0
+                  ELSE least({E18_BUCKETS - 1}, greatest(0,
                CAST(floor((v.value - e.lo) * {E18_BUCKETS} / (e.hi - e.lo)) AS INT)))
-               AS b
+               END AS b
       FROM v JOIN ext e ON e.event_type = v.event_type
     ), hist AS (
       SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS c
@@ -1201,14 +1207,21 @@ def e18_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("hi"),
         F.count("*").cast("bigint").alias("n"),
     )
-    b = F.least(
-        F.lit(E18_BUCKETS - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor(
-                (F.col("value") - F.col("lo")) * E18_BUCKETS / (F.col("hi") - F.col("lo"))
-            ).cast("int"),
-        ),
+    # hi == lo (all values equal) short-circuits to bucket 0 EXPLICITLY:
+    # the scaled-floor form divides by zero there, and the two engines'
+    # null/NaN division paths diverge (ADVICE r3).
+    b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(E18_BUCKETS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    * E18_BUCKETS
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+            ),
+        )
     )
     hist = (
         v.join(F.broadcast(ext), "event_type")

@@ -2179,25 +2179,12 @@ V16_NPROBE = 2
 _V16_DIM = PQ_M * PQ_SUB_DIM  # 64
 
 
-def v16_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ residual index end-to-end: train coarse cells (the v6
-    Lloyd loop), freeze the coarse codebook, subtract each vector's
-    cell centroid to get its residual, train PQ codebooks over residual
-    subspaces (the v7 loop, seeded (vec_id+m)%%K), encode every vector
-    as (coarse cell, 4 residual codes). Queries route to their
-    {V16_NPROBE} closest coarse cells, form a PER-PROBE residual
-    (q - probed centroid), and ADC-score only that cell's codes via the
-    per-(query, cell) distance table — sum of 4 looked-up subspace
-    distances in fixed order, exact squared-L2 by the three-dot form.
-
-    Scale: the index artifacts are tiny (k x dim coarse codebook +
-    M x K x subdim PQ codebook, both broadcast); the corpus is stored
-    as 4-byte codes + a cell id (16x compression). A query touches only
-    nprobe cells' codes — with cell-partitioned storage that's a
-    partition-pruned scan (the v3 note) — and scoring is 4 map lookups
-    + 3 adds per candidate, no float dot against raw vectors at all;
-    one per-query top-k window. Training is the v6/v7 fixed-depth
-    broadcast loops, all per-round state persisted."""
+def _v16_train(spark: SparkSession, sf_dir: str):
+    """v16 index TRAINING: coarse Lloyd loop -> frozen coarse codebook,
+    residuals, PQ Lloyd loop over residual subspaces, corpus encoding.
+    Returns (cents, pcents, codes) — the three index artifacts. Split
+    from serving so the one-time build can be persisted (the 100 TB
+    posture: train once, store codebooks + codes, serve many)."""
     e = load_table(spark, sf_dir, "embeddings")
     pts = e.select(
         "vec_id",
@@ -2269,9 +2256,24 @@ def v16_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(res.select("vec_id", "cell"), "vec_id")  # coarse cell back on
     )
+    return cents, pcents, codes
+
+
+def _v16_serve_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: DataFrame,
+    pcents: DataFrame,
+    codes: DataFrame,
+) -> DataFrame:
+    """v16 SERVING: route queries to their V16_NPROBE closest coarse
+    cells, form per-probe residuals, ADC-score only the probed cells'
+    codes. Touches the raw embeddings only for the query vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
     # query routing: top-nprobe coarse cells by cosine (v4 parity)
-    q = pts.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
     )
     routed = q.crossJoin(F.broadcast(cents.withColumnRenamed("cell", "r_cell"))).select(
         "query_id",
@@ -2338,6 +2340,90 @@ def v16_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", F.round("adc", 6).alias("adc_dist"), "rank"
         )
     )
+
+
+def v16_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual index end-to-end (train + serve in one plan):
+    train coarse cells (the v6 Lloyd loop), freeze the coarse codebook,
+    subtract each vector's cell centroid to get its residual, train PQ
+    codebooks over residual subspaces (the v7 loop, seeded
+    (vec_id+m)%%K), encode every vector as (coarse cell, 4 residual
+    codes). Queries route to their V16_NPROBE closest coarse cells,
+    form a PER-PROBE residual (q - probed centroid), and ADC-score only
+    that cell's codes via the per-(query, cell) distance table — sum of
+    4 looked-up subspace distances in fixed order, exact squared-L2 by
+    the three-dot form.
+
+    Scale: the index artifacts are tiny (k x dim coarse codebook +
+    M x K x subdim PQ codebook, both broadcast); the corpus is stored
+    as 4-byte codes + a cell id (16x compression). A query touches only
+    nprobe cells' codes — with cell-partitioned storage that's a
+    partition-pruned scan (the v3 note) — and scoring is 4 map lookups
+    + 3 adds per candidate, no float dot against raw vectors at all;
+    one per-query top-k window. Training is the v6/v7 fixed-depth
+    broadcast loops, all per-round state persisted. In production you
+    train ONCE and persist — that path is v16_serve below."""
+    cents, pcents, codes = _v16_train(spark, sf_dir)
+    return _v16_serve_plan(spark, sf_dir, cents, pcents, codes)
+
+
+#: bump to invalidate persisted v16 index artifacts when the training
+#: pipeline changes
+_V16_INDEX_VERSION = 1
+
+
+def v16_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic on-disk location for the v16 index artifacts,
+    keyed by (sf name, corpus row count, pipeline version) so a changed
+    embeddings table or training recipe never serves a stale index."""
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    n = load_table(spark, sf_dir, "embeddings").count()
+    tag = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_n{n}_v{_V16_INDEX_VERSION}"
+    )
+    return os.path.join(repo, "spark-warehouse", "v16_index", tag)
+
+
+def v16_ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-and-persist the v16 index if absent: cents / pcents /
+    codes written as parquet (array<double> roundtrips bit-exactly).
+    Idempotent; returns the index directory. At cluster scale `codes`
+    would be written partitioned by coarse cell so serving prunes to
+    nprobe partitions — at fixture scale a plain write keeps the tiny
+    artifacts in single files."""
+    import os
+
+    path = v16_index_dir(spark, sf_dir)
+    done = all(
+        os.path.exists(os.path.join(path, part, "_SUCCESS"))
+        for part in ("cents", "pcents", "codes")
+    )
+    if not done:
+        cents, pcents, codes = _v16_train(spark, sf_dir)
+        cents.write.mode("overwrite").parquet(os.path.join(path, "cents"))
+        pcents.write.mode("overwrite").parquet(os.path.join(path, "pcents"))
+        codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    return path
+
+
+def v16_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production v16 query path: read the persisted coarse+PQ
+    codebooks and corpus codes (building them first only if absent) and
+    run routing + ADC. This is the plan a 100 TB deployment executes
+    per query batch — the training loops never re-run; the bench times
+    this entry separately from the train+serve v16 plan."""
+    import os
+
+    path = v16_ensure_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "cents"))
+    pcents = spark.read.parquet(os.path.join(path, "pcents"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return _v16_serve_plan(spark, sf_dir, cents, pcents, codes)
 
 
 def _v16_oracle() -> str:
@@ -2493,6 +2579,10 @@ def _v16_oracle() -> str:
 
 QUERIES["v16_ivf_pq_residual"] = v16_ivf_pq_residual
 ORACLES["v16_ivf_pq_residual"] = _v16_oracle()
+# serve-only path: deterministic training -> identical results, so the
+# full v16 oracle doubles as the serve oracle.
+QUERIES["v16_serve"] = v16_serve
+ORACLES["v16_serve"] = ORACLES["v16_ivf_pq_residual"]
 
 
 # ---------------------------------------------------------------------------
@@ -2514,12 +2604,16 @@ def _v17_oracle() -> str:
     )
     per_q = "\n      UNION ALL\n      ".join(
         f"""SELECT '{name.split('_')[0]}' AS method, t.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_truth,
              CAST(COUNT(m.neighbor_id) AS BIGINT) AS n_hits
       FROM truth t LEFT JOIN m_{name.split('_')[0]} m
         ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
       GROUP BY t.query_id"""
         for name in _V17_METHODS
     )
+    # recall denominators are the ACTUAL per-query truth-row counts
+    # (SUM(n_truth) in the summary), not COUNT(*) * k — a query with
+    # fewer than k exact-truth rows would deflate the mean (ADVICE r3).
     return f"""
     WITH truth AS (
       SELECT query_id, neighbor_id FROM (\n{ORACLES["v1_knn_bruteforce"]}\n) _t
@@ -2528,12 +2622,13 @@ def _v17_oracle() -> str:
     perq AS (
       {per_q}
     )
-    SELECT method, query_id, n_hits,
-           CAST(n_hits AS DOUBLE) / {TOP_K} AS recall
+    SELECT method, query_id, n_truth, n_hits,
+           CAST(n_hits AS DOUBLE) / n_truth AS recall
     FROM perq
     UNION ALL
-    SELECT method, CAST(-1 AS BIGINT), CAST(SUM(n_hits) AS BIGINT),
-           CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * {TOP_K})
+    SELECT method, CAST(-1 AS BIGINT), CAST(SUM(n_truth) AS BIGINT),
+           CAST(SUM(n_hits) AS BIGINT),
+           CAST(SUM(n_hits) AS DOUBLE) / SUM(n_truth)
     FROM perq GROUP BY method
     """
 
@@ -2565,22 +2660,32 @@ def v17_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left",
             )
             .groupBy(truth.query_id)
-            .agg(F.count("m_neighbor").cast("bigint").alias("n_hits"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_truth"),
+                F.count("m_neighbor").cast("bigint").alias("n_hits"),
+            )
             .select(
                 F.lit(tag).alias("method"),
                 F.col("query_id"),
+                "n_truth",
                 "n_hits",
-                (F.col("n_hits").cast("double") / TOP_K).alias("recall"),
+                (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
             )
         )
         out = perq if out is None else out.unionByName(perq)
     out = out.persist()
+    # summary denominators = summed truth-row counts (see oracle note)
     summary = out.groupBy("method").agg(
+        F.sum("n_truth").cast("bigint").alias("n_truth"),
         F.sum("n_hits").cast("bigint").alias("n_hits"),
-        (
-            F.sum("n_hits").cast("double") / (F.count("*") * TOP_K)
-        ).alias("recall"),
-    ).select("method", F.lit(-1).cast("bigint").alias("query_id"), "n_hits", "recall")
+        (F.sum("n_hits").cast("double") / F.sum("n_truth")).alias("recall"),
+    ).select(
+        "method",
+        F.lit(-1).cast("bigint").alias("query_id"),
+        "n_truth",
+        "n_hits",
+        "recall",
+    )
     return out.unionByName(summary)
 
 

@@ -162,3 +162,37 @@ def test_scheduler_claims_and_reset(spark, tmp_path, tree):
     reset = scheduler.reset_claims(claimed).collect()[0]
     assert reset["assigned_process_id"] is None
     assert reset["process_assigned_on"] is None
+
+
+def test_crawl_tree_wide_deep_dataframe_frontier(spark, tmp_path):
+    """crawl_tree keeps the frontier executor-side: a wide level (64
+    dirs) and a deep chain (6 levels) both crawl completely with the
+    driver seeing only per-level emptiness probes — the listing must
+    equal an os.walk of the same tree exactly."""
+    from file_db_spark.filedb.scan import child_path, crawl_tree
+
+    root = tmp_path / "wide"
+    for i in range(64):
+        d = root / f"w{i:03d}"
+        d.mkdir(parents=True)
+        (d / "f.txt").write_text(str(i))
+    deep = root
+    for j in range(6):
+        deep = deep / f"d{j}"
+    deep.mkdir(parents=True)
+    (deep / "leaf.txt").write_text("x")
+
+    listing = crawl_tree(spark, [str(root)]).persist()
+    got = {
+        (child_path(r["dir_path"], r["name"]), r["entry_type"])
+        for r in listing.collect()
+    }
+    expected = set()
+    for dirpath, dirnames, filenames in os.walk(root):
+        for n in dirnames:
+            expected.add((os.path.join(dirpath, n), "dir"))
+        for n in filenames:
+            expected.add((os.path.join(dirpath, n), "file"))
+    assert got == expected
+    assert len([r for r in listing.collect() if r["entry_type"] == "file"]) == 65
+    listing.unpersist()

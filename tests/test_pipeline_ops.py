@@ -583,3 +583,24 @@ def test_d44_confusion_is_consistent(spark, sf_dir):
             assert abs(cls[c]["precision"] - tp / (tp + fp)) < 1e-12
         if tp + fn:
             assert abs(cls[c]["recall"] - tp / (tp + fn)) < 1e-12
+
+
+def test_corpus_pure_ascii_invariant(spark):
+    """The m1-m7 oracles address CHARACTERS (ord/substr/strlen) while
+    the Spark kernels process UTF-8 BYTES; their parity rests on the
+    documented pure-ASCII corpus invariant (multimodal.py oracle note).
+    Guard it loudly at every SF present so a non-ASCII fixture fails
+    here instead of silently producing divergent 'bit-exact' results."""
+    import os
+
+    from file_db_spark.catalog import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        d = load_table(spark, sf_dir, "documents")
+        n_bad = d.where(
+            F.length("text") != F.octet_length("text")
+        ).count()
+        assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents break m6/m7 oracle parity"
