@@ -81,6 +81,16 @@ HEADLINE = [
     "v16_serve",  # IVF-PQ query path against the persisted index
     "c13_duplicate_dir",
     "c14_duplicate_dir_contents",
+    "d45_pii_redaction",
+    # merge-engine + streaming pipeline cost, previously invisible in
+    # BENCH (these time the engine's own fixture-wave pipelines; s38
+    # alone runs nine real availableNow stream drains — its wall time
+    # is stream startup x9, not data volume)
+    "g1_merge_recrawl",
+    "g2_hash_lifecycle",
+    "g3456_control_suite",
+    "s12_streaming",
+    "s38_streaming_suite",
 ]
 
 #: the 14-query headline set BENCH_r02 recorded (rounds 1-2). The

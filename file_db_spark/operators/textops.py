@@ -3522,3 +3522,140 @@ def d44_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         classes = row if classes is None else classes.unionByName(row)
     return cells.unionByName(classes)
+
+
+# ---------------------------------------------------------------------------
+# d45: full PII detection + redaction — the multi-class extension d20
+# promises ("additional PII classes are additional regexp_replace
+# stages"): emails / phone numbers / IPv4 / card-like digit runs, each
+# COUNTED per type and replaced with a typed placeholder. The fixture
+# corpus is digit-free, so deterministic synthetic PII is derived
+# in-query from doc_id with IDENTICAL string arithmetic in both engines
+# (the filedb-fixture pattern) — the regex machinery is exercised on
+# real matches, and the md5 of the redacted text proves replacement
+# byte-parity end-to-end.
+# ---------------------------------------------------------------------------
+
+#: detection patterns — shared Java/RE2-safe subset: no lookarounds,
+#: ASCII classes only (the corpus is pure ASCII, guarded by
+#: test_corpus_pure_ascii_invariant, so Java's unicode \b == RE2's).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "card": r"\b[0-9]{4}( [0-9]{4}){3}\b",
+}
+
+_D45_AUG_SQL = """
+      text
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' mail user.' || CAST(doc_id AS VARCHAR) || '@ex-ample.org now'
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon'
+              ELSE '' END
+      || CASE WHEN doc_id % 13 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                   || CAST((doc_id // 3) % 256 AS VARCHAR) || ' host'
+              ELSE '' END
+      || CASE WHEN doc_id % 17 = 0
+              THEN ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok'
+              ELSE '' END
+"""
+
+_D45_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id, {_D45_AUG_SQL} AS text2 FROM documents
+    ), redacted AS (
+      SELECT doc_id, text2,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text2, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                   '{PII_PATTERNS["card"]}', '<CARD>', 'g'),
+                 '{PII_PATTERNS["ip"]}', '<IP>', 'g'),
+               '{PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS red
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2, '{PII_PATTERNS["email"]}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text2, '{PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text2, '{PII_PATTERNS["ip"]}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text2, '{PII_PATTERNS["card"]}')) AS BIGINT) AS n_cards,
+           md5(red) AS redacted_hash
+    FROM redacted
+    """
+
+
+@_q("d45_pii_redaction", _D45_ORACLE)
+def d45_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts by type plus the md5 of the fully
+    redacted text (emails first, then card runs, IPs, phones — the
+    placeholder vocabulary never re-matches a later pattern).
+
+    Scale: pure Column regexes inside whole-stage codegen — one
+    map-only scan, no shuffle at all; redacted text would stream
+    straight to the cleaned-corpus sink. At 100 TB the only knob is
+    input split size; there is no skew surface."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            doc % 7 == 0,
+            F.concat(
+                F.lit(" mail user."), doc.cast("string"), F.lit("@ex-ample.org now")
+            ),
+        ).otherwise(""),
+        F.when(
+            doc % 11 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((doc % 10000).cast("string"), 4, "0"),
+                F.lit(" soon"),
+            ),
+        ).otherwise(""),
+        F.when(
+            doc % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (doc % 256).cast("string"),
+                F.lit("."),
+                (F.expr("doc_id div 3") % 256).cast("string"),
+                F.lit(" host"),
+            ),
+        ).otherwise(""),
+        F.when(
+            doc % 17 == 0,
+            F.concat(
+                F.lit(" card 4111 1111 1111 "),
+                F.lpad((doc % 10000).cast("string"), 4, "0"),
+                F.lit(" ok"),
+            ),
+        ).otherwise(""),
+    )
+    red = aug
+    for key, ph in (
+        ("email", "<EMAIL>"),
+        ("card", "<CARD>"),
+        ("ip", "<IP>"),
+        ("phone", "<PHONE>"),
+    ):
+        red = F.regexp_replace(red, PII_PATTERNS[key], ph)
+
+    def n_of(key: str) -> F.Column:
+        # Python-API form: the pattern is passed verbatim (an F.expr SQL
+        # string literal would eat the regex backslashes)
+        return F.size(
+            F.regexp_extract_all(F.col("text2"), F.lit(PII_PATTERNS[key]), F.lit(0))
+        ).cast("bigint")
+
+    staged = d.select("doc_id", aug.alias("text2"), red.alias("red"))
+    return staged.select(
+        "doc_id",
+        n_of("email").alias("n_emails"),
+        n_of("phone").alias("n_phones"),
+        n_of("ip").alias("n_ips"),
+        n_of("card").alias("n_cards"),
+        F.md5("red").alias("redacted_hash"),
+    )

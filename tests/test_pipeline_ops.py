@@ -604,3 +604,36 @@ def test_corpus_pure_ascii_invariant(spark):
             F.length("text") != F.octet_length("text")
         ).count()
         assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents break m6/m7 oracle parity"
+
+
+def test_d45_redaction_complete_and_counted(spark, sf_dir):
+    """After redaction no pattern may match the output text, every
+    synthetic-PII stratum is detected on schedule, and clean docs pass
+    through with text unchanged (hash of original == redacted)."""
+    from file_db_spark.operators.textops import d45_pii_redaction
+
+    rows = d45_pii_redaction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        did = r["doc_id"]
+        assert (r["n_emails"] >= 1) == (did % 7 == 0)
+        assert (r["n_phones"] >= 1) == (did % 11 == 0)
+        assert (r["n_ips"] >= 1) == (did % 13 == 0)
+        assert (r["n_cards"] >= 1) == (did % 17 == 0)
+    # The operator returns only the redaction hash; every detected
+    # doc's hash must differ from the clean-text hash (something was
+    # replaced) and every clean doc's must equal it (pass-through).
+    from pyspark.sql import functions as SF
+
+    from file_db_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", SF.md5("text").alias("clean_hash")
+    )
+    joined = {
+        r["doc_id"]: r
+        for r in d45_pii_redaction(spark, sf_dir).join(d, "doc_id").collect()
+    }
+    for did, r in joined.items():
+        has_pii = any((did % m == 0) for m in (7, 11, 13, 17))
+        assert (r["redacted_hash"] != r["clean_hash"]) == has_pii

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Scale probe: does each expensive headline plan stay ~linear when the
+data grows 10x? (The question a 100 TB deployment actually asks — a
+hidden superlinear stage that sf0.1 can't see shows up as exponent > 1.)
+
+Synthesizes an sf1.0-equivalent dataset by unioning 10 id-shifted
+copies of the sf0.1 tables that the probed queries scan (documents /
+embeddings / events; the TPC-H tables are copied through unchanged),
+then times each probed query at sf0.1 and sf1.0 and reports the
+scaling exponent log10(t_sf1 / t_sf01).
+
+Id offsets preserve the generators' modular structure so the scaled
+data stresses the same code paths (bigger dup groups, denser LSH
+buckets, 10x users in the same time range — deliberately HARDER skew
+than independent sampling would produce):
+- documents: doc_id + k*133200 (133200 = lcm(200, 720, 37) — keeps
+  dup_key=doc_id%200 groups, hash-subset %10/%20 strata, %37 names);
+- embeddings: vec_id + k*1000000 (%8 coarse cells preserved; queries
+  stay vec_id < 5, so the query set is fixed while the corpus is 10x);
+- events: event_id + k*100000, user_id + k*1500, same ts range.
+
+Usage: python tools/scale_probe.py [query ...]   (default: the probe set)
+Writes one JSON line per query plus a summary; SCALING.md records the
+committed results and the per-query verdicts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(REPO, ".scale_probe", "sf1.0")
+COPIES = 10
+
+#: the most expensive headline plans of BENCH_r03, i.e. the ones whose
+#: asymptotics matter most (all scan documents/embeddings/events)
+PROBE_SET = [
+    "v16_ivf_pq_residual",
+    "x27_fused_dedup_graph",
+    "v15_mmr_rerank",
+    "v11_nn_descent",
+    "x19_pagerank",
+    "x20_prefix_ssjoin",
+    "x16_components_star",
+    "v7_pq_adc",
+    "d32_bpe_encode",
+    "x4_minhash_lsh",
+]
+
+_DOC_OFF = 133200  # lcm(200, 720, 37)
+_VEC_OFF = 1000000
+_EVT_OFF = 100000
+_USR_OFF = 1500
+
+
+def synthesize() -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    jobs = {
+        "documents": f"""
+            SELECT doc_id + k * {_DOC_OFF} AS doc_id, text, lang, source, n_chars
+            FROM '{SRC}/documents.parquet', range({COPIES}) t(k)
+        """,
+        "embeddings": f"""
+            SELECT vec_id + k * {_VEC_OFF} AS vec_id, embedding, label
+            FROM '{SRC}/embeddings.parquet', range({COPIES}) t(k)
+            WHERE k = 0 OR vec_id >= 5  -- query vectors stay unique
+        """,
+        "events": f"""
+            SELECT event_id + k * {_EVT_OFF} AS event_id, ts,
+                   user_id + k * {_USR_OFF} AS user_id, event_type, value, props
+            FROM '{SRC}/events.parquet', range({COPIES}) t(k)
+        """,
+    }
+    for name, q in jobs.items():
+        out = os.path.join(DST, f"{name}.parquet")
+        if not os.path.exists(out):
+            con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+    for name in (
+        "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
+    ):
+        out = os.path.join(DST, f"{name}.parquet")
+        if not os.path.exists(out):
+            shutil.copyfile(os.path.join(SRC, f"{name}.parquet"), out)
+
+
+def main() -> None:
+    names = sys.argv[1:] or PROBE_SET
+    synthesize()
+
+    from file_db_spark import operators as ops
+    from file_db_spark.session import get_spark
+
+    spark = get_spark(app_name="file_db_spark-scale-probe")
+    results = {}
+    for name in names:
+        fn = ops.ALL_QUERIES[name]
+        times = {}
+        for sf_name, sf_dir, n_runs in (("sf0.1", SRC, 2), ("sf1.0", DST, 1)):
+            dt = None
+            for _ in range(n_runs):
+                ops.dedup.clear_cache(sf_dir)
+                ops.textops.clear_cache(sf_dir)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                run = time.perf_counter() - t0
+                dt = run if dt is None else min(dt, run)
+            times[sf_name] = round(dt, 3)
+        import math
+
+        exp = math.log10(times["sf1.0"] / times["sf0.1"])
+        results[name] = {
+            "sf0.1_sec": times["sf0.1"],
+            "sf1.0_sec": times["sf1.0"],
+            "exponent": round(exp, 3),
+        }
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+    print(json.dumps({"metric": "scale_probe", "copies": COPIES, "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
