@@ -82,6 +82,7 @@ HEADLINE = [
     "c13_duplicate_dir",
     "c14_duplicate_dir_contents",
     "d45_pii_redaction",
+    "x30_collapsed_dedup_graph",  # collapse-first dedup graph (SCALING.md)
     # merge-engine + streaming pipeline cost, previously invisible in
     # BENCH (these time the engine's own fixture-wave pipelines; s38
     # alone runs nine real availableNow stream drains — its wall time

@@ -334,7 +334,13 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation is embarrassingly parallel Column work — one md5 per
     shingle plus 32 integer permutations, all inside codegen.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return _x4_pairs_from(load_table(spark, sf_dir, "documents"))
+
+
+def _x4_pairs_from(d: DataFrame) -> DataFrame:
+    """The x4 MinHash+LSH pair pipeline over an arbitrary (doc_id,
+    text) corpus — shared by x4 (full corpus) and x30 (exact-collapsed
+    representative corpus)."""
     sig = (
         d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
         .select(
@@ -2885,4 +2891,108 @@ def x29_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
         .filter((F.col("contain_a") >= CONTAIN_TAU) | (F.col("contain_b") >= CONTAIN_TAU))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x30: collapse-first dedup graph — the production-scale composition
+# the sf1.0 scale probe motivated. x27's pair-level contract is
+# inherently quadratic in exact-duplicate clique size (10 copies of a
+# doc turn every pair into 100; the probe measured exponent 1.40 on
+# duplication-dense 10x data). The deployable form collapses EXACT
+# duplicates to one representative first (hash groupBy — linear), runs
+# near-dup candidate generation on representatives only, closes
+# components over the rep graph, and expands labels back to members
+# with one broadcast-friendly join. Near-dup work is then O(distinct
+# texts), invariant to duplication density — the knob that actually
+# explodes at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def _x30_oracle() -> str:
+    x4_on_reps = _X4_ORACLE.replace("FROM documents", "FROM rep_docs")
+    return f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, md5(text) AS tkey FROM documents
+    ),
+    rep_groups AS (
+      SELECT tkey, MIN(doc_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM g GROUP BY tkey
+    ),
+    members AS (
+      SELECT g.doc_id, r.rep_id, r.group_size
+      FROM g JOIN rep_groups r ON g.tkey = r.tkey
+    ),
+    rep_docs AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN rep_groups r ON d.doc_id = r.rep_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (\n{x4_on_reps}\n) _x4
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    reach(v, lab) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.v
+    ),
+    comp AS (
+      SELECT v AS rep_id, CAST(MIN(lab) AS BIGINT) AS component_id
+      FROM reach GROUP BY v
+    )
+    SELECT m.doc_id, m.rep_id,
+           CAST(COALESCE(c.component_id, m.rep_id) AS BIGINT) AS component_id,
+           m.group_size,
+           CAST(CASE WHEN m.doc_id = m.rep_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+    FROM members m LEFT JOIN comp c ON c.rep_id = m.rep_id
+    """
+
+
+@_q("x30_collapsed_dedup_graph", _x30_oracle())
+def x30_collapsed_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse-first near-dup components: exact groups by md5(text)
+    (rep = min doc_id), x4's MinHash+LSH pipeline over the REP corpus
+    only, min-label closure over rep edges, then label expansion to
+    every member. component_id is the min doc_id of the fused
+    component (rep = its group's min, labels = min over reps, so the
+    identity matches x27's labeling for exact members).
+
+    Scale: the only O(corpus) stages are the hash groupBy and the
+    final expansion join; all pair generation and the closure run on
+    the distinct-text corpus. On the 10x duplication-dense probe data
+    this removes the measured superlinear blowup: rep pair count equals
+    the sf0.1 pair count by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.md5("text").alias("tkey"))
+    rep_groups = g.groupBy("tkey").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").cast("bigint").alias("group_size"),
+    )
+    members = g.join(rep_groups, "tkey").select("doc_id", "rep_id", "group_size")
+    rep_docs = d.join(
+        rep_groups.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    pairs = _x4_pairs_from(rep_docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    labels = _propagate_min_labels(edges, "x30").select(
+        F.col("v").alias("rep_id"), F.col("lab").cast("bigint").alias("component_id")
+    )
+    return members.join(labels, "rep_id", "left").select(
+        "doc_id",
+        "rep_id",
+        F.coalesce(F.col("component_id"), F.col("rep_id"))
+        .cast("bigint")
+        .alias("component_id"),
+        "group_size",
+        F.when(F.col("doc_id") == F.col("rep_id"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_rep"),
     )

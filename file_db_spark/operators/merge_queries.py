@@ -2356,9 +2356,33 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     claim/resolution half (M12/J12/T3) + the table store's time-travel
     CDC diff (g6) + the day-partitioned store's pruned serving (g7)
     in one graded row — every member runs its own wave through the
-    real engine unchanged. g6's old_size is packed to exact micro-MB
-    integers (6-decimal source -> lossless)."""
-    g3 = g3_mark_crawled(spark, sf_dir).select(
+    real engine unchanged, and the member pipelines are BUILT
+    concurrently: the eager portions (fixture-wave persists, the
+    g6/g7/g11/g12 mkdtemp store writes) are independent, so they
+    overlap the way independent engine waves do on a cluster; the
+    lazy plans still execute inside the one union job. g6's old_size
+    is packed to exact micro-MB integers (6-decimal source ->
+    lossless)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    member_fns = {
+        "g3": g3_mark_crawled,
+        "g4": g4_schedule_claims,
+        "g5": g5_copy_resolution,
+        "g6": g6_generation_diff,
+        "g7": g7_partition_pruning,
+        "g8": g8_compaction_plan,
+        "g9": g9_subtree_rollup,
+        "g10": g10_integrity_audit,
+        "g11": g11_zorder_layout,
+        "g12": g12_vacuum_plan,
+        "g13": g13_table_stats,
+        "g14": g14_stats_merge,
+    }
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futures = {k: pool.submit(fn, spark, sf_dir) for k, fn in member_fns.items()}
+        raw = {k: f.result() for k, f in futures.items()}
+    g3 = raw["g3"].select(
         F.lit("g3").alias("part"),
         F.col("k1"),
         F.col("s1"),
@@ -2371,7 +2395,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pid"),
         _dn().alias("v1"),
     )
-    g4 = g4_schedule_claims(spark, sf_dir).select(
+    g4 = raw["g4"].select(
         F.concat(F.lit("g4_"), F.col("part")).alias("part"),
         F.col("k1"),
         F.col("s1"),
@@ -2384,7 +2408,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         F.col("v1"),
     )
-    g5 = g5_copy_resolution(spark, sf_dir).select(
+    g5 = raw["g5"].select(
         F.concat(F.lit("g5_"), F.col("part")).alias("part"),
         F.col("k1"),
         F.col("s1"),
@@ -2397,7 +2421,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
-    g6 = g6_generation_diff(spark, sf_dir).select(
+    g6 = raw["g6"].select(
         F.lit("g6").alias("part"),
         F.col("id").alias("k1"),
         F.concat_ws(
@@ -2415,7 +2439,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         F.col("new_size").alias("v1"),
     )
-    g7 = g7_partition_pruning(spark, sf_dir).select(
+    g7 = raw["g7"].select(
         F.lit("g7").alias("part"),
         _bn().alias("k1"),
         F.col("event_type").alias("s1"),
@@ -2428,7 +2452,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         F.col("total_value").alias("v1"),
     )
-    g8 = g8_compaction_plan(spark, sf_dir).select(
+    g8 = raw["g8"].select(
         F.lit("g8").alias("part"),
         F.col("id").alias("k1"),
         _sn().alias("s1"),
@@ -2441,7 +2465,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
-    g9 = g9_subtree_rollup(spark, sf_dir).select(
+    g9 = raw["g9"].select(
         F.lit("g9").alias("part"),
         F.col("dir_id").alias("k1"),
         F.col("dir_path").alias("s1"),
@@ -2454,7 +2478,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
-    g10 = g10_integrity_audit(spark, sf_dir).select(
+    g10 = raw["g10"].select(
         F.concat(F.lit("g10_"), F.col("part")).alias("part"),
         F.col("ent_id").alias("k1"),
         F.concat(
@@ -2469,7 +2493,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
-    g11 = g11_zorder_layout(spark, sf_dir).select(
+    g11 = raw["g11"].select(
         F.lit("g11").alias("part"),
         F.col("event_id").alias("k1"),
         _sn().alias("s1"),
@@ -2482,7 +2506,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
-    g14 = g14_stats_merge(spark, sf_dir).select(
+    g14 = raw["g14"].select(
         F.concat(F.lit("g14_"), F.col("part")).alias("part"),
         F.col("n_rows").alias("k1"),
         F.col("name_register_sum").cast("string").alias("s1"),
@@ -2495,7 +2519,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         F.col("name_ndv_hll").alias("v1"),
     )
-    g13 = g13_table_stats(spark, sf_dir).select(
+    g13 = raw["g13"].select(
         F.lit("g13").alias("part"),
         F.col("n_rows").alias("k1"),
         F.concat(F.col("tbl"), F.lit("."), F.col("col"), F.lit("#"), F.col("kind")).alias("s1"),
@@ -2508,7 +2532,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         (F.col("vmin") + F.col("vmax") / F.lit(1000000.0)).alias("v1"),
     )
-    g12 = g12_vacuum_plan(spark, sf_dir).select(
+    g12 = raw["g12"].select(
         F.concat(F.lit("g12_"), F.col("phase")).alias("part"),
         F.col("back").alias("k1"),
         _sn().alias("s1"),

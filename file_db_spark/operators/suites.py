@@ -1992,8 +1992,32 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge; heavy hitters served from the maintained sketch), s10 the
     in-stream training-data admission gate (d33 quality classifier +
     exact-dedup probe per arriving document). Each member runs its own
-    availableNow stream unchanged."""
-    s3 = streaming_queries.s3_stream_sliding(spark, sf_dir).select(
+    availableNow stream unchanged — CONCURRENTLY: the drains are
+    independent jobs on isolated uuid/mkdtemp checkpoints and sinks,
+    so they overlap exactly as independent streaming jobs do on a
+    production cluster; suite wall-time is the slowest member plus
+    overlap, not the sum of eleven stream startups. Results are
+    deterministic regardless of interleaving (each member reads only
+    the static source and its own state)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    member_fns = {
+        "s3": streaming_queries.s3_stream_sliding,
+        "s4": streaming_queries.s4_stream_dedup,
+        "s5": streaming_queries.s5_stream_sessions,
+        "s6": streaming_queries.s6_stream_neardup,
+        "s7": streaming_queries.s7_stream_rollup_upsert,
+        "s8": streaming_queries.s8_stream_stream_join,
+        "s9": streaming_queries.s9_stream_cms_maintenance,
+        "s10": streaming_queries.s10_stream_admission,
+        "s11": streaming_queries.s11_stream_hll_maintenance,
+        "s13": streaming_queries.s13_stream_late_data,
+        "s14": streaming_queries.s14_stream_checkpoint_recovery,
+    }
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futures = {k: pool.submit(fn, spark, sf_dir) for k, fn in member_fns.items()}
+        raw = {k: f.result() for k, f in futures.items()}
+    s3 = raw["s3"].select(
         F.lit("sliding").alias("stream"),
         _epoch(F.col("window_start")).alias("k1"),
         _bn().alias("k2"),
@@ -2002,7 +2026,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").alias("n"),
         F.col("total_value").alias("v1"),
     )
-    s4 = streaming_queries.s4_stream_dedup(spark, sf_dir).select(
+    s4 = raw["s4"].select(
         F.lit("dedup").alias("stream"),
         F.col("user_id").cast("bigint").alias("k1"),
         _bn().alias("k2"),
@@ -2011,7 +2035,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("n"),
         _dn().alias("v1"),
     )
-    s5 = streaming_queries.s5_stream_sessions(spark, sf_dir).select(
+    s5 = raw["s5"].select(
         F.lit("sessions").alias("stream"),
         F.col("user_id").cast("bigint").alias("k1"),
         _epoch(F.col("session_start")).alias("k2"),
@@ -2020,7 +2044,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         _dn().alias("v1"),
     )
-    s6 = streaming_queries.s6_stream_neardup(spark, sf_dir).select(
+    s6 = raw["s6"].select(
         F.lit("neardup").alias("stream"),
         F.col("new_doc_id").cast("bigint").alias("k1"),
         F.col("dup_of").cast("bigint").alias("k2"),
@@ -2029,7 +2053,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("n"),
         F.col("est_jaccard").alias("v1"),
     )
-    s7 = streaming_queries.s7_stream_rollup_upsert(spark, sf_dir).select(
+    s7 = raw["s7"].select(
         F.lit("rollup").alias("stream"),
         _epoch(F.col("day")).alias("k1"),
         _bn().alias("k2"),
@@ -2038,7 +2062,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         F.col("total_value").alias("v1"),
     )
-    s8 = streaming_queries.s8_stream_stream_join(spark, sf_dir).select(
+    s8 = raw["s8"].select(
         F.lit("ssjoin").alias("stream"),
         F.col("purchase_id").cast("bigint").alias("k1"),
         F.col("user_id").cast("bigint").alias("k2"),
@@ -2047,7 +2071,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("n"),
         _dn().alias("v1"),
     )
-    s9 = streaming_queries.s9_stream_cms_maintenance(spark, sf_dir).select(
+    s9 = raw["s9"].select(
         F.lit("cms").alias("stream"),
         F.col("user_id").alias("k1"),
         F.col("true_count").alias("k2"),
@@ -2056,7 +2080,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("n"),
         _dn().alias("v1"),
     )
-    s10 = streaming_queries.s10_stream_admission(spark, sf_dir).select(
+    s10 = raw["s10"].select(
         F.lit("admission").alias("stream"),
         F.col("doc_id").cast("bigint").alias("k1"),
         F.col("score_scaled").alias("k2"),
@@ -2065,7 +2089,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("admitted").alias("n"),
         (F.col("quality_keep") * 2 + F.col("is_dup")).cast("double").alias("v1"),
     )
-    s11 = streaming_queries.s11_stream_hll_maintenance(spark, sf_dir).select(
+    s11 = raw["s11"].select(
         F.lit("hll").alias("stream"),
         F.col("day").alias("k1"),
         F.col("dau_exact").alias("k2"),
@@ -2074,7 +2098,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dau_exact").alias("n"),
         F.col("dau_hll").alias("v1"),
     )
-    s13 = streaming_queries.s13_stream_late_data(spark, sf_dir).select(
+    s13 = raw["s13"].select(
         F.lit("late").alias("stream"),
         _epoch(F.col("window_start")).alias("k1"),
         _bn().alias("k2"),
@@ -2083,7 +2107,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         F.col("total_value").alias("v1"),
     )
-    s14 = streaming_queries.s14_stream_checkpoint_recovery(spark, sf_dir).select(
+    s14 = raw["s14"].select(
         F.lit("recovery").alias("stream"),
         _epoch(F.col("window_start")).alias("k1"),
         _bn().alias("k2"),

@@ -296,3 +296,52 @@ def test_x27_fused_graph_subsumes_x7(spark, sf_dir):
     for members in x7.values():
         comps = {fused[d]["component_id"] for d in members}
         assert len(comps) == 1  # x7 family stays together in the fusion
+
+
+def test_x30_collapse_expansion_identity(spark, sf_dir):
+    """Collapse-first invariants: every doc appears exactly once; exact
+    copies share (rep, component); rep = its group's min doc_id;
+    component_id = min doc_id over the fused component; every rep-level
+    x4 pair lands in one component; group sizes sum to the corpus."""
+    from file_db_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = dedup.x30_collapsed_dedup_graph(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    assert len(rows) == n_docs
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert len(by_doc) == n_docs
+
+    # exact groups: same md5(text) -> same rep/component; rep = min id
+    groups: dict = {}
+    for r in d.select("doc_id", F.md5("text").alias("k")).collect():
+        groups.setdefault(r["k"], []).append(r["doc_id"])
+    for ids in groups.values():
+        reps = {by_doc[i]["rep_id"] for i in ids}
+        comps = {by_doc[i]["component_id"] for i in ids}
+        assert reps == {min(ids)}
+        assert len(comps) == 1
+        for i in ids:
+            assert by_doc[i]["group_size"] == len(ids)
+            assert by_doc[i]["is_rep"] == (1 if i == min(ids) else 0)
+
+    # component_id is the min doc_id of its member set
+    comp_members: dict = {}
+    for r in rows:
+        comp_members.setdefault(r["component_id"], []).append(r["doc_id"])
+    for cid, members in comp_members.items():
+        assert cid == min(members)
+
+    # rep-level near-dup pairs fuse into one component
+    rep_docs = d.join(
+        spark.createDataFrame(
+            [(by_doc[i]["rep_id"],) for i in by_doc if by_doc[i]["is_rep"] == 1],
+            "doc_id bigint",
+        ),
+        "doc_id",
+    ).select("doc_id", "text")
+    for p in dedup._x4_pairs_from(rep_docs).collect():
+        assert (
+            by_doc[p["doc_a"]]["component_id"] == by_doc[p["doc_b"]]["component_id"]
+        )
