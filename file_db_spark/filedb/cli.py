@@ -4,6 +4,8 @@
     search <pattern>        wildcard file search (P3/F8)
     search_dir <pattern>    wildcard directory search
     search_dup <path>       flagship duplicate search (readme.md:26-36)
+    dup_images [pattern]    duplicate image groups (the
+                            DuplicateImageBrowser plugin's query)
     scrape_dir <path>       crawl a directory now (S1 + merges)
     hash_file <path>        hash one file driver-side (S6)
     cd <path> / pwd         shell state
@@ -68,6 +70,16 @@ class FileDbShell:
 
     def do_search_dup(self, arg: str) -> str:
         return self._show(self.engine.search_duplicate_file(self._abs(arg)))
+
+    def do_dup_images(self, arg: str) -> str:
+        """The DuplicateImageBrowser plugin's report (its query, minus
+        the Tkinter shell): duplicate image groups under a dir prefix
+        (`dup_images [dir-LIKE-pattern]`, default everywhere)."""
+        return self._show(
+            search_api.duplicate_media_groups(
+                self.engine.file_detail(), dir_like=(arg or "%")
+            )
+        )
 
     def do_scrape_dir(self, arg: str) -> str:
         path = strip_trailing_slashes(self._abs(arg))

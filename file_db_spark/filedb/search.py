@@ -36,6 +36,7 @@ __all__ = [
     "search_duplicate_dir",
     "duplicate_dir_contents",
     "duplicate_groups",
+    "duplicate_media_groups",
     "file_path_exists",
     "dir_path_exists",
 ]
@@ -305,4 +306,57 @@ def duplicate_groups(listing: DataFrame, min_count: int = 2) -> DataFrame:
             "full_path", "file_id", "name", "dir_id", "size",
             "sha1_hash", "duplicate_count",
         )
+    )
+
+
+#: the reference plugin's image extension set
+#: (Plugins/DuplicateImageBrowser/DuplicateImageBrowser.py:41)
+IMAGE_EXTENSIONS = ("jpg", "jpeg", "png", "bmp", "gif", "tiff", "webp")
+
+
+def duplicate_media_groups(
+    file_detail: DataFrame,
+    dir_like: str = "%",
+    min_size_mb: float = 0.010,
+    extensions: Sequence[str] = IMAGE_EXTENSIONS,
+    limit: int = 1000,
+) -> DataFrame:
+    """The DuplicateImageBrowser plugin's query (the reference's only
+    GUI plugin, Plugins/DuplicateImageBrowser/DuplicateImageBrowser.py:
+    28-56) as a set-returning function: duplicate (sha1_hash, size)
+    groups over `vw_file_detail`, restricted to a dir_path LIKE
+    pattern, a minimum size (MB) and an extension list, joined back to
+    their member files and ordered by hash for group-wise display.
+
+    Documented-intent rulings: the reference CTE omits HAVING count>1
+    (every hash would render as a "duplicate group") and its display
+    loop drops each hash's FIRST file (the `last_hash` seeding bug) —
+    this implements the plugin's stated purpose: only groups with
+    >= 2 members, all member files kept. Extensions are a parameter
+    (the plugin hardcodes images; the CLI front-end passes
+    IMAGE_EXTENSIONS).
+
+    Shape: one (sha1, size) window count over the filtered detail view
+    — the c9/J5 idiom, no self-join — then ORDER BY ... LIMIT for the
+    browser page. At catalog scale the extension + size filters ride
+    the scan; the window shuffles only the filtered slice."""
+    from pyspark.sql.window import Window
+
+    ext = F.lower(F.regexp_replace(F.col("name"), r"^.+\.", ""))
+    files = file_detail.where(
+        F.col("dir_path").like(dir_like)
+        & (F.col("size") > min_size_mb)
+        & F.col("sha1_hash").isNotNull()
+        & ext.isin(*[e.lower() for e in extensions])
+    )
+    w = Window.partitionBy("sha1_hash", "size")
+    return (
+        files.withColumn("duplicate_count", F.count("*").over(w).cast("bigint"))
+        .where(F.col("duplicate_count") >= 2)
+        .select(
+            "sha1_hash", "size", "duplicate_count",
+            "full_path", "name", "ctime", "mtime",
+        )
+        .orderBy("sha1_hash", "full_path")
+        .limit(limit)
     )

@@ -458,3 +458,52 @@ def c14_duplicate_dir_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint — one groupBy + one window, no dir×dir join. See
     search.duplicate_dir_contents."""
     return search.duplicate_dir_contents(_listing(spark, sf_dir))
+
+
+@_q(
+    "c15_duplicate_media",
+    f"""
+    WITH {fixtures.FIXTURE_CTES},
+    detail AS (
+      SELECT f.name, d.dir_path || '\\' || f.name AS full_path, d.dir_path,
+             CAST(f.size AS DOUBLE) AS size, f.ctime, f.mtime, h.sha1_hash
+      FROM fx_file f
+      JOIN fx_directory d ON f.dir_id = d.id
+      LEFT JOIN fx_hash h ON h.file_id = f.id
+    ),
+    filtered AS (
+      SELECT * FROM detail
+      WHERE dir_path LIKE '/corpus%'
+        AND size > 0.010
+        AND sha1_hash IS NOT NULL
+        AND lower(regexp_replace(name, '^.+\\.', '')) IN ('txt', 't_t')
+    )
+    SELECT sha1_hash, size, duplicate_count, full_path, name, ctime, mtime
+    FROM (
+      SELECT *, CAST(COUNT(*) OVER (PARTITION BY sha1_hash, size) AS BIGINT)
+               AS duplicate_count
+      FROM filtered
+    ) WHERE duplicate_count >= 2
+    ORDER BY sha1_hash, full_path
+    LIMIT 1000
+    """,
+)
+def c15_duplicate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DuplicateImageBrowser plugin's query (the reference's only
+    GUI plugin) through search.duplicate_media_groups: duplicate
+    (sha1, size) groups under a dir prefix with a size floor and an
+    extension filter. The fixture corpus has no image names, so the
+    graded entry passes the fixture's extensions — the plugin's CLI
+    front-end (cli.do_dup_images) passes IMAGE_EXTENSIONS; the query
+    SHAPE is what the oracle certifies."""
+    d, f, h, fc = _catalog(spark, sf_dir)
+    detail = views.vw_file_detail(d, f, h, fc).withColumn(
+        "size", F.col("size").cast("double")
+    )
+    return search.duplicate_media_groups(
+        detail,
+        dir_like="/corpus%",
+        min_size_mb=0.010,
+        extensions=("txt", "t_t"),
+        limit=1000,
+    )

@@ -90,3 +90,35 @@ def test_shell_dispatch(spark, tmp_path):
     assert sh.execute_input("nonsense") == "unknown command: nonsense"
     assert sh.execute_input("exit") == "bye"
     assert DISPLAY_ROW_CAP == 50
+
+
+def test_shell_dup_images(spark, tmp_path):
+    """dup_images: the DuplicateImageBrowser plugin's report — two
+    identical images above the size floor form one group; a tiny
+    duplicate pair (below 10 KB) and a non-image pair are excluded."""
+    tree = tmp_path / "imgtree"
+    (tree / "a").mkdir(parents=True)
+    (tree / "b").mkdir()
+    big = b"\x89PNG" + b"x" * 20_000  # > 0.010 MB
+    (tree / "a" / "pic1.png").write_bytes(big)
+    (tree / "b" / "pic2.png").write_bytes(big)
+    (tree / "a" / "tiny1.png").write_bytes(b"t")
+    (tree / "b" / "tiny2.png").write_bytes(b"t")
+    (tree / "a" / "doc1.txt").write_bytes(big)
+    (tree / "b" / "doc2.txt").write_bytes(big)
+    eng = Engine(spark, str(tmp_path / "imgcat"))
+    eng.install()
+    eng.add_root(str(tree))
+    eng.run_until_idle()
+
+    sh = FileDbShell(eng)
+    out = sh.execute_input("dup_images")
+    assert "pic1.png" in out and "pic2.png" in out
+    assert "tiny1.png" not in out
+    assert "doc1.txt" not in out
+
+    from file_db_spark.filedb import search as s
+
+    rows = s.duplicate_media_groups(eng.file_detail()).collect()
+    assert {r["name"] for r in rows} == {"pic1.png", "pic2.png"}
+    assert all(r["duplicate_count"] == 2 for r in rows)
