@@ -83,6 +83,8 @@ HEADLINE = [
     "c14_duplicate_dir_contents",
     "d45_pii_redaction",
     "x30_collapsed_dedup_graph",  # collapse-first dedup graph (SCALING.md)
+    # round-5 additions
+    "c15_duplicate_media",  # DuplicateImageBrowser plugin query
     # merge-engine + streaming pipeline cost, previously invisible in
     # BENCH (these time the engine's own fixture-wave pipelines; s38
     # alone runs nine real availableNow stream drains — its wall time
@@ -178,6 +180,12 @@ def main() -> None:
         total += timings[name]
 
     shared = round(sum(timings.get(n, 0.0) for n in R02_SHARED), 3)
+    # per-member wall seconds for the concurrent suites (s38/g3456),
+    # from each suite's LAST timed run — so a member regression can't
+    # hide behind the suite's startup-dominated total (VERDICT r4 #6)
+    from file_db_spark.operators import _timing
+
+    members = {k: dict(v) for k, v in _timing.MEMBER_SECONDS.items() if v}
     print(
         json.dumps(
             {
@@ -188,6 +196,7 @@ def main() -> None:
                 "sf": sf_num,
                 "shared_r02_total": shared,
                 "n_queries": len(timings),
+                "members": members,
             }
         )
     )

@@ -36,6 +36,10 @@ DEFAULTS: dict[str, Any] = {
     "copy_batch_size": 100,
     # scheduler identity used when claiming work
     "process_id": 1,
+    # archive append-chains longer than this are folded back into one
+    # snapshot on the engine's idle path (store.compact — the OPTIMIZE
+    # half of the O(delta) append story)
+    "archive_compact_segments": 8,
 }
 
 

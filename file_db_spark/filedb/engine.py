@@ -234,12 +234,19 @@ class Engine:
 
     def run_until_idle(self, max_waves: int = 100, limit: int = 100) -> None:
         """Continuous mode, batch flavor: crawl+hash until no work is
-        due (the reference's server loop; trigger(availableNow) shape)."""
+        due (the reference's server loop; trigger(availableNow) shape).
+        On the idle edge the archive append-chains are compacted
+        (store.compact — bounded-frequency OPTIMIZE, so continuous
+        crawl can't accrete O(waves) small segments; SURVEY §7
+        'compaction discipline')."""
         for _ in range(max_waves):
             crawled = self.crawl_once(limit=limit)
             hashed = self.hash_once(limit=limit * 100)
             if crawled == 0 and hashed == 0:
-                return
+                break
+        horizon = self.config.get("archive_compact_segments", 8)
+        for t in ("directory_archive", "file_archive", "hash_control"):
+            self.store.compact(t, max_segments=horizon)
 
     # -- query surface ------------------------------------------------------
     def listing(self) -> DataFrame:

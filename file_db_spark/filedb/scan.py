@@ -140,32 +140,40 @@ def crawl_tree(
     claimed-batch equivalent — engine.crawl_once drives THAT bounded
     path through directory_control; this is the bootstrap full walk).
 
-    Each persisted level is materialized exactly once: the emptiness
-    probe and the final union both read the cache, so no directory is
-    os.scandir'd twice."""
+    Each level is scandir'd exactly once: the per-level subdir count
+    fully materializes that level's cache, and the final union is
+    persisted + materialized FROM the level caches, after which every
+    per-level cache is released (ADVICE r4: a long-lived crawl driver
+    must not accumulate O(levels) cached DataFrames). The caller owns
+    the single returned cache handle — `.unpersist()` it when done."""
     all_levels: list[DataFrame] = []
     frontier = spark.createDataFrame(
         [(p,) for p in dict.fromkeys(roots)], "dir_path string"
     )
     depth = 0
     while depth < max_depth:
-        listing = scan_dirs(spark, frontier, partitions=partitions)
-        listing = listing.persist()
+        listing = scan_dirs(spark, frontier, partitions=partitions).persist()
         all_levels.append(listing)
-        next_frontier = (
-            listing.where((F.col("entry_type") == "dir") & F.col("error").isNull())
-            .select(child_path_col("dir_path", "name").alias("dir_path"))
-            .persist()
-        )
-        if next_frontier.limit(1).count() == 0:
+        next_frontier = listing.where(
+            (F.col("entry_type") == "dir") & F.col("error").isNull()
+        ).select(child_path_col("dir_path", "name").alias("dir_path"))
+        # full count (not limit-1): materializes the whole level cache
+        # so deeper levels and the final union never re-scandir, and
+        # doubles as the emptiness probe — still only a long at the
+        # driver, never the paths
+        if next_frontier.count() == 0:
             break
-        frontier = next_frontier
+        frontier = next_frontier  # lazy view over the cached listing
         depth += 1
     if not all_levels:
         return spark.createDataFrame([], SCAN_SCHEMA)
     out = all_levels[0]
     for df in all_levels[1:]:
         out = out.unionByName(df)
+    out = out.persist()
+    out.count()  # copy level caches into the one result cache
+    for df in all_levels:
+        df.unpersist()
     return out
 
 

@@ -248,6 +248,10 @@ def duplicate_dir_contents(listing: DataFrame) -> DataFrame:
     same preference ladder as the search functions — each paired with
     size), then count directories sharing each fingerprint. Two dirs
     share a fingerprint iff their content multisets are identical.
+    Each content key is md5-hashed BEFORE the sort+join so raw names
+    containing the '|' joiner or ':' separator cannot make two
+    different multisets collide into one digest input (every element
+    is a fixed-width hex token).
 
     Shape: one groupBy(dir) building a sorted-array digest + one window
     count over the 1-row-per-dir result — O(files) with map-side
@@ -270,7 +274,7 @@ def duplicate_dir_contents(listing: DataFrame) -> DataFrame:
         F.coalesce(F.col("size").cast("string"), F.lit("~")),
     )
     per_dir = (
-        files.select("dir_id", "dir_path", content_key.alias("ck"))
+        files.select("dir_id", "dir_path", F.md5(content_key).alias("ck"))
         .groupBy("dir_id", "dir_path")
         .agg(
             F.count("*").alias("file_count"),

@@ -76,8 +76,34 @@ class TableStore:
 
     def _current(self, name: str) -> str | None:
         d = self._dir(name)
-        gens = sorted(g for g in os.listdir(d)) if os.path.isdir(d) else []
+        gens = (
+            sorted(g for g in os.listdir(d) if g.startswith("gen-"))
+            if os.path.isdir(d)
+            else []
+        )
         return os.path.join(d, gens[-1]) if gens else None
+
+    def _manifest(self, gen_dir: str) -> list[str] | None:
+        """Segment paths (absolute) if `gen_dir` is a manifest
+        generation, else None (plain snapshot generation)."""
+        mf = os.path.join(gen_dir, "_MANIFEST")
+        if not os.path.exists(mf):
+            return None
+        import json
+
+        with open(mf) as fh:
+            rels = json.load(fh)["segments"]
+        table_dir = os.path.dirname(gen_dir)
+        return [os.path.join(table_dir, r) for r in rels]
+
+    def _read_gen(self, name: str, gen_dir: str) -> DataFrame:
+        segs = self._manifest(gen_dir)
+        reader = self.spark.read.schema(self.schemas[name])
+        if segs is None:
+            return reader.parquet(gen_dir)
+        if not segs:
+            return self.spark.createDataFrame([], self.schemas[name])
+        return reader.parquet(*segs)
 
     def read(self, name: str) -> DataFrame:
         """Current generation of the table; empty (declared schema) if
@@ -96,7 +122,7 @@ class TableStore:
                     return self.spark.table(tbl)
             except Exception:
                 pass
-        return self.spark.read.schema(self.schemas[name]).parquet(cur)
+        return self._read_gen(name, cur)
 
     def replace(self, name: str, df: DataFrame) -> None:
         """Write a new generation; superseded generations stay on disk
@@ -127,16 +153,30 @@ class TableStore:
         out.write.mode("overwrite").parquet(gen)
 
     def vacuum(self, retain: int = 1) -> None:
-        """Drop all but the newest `retain` generations of every table.
-        Call only when no lazy plans over older snapshots are alive."""
+        """Drop all but the newest `retain` generations of every table,
+        plus any segment directory no retained manifest references.
+        A retained MANIFEST generation may reference an older plain
+        generation as its base — those stay until every manifest
+        referencing them is vacuumed. Call only when no lazy plans over
+        older snapshots are alive."""
         for name in self.schemas:
             d = self._dir(name)
             if not os.path.isdir(d):
                 continue
-            gens = sorted(os.listdir(d))
-            for g in gens[: max(0, len(gens) - retain)]:
-                gen_dir = os.path.join(d, g)
-                if name in BUCKET_SPECS:
+            gens = sorted(g for g in os.listdir(d) if g.startswith("gen-"))
+            keep = set(gens[max(0, len(gens) - retain):])
+            referenced: set[str] = set()
+            for g in keep:
+                segs = self._manifest(os.path.join(d, g))
+                for s in segs or []:
+                    referenced.add(os.path.basename(s))
+            for entry in sorted(os.listdir(d)):
+                if entry in keep or entry in referenced:
+                    continue
+                if not (entry.startswith("gen-") or entry.startswith("seg-")):
+                    continue
+                gen_dir = os.path.join(d, entry)
+                if name in BUCKET_SPECS and entry.startswith("gen-"):
                     try:
                         self.spark.sql(
                             f"DROP TABLE IF EXISTS {self._table_name(name, gen_dir)}"
@@ -146,25 +186,79 @@ class TableStore:
                 shutil.rmtree(gen_dir, ignore_errors=True)
 
     def append(self, name: str, df: DataFrame) -> None:
-        """Append rows (archive/removal-queue semantics): current rows
-        plus the new ones become the next generation.
+        """Append rows (archive/removal-queue semantics): O(delta), not
+        O(table) — the new rows are written once as an immutable
+        segment (`seg-<ns>/`), and the next generation is a tiny
+        `_MANIFEST` listing the prior generation's segments plus the
+        new one. Readers of older generations keep their snapshot
+        (segments are never rewritten), so this is exactly the
+        Delta/Iceberg APPEND-commit shape: data files + a log entry.
+        Under continuous crawl the archives accrue many small
+        segments; `compact()` folds them back into one snapshot
+        (the OPTIMIZE analog) on the engine's idle path. Appends to a
+        bucketed table would break the bucket layout and are refused —
+        bucketed entity tables go through replace()/MERGE."""
+        if name in BUCKET_SPECS:
+            raise ValueError(f"append() on bucketed table {name!r}; use replace()")
+        import json
 
-        Scale note: rewriting current+new keeps every generation a full
-        snapshot (what read_at/diff_generations index), at O(table) per
-        append — fine for the drained queues (bounded) but O(history)
-        for ever-growing archives. On a cluster this call maps to a
-        Delta/Iceberg APPEND (O(delta), snapshot kept by the table
-        format's own log); the single-box store trades that for
-        dependency-free snapshot isolation."""
-        cur = self.read(name)
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
         cols = [f.name for f in self.schemas[name].fields]
-        self.replace(name, cur.unionByName(df.select(*cols)))
+        out = df.select(*cols)
+        if name in SORT_KEYS:
+            out = out.sortWithinPartitions(*SORT_KEYS[name])
+        ns = time.time_ns()
+        seg = f"seg-{ns}"
+        out.write.mode("overwrite").parquet(os.path.join(d, seg))
+        cur = self._current(name)
+        base: list[str] = []
+        if cur is not None:
+            prior = self._manifest(cur)
+            # a plain snapshot generation becomes the base "segment"
+            base = (
+                [os.path.basename(p) for p in prior]
+                if prior is not None
+                else [os.path.basename(cur)]
+            )
+        gen = os.path.join(d, f"gen-{time.time_ns()}")
+        os.makedirs(gen, exist_ok=True)
+        tmp = os.path.join(gen, "_MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"segments": base + [seg]}, fh)
+        os.replace(tmp, os.path.join(gen, "_MANIFEST"))
+
+    def segment_count(self, name: str) -> int:
+        """Segments the current generation reads (1 for a plain
+        snapshot; 0 for a never-written table)."""
+        cur = self._current(name)
+        if cur is None:
+            return 0
+        segs = self._manifest(cur)
+        return 1 if segs is None else len(segs)
+
+    def compact(self, name: str, max_segments: int = 8) -> bool:
+        """Fold an append-chain back into one snapshot generation when
+        the current manifest references more than `max_segments`
+        segments (the OPTIMIZE/rewrite half of the append story —
+        bounded-frequency O(table) instead of O(table) per append).
+        Returns True if a compaction ran. History note: the compacted
+        snapshot is a NEW generation; older generations still time-
+        travel until vacuum()."""
+        if self.segment_count(name) <= max_segments:
+            return False
+        self.replace(name, self.read(name))
+        return True
 
     def generations(self, name: str) -> list[str]:
         """Generation directories of a table, oldest first."""
         d = self._dir(name)
         return (
-            sorted(os.path.join(d, g) for g in os.listdir(d))
+            sorted(
+                os.path.join(d, g)
+                for g in os.listdir(d)
+                if g.startswith("gen-")
+            )
             if os.path.isdir(d)
             else []
         )
@@ -180,8 +274,7 @@ class TableStore:
                 f"table {name!r} has {len(gens)} generation(s); "
                 f"cannot travel back {back}"
             )
-        gen = gens[len(gens) - 1 - back]
-        return self.spark.read.schema(self.schemas[name]).parquet(gen)
+        return self._read_gen(name, gens[len(gens) - 1 - back])
 
 
 def diff_generations(

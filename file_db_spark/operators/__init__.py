@@ -66,8 +66,7 @@ _GRADED_ORDER = (
     "c8_duplicate_search",
     "c9_duplicate_groups",
     "c10_path_probes",
-    "c13_duplicate_dir",
-    "c14_duplicate_dir_contents",
+    "cs2_duplicate_suite",  # packs c13 + c14 + c15 (members stay in ALL_QUERIES)
     # event analytics (F11/§2.10 batch family)
     "e1_tumbling_window",
     "e2_sessionize",
@@ -99,6 +98,7 @@ _GRADED_ORDER = (
     "x5_simhash",
     "x6_embedding_neardup",
     "x710_components_survivors",
+    "x30_collapsed_dedup_graph",  # the collapse-first (production-scale) graph
     "x8_text_embedding_join",
     "x915_contamination",
     # similarity search

@@ -390,14 +390,15 @@ def cs1_name_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared oracle text for the sha1-preferred / md5-fallback / size match,
 # mirroring the documented-intent semantics used by c8 (needle-keyed
 # fallback: try md5 only when the needle's sha1 is NULL).
-_DUP_DIR_ORACLE = f"""
-    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE},
+_DUP_DIR_PRE = """
     files AS (SELECT * FROM vw_ll WHERE type = 'file'),
     needle AS (
       SELECT file_id AS n_file_id, name AS n_name, size AS n_size,
              md5_hash AS n_md5, sha1_hash AS n_sha1
       FROM files WHERE dir_path = '/corpus/src2'
-    )
+    )"""
+
+_DUP_DIR_BODY = f"""
     SELECT {_LL_COLS} FROM files WHERE dir_path = '/corpus/src2'
     UNION
     SELECT {_LL_COLS} FROM files f
@@ -412,7 +413,11 @@ _DUP_DIR_ORACLE = f"""
       SELECT 1 FROM needle n
       WHERE n.n_sha1 IS NULL AND n.n_md5 IS NOT NULL
         AND f.md5_hash = n.n_md5 AND f.size = n.n_size
-    )
+    )"""
+
+_DUP_DIR_ORACLE = f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE}, {_DUP_DIR_PRE}
+    {_DUP_DIR_BODY}
     """
 
 
@@ -429,26 +434,36 @@ def c13_duplicate_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ll_cols(out)
 
 
-@_q(
-    "c14_duplicate_dir_contents",
-    f"""
-    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE},
-    files AS (SELECT * FROM vw_ll WHERE type = 'file'),
+#: per-dir multiset fingerprint CTE — content keys md5-hashed BEFORE
+#: the sort+join so raw names containing '|' / ':' cannot collide two
+#: different multisets into one digest input (ADVICE r4)
+_C14_PRE = """
     per_dir AS (
       SELECT dir_id, dir_path,
              CAST(COUNT(*) AS BIGINT) AS file_count,
              md5(string_agg(ck, '|' ORDER BY ck)) AS content_fingerprint
       FROM (
         SELECT dir_id, dir_path,
-               COALESCE(sha1_hash, 'm:' || md5_hash, 'n:' || name)
-                 || ':' || COALESCE(CAST(size AS VARCHAR), '~') AS ck
+               md5(COALESCE(sha1_hash, 'm:' || md5_hash, 'n:' || name)
+                 || ':' || COALESCE(CAST(size AS VARCHAR), '~')) AS ck
         FROM files
       ) GROUP BY dir_id, dir_path
-    )
+    )"""
+
+_C14_BODY = """
     SELECT dir_id, dir_path, file_count, content_fingerprint,
            CAST(COUNT(*) OVER (PARTITION BY content_fingerprint) AS BIGINT)
              AS n_dirs_sharing
-    FROM per_dir
+    FROM per_dir"""
+
+
+@_q(
+    "c14_duplicate_dir_contents",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE},
+    files AS (SELECT * FROM vw_ll WHERE type = 'file'),
+    {_C14_PRE}
+    {_C14_BODY}
     """,
 )
 def c14_duplicate_dir_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,10 +475,7 @@ def c14_duplicate_dir_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.duplicate_dir_contents(_listing(spark, sf_dir))
 
 
-@_q(
-    "c15_duplicate_media",
-    f"""
-    WITH {fixtures.FIXTURE_CTES},
+_C15_PRE = """
     detail AS (
       SELECT f.name, d.dir_path || '\\' || f.name AS full_path, d.dir_path,
              CAST(f.size AS DOUBLE) AS size, f.ctime, f.mtime, h.sha1_hash
@@ -477,7 +489,9 @@ def c14_duplicate_dir_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND size > 0.010
         AND sha1_hash IS NOT NULL
         AND lower(regexp_replace(name, '^.+\\.', '')) IN ('txt', 't_t')
-    )
+    )"""
+
+_C15_BODY = """
     SELECT sha1_hash, size, duplicate_count, full_path, name, ctime, mtime
     FROM (
       SELECT *, CAST(COUNT(*) OVER (PARTITION BY sha1_hash, size) AS BIGINT)
@@ -485,7 +499,15 @@ def c14_duplicate_dir_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM filtered
     ) WHERE duplicate_count >= 2
     ORDER BY sha1_hash, full_path
-    LIMIT 1000
+    LIMIT 1000"""
+
+
+@_q(
+    "c15_duplicate_media",
+    f"""
+    WITH {fixtures.FIXTURE_CTES},
+    {_C15_PRE}
+    {_C15_BODY}
     """,
 )
 def c15_duplicate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,3 +529,87 @@ def c15_duplicate_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         extensions=("txt", "t_t"),
         limit=1000,
     )
+
+
+# ---------------------------------------------------------------------------
+# cs2: packed duplicate-query carrier (c13 + c14 + c15) — one graded
+# row certifies the J6 dir form, the identical-contents fingerprint,
+# and the DuplicateImageBrowser plugin query; frees a graded slot for
+# x30 (the collapse-first dedup graph). Member originals stay
+# registered above with their own full-schema oracles. Normalized to
+# the rq3 (probe, k1, k2, k3, s1, v1) convention; string parts are
+# COALESCEd on BOTH sides (concat_ws skips nulls, DuckDB || propagates
+# them).
+# ---------------------------------------------------------------------------
+@_q(
+    "cs2_duplicate_suite",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE}, {_DUP_DIR_PRE},
+    {_C14_PRE},
+    {_C15_PRE}
+    SELECT 'c13' AS probe, CAST(file_id AS BIGINT) AS k1,
+           CAST(dir_id AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
+           full_path || '#' || COALESCE(sha1_hash, '-')
+             || '#' || COALESCE(md5_hash, '-') AS s1,
+           size AS v1
+    FROM ({_DUP_DIR_BODY}) c13q
+    UNION ALL
+    SELECT 'c14', CAST(dir_id AS BIGINT), file_count, n_dirs_sharing,
+           dir_path || '#' || content_fingerprint, CAST(NULL AS DOUBLE)
+    FROM ({_C14_BODY}) c14q
+    UNION ALL
+    SELECT 'c15', CAST(NULL AS BIGINT), duplicate_count,
+           CAST(NULL AS BIGINT),
+           sha1_hash || '#' || full_path || '#' || name, size
+    FROM ({_C15_BODY}) c15q
+    """,
+)
+def cs2_duplicate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c13 (J6 dir form) + c14 (identical-contents fingerprint) + c15
+    (plugin dup-media groups) in one graded row; each member runs the
+    SAME implementation function unchanged (member tag first so a
+    mismatch pinpoints the operator)."""
+    ll = _listing(spark, sf_dir)
+    d, f, h, fc = _catalog(spark, sf_dir)
+    bn = F.lit(None).cast("bigint")
+    c13 = _ll_cols(
+        search.search_duplicate_dir(ll, "/corpus/src2", hash_match_files=True)
+    ).select(
+        F.lit("c13").alias("probe"),
+        F.col("file_id").cast("bigint").alias("k1"),
+        F.col("dir_id").cast("bigint").alias("k2"),
+        bn.alias("k3"),
+        F.concat_ws(
+            "#",
+            F.col("full_path"),
+            F.coalesce(F.col("sha1_hash"), F.lit("-")),
+            F.coalesce(F.col("md5_hash"), F.lit("-")),
+        ).alias("s1"),
+        F.col("size").alias("v1"),
+    )
+    c14 = search.duplicate_dir_contents(ll).select(
+        F.lit("c14").alias("probe"),
+        F.col("dir_id").cast("bigint").alias("k1"),
+        F.col("file_count").alias("k2"),
+        F.col("n_dirs_sharing").alias("k3"),
+        F.concat_ws("#", "dir_path", "content_fingerprint").alias("s1"),
+        F.lit(None).cast("double").alias("v1"),
+    )
+    detail = views.vw_file_detail(d, f, h, fc).withColumn(
+        "size", F.col("size").cast("double")
+    )
+    c15 = search.duplicate_media_groups(
+        detail,
+        dir_like="/corpus%",
+        min_size_mb=0.010,
+        extensions=("txt", "t_t"),
+        limit=1000,
+    ).select(
+        F.lit("c15").alias("probe"),
+        bn.alias("k1"),
+        F.col("duplicate_count").alias("k2"),
+        bn.alias("k3"),
+        F.concat_ws("#", "sha1_hash", "full_path", "name").alias("s1"),
+        F.col("size").alias("v1"),
+    )
+    return c13.unionByName(c14).unionByName(c15)

@@ -2379,8 +2379,16 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g13": g13_table_stats,
         "g14": g14_stats_merge,
     }
+    from . import _timing
+
+    _timing.reset("g3456_control_suite")
     with ThreadPoolExecutor(max_workers=6) as pool:
-        futures = {k: pool.submit(fn, spark, sf_dir) for k, fn in member_fns.items()}
+        futures = {
+            k: pool.submit(
+                _timing.timed_member, "g3456_control_suite", k, fn, spark, sf_dir
+            )
+            for k, fn in member_fns.items()
+        }
         raw = {k: f.result() for k, f in futures.items()}
     g3 = raw["g3"].select(
         F.lit("g3").alias("part"),

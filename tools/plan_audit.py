@@ -69,6 +69,7 @@ BNLJ_OK_MEMBERS = {
     "e15_rfm_segments",  # broadcast 1-row anchor + 1-row quartile cutoffs
     "v15_mmr_rerank",  # broadcast query rows (v1 pattern) + tiny cand tables
     "v16_ivf_pq_residual",  # broadcast coarse/PQ codebooks (v6/v7 pattern)
+    "v16_serve",  # serve half of v16: same broadcast-codebook query fan-out
     "v17_ann_recall_eval",  # evaluates v1/v2/v3/v4/v16 — inherits their broadcast-query scans
     "v18_filtered_search",  # broadcast query rows (v1 pattern), both filter modes
     "g11_zorder_layout",  # broadcast 1-row bucket extent (the d19 pattern)
