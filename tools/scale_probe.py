@@ -52,6 +52,19 @@ PROBE_SET = [
     "v7_pq_adc",
     "d32_bpe_encode",
     "x4_minhash_lsh",
+    # round-5 coverage extension (VERDICT r4 #5): the merge-engine
+    # waves, the streaming suites, and the catalog-domain duplicate
+    # queries — their fixture pipelines all derive from documents, so
+    # the 10x corpus stresses them too
+    "x30_collapsed_dedup_graph",
+    "g1_merge_recrawl",
+    "g2_hash_lifecycle",
+    "g3456_control_suite",
+    "s12_streaming",
+    "s38_streaming_suite",
+    "c13_duplicate_dir",
+    "c14_duplicate_dir_contents",
+    "c15_duplicate_media",
 ]
 
 _DOC_OFF = 133200  # lcm(200, 720, 37)
