@@ -85,6 +85,7 @@ HEADLINE = [
     "x30_collapsed_dedup_graph",  # collapse-first dedup graph (SCALING.md)
     # round-5 additions
     "c15_duplicate_media",  # DuplicateImageBrowser plugin query
+    "x31_cross_shard_dedup",  # shard-and-merge form of x30
     # merge-engine + streaming pipeline cost, previously invisible in
     # BENCH (these time the engine's own fixture-wave pipelines; s38
     # alone runs nine real availableNow stream drains — its wall time

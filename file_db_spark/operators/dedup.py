@@ -2996,3 +2996,81 @@ def x30_collapsed_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_rep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x31: cross-shard dedup reconciliation — how x30 actually deploys at
+# 100 TB. A corpus that big is never deduped in one job: each shard
+# (crawl snapshot, date partition, source bucket) collapses its OWN
+# exact duplicates locally — the only O(corpus) stage, touching raw
+# text once, with no cross-shard shuffle of text — and publishes a
+# rep-level table (tkey, shard_rep, count). Reconciliation then works
+# entirely at rep granularity: merge the shard rep tables by content
+# key (global rep = min of shard reps, sizes summed), run the x4
+# MinHash-LSH pipeline over the GLOBAL representative corpus, close
+# components, and expand labels through each shard's member map.
+# CONTRACT: bit-identical output to x30 (same oracle) — merging the
+# shard rep tables reproduces exactly the global collapse, so pair
+# generation, bucket caps and closure see byte-identical inputs. The
+# shard split here is doc_id parity; any partitioning works because
+# the reconciliation is associative (shard rep tables merge pairwise).
+# ---------------------------------------------------------------------------
+@_q("x31_cross_shard_dedup", _x30_oracle())
+def x31_cross_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-and-merge form of x30: per-shard exact collapse, rep-level
+    merge, global LSH on representatives, label expansion via the
+    shard member maps. Output is bit-identical to
+    x30_collapsed_dedup_graph (shared oracle) — the point is the
+    execution shape: raw text is only ever scanned shard-locally, and
+    everything that crosses shards is O(distinct texts)."""
+    d = load_table(spark, sf_dir, "documents")
+    shard_rep_tables = []
+    shard_member_maps = []
+    for s in (0, 1):
+        g = d.where(F.col("doc_id") % 2 == s).select(
+            "doc_id", F.md5("text").alias("tkey")
+        )
+        sg = g.groupBy("tkey").agg(
+            F.min("doc_id").alias("srep_id"),
+            F.count("*").cast("bigint").alias("s_size"),
+        )
+        shard_rep_tables.append(sg)
+        shard_member_maps.append(g)
+    # reconciliation: merge rep tables (rep-level rows only)
+    rep_groups = (
+        shard_rep_tables[0]
+        .unionByName(shard_rep_tables[1])
+        .groupBy("tkey")
+        .agg(
+            F.min("srep_id").alias("rep_id"),
+            F.sum("s_size").cast("bigint").alias("group_size"),
+        )
+    )
+    members = (
+        shard_member_maps[0]
+        .unionByName(shard_member_maps[1])
+        .join(rep_groups, "tkey")
+        .select("doc_id", "rep_id", "group_size")
+    )
+    rep_docs = d.join(
+        rep_groups.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    pairs = _x4_pairs_from(rep_docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    labels = _propagate_min_labels(edges, "x31").select(
+        F.col("v").alias("rep_id"), F.col("lab").cast("bigint").alias("component_id")
+    )
+    return members.join(labels, "rep_id", "left").select(
+        "doc_id",
+        "rep_id",
+        F.coalesce(F.col("component_id"), F.col("rep_id"))
+        .cast("bigint")
+        .alias("component_id"),
+        "group_size",
+        F.when(F.col("doc_id") == F.col("rep_id"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_rep"),
+    )

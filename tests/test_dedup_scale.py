@@ -345,3 +345,14 @@ def test_x30_collapse_expansion_identity(spark, sf_dir):
         assert (
             by_doc[p["doc_a"]]["component_id"] == by_doc[p["doc_b"]]["component_id"]
         )
+
+
+def test_x31_shard_merge_equals_global_x30(spark, sf_dir):
+    """x31's contract: shard-local collapse + rep-level reconciliation
+    must reproduce the global collapse-first pipeline bit-exactly —
+    the associativity that lets a 100 TB corpus dedup shard-by-shard
+    and merge rep tables instead of re-scanning text."""
+    cols = ["doc_id", "rep_id", "component_id", "group_size", "is_rep"]
+    g = sorted(map(tuple, dedup.x30_collapsed_dedup_graph(spark, sf_dir).select(*cols).collect()))
+    s = sorted(map(tuple, dedup.x31_cross_shard_dedup(spark, sf_dir).select(*cols).collect()))
+    assert g == s
