@@ -86,6 +86,7 @@ HEADLINE = [
     # round-5 additions
     "c15_duplicate_media",  # DuplicateImageBrowser plugin query
     "x31_cross_shard_dedup",  # shard-and-merge form of x30
+    "x32_prototype_pruning",  # D4-style per-cluster affinity-tail cuts
     # merge-engine + streaming pipeline cost, previously invisible in
     # BENCH (these time the engine's own fixture-wave pipelines; s38
     # alone runs nine real availableNow stream drains — its wall time

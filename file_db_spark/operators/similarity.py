@@ -582,9 +582,9 @@ def v6_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _v6_oracle() -> str:
-    """Unrolled Lloyd iterations as DuckDB CTEs — same seed, same
-    tie-break, same rounding."""
+def _v6_cte_parts() -> tuple[list[str], str]:
+    """The unrolled-Lloyd CTE chain shared by the v6 and x32 oracles:
+    returns (CTE part list, name of the final assignment CTE)."""
 
     def cent(src: str, name: str) -> str:
         return f"""{name} AS (
@@ -620,6 +620,13 @@ def _v6_oracle() -> str:
         parts.append(cent(src, f"cent{i}"))
         parts.append(assign(f"cent{i}", f"asg{i}"))
         src = f"asg{i}"
+    return parts, src
+
+
+def _v6_oracle() -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs — same seed, same
+    tie-break, same rounding."""
+    parts, src = _v6_cte_parts()
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -633,6 +640,106 @@ def _v6_oracle() -> str:
 
 QUERIES["v6_kmeans_refine"] = v6_kmeans_refine
 ORACLES["v6_kmeans_refine"] = _v6_oracle()
+
+
+# ---------------------------------------------------------------------------
+# x32: prototypicality pruning (D4 / SSL-prototypes style) — the
+# data-CURATION consumer of the v6 clustering: rank every vector by
+# affinity to its cluster centroid and cut both tails. Registered in
+# the x (dedup/pruning) family; lives here beside the Lloyd machinery
+# it reuses.
+# ---------------------------------------------------------------------------
+
+#: per-cell percentage cuts — most-prototypical (redundant "easy"
+#: examples, the SSL-prototypes cut) and farthest-from-centroid
+#: (noise/outlier cut). Integer percent so thresholds stay in exact
+#: integer arithmetic on both engines.
+PRUNE_PROTO_PCT = 20
+PRUNE_OUTLIER_PCT = 10
+
+
+def x32_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space data pruning for training corpora ("D4"-shaped:
+    cluster, then drop both affinity tails per cluster): train k-means
+    cells with the shared v6 Lloyd loop, rank each vector inside its
+    cell by cosine-to-centroid (DESC, vec_id ASC tie-break), and mark
+    the top PRUNE_PROTO_PCT% as ``drop_prototype`` (near-duplicate
+    "too easy" mass), the bottom PRUNE_OUTLIER_PCT% as
+    ``drop_outlier`` (noise), the rest ``keep``. Thresholds are
+    floor(n*pct/100) on integer rank/count, so the keep/drop decision
+    never touches float tolerance.
+
+    Scale: clustering is the v6 loop (broadcast k x dim centroids,
+    map-only scoring, keyed argmax — no all-pairs stage). The pruning
+    pass is ONE window per cell: parallelism equals k, and k grows
+    with the corpus in this regime (D4 runs ~10k clusters at
+    100M-document scale), so per-cell sort stays ~n/k rows — the
+    shuffle is keyed, skew-free by construction (cells are
+    size-balanced by Lloyd refinement). Output is a decision table to
+    anti-join against the corpus, not a rewritten corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("vec_id") % KMEANS_K).alias("cell"),
+    )
+    assigned = _lloyd_assign(pts, KMEANS_ITERS)
+    w = Window.partitionBy("cell").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    ranked = (
+        assigned.select("vec_id", "cell", "cos")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("cell")))
+    )
+    proto_cut = F.floor(F.col("n") * PRUNE_PROTO_PCT / 100)
+    outlier_cut = F.floor(F.col("n") * PRUNE_OUTLIER_PCT / 100)
+    action = (
+        F.when(F.col("rn") <= proto_cut, F.lit("drop_prototype"))
+        .when(F.col("rn") > F.col("n") - outlier_cut, F.lit("drop_outlier"))
+        .otherwise(F.lit("keep"))
+    )
+    return ranked.select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.round("cos", 6).alias("cos_to_centroid"),
+        F.col("rn").cast("bigint").alias("proto_rank"),
+        F.col("n").cast("bigint").alias("cell_n"),
+        action.alias("action"),
+    )
+
+
+def _x32_oracle() -> str:
+    """v6's unrolled-Lloyd CTE chain + one ranking CTE; thresholds in
+    the same floor(n*pct/100) integer form (both engines evaluate
+    int*int/int as exact-input double division — identical floors)."""
+    parts, src = _v6_cte_parts()
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    ranked AS (
+      SELECT vec_id, cell, cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY cell ORDER BY cos DESC, vec_id ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY cell) AS n
+      FROM {src}
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           round(cos, 6) AS cos_to_centroid,
+           CAST(rn AS BIGINT) AS proto_rank,
+           CAST(n AS BIGINT) AS cell_n,
+           CASE WHEN rn <= floor(n * {PRUNE_PROTO_PCT} / 100)
+                  THEN 'drop_prototype'
+                WHEN rn > n - floor(n * {PRUNE_OUTLIER_PCT} / 100)
+                  THEN 'drop_outlier'
+                ELSE 'keep' END AS action
+    FROM ranked
+    """
+    )
+
+
+QUERIES["x32_prototype_pruning"] = x32_prototype_pruning
+ORACLES["x32_prototype_pruning"] = _x32_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -356,3 +356,30 @@ def test_x31_shard_merge_equals_global_x30(spark, sf_dir):
     g = sorted(map(tuple, dedup.x30_collapsed_dedup_graph(spark, sf_dir).select(*cols).collect()))
     s = sorted(map(tuple, dedup.x31_cross_shard_dedup(spark, sf_dir).select(*cols).collect()))
     assert g == s
+
+
+def test_x32_cut_sizes_and_ranks(spark, sf_dir):
+    """x32's pruning policy is exact integer arithmetic: per cell the
+    ranks are 1..n, drop_prototype is exactly floor(n*20/100) rows (the
+    top of the affinity order), drop_outlier exactly floor(n*10/100)
+    (the bottom), and cos is monotone non-increasing along the rank."""
+    from collections import defaultdict
+
+    from file_db_spark.operators.similarity import x32_prototype_pruning
+
+    cells = defaultdict(list)
+    for r in x32_prototype_pruning(spark, sf_dir).collect():
+        cells[r["cell"]].append(r)
+    assert cells
+    for rows in cells.values():
+        rows.sort(key=lambda r: r["proto_rank"])
+        n = rows[0]["cell_n"]
+        assert [r["proto_rank"] for r in rows] == list(range(1, n + 1))
+        proto = [r for r in rows if r["action"] == "drop_prototype"]
+        outlier = [r for r in rows if r["action"] == "drop_outlier"]
+        assert len(proto) == n * 20 // 100
+        assert len(outlier) == n * 10 // 100
+        assert all(r["proto_rank"] <= len(proto) for r in proto)
+        assert all(r["proto_rank"] > n - len(outlier) for r in outlier)
+        cos = [r["cos_to_centroid"] for r in rows]
+        assert cos == sorted(cos, reverse=True)

@@ -196,3 +196,32 @@ def test_crawl_tree_wide_deep_dataframe_frontier(spark, tmp_path):
     assert got == expected
     assert len([r for r in listing.collect() if r["entry_type"] == "file"]) == 65
     listing.unpersist()
+
+
+def test_archive_compaction_on_idle(spark, tmp_path, tree):
+    """SURVEY §7 'compaction discipline': continuous delete waves
+    accrete O(waves) archive append-segments; run_until_idle's idle
+    edge folds the chain back to one snapshot once it passes the
+    configured horizon (store.compact), preserving every archived
+    row. Horizon=2 so four delete waves force at least one fold."""
+    eng = _mk_engine(spark, tmp_path)
+    eng.config["archive_compact_segments"] = 2
+    eng.add_root(str(tree))
+    eng.run_until_idle()
+
+    doomed = ["a.txt", "sub1/b.txt", "sub1/dup1.bin", "sub2/dup2.bin"]
+    folded = False
+    for rel in doomed:
+        (tree / rel).unlink()
+        control = eng.store.read("directory_control").withColumn(
+            "next_crawl", F.expr("timestamp'2000-01-01 00:00:00'")
+        )
+        eng.store.replace("directory_control", control)
+        eng.run_until_idle()
+        segs = eng.store.segment_count("file_archive")
+        assert segs <= eng.config["archive_compact_segments"]
+        folded = folded or segs == 1
+    assert folded  # the chain crossed the horizon and was compacted
+
+    f_arch = [r["name"] for r in eng.store.read("file_archive").collect()]
+    assert sorted(f_arch) == ["a.txt", "b.txt", "dup1.bin", "dup2.bin"]

@@ -36,8 +36,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(REPO, ".scale_probe", "sf1.0")
-COPIES = 10
+#: copy multiplier — 10 = sf1.0 (the standard probe); PROBE_COPIES=100
+#: synthesizes sf10 for a two-decade exponent on the scale-critical
+#: entries (still <100 MB of parquet; the box handles it easily)
+COPIES = int(os.environ.get("PROBE_COPIES", "10"))
+DST = os.path.join(REPO, ".scale_probe", f"sf{COPIES / 10:g}")
 
 #: the most expensive headline plans of BENCH_r03, i.e. the ones whose
 #: asymptotics matter most (all scan documents/embeddings/events)
@@ -65,6 +68,11 @@ PROBE_SET = [
     "c13_duplicate_dir",
     "c14_duplicate_dir_contents",
     "c15_duplicate_media",
+    # round-5 additions: the shard-and-merge dedup form must track
+    # x30's flat profile, and the x32 pruning pass rides the v6 Lloyd
+    # loop + one per-cell rank window
+    "x31_cross_shard_dedup",
+    "x32_prototype_pruning",
 ]
 
 _DOC_OFF = 133200  # lcm(200, 720, 37)
@@ -118,7 +126,8 @@ def main() -> None:
     for name in names:
         fn = ops.ALL_QUERIES[name]
         times = {}
-        for sf_name, sf_dir, n_runs in (("sf0.1", SRC, 2), ("sf1.0", DST, 1)):
+        big = f"sf{COPIES / 10:g}"
+        for sf_name, sf_dir, n_runs in (("sf0.1", SRC, 2), (big, DST, 1)):
             dt = None
             for _ in range(n_runs):
                 ops.dedup.clear_cache(sf_dir)
@@ -130,10 +139,12 @@ def main() -> None:
             times[sf_name] = round(dt, 3)
         import math
 
-        exp = math.log10(times["sf1.0"] / times["sf0.1"])
+        # exponent normalized per decade of growth (10 copies = 1
+        # decade, 100 copies = 2 decades)
+        exp = math.log10(times[big] / times["sf0.1"]) / math.log10(COPIES)
         results[name] = {
             "sf0.1_sec": times["sf0.1"],
-            "sf1.0_sec": times["sf1.0"],
+            f"{big}_sec": times[big],
             "exponent": round(exp, 3),
         }
         print(json.dumps({"query": name, **results[name]}), flush=True)
