@@ -40,7 +40,7 @@ SRC = "/root/testdata/sf0.1"
 #: synthesizes sf10 for a two-decade exponent on the scale-critical
 #: entries (still <100 MB of parquet; the box handles it easily)
 COPIES = int(os.environ.get("PROBE_COPIES", "10"))
-DST = os.path.join(REPO, ".scale_probe", f"sf{COPIES / 10:g}")
+DST = os.path.join(REPO, ".scale_probe", f"sf{COPIES / 10:.1f}")
 
 #: the most expensive headline plans of BENCH_r03, i.e. the ones whose
 #: asymptotics matter most (all scan documents/embeddings/events)
@@ -126,7 +126,7 @@ def main() -> None:
     for name in names:
         fn = ops.ALL_QUERIES[name]
         times = {}
-        big = f"sf{COPIES / 10:g}"
+        big = f"sf{COPIES / 10:.1f}"
         for sf_name, sf_dir, n_runs in (("sf0.1", SRC, 2), (big, DST, 1)):
             dt = None
             for _ in range(n_runs):
