@@ -87,6 +87,8 @@ HEADLINE = [
     "c15_duplicate_media",  # DuplicateImageBrowser plugin query
     "x31_cross_shard_dedup",  # shard-and-merge form of x30
     "x32_prototype_pruning",  # D4-style per-cluster affinity-tail cuts
+    "a10_local_supplier_volume",  # 6-way join w/ cross-dim equality (Q5 shape)
+    "a11_large_volume_customer",  # HAVING semi-join + 3-way join (Q18 shape)
     # merge-engine + streaming pipeline cost, previously invisible in
     # BENCH (these time the engine's own fixture-wave pipelines; s38
     # alone runs nine real availableNow stream drains — its wall time

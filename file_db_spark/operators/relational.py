@@ -570,6 +570,237 @@ def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A9-A12 multi-way join analytics (engine additions, TPC-H Q3/Q5/Q18/Q10
+# shapes on the simplified testdata schema) — the join-breadth the
+# reference's single-table catalog never exercises: dim-filtered 3-way
+# fact joins, a 6-way join with a cross-dimension equality, and a
+# HAVING-derived semi-join. Revenue math follows the module's exact-
+# decimal parity convention throughout.
+# ---------------------------------------------------------------------------
+_REV_SQL = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(12,2))))"
+)
+
+
+def _rev_col():
+    return _dsum(_d2(F.col("l_extendedprice")) * (1 - _d2(F.col("l_discount"))))
+
+
+@_q(
+    "a9_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def a9_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (engine addition, TPC-H Q3 shape): unshipped-order revenue
+    priority — segment-filtered customers ⋈ pre-cutoff orders ⋈
+    post-cutoff lineitems, revenue per order, top 10.
+
+    Scale: both filters push into their scans before any join; the
+    filtered customer side is dim-sized → broadcast into orders, and
+    the surviving orders shuffle-join lineitem on l_orderkey — the
+    same key the groupBy then reuses, so AQE coalesces the agg into
+    the join's exchange. orderBy+limit compiles to
+    TakeOrderedAndProject (no global sort); unique l_orderkey
+    tiebreak keeps the LIMIT deterministic cross-engine."""
+    cutoff = F.lit("1996-03-15").cast("timestamp")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_rev_col().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@_q(
+    "a10_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name ASC
+    """,
+)
+def a10_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (engine addition, TPC-H Q5 shape): local-supplier revenue
+    by nation — the classic 6-way join whose defining twist is the
+    CROSS-dimension equality s_nationkey = c_nationkey (supplier and
+    customer must share a nation), which no single join key carries.
+
+    Scale: region⋈nation⋈customer collapses dim-side first (region
+    and nation broadcast into customer), the year filter pushes into
+    the orders scan, and the two fact joins shuffle on o_custkey then
+    l_orderkey. Supplier is dim-sized → broadcast into the fact flow,
+    where the s_nationkey=c_nationkey equality rides along as a
+    broadcast-join residual condition instead of forcing another
+    shuffle. Final agg groups on a |nations|-sized key — map-side
+    partial, one tiny exchange."""
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_rev_col().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@_q(
+    "a11_large_volume_customer",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def a11_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (engine addition, TPC-H Q18 shape): large-volume customers
+    — orders whose total lineitem quantity exceeds a threshold, joined
+    back to customer detail; the HAVING-subquery-as-semi-join pattern.
+
+    Scale: the qualifying-order set is ONE map-side-combined aggregate
+    over lineitem with the HAVING applied before any join; its output
+    is a tiny key list → broadcast LEFT SEMI into orders, so the big
+    three-way join only ever runs on qualifying orders. The second
+    lineitem aggregate then runs on that pruned slice. No window, no
+    correlated re-scan — lineitem is read exactly twice (once to
+    qualify, once to total the survivors)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_d2(F.col("l_quantity"))).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(qualifying),
+        F.col("o_orderkey") == qualifying.l_orderkey,
+        "left_semi",
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(_d2(F.col("l_quantity"))).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@_q(
+    "a12_returned_item_report",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue,
+           c.c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def a12_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (engine addition, TPC-H Q10 shape): lost-revenue report —
+    customers who returned items in a quarter, ranked by the revenue
+    of their returned lineitems.
+
+    Scale: the returnflag filter pushes into the lineitem scan and the
+    quarter filter into orders, both before the o_orderkey shuffle
+    join; customer joins on the already-aggregation-bound o_custkey
+    and nation broadcasts into the result. Top-20 via
+    TakeOrderedAndProject with the unique c_custkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(_rev_col().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sorts / top-k
 # ---------------------------------------------------------------------------
 @_q(

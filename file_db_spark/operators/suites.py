@@ -164,6 +164,20 @@ _RQ2_PARTS = {
         "CAST(n_rows AS VARCHAR) || ':' || CAST(n_keys AS VARCHAR) || ':' || "
         "COALESCE(CAST(rank AS VARCHAR), '-'), COALESCE(skew_factor, share)",
     ),
+    # round-5 multi-way-join analytics (TPC-H Q3/Q5/Q18/Q10 shapes)
+    "a9": (
+        "a9_shipping_priority",
+        f"'a9', l_orderkey, {_ep('o_orderdate')}, NULL, revenue",
+    ),
+    "a10": ("a10_local_supplier_volume", "'a10', NULL, NULL, n_name, revenue"),
+    "a11": (
+        "a11_large_volume_customer",
+        f"'a11', o_orderkey, {_ep('o_orderdate')}, c_name, sum_qty",
+    ),
+    "a12": (
+        "a12_returned_item_report",
+        "'a12', c_custkey, NULL, n_name || ':' || c_name, revenue",
+    ),
 }
 
 
@@ -253,8 +267,36 @@ def rq2_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s1"),
         F.coalesce("skew_factor", "share").alias("v1"),
     )
+    a9 = relational.a9_shipping_priority(spark, sf_dir).select(
+        F.lit("a9").alias("probe"),
+        F.col("l_orderkey").alias("k1"),
+        _epoch(F.col("o_orderdate")).alias("k2"),
+        _sn().alias("s1"),
+        F.col("revenue").alias("v1"),
+    )
+    a10 = relational.a10_local_supplier_volume(spark, sf_dir).select(
+        F.lit("a10").alias("probe"),
+        _bn().alias("k1"),
+        _bn().alias("k2"),
+        F.col("n_name").alias("s1"),
+        F.col("revenue").alias("v1"),
+    )
+    a11 = relational.a11_large_volume_customer(spark, sf_dir).select(
+        F.lit("a11").alias("probe"),
+        F.col("o_orderkey").alias("k1"),
+        _epoch(F.col("o_orderdate")).alias("k2"),
+        F.col("c_name").alias("s1"),
+        F.col("sum_qty").alias("v1"),
+    )
+    a12 = relational.a12_returned_item_report(spark, sf_dir).select(
+        F.lit("a12").alias("probe"),
+        F.col("c_custkey").alias("k1"),
+        _bn().alias("k2"),
+        F.concat_ws(":", "n_name", "c_name").alias("s1"),
+        F.col("revenue").alias("v1"),
+    )
     out = j1
-    for part in (j2, j3, j4, j6, j7, j8, j9, j13, a7):
+    for part in (j2, j3, j4, j6, j7, j8, j9, j13, a7, a9, a10, a11, a12):
         out = out.unionByName(part)
     return out
 
