@@ -1030,9 +1030,8 @@ def g5_copy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deleted, id%3==0 resized (+0.001 MB) and touched (+1h mtime), and a
 # brand-new file id 900002 inserted.
 # ---------------------------------------------------------------------------
-_G6_ORACLE = f"""
-WITH {fixtures.FIXTURE_CTES},
-f2 AS (
+#: the g6 wave as a CTE over fx_file — mirrors _g6_wave exactly
+_G6_WAVE_CTE = """f2 AS (
   SELECT id, name, dir_id,
          CASE WHEN id % 3 = 0 THEN size + CAST('0.001' AS DECIMAL(4,3))
               ELSE size END AS size,
@@ -1041,7 +1040,11 @@ f2 AS (
   UNION ALL
   SELECT 900002, 'brand_new.txt', 1, CAST('1.5' AS DECIMAL(18,6)),
          TIMESTAMP '2024-06-30'
-),
+)"""
+
+_G6_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE},
 diff AS (
   SELECT CASE WHEN o.id IS NULL THEN 'I'
               WHEN n.id IS NULL THEN 'D'
@@ -1065,23 +1068,15 @@ FROM diff WHERE op IS NOT NULL
 """
 
 
-@_q("g6_generation_diff", _G6_ORACLE)
-def g6_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot time travel + CDC over the real table store: write the
-    file fixture as generation 1, apply a deterministic wave as
-    generation 2 (both REAL write-new-then-swap parquet generations),
-    read both back with read_at (the VERSION AS OF analog) and emit
-    diff_generations' I/D/U change feed. Extends the reference's J8
-    snapshot-diff idiom to a first-class, any-table CDC operator
-    (Delta CDF / Iceberg changelog analog at 100 TB)."""
-    import tempfile
-
+def _g6_wave(spark: SparkSession, f1: DataFrame) -> DataFrame:
+    """The deterministic g6 change wave applied to the file fixture:
+    drop id%11 rows, bump size+mtime on id%3 rows, insert one new file
+    — mirrored exactly by the f2 CTE in _G6_ORACLE (and reused by
+    g15's incremental-maintenance proof)."""
     from ..filedb import schemas
-    from ..filedb.store import TableStore, diff_generations
 
-    f1 = fixtures.fixture_file(spark, sf_dir)
     fid = F.col("id")
-    f2 = (
+    return (
         f1.where(fid % 11 != 0)
         .select(
             "id",
@@ -1120,6 +1115,24 @@ def g6_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@_q("g6_generation_diff", _G6_ORACLE)
+def g6_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel + CDC over the real table store: write the
+    file fixture as generation 1, apply a deterministic wave as
+    generation 2 (both REAL write-new-then-swap parquet generations),
+    read both back with read_at (the VERSION AS OF analog) and emit
+    diff_generations' I/D/U change feed. Extends the reference's J8
+    snapshot-diff idiom to a first-class, any-table CDC operator
+    (Delta CDF / Iceberg changelog analog at 100 TB)."""
+    import tempfile
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore, diff_generations
+
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    f2 = _g6_wave(spark, f1)
     import shutil
 
     root = tempfile.mkdtemp(prefix="fdb_g6_")
@@ -1149,6 +1162,99 @@ def g6_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# g15: INCREMENTAL VIEW MAINTENANCE from the CDC feed — maintain a
+# per-directory aggregate by applying I/D/U deltas instead of
+# recomputing; the ORACLE is the full recompute over the post-wave
+# state, so a green row IS the incremental==recompute proof.
+# ---------------------------------------------------------------------------
+_G15_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE}
+SELECT CAST(dir_id AS BIGINT) AS dir_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size) AS DOUBLE) AS total_size
+FROM f2
+GROUP BY dir_id
+"""
+
+
+@_q("g15_incremental_rollup", _G15_ORACLE)
+def g15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (Delta Live Tables / materialized-
+    view-refresh analog): a per-directory rollup (n_files, total_size)
+    maintained from g6's I/D/U change feed by DELTA APPLICATION — the
+    base aggregate plus per-dir deltas — never re-reading the new
+    snapshot. The oracle recomputes the rollup from the post-wave
+    state directly, so strict parity proves incremental == recompute,
+    including update rows that move a file between directories (the U
+    row contributes -old to its old dir and +new to its new dir).
+
+    At 100 TB this is the difference between touching O(changed dirs)
+    and re-aggregating the whole catalog per crawl wave. COUNT/SUM are
+    self-maintainable under deletes; MIN/MAX are deliberately absent
+    (not incrementally maintainable without auxiliary state — the
+    classic IVM limitation).
+
+    Scale: the diff is computed once (same full-outer join as g6);
+    deltas aggregate map-side to O(changed dirs) rows, and the final
+    full-outer join against the base aggregate shuffles only
+    dir-cardinality tables. Size stays exact DECIMAL through base,
+    delta, and merge arithmetic, cast to double only at the edge."""
+    from ..filedb.store import diff_generations
+
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    f2 = _g6_wave(spark, f1)
+    diff = diff_generations(
+        f1, f2, key_cols=["id"], compare_cols=["name", "dir_id", "size", "mtime"]
+    )
+    minus = diff.where(F.col("op").isin("D", "U")).select(
+        F.col("old_dir_id").alias("dir_id"),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-F.col("old_size")).alias("ds"),
+    )
+    plus = diff.where(F.col("op").isin("I", "U")).select(
+        F.col("new_dir_id").alias("dir_id"),
+        F.lit(1).cast("bigint").alias("dn"),
+        F.col("new_size").alias("ds"),
+    )
+    deltas = (
+        minus.unionByName(plus)
+        .groupBy("dir_id")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    base = f1.groupBy("dir_id").agg(
+        F.count("*").alias("n0"), F.sum("size").alias("s0")
+    )
+    zero_dec = F.lit(0).cast("decimal(28,6)")
+    # null-safe join key: the fixture keeps one orphan file with a NULL
+    # dir_id (real catalogs have them), and a plain full-outer join
+    # would strand its base row apart from its delete delta
+    return (
+        base.alias("b")
+        .join(
+            deltas.alias("d"),
+            F.col("b.dir_id").eqNullSafe(F.col("d.dir_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("b.dir_id"), F.col("d.dir_id"))
+            .cast("bigint")
+            .alias("dir_id"),
+            (
+                F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).alias("n_files"),
+            (
+                F.coalesce(F.col("s0"), zero_dec)
+                + F.coalesce(F.col("ds"), zero_dec)
+            )
+            .cast("double")
+            .alias("total_size"),
+        )
+        .where(F.col("n_files") > 0)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2348,6 +2454,12 @@ FROM counts_all c JOIN fin f ON f.part = c.part
         "'g13', n_rows, tbl || '.' || col || '#' || kind, n_nulls, ndv, "
         "CAST(floor(vmin) AS BIGINT), CAST(floor(vmax) AS BIGINT), "
         "NULL, NULL, NULL, vmin + vmax / 1000000",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G15_ORACLE,
+        "'g15', dir_id, CAST(NULL AS VARCHAR), n_files, NULL, NULL, "
+        "NULL, NULL, NULL, NULL, total_size",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2355,7 +2467,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     claim surface (J10/J11/A4/T1/T2/M9/M11) + the copy pipeline's
     claim/resolution half (M12/J12/T3) + the table store's time-travel
     CDC diff (g6) + the day-partitioned store's pruned serving (g7)
-    in one graded row — every member runs its own wave through the
+    + the CDC-fed incremental rollup proof (g15) in one graded row — every member runs its own wave through the
     real engine unchanged, and the member pipelines are BUILT
     concurrently: the eager portions (fixture-wave persists, the
     g6/g7/g11/g12 mkdtemp store writes) are independent, so they
@@ -2378,6 +2490,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g12": g12_vacuum_plan,
         "g13": g13_table_stats,
         "g14": g14_stats_merge,
+        "g15": g15_incremental_rollup,
     }
     from . import _timing
 
@@ -2553,6 +2666,19 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
+    g15 = raw["g15"].select(
+        F.lit("g15").alias("part"),
+        F.col("dir_id").alias("k1"),
+        _sn().alias("s1"),
+        F.col("n_files").alias("n1"),
+        _bn().alias("n2"),
+        _bn().alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        F.col("total_size").alias("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -2565,6 +2691,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g12)
         .unionByName(g13)
         .unionByName(g14)
+        .unionByName(g15)
     )
 
 

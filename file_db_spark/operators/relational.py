@@ -800,6 +800,46 @@ def a12_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "a13_decorrelated_min",
+    """
+    SELECT p.p_partkey, p.p_name, l.l_suppkey, l.l_orderkey,
+           l.l_extendedprice AS min_price
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= 40
+      AND l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def a13_decorrelated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (engine addition, TPC-H Q2's min-per-group shape):
+    cheapest offer per part — the correlated-scalar-subquery pattern.
+    The ORACLE deliberately keeps the correlated form (what a user
+    coming from the reference's SQL habits would write); the Spark
+    plan is the decorrelated one you actually want at 100 TB: a window
+    MIN over l_partkey plus a filter — ONE shuffle over lineitem
+    instead of a per-row re-scan, identical semantics including ties
+    (every lineitem at the minimum survives, exactly like the
+    correlated predicate).
+
+    Scale: the window partitions on l_partkey (same exchange the part
+    join can reuse); part is dim-sized → broadcast, and its p_size
+    filter prunes the probe side before the join. No correlated
+    execution anywhere in the physical plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    cheapest = li.withColumn("min_price", F.min("l_extendedprice").over(w)).filter(
+        F.col("l_extendedprice") == F.col("min_price")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return cheapest.join(F.broadcast(p), cheapest.l_partkey == p.p_partkey).select(
+        "p_partkey", "p_name", "l_suppkey", "l_orderkey", "min_price"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k
 # ---------------------------------------------------------------------------

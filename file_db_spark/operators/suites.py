@@ -178,6 +178,10 @@ _RQ2_PARTS = {
         "a12_returned_item_report",
         "'a12', c_custkey, NULL, n_name || ':' || c_name, revenue",
     ),
+    "a13": (
+        "a13_decorrelated_min",
+        "'a13', p_partkey, l_orderkey, p_name, min_price",
+    ),
 }
 
 
@@ -295,8 +299,15 @@ def rq2_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "n_name", "c_name").alias("s1"),
         F.col("revenue").alias("v1"),
     )
+    a13 = relational.a13_decorrelated_min(spark, sf_dir).select(
+        F.lit("a13").alias("probe"),
+        F.col("p_partkey").alias("k1"),
+        F.col("l_orderkey").alias("k2"),
+        F.col("p_name").alias("s1"),
+        F.col("min_price").alias("v1"),
+    )
     out = j1
-    for part in (j2, j3, j4, j6, j7, j8, j9, j13, a7, a9, a10, a11, a12):
+    for part in (j2, j3, j4, j6, j7, j8, j9, j13, a7, a9, a10, a11, a12, a13):
         out = out.unionByName(part)
     return out
 

@@ -73,12 +73,27 @@ PROBE_SET = [
     # loop + one per-cell rank window
     "x31_cross_shard_dedup",
     "x32_prototype_pruning",
+    # round-5 relational additions: orders+lineitem now scale by
+    # order-key shift (stable dims), so the join/agg plans are
+    # probeable — a1's single-shuffle agg, the Q3/Q5/Q18 join chains,
+    # the decorrelated window-min, and the as-of join
+    "a1_pricing_summary",
+    "a9_shipping_priority",
+    "a10_local_supplier_volume",
+    "a11_large_volume_customer",
+    "a13_decorrelated_min",
 ]
 
 _DOC_OFF = 133200  # lcm(200, 720, 37)
 _VEC_OFF = 1000000
 _EVT_OFF = 100000
 _USR_OFF = 1500
+#: relational facts (orders+lineitem) scale by order-key shift while
+#: customer/supplier/part stay fixed — facts grow 10x against stable
+#: dims, FKs intact (the realistic fact-vs-dim growth asymmetry), and
+#: per-order lineitem groups keep their size so HAVING/group
+#: selectivities are preserved
+_ORD_OFF = 150000
 
 
 def synthesize() -> None:
@@ -101,13 +116,24 @@ def synthesize() -> None:
                    user_id + k * {_USR_OFF} AS user_id, event_type, value, props
             FROM '{SRC}/events.parquet', range({COPIES}) t(k)
         """,
+        "orders": f"""
+            SELECT o_orderkey + k * {_ORD_OFF} AS o_orderkey, o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM '{SRC}/orders.parquet', range({COPIES}) t(k)
+        """,
+        "lineitem": f"""
+            SELECT l_orderkey + k * {_ORD_OFF} AS l_orderkey, l_partkey,
+                   l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM '{SRC}/lineitem.parquet', range({COPIES}) t(k)
+        """,
     }
     for name, q in jobs.items():
         out = os.path.join(DST, f"{name}.parquet")
         if not os.path.exists(out):
             con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
     for name in (
-        "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
+        "region", "nation", "customer", "supplier", "part"
     ):
         out = os.path.join(DST, f"{name}.parquet")
         if not os.path.exists(out):
