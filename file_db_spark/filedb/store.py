@@ -198,7 +198,7 @@ class TableStore:
         (the OPTIMIZE analog) on the engine's idle path. Appends to a
         bucketed table would break the bucket layout and are refused —
         bucketed entity tables go through replace()/MERGE."""
-        if name in BUCKET_SPECS:
+        if self.bucketing and name in BUCKET_SPECS:
             raise ValueError(f"append() on bucketed table {name!r}; use replace()")
         import json
 
@@ -227,6 +227,50 @@ class TableStore:
         with open(tmp, "w") as fh:
             json.dump({"segments": base + [seg]}, fh)
         os.replace(tmp, os.path.join(gen, "_MANIFEST"))
+
+    def evolve(self, name: str, new_schema: T.StructType) -> None:
+        """Additive schema evolution (the Delta/Iceberg ADD COLUMN
+        analog): METADATA-ONLY — no generation or segment is ever
+        rewritten. Existing fields must keep their name, type, and
+        position; new fields must be nullable and appended at the end.
+        Every generation — past ones included — is subsequently read
+        with the widened schema: the explicit-schema parquet read
+        null-fills columns absent from old files, so time travel,
+        manifests mixing pre- and post-evolution segments, compact(),
+        and diff_generations all see one uniform schema. At 100 TB
+        this is the only viable evolution path: rewriting history to
+        add a column is O(table); changing the declared schema is O(1).
+
+        Bucketed tables: the session-catalog entries of existing
+        generations carry the old schema, so they are dropped — reads
+        fall back to the path read (value-identical, re-shuffles on
+        join) until the next replace() re-registers the bucket layout
+        under the widened schema."""
+        old = self.schemas[name]
+        head = new_schema.fields[: len(old.fields)]
+        if [(f.name, f.dataType) for f in head] != [
+            (f.name, f.dataType) for f in old.fields
+        ]:
+            raise ValueError(
+                f"evolve({name!r}): existing fields must keep name, type "
+                "and position (drops/renames/type changes need a rewrite)"
+            )
+        added = new_schema.fields[len(old.fields):]
+        for f in added:
+            if not f.nullable:
+                raise ValueError(
+                    f"evolve({name!r}): new field {f.name!r} must be "
+                    "nullable (old files cannot supply values for it)"
+                )
+        self.schemas[name] = new_schema
+        if self.bucketing and name in BUCKET_SPECS:
+            for gen_dir in self.generations(name):
+                try:
+                    self.spark.sql(
+                        f"DROP TABLE IF EXISTS {self._table_name(name, gen_dir)}"
+                    )
+                except Exception:
+                    pass
 
     def segment_count(self, name: str) -> int:
         """Segments the current generation reads (1 for a plain

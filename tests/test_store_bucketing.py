@@ -159,3 +159,97 @@ def test_segmented_append_compact_vacuum(spark, tmp_path):
     st.append(name, rows(100, 101))
     st.vacuum(retain=1)
     assert st.read(name).count() == 15  # base rows survived the vacuum
+
+
+def test_schema_evolution_metadata_only(spark, tmp_path):
+    """evolve() adds a nullable column WITHOUT rewriting any file:
+    old generations and pre-evolution segments null-fill the new
+    column on read; time travel and compact() see the uniform widened
+    schema; invalid evolutions (rename/type change/non-nullable add)
+    are refused; bucketed tables fall back to path reads until the
+    next replace re-registers the layout."""
+    import os
+
+    from pyspark.sql import types as T
+
+    sch_v1 = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    st = TableStore(spark, str(tmp_path / "cat"), {"t": sch_v1}, bucketing=False)
+
+    def rows(schema, vals):
+        return spark.createDataFrame(vals, schema)
+
+    st.replace("t", rows(sch_v1, [(1, "a"), (2, "b")]))
+    st.append("t", rows(sch_v1, [(3, "c")]))
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(st._dir("t"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+    # StructType.add mutates in place — build fresh types
+    sch_v2 = T.StructType(
+        list(sch_v1.fields) + [T.StructField("note", T.StringType(), True)]
+    )
+    st.evolve("t", sch_v2)
+
+    # metadata-only: not a single data file rewritten
+    files_after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(st._dir("t"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before == files_after
+
+    # old rows read back null-filled, new appends carry the column
+    st.append("t", rows(sch_v2, [(4, "d", "fresh")]))
+    got = {r["id"]: r["note"] for r in st.read("t").collect()}
+    assert got == {1: None, 2: None, 3: None, 4: "fresh"}
+    def _shape(df):
+        # parquet reads may relax nullability; names+types are the contract
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    v2_shape = [(f.name, f.dataType) for f in sch_v2.fields]
+    assert _shape(st.read("t")) == v2_shape
+    # time travel to pre-evolution generations also sees the widened
+    # schema (one uniform view of history, the Delta/Iceberg contract)
+    assert _shape(st.read_at("t", back=1)) == v2_shape
+    assert {r["note"] for r in st.read_at("t", back=1).collect()} == {None}
+    # compact folds mixed-schema segments into one snapshot, values kept
+    assert st.compact("t", max_segments=1) is True
+    got2 = {r["id"]: r["note"] for r in st.read("t").collect()}
+    assert got2 == got
+
+    # refused evolutions
+    sch_v3 = T.StructType(
+        list(sch_v2.fields) + [T.StructField("strict", T.LongType(), False)]
+    )
+    with pytest.raises(ValueError, match="nullable"):
+        st.evolve("t", sch_v3)
+    bad_rename = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("renamed", T.StringType(), True),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    with pytest.raises(ValueError, match="name, type"):
+        st.evolve("t", bad_rename)
+
+    # bucketed table: evolve drops the catalog entries; reads fall back
+    # to the path read with the widened schema until the next replace
+    stb = TableStore(spark, str(tmp_path / "catb"), {"file": schemas.FILE})
+    rows_f = [(i, f"f{i}", i % 4, None, None, None, None, None, None) for i in range(8)]
+    stb.replace("file", spark.createDataFrame(rows_f, schemas.FILE))
+    wide = T.StructType(
+        list(schemas.FILE.fields) + [T.StructField("origin", T.StringType(), True)]
+    )
+    stb.evolve("file", wide)
+    assert _shape(stb.read("file")) == [(f.name, f.dataType) for f in wide.fields]
+    assert stb.read("file").count() == 8
