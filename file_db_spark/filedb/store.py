@@ -228,6 +228,40 @@ class TableStore:
             json.dump({"segments": base + [seg]}, fh)
         os.replace(tmp, os.path.join(gen, "_MANIFEST"))
 
+    def write_with_expectations(
+        self, name: str, df: DataFrame, expectations: dict[str, str]
+    ) -> dict[str, int]:
+        """Gated write (DLT expectations analog): rows meeting every
+        expectation replace the table; violating rows are APPENDED to
+        `<name>__quarantine` (same schema + `violated`) so failures
+        accumulate across waves for triage instead of vanishing.
+        Returns per-expectation failure counts plus `_accepted` /
+        `_quarantined` totals — the numbers a pipeline health
+        dashboard alerts on. The split is one codegen projection
+        (see apply_expectations); metrics come from one aggregate
+        over the quarantined side, not a per-expectation rescan."""
+        accepted, quarantined = apply_expectations(df, expectations)
+        qname = f"{name}__quarantine"
+        if qname not in self.schemas:
+            self.schemas[qname] = T.StructType(
+                list(self.schemas[name].fields)
+                + [T.StructField("violated", T.StringType(), True)]
+            )
+        quarantined = quarantined.localCheckpoint(eager=True)
+        self.replace(name, accepted)
+        self.append(qname, quarantined)
+        agg = [F.count("*").alias("_quarantined")] + [
+            F.sum(
+                F.array_contains(F.split("violated", ","), nm).cast("bigint")
+            ).alias(nm)
+            for nm in sorted(expectations)
+        ]
+        row = quarantined.agg(*agg).collect()[0].asDict()
+        metrics = {nm: int(row[nm] or 0) for nm in sorted(expectations)}
+        metrics["_quarantined"] = int(row["_quarantined"] or 0)
+        metrics["_accepted"] = self.read(name).count()
+        return metrics
+
     def evolve(self, name: str, new_schema: T.StructType) -> None:
         """Additive schema evolution (the Delta/Iceberg ADD COLUMN
         analog): METADATA-ONLY — no generation or segment is ever
@@ -319,6 +353,33 @@ class TableStore:
                 f"cannot travel back {back}"
             )
         return self._read_gen(name, gens[len(gens) - 1 - back])
+
+
+def apply_expectations(
+    df: DataFrame, expectations: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows by declared data-quality expectations (the Delta
+    Live Tables `expect_or_drop` analog): each expectation is a SQL
+    boolean over the row; a row failing ANY expectation is routed to
+    the quarantine side with a `violated` column naming every failed
+    expectation (sorted, comma-joined — deterministic). NULL
+    predicate results count as failures (an expectation that cannot
+    be evaluated is not met).
+
+    Scale: one projection pass — every expectation is a codegen
+    Column expr, the violation list an array_compact over literals;
+    no shuffle, no UDF, no second scan."""
+    checks = [
+        F.when(F.coalesce(F.expr(sql).cast("boolean"), F.lit(False)), None)
+        .otherwise(F.lit(nm))
+        for nm, sql in sorted(expectations.items())
+    ]
+    tagged = df.withColumn(
+        "violated", F.array_join(F.array_compact(F.array(*checks)), ",")
+    )
+    accepted = tagged.where(F.col("violated") == "").drop("violated")
+    quarantined = tagged.where(F.col("violated") != "")
+    return accepted, quarantined
 
 
 def diff_generations(

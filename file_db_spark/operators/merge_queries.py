@@ -1328,6 +1328,99 @@ def g16_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g17: WRITE-PATH EXPECTATIONS — declared data-quality constraints
+# gate the store write; violating rows land in a quarantine table
+# with the sorted list of failed expectations; per-expectation
+# failure counts come back as metrics.
+# ---------------------------------------------------------------------------
+_G17_EXPECTATIONS = {
+    "has_dir": "dir_id IS NOT NULL",
+    "size_cap": "size <= 1000",
+}
+
+_G17_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+tagged AS (
+  SELECT id,
+         concat_ws(',',
+           CASE WHEN COALESCE(dir_id IS NOT NULL, FALSE)
+                THEN NULL ELSE 'has_dir' END,
+           CASE WHEN COALESCE(size <= 1000, FALSE)
+                THEN NULL ELSE 'size_cap' END
+         ) AS violated
+  FROM fx_file
+)
+SELECT 'q' AS part, CAST(id AS BIGINT) AS id, violated AS s1,
+       CAST(NULL AS BIGINT) AS n1
+FROM tagged WHERE violated <> ''
+UNION ALL
+SELECT 'metric', NULL, k, n FROM (
+  SELECT 'has_dir' AS k,
+         SUM(CASE WHEN list_contains(string_split(violated, ','), 'has_dir')
+                  THEN 1 ELSE 0 END) AS n
+  FROM tagged
+  UNION ALL
+  SELECT 'size_cap',
+         SUM(CASE WHEN list_contains(string_split(violated, ','), 'size_cap')
+                  THEN 1 ELSE 0 END)
+  FROM tagged
+  UNION ALL
+  SELECT '_accepted', SUM(CASE WHEN violated = '' THEN 1 ELSE 0 END)
+  FROM tagged
+  UNION ALL
+  SELECT '_quarantined', SUM(CASE WHEN violated <> '' THEN 1 ELSE 0 END)
+  FROM tagged
+) m
+"""
+
+
+@_q("g17_expectations", _G17_ORACLE)
+def g17_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path data-quality expectations (the Delta Live Tables
+    `expect_or_drop` + quarantine analog) run END-TO-END through the
+    real store: `write_with_expectations` gates the file fixture on
+    declared SQL constraints, accepted rows replace the table,
+    violating rows are appended to `<name>__quarantine` with the
+    sorted violated-expectation list, and per-expectation failure
+    counts come back as metrics. The 'q' rows are read BACK from the
+    quarantine table (proving the write), the 'metric' rows are the
+    returned metrics — both strictly matched against the oracle's
+    recomputation, including the NULL-predicate-fails convention
+    (the orphan NULL-dir row fails has_dir).
+
+    Scale: the split is one codegen projection over the wave (no
+    second scan, no UDF); quarantine accrues as O(violations)
+    appended segments on the store's O(delta) append path."""
+    import shutil
+    import tempfile
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_g17_")
+    store = TableStore(spark, root, {"file": schemas.FILE}, bucketing=False)
+    metrics = store.write_with_expectations("file", f1, _G17_EXPECTATIONS)
+    q = store.read("file__quarantine").select(
+        F.lit("q").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("violated").alias("s1"),
+        F.lit(None).cast("bigint").alias("n1"),
+    )
+    m = spark.createDataFrame(
+        [(k, metrics[k]) for k in sorted(metrics)], "s1 string, n1 long"
+    ).select(
+        F.lit("metric").alias("part"),
+        F.lit(None).cast("bigint").alias("id"),
+        "s1",
+        "n1",
+    )
+    out = q.unionByName(m).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g7: PARTITION PRUNING through the storage layer — write the events
 # table Hive-partitioned by day, then serve a one-day query from it.
 # The complement of the bucketed-join store feature: bucketing kills
@@ -2536,6 +2629,11 @@ FROM counts_all c JOIN fin f ON f.part = c.part
         _G16_ORACLE,
         "'g16_' || part, id, name || '#' || COALESCE(origin, ''), dir_id, "
         "NULL, NULL, NULL, NULL, NULL, NULL, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G17_ORACLE,
+        "'g17_' || part, id, s1, n1, NULL, NULL, NULL, NULL, NULL, NULL, NULL",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2568,6 +2666,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g14": g14_stats_merge,
         "g15": g15_incremental_rollup,
         "g16": g16_schema_evolution,
+        "g17": g17_expectations,
     }
     from . import _timing
 
@@ -2769,6 +2868,19 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
+    g17 = raw["g17"].select(
+        F.concat(F.lit("g17_"), F.col("part")).alias("part"),
+        F.col("id").alias("k1"),
+        F.col("s1"),
+        F.col("n1"),
+        _bn().alias("n2"),
+        _bn().alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        _dn().alias("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -2783,6 +2895,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g14)
         .unionByName(g15)
         .unionByName(g16)
+        .unionByName(g17)
     )
 
 

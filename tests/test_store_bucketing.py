@@ -253,3 +253,41 @@ def test_schema_evolution_metadata_only(spark, tmp_path):
     stb.evolve("file", wide)
     assert _shape(stb.read("file")) == [(f.name, f.dataType) for f in wide.fields]
     assert stb.read("file").count() == 8
+
+
+def test_write_with_expectations_quarantine(spark, tmp_path):
+    """Gated writes: rows failing any expectation land in the
+    quarantine table with the sorted list of violated expectations;
+    metrics count per-expectation failures; quarantine rows accumulate
+    across waves (append semantics); NULL predicate results fail."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("size", T.LongType(), True),
+        ]
+    )
+    st = TableStore(spark, str(tmp_path / "cat"), {"t": sch}, bucketing=False)
+    exp = {"has_name": "name IS NOT NULL", "nonneg_size": "size >= 0"}
+    wave1 = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 5), (3, "c", -1), (4, None, None)], sch
+    )
+    m1 = st.write_with_expectations("t", wave1, exp)
+    assert m1 == {
+        "has_name": 2,
+        "nonneg_size": 2,  # row 4: NULL size fails (cannot be evaluated)
+        "_quarantined": 3,
+        "_accepted": 1,
+    }
+    assert {r["id"] for r in st.read("t").collect()} == {1}
+    q = {r["id"]: r["violated"] for r in st.read("t__quarantine").collect()}
+    assert q == {2: "has_name", 3: "nonneg_size", 4: "has_name,nonneg_size"}
+
+    # second wave: table replaced, quarantine accumulates
+    wave2 = spark.createDataFrame([(5, "e", 1), (6, None, 2)], sch)
+    m2 = st.write_with_expectations("t", wave2, exp)
+    assert m2["_accepted"] == 1 and m2["_quarantined"] == 1
+    assert {r["id"] for r in st.read("t").collect()} == {5}
+    assert {r["id"] for r in st.read("t__quarantine").collect()} == {2, 3, 4, 6}
