@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["TableStore", "diff_generations"]
+__all__ = ["TableStore", "diff_generations", "scd2_snapshot", "scd2_history"]
 
 
 #: Sort-on-write keys per table: parquet row-group min/max stats then
@@ -262,6 +262,50 @@ class TableStore:
         metrics["_accepted"] = self.read(name).count()
         return metrics
 
+    def merge_scd2(
+        self,
+        name: str,
+        incoming: DataFrame,
+        key_cols: list[str],
+        compare_cols: list[str],
+        version: int,
+    ) -> None:
+        """SCD type-2 dimension maintenance (the MERGE-INTO-with-
+        history analog), write-side O(delta): diff the incoming wave
+        against the current snapshot (scd2_snapshot over the log),
+        then APPEND only the changes — new/changed keys as 'U' rows
+        stamped `valid_from=version`, vanished keys as 'D' tombstones.
+        Unchanged keys write NOTHING; no existing row is ever
+        rewritten (validity intervals are derived at read time by
+        scd2_history). At 100 TB this is the only sustainable SCD2
+        write path: per-wave cost scales with the change rate, never
+        with dimension size, and the append is one immutable segment
+        plus a manifest entry."""
+        log_cols = [f.name for f in self.schemas[name].fields]
+        cur = scd2_snapshot(self.read(name), key_cols)
+        diff = diff_generations(cur, incoming, key_cols, compare_cols)
+        changed_keys = diff.where(F.col("op").isin("I", "U")).select(*key_cols)
+        ver = F.lit(version).cast("bigint")
+        upserts = (
+            incoming.join(changed_keys, key_cols, "left_semi")
+            .withColumn("valid_from", ver)
+            .withColumn("op", F.lit("U"))
+        )
+        deletes = diff.where(F.col("op") == "D").select(
+            *key_cols,
+            *[
+                F.lit(None).cast(self.schemas[name][c].dataType).alias(c)
+                for c in log_cols
+                if c not in key_cols and c not in ("valid_from", "op")
+            ],
+            ver.alias("valid_from"),
+            F.lit("D").alias("op"),
+        )
+        self.append(
+            name,
+            upserts.select(*log_cols).unionByName(deletes.select(*log_cols)),
+        )
+
     def evolve(self, name: str, new_schema: T.StructType) -> None:
         """Additive schema evolution (the Delta/Iceberg ADD COLUMN
         analog): METADATA-ONLY — no generation or segment is ever
@@ -380,6 +424,45 @@ def apply_expectations(
     accepted = tagged.where(F.col("violated") == "").drop("violated")
     quarantined = tagged.where(F.col("violated") != "")
     return accepted, quarantined
+
+
+def scd2_snapshot(log: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Latest live version per key from an append-only SCD2 change log
+    (columns: key + attributes + `valid_from` + `op`): one row_number
+    window keyed by the dimension key; a trailing 'D' tombstone drops
+    the key entirely. This is the merge-on-read 'current dimension'
+    view — no log rewrite ever happens to serve it."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col("valid_from").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("op") == "U"))
+        .drop("_rn", "op", "valid_from")
+    )
+
+
+def scd2_history(log: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Reconstruct SCD type-2 validity intervals from the append-only
+    change log at read time: `valid_to` = the next version's
+    `valid_from` (one lead window per key), `is_current` = an open
+    interval on a live ('U') row. 'D' tombstones close the prior
+    version's interval and emit no row of their own.
+
+    Scale: the log is written O(delta) per wave (see
+    TableStore.merge_scd2); this read-side window shuffles on the
+    dimension key only. Periodic compaction (materialize this view,
+    replace the log's closed prefix) bounds read amplification — the
+    classic merge-on-read/compaction split."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("valid_from")
+    return (
+        log.withColumn("valid_to", F.lead("valid_from").over(w))
+        .where(F.col("op") == "U")
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("op")
+    )
 
 
 def diff_generations(

@@ -1421,6 +1421,104 @@ def g17_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g18: SCD TYPE-2 MERGE — dimension history maintenance as an
+# append-only change log (write O(delta), never O(dimension)) with
+# validity intervals reconstructed by one lead window at read time.
+# ---------------------------------------------------------------------------
+_G18_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE},
+scd_log AS (
+  SELECT id, name, dir_id, size, mtime, 1 AS valid_from, 'U' AS op
+  FROM fx_file
+  UNION ALL
+  SELECT n.id, n.name, n.dir_id, n.size, n.mtime, 2, 'U'
+  FROM f2 n LEFT JOIN fx_file o ON o.id = n.id
+  WHERE o.id IS NULL
+     OR o.name IS DISTINCT FROM n.name
+     OR o.dir_id IS DISTINCT FROM n.dir_id
+     OR o.size IS DISTINCT FROM n.size
+     OR o.mtime IS DISTINCT FROM n.mtime
+  UNION ALL
+  SELECT o.id, NULL, NULL, NULL, NULL, 2, 'D'
+  FROM fx_file o LEFT JOIN f2 n ON o.id = n.id
+  WHERE n.id IS NULL
+),
+hist AS (
+  SELECT id, name, dir_id, size, mtime, op, valid_from,
+         lead(valid_from) OVER (PARTITION BY id ORDER BY valid_from)
+           AS valid_to
+  FROM scd_log
+)
+SELECT CAST(id AS BIGINT) AS id, name, CAST(dir_id AS BIGINT) AS dir_id,
+       CAST(size AS DOUBLE) AS size, {_ep_sql('mtime')} AS mtime_ep,
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to,
+       (valid_to IS NULL) AS is_current
+FROM hist WHERE op = 'U'
+"""
+
+
+@_q("g18_scd2_merge", _G18_ORACLE)
+def g18_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance through the real table store
+    (the Delta `MERGE INTO` + history-tracking analog): wave 1 seeds
+    the dimension, the g6 mutation wave updates/inserts/deletes, and
+    BOTH waves go through `store.merge_scd2` — which appends ONLY the
+    changed keys ('U' versions + 'D' tombstones) as an immutable
+    segment. `scd2_history` then reconstructs validity intervals
+    (valid_from/valid_to/is_current) with one lead window per key.
+    The oracle spells the whole contract out in SQL: unchanged keys
+    keep one open version, updates close the old interval at the new
+    version's valid_from, deletes close without a successor, inserts
+    open at their wave.
+
+    Scale: writes are O(change rate) appends — no dimension rewrite
+    ever; the read-side window shuffles on the dimension key only,
+    and periodic compaction (materialize the history view) bounds
+    read amplification — the classic merge-on-read split."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore, scd2_history
+
+    base = {f.name: f for f in schemas.FILE.fields}
+    log_schema = T.StructType(
+        [base[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+        + [
+            T.StructField("valid_from", T.LongType(), True),
+            T.StructField("op", T.StringType(), True),
+        ]
+    )
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    f2 = _g6_wave(spark, f1)
+    root = tempfile.mkdtemp(prefix="fdb_g18_")
+    store = TableStore(spark, root, {"dim": log_schema}, bucketing=False)
+    tracked = ["name", "dir_id", "size", "mtime"]
+    store.merge_scd2("dim", f1, ["id"], tracked, 1)
+    store.merge_scd2("dim", f2, ["id"], tracked, 2)
+    out = (
+        scd2_history(store.read("dim"), ["id"])
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            "name",
+            F.col("dir_id").cast("bigint").alias("dir_id"),
+            F.col("size").cast("double").alias("size"),
+            _ep(F.col("mtime")).alias("mtime_ep"),
+            F.col("valid_from").cast("bigint").alias("valid_from"),
+            F.col("valid_to").cast("bigint").alias("valid_to"),
+            "is_current",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g7: PARTITION PRUNING through the storage layer — write the events
 # table Hive-partitioned by day, then serve a one-day query from it.
 # The complement of the bucketed-join store feature: bucketing kills
@@ -2634,6 +2732,12 @@ FROM counts_all c JOIN fin f ON f.part = c.part
     + _sub(
         _G17_ORACLE,
         "'g17_' || part, id, s1, n1, NULL, NULL, NULL, NULL, NULL, NULL, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G18_ORACLE,
+        "'g18', id, name, dir_id, valid_from, valid_to, mtime_ep, NULL, "
+        "CASE WHEN is_current THEN 1 ELSE 0 END, NULL, size",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2667,6 +2771,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g15": g15_incremental_rollup,
         "g16": g16_schema_evolution,
         "g17": g17_expectations,
+        "g18": g18_scd2_merge,
     }
     from . import _timing
 
@@ -2881,6 +2986,22 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
+    g18 = raw["g18"].select(
+        F.lit("g18").alias("part"),
+        F.col("id").alias("k1"),
+        F.col("name").alias("s1"),
+        F.col("dir_id").alias("n1"),
+        F.col("valid_from").alias("n2"),
+        F.col("valid_to").alias("e1"),
+        F.col("mtime_ep").alias("e2"),
+        _bn().alias("e3"),
+        F.when(F.col("is_current"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("flag"),
+        _bn().alias("pid"),
+        F.col("size").alias("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -2896,6 +3017,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g15)
         .unionByName(g16)
         .unionByName(g17)
+        .unionByName(g18)
     )
 
 

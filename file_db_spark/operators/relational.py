@@ -840,6 +840,130 @@ def a13_decorrelated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "a14_priority_backlog",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def a14_priority_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 (engine addition, TPC-H Q4's EXISTS shape): orders per
+    priority that had at least one line ship >45 days after the order
+    date. The oracle keeps the correlated EXISTS a reference-SQL user
+    would write; the Spark plan is its decorrelation — a LEFT SEMI
+    join on the order key with the date comparison riding as a
+    residual, then one small groupBy. Semi-join semantics give the
+    EXISTS contract for free: multiple matching lines count the order
+    once, no DISTINCT needed.
+
+    Scale: the date-range filter pushes into the orders scan before
+    the join; the semi join shuffles on the same orderkey both fact
+    tables are naturally keyed by, and its output carries ONLY order
+    columns (no lineitem fan-out ever materializes). The groupBy
+    input is pre-shrunk to qualifying orders — map-side partials over
+    ~5 priority values."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@_q(
+    "a15_waiting_supplier",
+    """
+    WITH l AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM l l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (
+        SELECT 1 FROM l l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM l l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.late
+      )
+    GROUP BY s.s_name
+    """,
+)
+def a15_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 (engine addition, TPC-H Q21's double-correlation shape):
+    suppliers who were the SOLE late shipper on a multi-supplier
+    order. The oracle keeps the textbook form — an EXISTS (another
+    supplier on the order) AND a NOT EXISTS (another LATE supplier on
+    the order) both correlated to the probe row. Executed literally
+    that is two extra passes over lineitem per probe row; the Spark
+    plan decorrelates BOTH into one window pass: per order,
+    n_supp = |distinct suppliers| and n_late_supp = |distinct late
+    suppliers| (collect_set ignores the NULL the `late` guard leaves,
+    so the late set is exact) — then a late row qualifies iff
+    n_supp >= 2 (the EXISTS) and n_late_supp == 1 (the NOT EXISTS:
+    the probe row itself is late, so a singleton late-set is exactly
+    'no OTHER late supplier'). Proven identical semantics, including
+    a supplier appearing on multiple lines of the same order.
+
+    Scale: orders⋈lineitem is one equi-shuffle on the order key and
+    the window partitions on THE SAME key — AQE reuses the exchange,
+    so the whole correlation resolves in a single shuffle of the fact
+    table. Order groups are tiny (lineitems per order), so the
+    collect_set state is bounded; supplier is dim-sized → broadcast
+    at the very end, after the fact side has been filtered to sole
+    late shippers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = lines.select(
+        "*",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    )
+    sole_late = flagged.where(
+        F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k
 # ---------------------------------------------------------------------------

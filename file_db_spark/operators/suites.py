@@ -182,6 +182,15 @@ _RQ2_PARTS = {
         "a13_decorrelated_min",
         "'a13', p_partkey, l_orderkey, p_name, min_price",
     ),
+    # round-5 subquery-decorrelation shapes (TPC-H Q4/Q21)
+    "a14": (
+        "a14_priority_backlog",
+        "'a14', order_count, NULL, o_orderpriority, NULL",
+    ),
+    "a15": (
+        "a15_waiting_supplier",
+        "'a15', numwait, NULL, s_name, NULL",
+    ),
 }
 
 
@@ -306,8 +315,24 @@ def rq2_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("s1"),
         F.col("min_price").alias("v1"),
     )
+    a14 = relational.a14_priority_backlog(spark, sf_dir).select(
+        F.lit("a14").alias("probe"),
+        F.col("order_count").alias("k1"),
+        _bn().alias("k2"),
+        F.col("o_orderpriority").alias("s1"),
+        _dn().alias("v1"),
+    )
+    a15 = relational.a15_waiting_supplier(spark, sf_dir).select(
+        F.lit("a15").alias("probe"),
+        F.col("numwait").alias("k1"),
+        _bn().alias("k2"),
+        F.col("s_name").alias("s1"),
+        _dn().alias("v1"),
+    )
     out = j1
-    for part in (j2, j3, j4, j6, j7, j8, j9, j13, a7, a9, a10, a11, a12, a13):
+    for part in (
+        j2, j3, j4, j6, j7, j8, j9, j13, a7, a9, a10, a11, a12, a13, a14, a15,
+    ):
         out = out.unionByName(part)
     return out
 

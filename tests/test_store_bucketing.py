@@ -291,3 +291,53 @@ def test_write_with_expectations_quarantine(spark, tmp_path):
     assert m2["_accepted"] == 1 and m2["_quarantined"] == 1
     assert {r["id"] for r in st.read("t").collect()} == {5}
     assert {r["id"] for r in st.read("t__quarantine").collect()} == {2, 3, 4, 6}
+
+
+def test_merge_scd2_history_and_odelta(spark, tmp_path):
+    """SCD2 merge: per-wave appends carry ONLY changed keys ('U'
+    versions + 'D' tombstones); history reconstructs closed/open
+    intervals including delete-then-reinsert; snapshot follows the
+    latest live version per key."""
+    from pyspark.sql import types as T
+
+    from file_db_spark.filedb.store import scd2_history, scd2_snapshot
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("city", T.StringType(), True),
+            T.StructField("valid_from", T.LongType(), True),
+            T.StructField("op", T.StringType(), True),
+        ]
+    )
+    st = TableStore(spark, str(tmp_path / "cat"), {"dim": sch}, bucketing=False)
+
+    def wave(rows):
+        return spark.createDataFrame(rows, "id long, city string")
+
+    st.merge_scd2("dim", wave([(1, "ams"), (2, "ber"), (3, "cdg")]), ["id"], ["city"], 1)
+    st.merge_scd2("dim", wave([(1, "ams"), (2, "muc"), (4, "dub")]), ["id"], ["city"], 2)
+    st.merge_scd2("dim", wave([(1, "ams"), (2, "muc"), (3, "osl"), (4, "dub")]), ["id"], ["city"], 3)
+
+    log = st.read("dim")
+    # O(delta): wave1 = 3 inserts; wave2 = U(2) + I(4) + D(3); wave3 = I(3)
+    per_wave = {
+        r["valid_from"]: r["n"]
+        for r in log.groupBy("valid_from").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_wave == {1: 3, 2: 3, 3: 1}
+
+    hist = {
+        (r["id"], r["valid_from"]): (r["city"], r["valid_to"], r["is_current"])
+        for r in scd2_history(log, ["id"]).collect()
+    }
+    assert hist == {
+        (1, 1): ("ams", None, True),          # never changed: one open version
+        (2, 1): ("ber", 2, False),            # closed by the wave-2 update
+        (2, 2): ("muc", None, True),
+        (3, 1): ("cdg", 2, False),            # closed by the wave-2 delete...
+        (3, 3): ("osl", None, True),          # ...reopened by the wave-3 insert
+        (4, 2): ("dub", None, True),
+    }
+    snap = {r["id"]: r["city"] for r in scd2_snapshot(log, ["id"]).collect()}
+    assert snap == {1: "ams", 2: "muc", 3: "osl", 4: "dub"}
