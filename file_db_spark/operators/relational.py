@@ -1168,6 +1168,54 @@ def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s).distinct()
 
 
+@_q(
+    "u4_unpivot",
+    """
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS value
+    FROM base
+    UNION ALL
+    SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM base
+    UNION ALL
+    SELECT l_returnflag, l_linestatus, 'n_items', n_items FROM base
+    """,
+)
+def u4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (engine addition): wide→long reshape — the UNPIVOT / melt
+    surface, the inverse of e12's pivot. Spark's native
+    `DataFrame.unpivot` (Expand physical node: one pass over the
+    already-aggregated base, no re-scan, no union of N selects); the
+    oracle spells it as the portable UNION ALL a reference-SQL user
+    would write. Money sums route through DECIMAL on both engines
+    (the cross-engine double-sum rule) and surface as exact doubles.
+
+    Scale: the Expand multiplies only the POST-aggregation rows
+    (|groups| × |metrics|), never the fact table; the one shuffle is
+    the 6-key groupBy with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return base.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_price", "n_items"],
+        "metric",
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (reference §2.5: planned idiomatic replacements)
 # ---------------------------------------------------------------------------

@@ -365,6 +365,11 @@ _RQ3_PARTS = {
     "u1": ("u1_union_all_listing", "'u1', key, NULL, NULL, type || '#' || name, acctbal"),
     "u2": ("u2_union_distinct", "'u2', nationkey, NULL, NULL, NULL, NULL"),
     "u3": ("u3_null_safe_switch", "'u3', n_nationkey, NULL, NULL, branch || '#' || n_name, NULL"),
+    "u4": (
+        "u4_unpivot",
+        "'u4', NULL, NULL, NULL, "
+        "l_returnflag || '#' || l_linestatus || '#' || metric, value",
+    ),
     "w1": ("w1_window_rownum", f"'w1', o_custkey, o_orderkey, rn, NULL, CAST({_ep('o_orderdate')} AS DOUBLE)"),
     "w2": ("w2_window_dupcount", "'w2', l_orderkey, l_linenumber, lines_in_order, NULL, NULL"),
     "f1": (
@@ -448,6 +453,9 @@ def rq3_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm(r.u2_union_distinct(spark, sf_dir), "u2", k1=c("nationkey")),
         norm(r.u3_null_safe_switch(spark, sf_dir), "u3", k1=c("n_nationkey"),
              s1=F.concat_ws("#", "branch", "n_name")),
+        norm(r.u4_unpivot(spark, sf_dir), "u4",
+             s1=F.concat_ws("#", "l_returnflag", "l_linestatus", "metric"),
+             v1=c("value")),
         norm(r.w1_window_rownum(spark, sf_dir), "w1", k1=c("o_custkey"),
              k2=c("o_orderkey"), k3=c("rn"), v1=_epoch(c("o_orderdate"))),
         norm(r.w2_window_dupcount(spark, sf_dir), "w2", k1=c("l_orderkey"),
