@@ -89,6 +89,8 @@ HEADLINE = [
     "x32_prototype_pruning",  # D4-style per-cluster affinity-tail cuts
     "a10_local_supplier_volume",  # 6-way join w/ cross-dim equality (Q5 shape)
     "a11_large_volume_customer",  # HAVING semi-join + 3-way join (Q18 shape)
+    "a14_priority_backlog",  # Q4 EXISTS decorrelated to LEFT SEMI
+    "a15_waiting_supplier",  # Q21 double-correlation in one window pass
     # merge-engine + streaming pipeline cost, previously invisible in
     # BENCH (these time the engine's own fixture-wave pipelines; s38
     # alone runs nine real availableNow stream drains — its wall time
