@@ -1151,3 +1151,120 @@ ORACLES["s14_stream_checkpoint_recovery"] = f"""
     GROUP BY 1, 2
     HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= (SELECT fw FROM final_wm)
     """
+
+
+def s15_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD type-2 maintenance — the streaming lakehouse
+    bridge: dimension-update waves arrive as a file stream (one wave
+    per micro-batch, replay order pinned by mtime exactly like s13)
+    and foreachBatch MERGEs each into the REAL table store via
+    `store.merge_scd2` — per batch, ONLY the changed keys append ('U'
+    versions + 'D' tombstones). After the availableNow drain,
+    `scd2_history` reconstructs the validity intervals; the oracle is
+    g18's batch SQL contract SHARED VERBATIM, so a green row is the
+    stream-fed == batch-fed proof (the x31/x30 shared-oracle pattern).
+
+    Scale: this is the production shape for continuously-maintained
+    dimensions at 100 TB — file-source backpressure
+    (maxFilesPerTrigger), O(change rate) appends per batch, no
+    dimension rewrite ever, history derived at read time."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..filedb import fixtures, schemas
+    from ..filedb.store import TableStore, scd2_history
+    from .merge_queries import _ep, _g6_wave
+
+    base = {f.name: f for f in schemas.FILE.fields}
+    log_schema = T.StructType(
+        [base[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+        + [
+            T.StructField("valid_from", T.LongType(), True),
+            T.StructField("op", T.StringType(), True),
+        ]
+    )
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    waves = [f1, _g6_wave(spark, f1)]
+
+    root = tempfile.mkdtemp(prefix="fdb_s15_")
+    sdir = os.path.join(root, "stream")
+    os.makedirs(sdir)
+    dim_cols = ["id", "name", "dir_id", "size", "mtime"]
+    for i, w in enumerate(waves):
+        tmp = os.path.join(root, f"w{i}")
+        w.select(*dim_cols, F.lit(i + 1).cast("int").alias("wave")).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(sdir, f"wave{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    store = TableStore(
+        spark, os.path.join(root, "cat"), {"dim": log_schema}, bucketing=False
+    )
+    tracked = ["name", "dir_id", "size", "mtime"]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.persist()
+        try:
+            # maxFilesPerTrigger=1 makes each micro-batch exactly one
+            # wave file, so the wave tag is constant within the batch
+            ver = int(b.select(F.max("wave")).first()[0])
+            store.merge_scd2("dim", b.drop("wave"), ["id"], tracked, ver)
+        finally:
+            b.unpersist()
+
+    stream = (
+        spark.readStream.schema(
+            "id long, name string, dir_id long, size decimal(18,6), "
+            "mtime timestamp, wave int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = (
+        scd2_history(store.read("dim"), ["id"])
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            "name",
+            F.col("dir_id").cast("bigint").alias("dir_id"),
+            F.col("size").cast("double").alias("size"),
+            _ep(F.col("mtime")).alias("mtime_ep"),
+            F.col("valid_from").cast("bigint").alias("valid_from"),
+            F.col("valid_to").cast("bigint").alias("valid_to"),
+            "is_current",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+QUERIES["s15_stream_scd2"] = s15_stream_scd2
+
+
+def _s15_oracle() -> str:
+    from .merge_queries import _G18_ORACLE
+
+    return _G18_ORACLE
+
+
+# g18's batch SQL contract, shared verbatim (the x31/x30 pattern):
+# resolved lazily at registration end to keep module import acyclic
+ORACLES["s15_stream_scd2"] = _s15_oracle()

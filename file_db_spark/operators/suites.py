@@ -2065,7 +2065,13 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s14_stream_checkpoint_recovery"],
            f"'recovery', {_ep('window_start')}, NULL, NULL, event_type, "
-           "n_events, total_value"),
+           "n_events, total_value")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s15_stream_scd2"],
+           "'scd2', id, valid_from, valid_to, "
+           "name || '#' || COALESCE(CAST(dir_id AS VARCHAR), '-') || '#' "
+           "|| COALESCE(CAST(mtime_ep AS VARCHAR), '-'), "
+           "CASE WHEN is_current THEN 1 ELSE 0 END, size"),
 )
 def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eight more real Structured Streaming drains in one graded row:
@@ -2077,7 +2083,9 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     s9 streaming count-min-sketch maintenance (foreachBatch cell-sum
     merge; heavy hitters served from the maintained sketch), s10 the
     in-stream training-data admission gate (d33 quality classifier +
-    exact-dedup probe per arriving document). Each member runs its own
+    exact-dedup probe per arriving document), s15 streaming SCD type-2
+    dimension maintenance (foreachBatch merge_scd2 into the real table
+    store; history == the g18 batch contract). Each member runs its own
     availableNow stream unchanged — CONCURRENTLY: the drains are
     independent jobs on isolated uuid/mkdtemp checkpoints and sinks,
     so they overlap exactly as independent streaming jobs do on a
@@ -2099,6 +2107,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s11": streaming_queries.s11_stream_hll_maintenance,
         "s13": streaming_queries.s13_stream_late_data,
         "s14": streaming_queries.s14_stream_checkpoint_recovery,
+        "s15": streaming_queries.s15_stream_scd2,
     }
     from . import _timing
 
@@ -2210,6 +2219,24 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         F.col("total_value").alias("v1"),
     )
+    s15 = raw["s15"].select(
+        F.lit("scd2").alias("stream"),
+        F.col("id").alias("k1"),
+        F.col("valid_from").alias("k2"),
+        F.col("valid_to").alias("k3"),
+        F.concat(
+            F.col("name"),
+            F.lit("#"),
+            F.coalesce(F.col("dir_id").cast("string"), F.lit("-")),
+            F.lit("#"),
+            F.coalesce(F.col("mtime_ep").cast("string"), F.lit("-")),
+        ).alias("s1"),
+        F.when(F.col("is_current"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n"),
+        F.col("size").alias("v1"),
+    )
     return (
         s3.unionByName(s4)
         .unionByName(s5)
@@ -2221,6 +2248,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s11)
         .unionByName(s13)
         .unionByName(s14)
+        .unionByName(s15)
     )
 
 

@@ -227,3 +227,16 @@ def test_s14_recovery_matches_single_run_except_restart_boundary(spark, sf_dir):
     ).persist()
     assert j.filter("n13 IS NULL OR n14 IS NULL").count() == 0
     assert j.filter("n14 > n13").count() == 0
+
+
+def test_s15_stream_scd2_equals_batch_g18(spark, sf_dir):
+    """The streamed SCD2 path (foreachBatch merge per wave) must
+    reproduce the batch path (two direct merge_scd2 calls) exactly —
+    the shared oracle proves it vs SQL; this pins Spark-vs-Spark."""
+    from file_db_spark.operators.merge_queries import g18_scd2_merge
+    from file_db_spark.operators.streaming_queries import s15_stream_scd2
+
+    cols = ["id", "valid_from"]
+    batch = {tuple(r[c] for c in cols): r.asDict() for r in g18_scd2_merge(spark, sf_dir).collect()}
+    stream = {tuple(r[c] for c in cols): r.asDict() for r in s15_stream_scd2(spark, sf_dir).collect()}
+    assert batch == stream
