@@ -157,25 +157,33 @@ class TableStore:
         plus any segment directory no retained manifest references.
         A retained MANIFEST generation may reference an older plain
         generation as its base — those stay until every manifest
-        referencing them is vacuumed. Call only when no lazy plans over
-        older snapshots are alive."""
+        referencing them is vacuumed. CROSS-TABLE aware: a shallow
+        clone()'s manifest references the source table's segments, so
+        references are collected over ALL tables first — vacuuming the
+        source never reclaims data a retained clone still reads. Call
+        only when no lazy plans over older snapshots are alive."""
+        keep_by_table: dict[str, set[str]] = {}
+        referenced: set[str] = set()
         for name in self.schemas:
             d = self._dir(name)
             if not os.path.isdir(d):
                 continue
             gens = sorted(g for g in os.listdir(d) if g.startswith("gen-"))
-            keep = set(gens[max(0, len(gens) - retain):])
-            referenced: set[str] = set()
-            for g in keep:
+            keep_by_table[name] = set(gens[max(0, len(gens) - retain):])
+            for g in keep_by_table[name]:
                 segs = self._manifest(os.path.join(d, g))
                 for s in segs or []:
-                    referenced.add(os.path.basename(s))
+                    referenced.add(os.path.normpath(os.path.abspath(s)))
+        for name, keep in keep_by_table.items():
+            d = self._dir(name)
             for entry in sorted(os.listdir(d)):
-                if entry in keep or entry in referenced:
+                if entry in keep:
                     continue
                 if not (entry.startswith("gen-") or entry.startswith("seg-")):
                     continue
                 gen_dir = os.path.join(d, entry)
+                if os.path.normpath(os.path.abspath(gen_dir)) in referenced:
+                    continue
                 if name in BUCKET_SPECS and entry.startswith("gen-"):
                     try:
                         self.spark.sql(
@@ -215,11 +223,13 @@ class TableStore:
         base: list[str] = []
         if cur is not None:
             prior = self._manifest(cur)
-            # a plain snapshot generation becomes the base "segment"
+            # a plain snapshot generation becomes the base "segment";
+            # paths are stored relative to the TABLE dir (== basename
+            # for own segments, `../<src>/...` for clone()d ones)
             base = (
-                [os.path.basename(p) for p in prior]
+                [os.path.relpath(p, d) for p in prior]
                 if prior is not None
-                else [os.path.basename(cur)]
+                else [os.path.relpath(cur, d)]
             )
         gen = os.path.join(d, f"gen-{time.time_ns()}")
         os.makedirs(gen, exist_ok=True)
@@ -261,6 +271,36 @@ class TableStore:
         metrics["_quarantined"] = int(row["_quarantined"] or 0)
         metrics["_accepted"] = self.read(name).count()
         return metrics
+
+    def clone(self, name: str, target: str) -> None:
+        """Zero-copy shallow CLONE (the Delta `CREATE TABLE ... SHALLOW
+        CLONE` / Iceberg snapshot-branch analog): the target's first
+        generation is ONE manifest whose segment list points at the
+        source's current data — no data file is read or copied, O(1)
+        metadata at ANY table size. Segments are immutable, so
+        subsequent replace()/append() on either table diverge
+        independently; vacuum() collects references across all tables,
+        so source retention never reclaims data a live clone reads.
+        At 100 TB this is how you fork a table for an experiment or
+        pin a training-data snapshot without paying for a copy."""
+        import json
+
+        self.schemas.setdefault(target, self.schemas[name])
+        cur = self._current(name)
+        tdir = self._dir(target)
+        if cur is None:
+            segs_rel: list[str] = []
+        else:
+            segs_abs = self._manifest(cur)
+            if segs_abs is None:
+                segs_abs = [cur]  # plain snapshot gen becomes the base
+            segs_rel = [os.path.relpath(p, tdir) for p in segs_abs]
+        gen = os.path.join(tdir, f"gen-{time.time_ns()}")
+        os.makedirs(gen, exist_ok=True)
+        tmp = os.path.join(gen, "_MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"segments": segs_rel}, fh)
+        os.replace(tmp, os.path.join(gen, "_MANIFEST"))
 
     def merge_scd2(
         self,

@@ -1519,6 +1519,84 @@ def g18_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g19: ZERO-COPY SHALLOW CLONE — fork a table as one manifest commit;
+# prove read-equality at clone time, divergence isolation after the
+# source mutates, and vacuum protection of cross-table references.
+# ---------------------------------------------------------------------------
+_G19_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE}
+SELECT 'clone' AS part, CAST(id AS BIGINT) AS id, name,
+       CAST(dir_id AS BIGINT) AS dir_id, CAST(size AS DOUBLE) AS size,
+       {_ep_sql('mtime')} AS mtime_ep
+FROM fx_file
+UNION ALL
+SELECT 'src2', CAST(id AS BIGINT), name, CAST(dir_id AS BIGINT),
+       CAST(size AS DOUBLE), {_ep_sql('mtime')}
+FROM f2
+UNION ALL
+SELECT 'clone2', CAST(id AS BIGINT), name, CAST(dir_id AS BIGINT),
+       CAST(size AS DOUBLE), {_ep_sql('mtime')}
+FROM fx_file
+"""
+
+
+@_q("g19_shallow_clone", _G19_ORACLE)
+def g19_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy shallow clone through the real table store (the Delta
+    SHALLOW CLONE analog): write the file fixture, `store.clone` it —
+    ONE manifest commit, no data file copied — then mutate the SOURCE
+    with the g6 wave and vacuum(retain=1). The three oracle parts pin
+    the whole contract: 'clone' = the fork equals the source at clone
+    time; 'src2' = the source moved on to the wave; 'clone2' = the
+    fork STILL serves the original snapshot after both the mutation
+    and the vacuum (vacuum is cross-table aware, so the clone's
+    reference protects the source's superseded generation).
+
+    Scale: clone cost is O(1) metadata at any table size — this is
+    how a 100 TB training-data snapshot gets pinned for an experiment
+    without paying for a copy; the zero-copy property itself is
+    pytest-pinned (no parquet data files under the clone)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    base = {f.name: f for f in schemas.FILE.fields}
+    dim_schema = T.StructType(
+        [base[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+    )
+    cols = [f.name for f in dim_schema.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_g19_")
+    store = TableStore(spark, root, {"dim": dim_schema}, bucketing=False)
+    store.replace("dim", f1.select(*cols))
+    store.clone("dim", "dim_clone")
+
+    def proj(df: DataFrame, part: str) -> DataFrame:
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("id").cast("bigint").alias("id"),
+            "name",
+            F.col("dir_id").cast("bigint").alias("dir_id"),
+            F.col("size").cast("double").alias("size"),
+            _ep(F.col("mtime")).alias("mtime_ep"),
+        )
+
+    c1 = proj(store.read("dim_clone"), "clone")
+    store.replace("dim", _g6_wave(spark, f1).select(*cols))
+    store.vacuum(retain=1)
+    s2 = proj(store.read("dim"), "src2")
+    c2 = proj(store.read("dim_clone"), "clone2")
+    out = c1.unionByName(s2).unionByName(c2).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g7: PARTITION PRUNING through the storage layer — write the events
 # table Hive-partitioned by day, then serve a one-day query from it.
 # The complement of the bucketed-join store feature: bucketing kills

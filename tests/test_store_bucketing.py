@@ -341,3 +341,45 @@ def test_merge_scd2_history_and_odelta(spark, tmp_path):
     }
     snap = {r["id"]: r["city"] for r in scd2_snapshot(log, ["id"]).collect()}
     assert snap == {1: "ams", 2: "muc", 3: "osl", 4: "dub"}
+
+
+def test_shallow_clone_zero_copy_and_vacuum_protection(spark, tmp_path):
+    """clone() writes ONE manifest and zero data files; the fork and
+    the source diverge independently (segments immutable); vacuum is
+    cross-table aware, so reclaiming the source's superseded
+    generations never breaks a retained clone."""
+    import glob
+    import os
+
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    st = TableStore(spark, str(tmp_path / "cat"), {"t": sch}, bucketing=False)
+
+    def rows(df):
+        return {(r["id"], r["v"]) for r in df.collect()}
+
+    w1 = {(1, "a"), (2, "b")}
+    st.replace("t", spark.createDataFrame(sorted(w1), sch))
+    st.clone("t", "t_fork")
+    # zero-copy: the fork dir holds a manifest and NO parquet data
+    fork_dir = str(tmp_path / "cat" / "t_fork")
+    assert glob.glob(os.path.join(fork_dir, "**", "*.parquet"), recursive=True) == []
+    assert len(glob.glob(os.path.join(fork_dir, "gen-*", "_MANIFEST"))) == 1
+    assert rows(st.read("t_fork")) == w1
+
+    # divergence both ways: mutate source, append to fork
+    st.replace("t", spark.createDataFrame([(1, "a2"), (3, "c")], sch))
+    st.append("t_fork", spark.createDataFrame([(9, "z")], sch))
+    assert rows(st.read("t")) == {(1, "a2"), (3, "c")}
+    assert rows(st.read("t_fork")) == w1 | {(9, "z")}
+
+    # vacuum keeps the source generation the fork references
+    st.vacuum(retain=1)
+    assert rows(st.read("t_fork")) == w1 | {(9, "z")}
+    assert rows(st.read("t")) == {(1, "a2"), (3, "c")}
