@@ -91,6 +91,7 @@ HEADLINE = [
     "a11_large_volume_customer",  # HAVING semi-join + 3-way join (Q18 shape)
     "a14_priority_backlog",  # Q4 EXISTS decorrelated to LEFT SEMI
     "a15_waiting_supplier",  # Q21 double-correlation in one window pass
+    "v20_pq_index_add",  # IVF-PQ incremental index add + serve
     # merge-engine + streaming pipeline cost, previously invisible in
     # BENCH (these time the engine's own fixture-wave pipelines; s38
     # alone runs nine real availableNow stream drains — its wall time

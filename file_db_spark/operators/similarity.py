@@ -2721,6 +2721,399 @@ ORACLES["v16_serve"] = ORACLES["v16_ivf_pq_residual"]
 
 
 # ---------------------------------------------------------------------------
+# v20: INCREMENTAL IVF-PQ INDEX MAINTENANCE — the index-ADD path that
+# completes the v16 train/serve split: codebooks train ONCE on the
+# base corpus and FREEZE; new vectors are encoded against the
+# persisted codebooks (no retraining, no base access) and appended as
+# a codes segment; serving reads base + delta codes uniformly.
+# ---------------------------------------------------------------------------
+_V20_INDEX_VERSION = 1
+
+
+def _v16_coarse_encode(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """ENCODE-time coarse assignment against a FROZEN codebook: one
+    broadcast of k x dim centroids, map-only scoring, keyed argmax
+    (cos DESC, cell ASC tiebreak — the training loop's own rule)."""
+    scored = (
+        pts.select("vec_id", "emb")
+        .crossJoin(F.broadcast(cents.withColumnRenamed("cell", "c_cell")))
+        .select(
+            "vec_id",
+            "emb",
+            F.col("c_cell").alias("cand_cell"),
+            cosine(F.col("emb"), F.col("centroid")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cand_cell").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("cand_cell").alias("cell"))
+    )
+
+
+def _v20_residual_sub(enc: DataFrame, cents: DataFrame):
+    """(vec_id, emb, cell) -> residuals vs the assigned frozen coarse
+    centroid, plus the per-subspace slices (with the PQ training seed
+    cell, used only when this feeds the Lloyd loop)."""
+    res = (
+        enc.join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("emb", "centroid", lambda a, b: a - b).alias("remb"),
+        )
+        .persist()
+    )
+    rsub = res.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "remb",
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(
+            F.col("remb"), F.col("m") * PQ_SUB_DIM + 1, F.lit(PQ_SUB_DIM)
+        ).alias("se"),
+        ((F.col("vec_id") + F.col("m")) % PQ_K).alias("cell"),
+    )
+    return res, rsub
+
+
+def _v20_pq_encode(rsub: DataFrame, pcents: DataFrame) -> DataFrame:
+    """ENCODE-time PQ assignment against a FROZEN subspace codebook
+    (d2 ASC, cell ASC tiebreak — the training reassignment's rule)."""
+    scored = (
+        rsub.select("vec_id", "m", "se")
+        .join(F.broadcast(pcents), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.col("c_cell").alias("cand_cell"),
+            _d2(F.col("se"), F.col("centroid")).alias("d2"),
+        )
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                F.col("cand_cell"), F.struct(F.col("d2"), F.col("cand_cell"))
+            ).alias("cell")
+        )
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == i, F.col("cell"))).alias(f"c{i}")
+                for i in range(PQ_M)
+            ]
+        )
+    )
+
+
+def _v20_encode(pts: DataFrame, cents: DataFrame, pcents: DataFrame) -> DataFrame:
+    """Full frozen-codebook encode: coarse route -> residual -> PQ
+    codes. This is the ONLY work a new batch ever costs: O(|delta| x k)
+    map-side scoring, 4 bytes of codes per vector out."""
+    enc = _v16_coarse_encode(pts, cents)
+    res, rsub = _v20_residual_sub(enc, cents)
+    return _v20_pq_encode(rsub, pcents).join(
+        res.select("vec_id", "cell"), "vec_id"
+    )
+
+
+def _v20_train(spark: SparkSession, sf_dir: str):
+    """v20 TRAINING on the BASE corpus only (vec_id % 10 != 0 — the
+    standing new-batch split): coarse Lloyd -> frozen coarse codebook;
+    PQ Lloyd over base residuals (computed against the FROZEN coarse
+    book, so training residuals equal encode-time residuals) -> frozen
+    subspace codebook. Returns (cents, pcents)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("vec_id") % KMEANS_K).alias("cell"),
+    )
+    base = pts.where(F.col("vec_id") % 10 != 0)
+    cents = _km_centroids(_lloyd_assign(base, KMEANS_ITERS)).persist()
+    _res, rsub = _v20_residual_sub(
+        _v16_coarse_encode(base, cents), cents
+    )
+    passigned = rsub.persist()
+    pcents = None
+    for _ in range(PQ_ITERS):
+        pcents = _pq_centroids(passigned).withColumnRenamed("cell", "c_cell")
+        scored = (
+            passigned.select("vec_id", "m", "se")
+            .join(F.broadcast(pcents), "m")
+            .select(
+                "vec_id",
+                "m",
+                "se",
+                F.col("c_cell").alias("cand_cell"),
+                _d2(F.col("se"), F.col("centroid")).alias("d2"),
+            )
+        )
+        passigned = (
+            scored.groupBy("vec_id", "m")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cand_cell").alias("cell"), F.col("se").alias("se")),
+                    F.struct(F.col("d2"), F.col("cand_cell")),
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                "m",
+                F.col("best.se").alias("se"),
+                F.col("best.cell").alias("cell"),
+            )
+            .persist()
+        )
+    return cents, pcents
+
+
+def v20_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """v16_index_dir's contract for the v20 artifacts (content
+    fingerprint in the tag; zero Spark jobs)."""
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_s{_v16_source_fingerprint(sf_dir)}_v{_V20_INDEX_VERSION}"
+    )
+    return os.path.join(repo, "spark-warehouse", "v20_index", tag)
+
+
+def v20_ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Train-on-base + encode-base, persisted once: cents / pcents /
+    codes_base parquet. Idempotent."""
+    import os
+
+    path = v20_index_dir(spark, sf_dir)
+    done = all(
+        os.path.exists(os.path.join(path, part, "_SUCCESS"))
+        for part in ("cents", "pcents", "codes_base")
+    )
+    if not done:
+        cents, pcents = _v20_train(spark, sf_dir)
+        e = load_table(spark, sf_dir, "embeddings")
+        base = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ).where(F.col("vec_id") % 10 != 0)
+        codes = _v20_encode(base, cents, pcents)
+        cents.write.mode("overwrite").parquet(os.path.join(path, "cents"))
+        pcents.write.mode("overwrite").parquet(os.path.join(path, "pcents"))
+        codes.write.mode("overwrite").parquet(os.path.join(path, "codes_base"))
+    return path
+
+
+def v20_pq_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance — the ADD path that
+    completes v16's train/serve split (and v9's coarse-only add,
+    extended through the PQ layer): codebooks are trained once on the
+    BASE corpus (vec_id % 10 != 0) and FROZEN on disk; the new batch
+    is encoded against the PERSISTED codebooks — read back from
+    parquet, proving no retraining and no base access — and appended
+    as its own codes segment (the store-append shape: immutable
+    segment + cheap commit); serving reads base + delta codes
+    uniformly through the v16 ADC plan. The oracle recomputes the
+    full contract in SQL: Lloyd chains restricted to the base,
+    frozen-codebook encode over EVERYTHING, routed ADC top-k —
+    so a green row certifies that incrementally-added vectors are
+    served exactly as if they had been indexed at build time.
+
+    Scale: per-batch cost is O(|delta| x k) map-side scoring + a
+    4-byte-per-vector append — the only sustainable ANN ingestion
+    shape at 100 TB; cell drift is watched by v9's occupancy monitor
+    and a drifting cell alone retrains (codebook version bumps
+    invalidate the tag, forcing a rebuild)."""
+    import os
+
+    path = v20_ensure_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(path, "cents"))
+    pcents = spark.read.parquet(os.path.join(path, "pcents"))
+    delta_path = os.path.join(path, "codes_delta")
+    if not os.path.exists(os.path.join(delta_path, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "embeddings")
+        delta = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        ).where(F.col("vec_id") % 10 == 0)
+        _v20_encode(delta, cents, pcents).write.mode("overwrite").parquet(
+            delta_path
+        )
+    codes = spark.read.parquet(os.path.join(path, "codes_base"), delta_path)
+    return _v16_serve_plan(spark, sf_dir, cents, pcents, codes)
+
+
+def _v20_oracle() -> str:
+    """The v16 oracle generalized to the train-on-base / encode-all
+    split: Lloyd chains read only base rows, the frozen codebooks then
+    encode the WHOLE corpus (base and delta through one identical
+    pass), routed ADC unchanged."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+            f" - 2 * list_dot_product({a}, {b})"
+        )
+
+    def kcent(src: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT cell, list(avg_v ORDER BY idx) AS centroid FROM (
+        SELECT s.cell, t.idx, AVG(s.emb[t.idx]) AS avg_v
+        FROM {src} s, unnest(range(1, len(s.emb) + 1)) AS t(idx)
+        GROUP BY s.cell, t.idx
+      ) GROUP BY cell
+    )"""
+
+    def kassign(cent_name: str, src: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, emb, cell, cos FROM (
+        SELECT p.vec_id, p.emb, c.cell,
+               list_cosine_similarity(p.emb, c.centroid) AS cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(p.emb, c.centroid) DESC, c.cell ASC
+               ) AS rn
+        FROM {src} p CROSS JOIN {cent_name} c
+      ) WHERE rn = 1
+    )"""
+
+    def pcent(src: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT m, cell, list(avg_v ORDER BY idx) AS centroid FROM (
+        SELECT s.m, s.cell, t.idx, AVG(s.se[t.idx]) AS avg_v
+        FROM {src} s, unnest(range(1, {PQ_SUB_DIM} + 1)) AS t(idx)
+        GROUP BY s.m, s.cell, t.idx
+      ) GROUP BY m, cell
+    )"""
+
+    def passign(cent_name: str, src: str, name: str) -> str:
+        expr = d2("s.se", "c.centroid")
+        return f"""{name} AS (
+      SELECT vec_id, m, se, cell FROM (
+        SELECT s.vec_id, s.m, s.se, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {expr} ASC, c.cell ASC
+               ) AS rn
+        FROM {src} s JOIN {cent_name} c ON c.m = s.m
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             vec_id % {KMEANS_K} AS cell
+      FROM embeddings
+    )""",
+        "tpts AS (SELECT * FROM pts WHERE vec_id % 10 <> 0)",
+    ]
+    src = "tpts"
+    for i in range(KMEANS_ITERS):
+        parts.append(kcent(src, f"kc{i}"))
+        parts.append(kassign(f"kc{i}", "tpts", f"ka{i}"))
+        src = f"ka{i}"
+    parts.append(kcent(src, "kcf"))  # frozen coarse codebook
+    # frozen-codebook ENCODE over the whole corpus (base + delta)
+    parts.append(kassign("kcf", "pts", "enc"))
+    parts.append(
+        f"""res AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1, {_V16_DIM} + 1),
+                            i -> a.emb[i] - c.centroid[i]) AS remb
+      FROM enc a JOIN kcf c ON c.cell = a.cell
+    )""",
+    )
+    parts.append(
+        f"""rsub AS (
+      SELECT vec_id, t.m,
+             list_slice(remb, t.m * {PQ_SUB_DIM} + 1, t.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS se,
+             (vec_id + t.m) % {PQ_K} AS cell
+      FROM res, unnest(range(0, {PQ_M})) AS t(m)
+    )"""
+    )
+    parts.append("trsub AS (SELECT * FROM rsub WHERE vec_id % 10 <> 0)")
+    psrc = "trsub"
+    for i in range(PQ_ITERS):
+        parts.append(pcent(psrc, f"pc{i}"))
+        parts.append(passign(f"pc{i}", "trsub" if i == 0 else psrc, f"pa{i}"))
+        psrc = f"pa{i}"
+    final_pc = f"pc{PQ_ITERS - 1}"
+    # frozen-codebook PQ ENCODE over the whole corpus
+    parts.append(passign(final_pc, "rsub", "pa_enc"))
+    parts.append(
+        f"""codes AS (
+      SELECT p.vec_id,
+             {', '.join(f"MAX(CASE WHEN p.m = {i} THEN p.cell END) AS c{i}" for i in range(PQ_M))},
+             MAX(r.cell) AS cell
+      FROM pa_enc p JOIN res r ON r.vec_id = p.vec_id
+      GROUP BY p.vec_id
+    )"""
+    )
+    parts.append(
+        f"""probed AS (
+      SELECT query_id, cell, qres FROM (
+        SELECT p.vec_id AS query_id, c.cell,
+               list_transform(range(1, {_V16_DIM} + 1),
+                              i -> p.emb[i] - c.centroid[i]) AS qres,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY list_cosine_similarity(p.emb, c.centroid) DESC, c.cell ASC
+               ) AS rn
+        FROM pts p CROSS JOIN kcf c
+        WHERE p.vec_id < {N_QUERIES}
+      ) WHERE rn <= {V16_NPROBE}
+    )"""
+    )
+    parts.append(
+        f"""pd AS (
+      SELECT q.query_id, q.cell, t.m, c.cell AS code,
+             {d2(f"list_slice(q.qres, t.m * {PQ_SUB_DIM} + 1, t.m * {PQ_SUB_DIM} + {PQ_SUB_DIM})", "c.centroid")} AS pd
+      FROM probed q, unnest(range(0, {PQ_M})) AS t(m)
+      JOIN {final_pc} c ON c.m = t.m
+    )"""
+    )
+    joins = "\n      ".join(
+        f"JOIN pd q{i} ON q{i}.query_id = r.query_id AND q{i}.cell = r.cell"
+        f" AND q{i}.m = {i} AND q{i}.code = w.c{i}"
+        for i in range(PQ_M)
+    )
+    parts.append(
+        f"""adc AS (
+      SELECT r.query_id, w.vec_id AS neighbor_id,
+             q0.pd + q1.pd + q2.pd + q3.pd AS adc
+      FROM codes w
+      JOIN probed r ON r.cell = w.cell
+      {joins}
+      WHERE w.vec_id <> r.query_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank FROM (
+      SELECT query_id, neighbor_id, adc,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC
+             ) AS rank
+      FROM adc
+    ) WHERE rank <= {TOP_K}
+    """
+    )
+
+
+QUERIES["v20_pq_index_add"] = v20_pq_index_add
+ORACLES["v20_pq_index_add"] = _v20_oracle()
+
+
+# ---------------------------------------------------------------------------
 # v17: ANN recall evaluation harness — score every approximate index
 # variant against the exact brute-force ground truth in one query (the
 # x25 evaluation pattern applied to similarity search). The number an

@@ -383,3 +383,23 @@ def test_v16_index_dir_zero_jobs_and_fingerprint(tmp_path):
     p2 = sim.v16_index_dir(None, str(src))
     assert p2 != p1
     shutil.rmtree(src)
+
+
+def test_v20_incremental_add_serves_deterministically(spark, sf_dir):
+    """v20: the second invocation serves purely from persisted
+    artifacts (codes_base + codes_delta on disk) and returns the
+    identical top-k — and the artifact layout proves the split: the
+    delta segment exists separately from the base codes."""
+    import os
+
+    from file_db_spark.operators.similarity import (
+        v20_index_dir,
+        v20_pq_index_add,
+    )
+
+    r1 = {tuple(r) for r in v20_pq_index_add(spark, sf_dir).collect()}
+    path = v20_index_dir(spark, sf_dir)
+    for part in ("cents", "pcents", "codes_base", "codes_delta"):
+        assert os.path.exists(os.path.join(path, part, "_SUCCESS")), part
+    r2 = {tuple(r) for r in v20_pq_index_add(spark, sf_dir).collect()}
+    assert r1 == r2 and len(r1) > 0
