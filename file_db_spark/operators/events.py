@@ -1505,3 +1505,129 @@ def e21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value", "med", "mad",
                 z.alias("mod_z"))
     )
+
+
+@_q(
+    "e22_seasonal_skill",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             SUM(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT a.hour, a.event_type,
+             CAST(a.v AS DOUBLE) AS actual,
+             CAST(s.v AS DOUBLE) AS pred_seasonal,
+             CAST(a.v - s.v AS DOUBLE) AS resid,
+             abs(a.v - s.v) AS abs_s,
+             abs(a.v - p.v) AS abs_p
+      FROM hourly a
+      JOIN hourly s ON s.event_type = a.event_type
+                   AND s.hour = a.hour - INTERVAL 24 HOUR
+      JOIN hourly p ON p.event_type = a.event_type
+                   AND p.hour = a.hour - INTERVAL 1 HOUR
+    )
+    SELECT 'h' AS part, hour, event_type, actual, pred_seasonal, resid,
+           CAST(NULL AS BIGINT) AS n_hours, CAST(NULL AS DOUBLE) AS mae_seasonal,
+           CAST(NULL AS DOUBLE) AS skill
+    FROM joined
+    UNION ALL
+    SELECT 'm', NULL, event_type, NULL, NULL, NULL, COUNT(*),
+           round(CAST(SUM(abs_s) AS DOUBLE) / COUNT(*), 6),
+           CASE WHEN SUM(abs_p) = 0 THEN NULL
+                ELSE round(1 - CAST(SUM(abs_s) AS DOUBLE)
+                             / CAST(SUM(abs_p) AS DOUBLE), 6) END
+    FROM joined GROUP BY event_type
+    """,
+)
+def e22_seasonal_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline + skill evaluation: predict
+    each hour's per-type total by the SAME HOUR YESTERDAY (lag-24
+    seasonal naive), report per-hour residuals ('h' rows) and per-type
+    MAE plus the skill score vs the lag-1 persistence baseline
+    ('m' rows; skill > 0 = daily seasonality beats persistence — the
+    first question any forecasting effort answers). Lags are resolved
+    by TIME-SHIFTED self-joins (hour - 24h / - 1h), not row-offset
+    windows, so missing hours never misalign the lag (the e19 gap
+    lesson). Residuals and MAE numerators stay exact DECIMAL until the
+    final cast; ratios round-6 (the cross-engine convention).
+
+    Scale: one map-side-combined groupBy of the raw events into an
+    hours x types table; both lag joins and the metric aggregate run
+    on that post-aggregation table (O(hours x types), corpus-size
+    independent). At 100 TB the hourly table is the persisted rollup
+    g15 maintains incrementally — the forecast never rescans events."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("v"))
+        .persist()
+    )
+    a, s, p = hourly.alias("a"), hourly.alias("s"), hourly.alias("p")
+    day = F.expr("INTERVAL 24 HOURS")
+    hr = F.expr("INTERVAL 1 HOURS")
+    joined = (
+        a.join(
+            s,
+            (F.col("s.event_type") == F.col("a.event_type"))
+            & (F.col("s.hour") == F.col("a.hour") - day),
+        )
+        .join(
+            p,
+            (F.col("p.event_type") == F.col("a.event_type"))
+            & (F.col("p.hour") == F.col("a.hour") - hr),
+        )
+        .select(
+            F.col("a.hour").alias("hour"),
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.v").cast("double").alias("actual"),
+            F.col("s.v").cast("double").alias("pred_seasonal"),
+            (F.col("a.v") - F.col("s.v")).cast("double").alias("resid"),
+            F.abs(F.col("a.v") - F.col("s.v")).alias("abs_s"),
+            F.abs(F.col("a.v") - F.col("p.v")).alias("abs_p"),
+        )
+        .persist()
+    )
+    h = joined.select(
+        F.lit("h").alias("part"),
+        "hour",
+        "event_type",
+        "actual",
+        "pred_seasonal",
+        "resid",
+        F.lit(None).cast("bigint").alias("n_hours"),
+        F.lit(None).cast("double").alias("mae_seasonal"),
+        F.lit(None).cast("double").alias("skill"),
+    )
+    m = joined.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.round(F.sum("abs_s").cast("double") / F.count("*"), 6).alias(
+            "mae_seasonal"
+        ),
+        F.when(
+            F.sum("abs_p") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(1)
+                - F.sum("abs_s").cast("double") / F.sum("abs_p").cast("double"),
+                6,
+            )
+        )
+        .alias("skill"),
+    ).select(
+        F.lit("m").alias("part"),
+        F.lit(None).cast("timestamp").alias("hour"),
+        "event_type",
+        F.lit(None).cast("double").alias("actual"),
+        F.lit(None).cast("double").alias("pred_seasonal"),
+        F.lit(None).cast("double").alias("resid"),
+        "n_hours",
+        "mae_seasonal",
+        "skill",
+    )
+    return h.unionByName(m)

@@ -2439,6 +2439,12 @@ _E12_COUNT_COLS = tuple(f"n_{t}" for t in events._EVENT_TYPES)
         events.ORACLES["e21_mad_outliers"],
         "'e21', event_id, event_type, user_id, "
         "mod_z + value * 1000 + med / 1000 + mad / 1000000",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        events.ORACLES["e22_seasonal_skill"],
+        "'e22_' || part, " + _ep("hour") + ", event_type, n_hours, "
+        "COALESCE(actual + pred_seasonal * 1000, mae_seasonal + skill * 1000)",
     ),
 )
 def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2551,6 +2557,16 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("purchase_rate") / F.lit(1000.0)
         ).alias("v1"),
     )
+    e22 = events.e22_seasonal_skill(spark, sf_dir).select(
+        F.concat(F.lit("e22_"), F.col("part")).alias("part"),
+        _epoch(F.col("hour")).alias("k1"),
+        F.col("event_type").alias("s1"),
+        F.col("n_hours").alias("n"),
+        F.coalesce(
+            F.col("actual") + F.col("pred_seasonal") * F.lit(1000.0),
+            F.col("mae_seasonal") + F.col("skill") * F.lit(1000.0),
+        ).alias("v1"),
+    )
     return (
         e8.unionByName(e12)
         .unionByName(e13)
@@ -2562,6 +2578,7 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e19)
         .unionByName(e20)
         .unionByName(e21)
+        .unionByName(e22)
     )
 
 
