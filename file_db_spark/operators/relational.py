@@ -964,6 +964,67 @@ def a15_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "a16_dormant_accounts",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    t AS (SELECT SUM(cents) // COUNT(*) AS thr FROM c WHERE cents > 0)
+    SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
+           CAST(SUM(c.cents) AS DOUBLE) / 100 AS totacctbal
+    FROM c, t
+    WHERE c.cents > t.thr
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def a16_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 (engine addition, TPC-H Q22's shape): dormant high-balance
+    accounts — customers above the average positive balance with NO
+    orders since 2000, summarized per nation. The oracle keeps both textbook
+    constructs: a scalar subquery in the predicate and a correlated
+    NOT EXISTS. The Spark plan decorrelates both: the threshold is a
+    1-row aggregate broadcast back (the d19 scalar pattern), the NOT
+    EXISTS a LEFT ANTI join on the customer key. Balances go through
+    exact integer cents with an integer-division (DIV / //) threshold,
+    so the boundary comparison can never flip on a 1-ulp float-mean
+    disagreement between engines.
+
+    Scale: customer scans once for the threshold (map-side partials to
+    ONE row) and once for the probe; the anti join shuffles on the
+    same customer key orders is naturally keyed by. No correlated
+    re-execution anywhere in the physical plan."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    thr = (
+        c.where(F.col("cents") > 0)
+        .agg(F.expr("sum(cents) DIV count(*)").alias("thr"))
+    )
+    cand = c.crossJoin(F.broadcast(thr)).where(F.col("cents") > F.col("thr"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    dormant = cand.join(o, cand.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        (F.sum("cents").cast("double") / F.lit(100)).alias("totacctbal"),
+    ).select(
+        F.col("c_nationkey").alias("nationkey"), "numcust", "totacctbal"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k
 # ---------------------------------------------------------------------------

@@ -191,6 +191,10 @@ _RQ2_PARTS = {
         "a15_waiting_supplier",
         "'a15', numwait, NULL, s_name, NULL",
     ),
+    "a16": (
+        "a16_dormant_accounts",
+        "'a16', nationkey, numcust, NULL, totacctbal",
+    ),
 }
 
 
@@ -329,9 +333,17 @@ def rq2_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("s1"),
         _dn().alias("v1"),
     )
+    a16 = relational.a16_dormant_accounts(spark, sf_dir).select(
+        F.lit("a16").alias("probe"),
+        F.col("nationkey").alias("k1"),
+        F.col("numcust").alias("k2"),
+        _sn().alias("s1"),
+        F.col("totacctbal").alias("v1"),
+    )
     out = j1
     for part in (
-        j2, j3, j4, j6, j7, j8, j9, j13, a7, a9, a10, a11, a12, a13, a14, a15,
+        j2, j3, j4, j6, j7, j8, j9, j13, a7, a9, a10, a11, a12, a13, a14,
+        a15, a16,
     ):
         out = out.unionByName(part)
     return out

@@ -214,6 +214,7 @@ _BNLJ_OK = {
     # the persisted index artifacts
     "v16_serve",
     "v20_pq_index_add",
+    "a16_dormant_accounts",
     # g11's z-key extent, g12/g14's part-stat rows and g14's merged
     # sketch are broadcast 1-row cross joins (the d19 pattern); g3456
     # carries them
