@@ -764,3 +764,106 @@ ORACLES["m7_scene_detection"] = f"""
       ON z.doc_id = s.doc_id
     GROUP BY s.doc_id
     """
+
+
+#: magic-byte table for m8: (doc_id % 5) synthesizes the container
+#: header; sniffing must recover it from the BYTES, not the metadata
+_M8_MAGICS = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FFE0", "image/jpeg"),
+    ("474946383961", "image/gif"),
+    ("52494646", "audio/wav"),
+    ("", "text/plain"),  # bare payload, no container header
+]
+#: sniff rules: hex prefix -> type (checked in order; JPEG sniffs on
+#: the 3-byte FFD8FF family, not the full APP0 marker)
+_M8_SNIFF = [
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("474946", "image/gif"),
+    ("52494646", "audio/wav"),
+]
+
+
+@_q(
+    "m8_content_sniff",
+    f"""
+    WITH payloads AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               {' '.join(f"WHEN {i} THEN unhex('{m}') || encode(text)" for i, (m, _t) in enumerate(_M8_MAGICS) if m)}
+               ELSE encode(text) END AS payload,
+             CASE WHEN doc_id % 17 = 0 THEN 'image/png'
+                  ELSE CASE doc_id % 5
+                    {' '.join(f"WHEN {i} THEN '{t}'" for i, (_m, t) in enumerate(_M8_MAGICS))}
+                  END END AS declared_type
+      FROM documents
+    ),
+    sniffed AS (
+      SELECT doc_id, declared_type,
+             CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+             CASE
+               {' '.join(f"WHEN substring(hex(payload), 1, {len(p)}) = '{p}' THEN '{t}'" for p, t in _M8_SNIFF)}
+               ELSE 'text/plain' END AS sniffed_type
+      FROM payloads
+    )
+    SELECT doc_id, declared_type, sniffed_type, n_bytes,
+           (declared_type = sniffed_type) AS type_match
+    FROM sniffed
+    """,
+)
+def m8_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type sniffing over opaque binary payloads —
+    what a crawl ingestion pipeline runs on every fetched object,
+    because declared metadata lies (here doc_id % 17 rows claim PNG
+    regardless of their bytes). Payloads are synthesized as real
+    BINARY columns (container magic + utf-8 body; the container has no
+    media files, the magic table is the real part); sniffing reads the
+    FIRST 8 BYTES of the binary (binary substring, then hex) and maps
+    prefixes through the PNG/JPEG/GIF/RIFF table, never touching the
+    metadata. Output per object: declared vs sniffed type and the
+    mismatch flag the quarantine path keys on (g17's expectations
+    would gate on `type_match`).
+
+    Scale: pure codegen Column exprs, zero shuffle, zero Python — and
+    the sniff reads 8 bytes per object regardless of payload size, so
+    the plan's cost is the scan itself. The oracle hexes then slices
+    (DuckDB can't substring BLOBs); byte-identical result."""
+    d = load_table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    body = F.encode("text", "utf-8")
+    payload = F.lit(None).cast("binary")
+    magic_expr = None
+    for i, (m, _t) in enumerate(_M8_MAGICS):
+        branch = (
+            F.concat(F.unhex(F.lit(m)), body) if m else body
+        )
+        magic_expr = (
+            F.when(doc % 5 == i, branch)
+            if magic_expr is None
+            else magic_expr.when(doc % 5 == i, branch)
+        )
+    declared = F.when(doc % 17 == 0, F.lit("image/png"))
+    for i, (_m, t) in enumerate(_M8_MAGICS):
+        declared = declared.when(doc % 5 == i, F.lit(t))
+    head_hex = F.hex(F.substring(magic_expr, 1, 8))
+    sniffed = None
+    for p, t in _M8_SNIFF:
+        cond = head_hex.startswith(p)
+        sniffed = (
+            F.when(cond, F.lit(t)) if sniffed is None else sniffed.when(cond, F.lit(t))
+        )
+    sniffed = sniffed.otherwise(F.lit("text/plain"))
+    out = d.select(
+        "doc_id",
+        declared.alias("declared_type"),
+        F.octet_length(magic_expr).cast("bigint").alias("n_bytes"),
+        sniffed.alias("sniffed_type"),
+    )
+    return out.select(
+        "doc_id",
+        "declared_type",
+        "sniffed_type",
+        "n_bytes",
+        (F.col("declared_type") == F.col("sniffed_type")).alias("type_match"),
+    )

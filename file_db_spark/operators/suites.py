@@ -1631,7 +1631,11 @@ def v346_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nUNION ALL\n"
     + _sub(multimodal.ORACLES["m7_scene_detection"],
            "'scenes', doc_id, n_frames, n_scenes, "
-           "first_cut_frame * 1000 + longest_scene_frames, NULL, NULL"),
+           "first_cut_frame * 1000 + longest_scene_frames, NULL, NULL")
+    + "\nUNION ALL\n"
+    + _sub(multimodal.ORACLES["m8_content_sniff"],
+           "'sniff', doc_id, n_bytes, CASE WHEN type_match THEN 1 ELSE 0 END, "
+           "NULL, NULL, declared_type || '>' || sniffed_type"),
 )
 def m124_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """m1 typed metadata + m2 decode/feature-extract + m4 frame
@@ -1701,12 +1705,25 @@ def m124_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dn().alias("v1"),
         _sn().alias("s1"),
     )
+    m8 = multimodal.m8_content_sniff(spark, sf_dir).select(
+        F.lit("sniff").alias("kernel"),
+        F.col("doc_id"),
+        F.col("n_bytes").alias("i1"),
+        F.when(F.col("type_match"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("i2"),
+        _bn().alias("i3"),
+        _dn().alias("v1"),
+        F.concat_ws(">", "declared_type", "sniffed_type").alias("s1"),
+    )
     return (
         m1.unionByName(m2)
         .unionByName(m4)
         .unionByName(m5)
         .unionByName(m6)
         .unionByName(m7)
+        .unionByName(m8)
     )
 
 
