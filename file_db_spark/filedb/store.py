@@ -21,7 +21,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["TableStore", "diff_generations", "scd2_snapshot", "scd2_history"]
+__all__ = [
+    "TableStore",
+    "CommitConflict",
+    "diff_generations",
+    "scd2_snapshot",
+    "scd2_history",
+]
+
+
+class CommitConflict(Exception):
+    """A replace_if() lost the optimistic-concurrency race: the base
+    generation the writer read was superseded before it committed."""
 
 
 #: Sort-on-write keys per table: parquet row-group min/max stats then
@@ -271,6 +282,35 @@ class TableStore:
         metrics["_quarantined"] = int(row["_quarantined"] or 0)
         metrics["_accepted"] = self.read(name).count()
         return metrics
+
+    def replace_if(
+        self, name: str, df: DataFrame, expected_gen: str | None
+    ) -> str:
+        """Optimistic-concurrency commit (the Delta/Iceberg
+        log-append-with-version-check analog): replace the table ONLY
+        if its current generation is still `expected_gen` (None = the
+        table must not exist yet). A writer whose base snapshot was
+        superseded gets CommitConflict and must REBASE — re-read the
+        new current, re-apply its logical change, retry — which is
+        exactly what prevents the lost update a blind replace()
+        commits. Returns the new current generation dir.
+
+        Single-box approximation: the check runs at commit time in
+        the committing process (a real lakehouse serializes it via
+        the atomic log append); generation swaps remain atomic
+        (write-new-then-rename), so readers never see a torn table
+        either way."""
+        cur = self._current(name)
+        if cur != expected_gen:
+            raise CommitConflict(
+                f"{name}: expected generation "
+                f"{expected_gen and os.path.basename(expected_gen)}, "
+                f"found {cur and os.path.basename(cur)} — rebase and retry"
+            )
+        self.replace(name, df)
+        new = self._current(name)
+        assert new is not None
+        return new
 
     def clone(self, name: str, target: str) -> None:
         """Zero-copy shallow CLONE (the Delta `CREATE TABLE ... SHALLOW

@@ -1597,6 +1597,105 @@ def g19_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g20: OPTIMISTIC CONCURRENCY — compare-and-swap commits; the loser of
+# a write-write race gets CommitConflict and REBASES, so no update is
+# ever silently lost.
+# ---------------------------------------------------------------------------
+_G20_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE}
+SELECT 'cur' AS part, CAST(id AS BIGINT) AS id, name,
+       CAST(dir_id AS BIGINT) AS dir_id,
+       CAST(CASE WHEN id % 5 = 0 THEN size + 10 ELSE size END AS DOUBLE)
+         AS size,
+       {_ep_sql('mtime')} AS mtime_ep
+FROM f2
+UNION ALL
+SELECT 'meta', 3, CAST(NULL AS VARCHAR), 1, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT)
+"""
+
+
+@_q("g20_optimistic_commit", _G20_ORACLE)
+def g20_optimistic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency through the real table store (the
+    Delta/Iceberg commit-version-check analog): two writers both
+    prepare against generation 1 — writer A commits the g6 mutation
+    wave first (CAS on gen1 succeeds); writer B, holding a STALE base,
+    gets CommitConflict from `replace_if`, REBASES (re-reads the new
+    current, re-applies its logical change — size+10 on id%5==0) and
+    commits against A's generation. The oracle pins the lost-update
+    guarantee: the final table carries BOTH writers' effects (the g6
+    wave AND B's bump — a blind replace would have erased A's wave),
+    and the meta row pins the commit lineage (3 generations, exactly
+    1 conflict).
+
+    Scale: the version check is O(1) metadata at commit time — the
+    cost of correctness under concurrent writers is a retry of the
+    LOSER's delta application, never a lock over the table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..filedb import schemas
+    from ..filedb.store import CommitConflict, TableStore
+
+    base = {f.name: f for f in schemas.FILE.fields}
+    dim_schema = T.StructType(
+        [base[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+    )
+    cols = [f.name for f in dim_schema.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_g20_")
+    store = TableStore(spark, root, {"dim": dim_schema}, bucketing=False)
+    gen1 = store.replace_if("dim", f1.select(*cols), None)
+
+    def writer_b_change(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "size",
+            F.when(F.col("id") % 5 == 0, F.col("size") + 10)
+            .otherwise(F.col("size"))
+            .cast("decimal(18,6)"),
+        )
+
+    # both writers prepared against gen1; A commits first
+    stale_base = store.read("dim")  # B's snapshot, pinned to gen1
+    gen2 = store.replace_if(
+        "dim", _g6_wave(spark, f1).select(*cols), expected_gen=gen1
+    )
+    n_conflicts = 0
+    try:
+        store.replace_if("dim", writer_b_change(stale_base), expected_gen=gen1)
+    except CommitConflict:
+        n_conflicts += 1
+        store.replace_if(
+            "dim", writer_b_change(store.read("dim")), expected_gen=gen2
+        )
+    cur = store.read("dim").select(
+        F.lit("cur").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.col("dir_id").cast("bigint").alias("dir_id"),
+        F.col("size").cast("double").alias("size"),
+        _ep(F.col("mtime")).alias("mtime_ep"),
+    )
+    meta = spark.createDataFrame(
+        [(len(store.generations("dim")), n_conflicts)], "g long, c long"
+    ).select(
+        F.lit("meta").alias("part"),
+        F.col("g").cast("bigint").alias("id"),
+        _sn().alias("name"),
+        F.col("c").cast("bigint").alias("dir_id"),
+        _dn().alias("size"),
+        _bn().alias("mtime_ep"),
+    )
+    out = cur.unionByName(meta).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g7: PARTITION PRUNING through the storage layer — write the events
 # table Hive-partitioned by day, then serve a one-day query from it.
 # The complement of the bucketed-join store feature: bucketing kills

@@ -383,3 +383,45 @@ def test_shallow_clone_zero_copy_and_vacuum_protection(spark, tmp_path):
     st.vacuum(retain=1)
     assert rows(st.read("t_fork")) == w1 | {(9, "z")}
     assert rows(st.read("t")) == {(1, "a2"), (3, "c")}
+
+
+def test_replace_if_conflict_and_rebase(spark, tmp_path):
+    """Compare-and-swap commits: a writer with a stale base generation
+    gets CommitConflict (nothing written); rebasing onto the new
+    current preserves BOTH writers' effects — the lost update a blind
+    replace() would have committed."""
+    from pyspark.sql import types as T
+
+    from file_db_spark.filedb.store import CommitConflict
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    st = TableStore(spark, str(tmp_path / "cat"), {"t": sch}, bucketing=False)
+
+    def rows(df):
+        return {(r["id"], r["v"]) for r in df.collect()}
+
+    g1 = st.replace_if("t", spark.createDataFrame([(1, 10), (2, 20)], sch), None)
+    # creating over an existing table with expected None conflicts
+    with pytest.raises(CommitConflict):
+        st.replace_if("t", spark.createDataFrame([(9, 9)], sch), None)
+
+    # writer A doubles v on id=1 and commits first
+    a = st.read("t").withColumn(
+        "v", F.when(F.col("id") == 1, F.col("v") * 2).otherwise(F.col("v"))
+    )
+    g2 = st.replace_if("t", a, expected_gen=g1)
+    # writer B prepared against g1: +1 on id=2 — stale commit refused
+    b_change = lambda df: df.withColumn(  # noqa: E731
+        "v", F.when(F.col("id") == 2, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    with pytest.raises(CommitConflict):
+        st.replace_if("t", b_change(st._read_gen("t", g1)), expected_gen=g1)
+    # rebase: re-read current, re-apply, commit against g2
+    st.replace_if("t", b_change(st.read("t")), expected_gen=g2)
+    assert rows(st.read("t")) == {(1, 20), (2, 21)}  # both effects present
+    assert len(st.generations("t")) == 3
