@@ -1268,3 +1268,159 @@ def _s15_oracle() -> str:
 # g18's batch SQL contract, shared verbatim (the x31/x30 pattern):
 # resolved lazily at registration end to keep module import acyclic
 ORACLES["s15_stream_scd2"] = _s15_oracle()
+
+
+def _s16_oracle() -> str:
+    from .merge_queries import _G6_WAVE_CTE
+
+    from ..filedb import fixtures
+
+    tag = """(
+  SELECT id,
+         concat_ws(',',
+           CASE WHEN COALESCE(dir_id IS NOT NULL, FALSE)
+                THEN NULL ELSE 'has_dir' END,
+           CASE WHEN COALESCE(size <= 1000, FALSE)
+                THEN NULL ELSE 'size_cap' END
+         ) AS violated
+  FROM {src}
+)"""
+    return f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE},
+t1 AS {tag.format(src='fx_file')},
+t2 AS {tag.format(src='f2')}
+SELECT 'q' AS part, CAST(id AS BIGINT) AS id, violated AS s1,
+       CAST(NULL AS BIGINT) AS n1
+FROM t1 WHERE violated <> ''
+UNION ALL
+SELECT 'q', CAST(id AS BIGINT), violated, NULL
+FROM t2 WHERE violated <> ''
+UNION ALL
+SELECT 'metric', NULL, k, n FROM (
+  SELECT 'has_dir' AS k,
+         SUM(CASE WHEN list_contains(string_split(violated, ','), 'has_dir')
+                  THEN 1 ELSE 0 END) AS n
+  FROM t2
+  UNION ALL
+  SELECT 'size_cap',
+         SUM(CASE WHEN list_contains(string_split(violated, ','), 'size_cap')
+                  THEN 1 ELSE 0 END)
+  FROM t2
+  UNION ALL
+  SELECT '_accepted', SUM(CASE WHEN violated = '' THEN 1 ELSE 0 END) FROM t2
+  UNION ALL
+  SELECT '_quarantined', SUM(CASE WHEN violated <> '' THEN 1 ELSE 0 END)
+  FROM t2
+) m
+"""
+
+
+def s16_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed write-path data-quality gating: TWO dimension waves
+    arrive as a file stream (one per micro-batch, mtime-pinned order)
+    and foreachBatch routes each through the REAL
+    `store.write_with_expectations` — accepted rows replace the
+    table, violations append to the quarantine with their
+    violated-expectation list, per-expectation metrics come back per
+    batch. The 'q' rows are read BACK from the quarantine after the
+    drain (both waves' violations ACCUMULATED — the append semantics
+    a triage queue needs), the 'metric' rows are the FINAL wave's
+    returned metrics; the oracle recomputes both from the fixture and
+    the g6 wave in SQL, NULL-predicate-fails convention included.
+
+    Scale: per micro-batch cost is g17's — one codegen projection
+    split + an O(violations) quarantine append; the stream adds only
+    the file-source backpressure envelope. This is the continuous
+    ingestion quality gate a 100 TB pipeline runs in front of every
+    table."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..filedb import fixtures, schemas
+    from ..filedb.store import TableStore
+    from .merge_queries import _G17_EXPECTATIONS, _g6_wave
+
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    waves = [f1, _g6_wave(spark, f1)]
+    root = tempfile.mkdtemp(prefix="fdb_s16_")
+    sdir = os.path.join(root, "stream")
+    os.makedirs(sdir)
+    cols = [f.name for f in schemas.FILE.fields]
+    for i, w in enumerate(waves):
+        tmp = os.path.join(root, f"w{i}")
+        w.select(*cols).withColumn("wave", F.lit(i + 1).cast("int")).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(sdir, f"wave{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    store = TableStore(
+        spark, os.path.join(root, "cat"), {"file": schemas.FILE}, bucketing=False
+    )
+    last_metrics: dict = {}
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.persist()
+        try:
+            ver = int(b.select(F.max("wave")).first()[0])
+            m = store.write_with_expectations(
+                "file", b.drop("wave"), _G17_EXPECTATIONS
+            )
+            last_metrics.clear()
+            last_metrics.update(m)
+            last_metrics["_wave"] = ver
+        finally:
+            b.unpersist()
+
+    import pyspark.sql.types as T
+
+    stream_schema = T.StructType(
+        list(schemas.FILE.fields) + [T.StructField("wave", T.IntegerType(), True)]
+    )
+    q = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert last_metrics.get("_wave") == len(waves)
+
+    qrows = store.read("file__quarantine").select(
+        F.lit("q").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("violated").alias("s1"),
+        F.lit(None).cast("bigint").alias("n1"),
+    )
+    mrows = spark.createDataFrame(
+        [(k, int(last_metrics[k])) for k in sorted(_G17_EXPECTATIONS)]
+        + [
+            ("_accepted", int(last_metrics["_accepted"])),
+            ("_quarantined", int(last_metrics["_quarantined"])),
+        ],
+        "s1 string, n1 long",
+    ).select(
+        F.lit("metric").alias("part"),
+        F.lit(None).cast("bigint").alias("id"),
+        "s1",
+        "n1",
+    )
+    out = qrows.unionByName(mrows).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+QUERIES["s16_stream_expectations"] = s16_stream_expectations
+ORACLES["s16_stream_expectations"] = _s16_oracle()

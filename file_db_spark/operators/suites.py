@@ -2100,7 +2100,10 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'scd2', id, valid_from, valid_to, "
            "name || '#' || COALESCE(CAST(dir_id AS VARCHAR), '-') || '#' "
            "|| COALESCE(CAST(mtime_ep AS VARCHAR), '-'), "
-           "CASE WHEN is_current THEN 1 ELSE 0 END, size"),
+           "CASE WHEN is_current THEN 1 ELSE 0 END, size")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s16_stream_expectations"],
+           "'gate_' || part, id, NULL, NULL, s1, n1, NULL"),
 )
 def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eight more real Structured Streaming drains in one graded row:
@@ -2114,7 +2117,9 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-stream training-data admission gate (d33 quality classifier +
     exact-dedup probe per arriving document), s15 streaming SCD type-2
     dimension maintenance (foreachBatch merge_scd2 into the real table
-    store; history == the g18 batch contract). Each member runs its own
+    store; history == the g18 batch contract), s16 streamed write-path
+    expectations (foreachBatch write_with_expectations; accumulated
+    quarantine + final-wave metrics vs the SQL recomputation). Each member runs its own
     availableNow stream unchanged — CONCURRENTLY: the drains are
     independent jobs on isolated uuid/mkdtemp checkpoints and sinks,
     so they overlap exactly as independent streaming jobs do on a
@@ -2137,6 +2142,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s13": streaming_queries.s13_stream_late_data,
         "s14": streaming_queries.s14_stream_checkpoint_recovery,
         "s15": streaming_queries.s15_stream_scd2,
+        "s16": streaming_queries.s16_stream_expectations,
     }
     from . import _timing
 
@@ -2266,6 +2272,15 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n"),
         F.col("size").alias("v1"),
     )
+    s16 = raw["s16"].select(
+        F.concat(F.lit("gate_"), F.col("part")).alias("stream"),
+        F.col("id").alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("s1"),
+        F.col("n1").alias("n"),
+        _dn().alias("v1"),
+    )
     return (
         s3.unionByName(s4)
         .unionByName(s5)
@@ -2278,6 +2293,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s13)
         .unionByName(s14)
         .unionByName(s15)
+        .unionByName(s16)
     )
 
 
