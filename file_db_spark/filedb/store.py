@@ -13,8 +13,10 @@ staging tiers (FileDbDAL/__init__.py:40-48).
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +35,20 @@ __all__ = [
 class CommitConflict(Exception):
     """A replace_if() lost the optimistic-concurrency race: the base
     generation the writer read was superseded before it committed."""
+
+
+#: per-(root, table) commit locks so same-process writers (e.g. suite
+#: members sharing a store under ThreadPoolExecutor) serialize their
+#: check+replace — without this, two threads can both pass the
+#: _current() check and silently lose one update.
+_COMMIT_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _commit_lock(root: str, name: str) -> threading.Lock:
+    key = (os.path.abspath(root), name)
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS.setdefault(key, threading.Lock())
 
 
 #: Sort-on-write keys per table: parquet row-group min/max stats then
@@ -77,6 +93,51 @@ class TableStore:
         #: stable identifier prefix for this store's catalog entries
         self._ident = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:8]
         os.makedirs(root, exist_ok=True)
+        self._load_disk_schemas()
+
+    def _persist_schema(self, name: str) -> None:
+        """Write the table's schema to `<root>/<name>/_SCHEMA.json` so
+        tables registered at runtime (clone targets, quarantines)
+        survive instance lifetime: a TableStore re-created over the
+        same root picks them up in _load_disk_schemas(), can read
+        them, and — critically — its vacuum() sees their manifests'
+        segment references."""
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "_SCHEMA.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(self.schemas[name].jsonValue(), fh)
+        os.replace(tmp, os.path.join(d, "_SCHEMA.json"))
+
+    def _load_disk_schemas(self) -> None:
+        """Adopt tables persisted by a previous instance over this
+        root (declared schemas passed to __init__ take precedence)."""
+        for entry in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, entry, "_SCHEMA.json")
+            if entry not in self.schemas and os.path.exists(p):
+                with open(p) as fh:
+                    self.schemas[entry] = T.StructType.fromJson(json.load(fh))
+
+    def _disk_tables(self) -> set[str]:
+        """Every table present on disk under root — registered or not —
+        so vacuum()'s cross-table reference scan also protects clones
+        created by ANOTHER live instance after this one initialized."""
+        names = set(self.schemas)
+        if os.path.isdir(self.root):
+            for entry in os.listdir(self.root):
+                d = os.path.join(self.root, entry)
+                if not os.path.isdir(d):
+                    continue
+                try:
+                    children = os.listdir(d)
+                except OSError:
+                    continue
+                if any(
+                    c.startswith(("gen-", "seg-")) or c == "_SCHEMA.json"
+                    for c in children
+                ):
+                    names.add(entry)
+        return names
 
     def _table_name(self, name: str, gen_dir: str) -> str:
         gen = os.path.basename(gen_dir).replace("gen-", "")
@@ -171,11 +232,14 @@ class TableStore:
         referencing them is vacuumed. CROSS-TABLE aware: a shallow
         clone()'s manifest references the source table's segments, so
         references are collected over ALL tables first — vacuuming the
-        source never reclaims data a retained clone still reads. Call
+        source never reclaims data a retained clone still reads. The
+        scan covers every table ON DISK under root (not just this
+        instance's schema dict), so clones/quarantines created by a
+        previous or concurrent instance are protected too. Call
         only when no lazy plans over older snapshots are alive."""
         keep_by_table: dict[str, set[str]] = {}
         referenced: set[str] = set()
-        for name in self.schemas:
+        for name in self._disk_tables():
             d = self._dir(name)
             if not os.path.isdir(d):
                 continue
@@ -268,6 +332,7 @@ class TableStore:
                 list(self.schemas[name].fields)
                 + [T.StructField("violated", T.StringType(), True)]
             )
+            self._persist_schema(qname)
         quarantined = quarantined.localCheckpoint(eager=True)
         self.replace(name, accepted)
         self.append(qname, quarantined)
@@ -295,22 +360,55 @@ class TableStore:
         exactly what prevents the lost update a blind replace()
         commits. Returns the new current generation dir.
 
-        Single-box approximation: the check runs at commit time in
-        the committing process (a real lakehouse serializes it via
-        the atomic log append); generation swaps remain atomic
-        (write-new-then-rename), so readers never see a torn table
-        either way."""
-        cur = self._current(name)
-        if cur != expected_gen:
-            raise CommitConflict(
-                f"{name}: expected generation "
-                f"{expected_gen and os.path.basename(expected_gen)}, "
-                f"found {cur and os.path.basename(cur)} — rebase and retry"
-            )
-        self.replace(name, df)
-        new = self._current(name)
-        assert new is not None
-        return new
+        Single-box approximation: a per-(root, table) process-wide
+        lock serializes the check+replace, so same-process racers
+        (suite members sharing a store under ThreadPoolExecutor) can
+        never both pass the _current() check — exactly one wins, the
+        other gets CommitConflict. Cross-PROCESS writers on one root
+        still race in the window between check and rename (a real
+        lakehouse serializes that via the atomic log append; the
+        single-box analog would be an O_EXCL commit-marker file);
+        generation swaps remain atomic (write-new-then-rename), so
+        readers never see a torn table either way."""
+        with _commit_lock(self.root, name):
+            cur = self._current(name)
+            if cur != expected_gen:
+                raise CommitConflict(
+                    f"{name}: expected generation "
+                    f"{expected_gen and os.path.basename(expected_gen)}, "
+                    f"found {cur and os.path.basename(cur)} — rebase and retry"
+                )
+            self.replace(name, df)
+            new = self._current(name)
+            assert new is not None
+            return new
+
+    def txn_version(self, app_id: str) -> int:
+        """Last micro-batch id committed under `app_id` (-1 if none) —
+        the Delta `txnAppId`/`txnVersion` idempotent-foreachBatch
+        analog. foreachBatch is at-least-once: a crashed-and-replayed
+        micro-batch re-enters the sink, and a non-idempotent apply
+        (an additive merge, a quarantine append) would double its
+        effect. Sinks guard with `if batch_id <= store.txn_version(app):
+        return`, then set_txn_version(app, batch_id) after applying."""
+        p = os.path.join(self.root, f"_txn-{app_id}")
+        try:
+            with open(p) as fh:
+                return int(fh.read())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def set_txn_version(self, app_id: str, version: int) -> None:
+        """Record `version` as applied for `app_id` (atomic replace).
+        Written AFTER the batch's table writes: a crash in between
+        replays the batch, which is the at-least-once contract — the
+        marker narrows duplication to that crash window instead of
+        every routine replay."""
+        p = os.path.join(self.root, f"_txn-{app_id}")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(int(version)))
+        os.replace(tmp, p)
 
     def clone(self, name: str, target: str) -> None:
         """Zero-copy shallow CLONE (the Delta `CREATE TABLE ... SHALLOW
@@ -323,9 +421,8 @@ class TableStore:
         so source retention never reclaims data a live clone reads.
         At 100 TB this is how you fork a table for an experiment or
         pin a training-data snapshot without paying for a copy."""
-        import json
-
         self.schemas.setdefault(target, self.schemas[name])
+        self._persist_schema(target)
         cur = self._current(name)
         tdir = self._dir(target)
         if cur is None:
@@ -421,6 +518,8 @@ class TableStore:
                     "nullable (old files cannot supply values for it)"
                 )
         self.schemas[name] = new_schema
+        if os.path.exists(os.path.join(self._dir(name), "_SCHEMA.json")):
+            self._persist_schema(name)  # keep the on-disk registry current
         if self.bucketing and name in BUCKET_SPECS:
             for gen_dir in self.generations(name):
                 try:

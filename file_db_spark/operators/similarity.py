@@ -2289,9 +2289,13 @@ _V16_DIM = PQ_M * PQ_SUB_DIM  # 64
 def _v16_train(spark: SparkSession, sf_dir: str):
     """v16 index TRAINING: coarse Lloyd loop -> frozen coarse codebook,
     residuals, PQ Lloyd loop over residual subspaces, corpus encoding.
-    Returns (cents, pcents, codes) — the three index artifacts. Split
-    from serving so the one-time build can be persisted (the 100 TB
-    posture: train once, store codebooks + codes, serve many)."""
+    Returns (cents, pcents, codes, cached) — the three index artifacts
+    plus every intermediate this build persist()ed, so a caller that
+    MATERIALIZES the artifacts (ensure_index's writes) can unpersist
+    them and not leak cached partitions across a bench/probe session
+    (ADVICE r5). Split from serving so the one-time build can be
+    persisted (the 100 TB posture: train once, store codebooks +
+    codes, serve many)."""
     e = load_table(spark, sf_dir, "embeddings")
     pts = e.select(
         "vec_id",
@@ -2323,6 +2327,7 @@ def _v16_train(spark: SparkSession, sf_dir: str):
         ((F.col("vec_id") + F.col("m")) % PQ_K).alias("cell"),
     )
     passigned = rsub.persist()
+    cached = [cents, res, passigned]
     pcents = None
     for _ in range(PQ_ITERS):
         pcents = _pq_centroids(passigned).withColumnRenamed("cell", "c_cell")
@@ -2353,6 +2358,7 @@ def _v16_train(spark: SparkSession, sf_dir: str):
             )
             .persist()
         )
+        cached.append(passigned)
     codes = (
         passigned.groupBy("vec_id")
         .agg(
@@ -2363,7 +2369,7 @@ def _v16_train(spark: SparkSession, sf_dir: str):
         )
         .join(res.select("vec_id", "cell"), "vec_id")  # coarse cell back on
     )
-    return cents, pcents, codes
+    return cents, pcents, codes, cached
 
 
 def _v16_serve_plan(
@@ -2469,8 +2475,12 @@ def v16_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 3 adds per candidate, no float dot against raw vectors at all;
     one per-query top-k window. Training is the v6/v7 fixed-depth
     broadcast loops, all per-round state persisted. In production you
-    train ONCE and persist — that path is v16_serve below."""
-    cents, pcents, codes = _v16_train(spark, sf_dir)
+    train ONCE and persist — that path is v16_serve below. The
+    training caches stay pinned here because the returned plan reads
+    them lazily — that's inherent to the one-shot train+serve shape;
+    the persisted-artifact path (ensure_index) unpersists after its
+    writes."""
+    cents, pcents, codes, _cached = _v16_train(spark, sf_dir)
     return _v16_serve_plan(spark, sf_dir, cents, pcents, codes)
 
 
@@ -2539,10 +2549,14 @@ def v16_ensure_index(spark: SparkSession, sf_dir: str) -> str:
         for part in ("cents", "pcents", "codes")
     )
     if not done:
-        cents, pcents, codes = _v16_train(spark, sf_dir)
+        cents, pcents, codes, cached = _v16_train(spark, sf_dir)
         cents.write.mode("overwrite").parquet(os.path.join(path, "cents"))
         pcents.write.mode("overwrite").parquet(os.path.join(path, "pcents"))
         codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+        # artifacts are on disk now — drop the training caches so a
+        # session running many v16/v20 entries doesn't accumulate them
+        for df in cached:
+            df.unpersist()
     return path
 
 
@@ -2754,10 +2768,12 @@ def _v16_coarse_encode(pts: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _v20_residual_sub(enc: DataFrame, cents: DataFrame):
+def _v20_residual_sub(enc: DataFrame, cents: DataFrame, cached: list | None = None):
     """(vec_id, emb, cell) -> residuals vs the assigned frozen coarse
     centroid, plus the per-subspace slices (with the PQ training seed
-    cell, used only when this feeds the Lloyd loop)."""
+    cell, used only when this feeds the Lloyd loop). The persisted
+    residual frame is appended to `cached` (when given) so the caller
+    can unpersist it once its downstream plans have materialized."""
     res = (
         enc.join(F.broadcast(cents), "cell")
         .select(
@@ -2767,6 +2783,8 @@ def _v20_residual_sub(enc: DataFrame, cents: DataFrame):
         )
         .persist()
     )
+    if cached is not None:
+        cached.append(res)
     rsub = res.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
@@ -2812,12 +2830,17 @@ def _v20_pq_encode(rsub: DataFrame, pcents: DataFrame) -> DataFrame:
     )
 
 
-def _v20_encode(pts: DataFrame, cents: DataFrame, pcents: DataFrame) -> DataFrame:
+def _v20_encode(
+    pts: DataFrame,
+    cents: DataFrame,
+    pcents: DataFrame,
+    cached: list | None = None,
+) -> DataFrame:
     """Full frozen-codebook encode: coarse route -> residual -> PQ
     codes. This is the ONLY work a new batch ever costs: O(|delta| x k)
     map-side scoring, 4 bytes of codes per vector out."""
     enc = _v16_coarse_encode(pts, cents)
-    res, rsub = _v20_residual_sub(enc, cents)
+    res, rsub = _v20_residual_sub(enc, cents, cached)
     return _v20_pq_encode(rsub, pcents).join(
         res.select("vec_id", "cell"), "vec_id"
     )
@@ -2828,7 +2851,9 @@ def _v20_train(spark: SparkSession, sf_dir: str):
     standing new-batch split): coarse Lloyd -> frozen coarse codebook;
     PQ Lloyd over base residuals (computed against the FROZEN coarse
     book, so training residuals equal encode-time residuals) -> frozen
-    subspace codebook. Returns (cents, pcents)."""
+    subspace codebook. Returns (cents, pcents, cached) — cached being
+    every persisted intermediate, for the caller to unpersist once the
+    artifacts are materialized (ADVICE r5)."""
     e = load_table(spark, sf_dir, "embeddings")
     pts = e.select(
         "vec_id",
@@ -2837,10 +2862,12 @@ def _v20_train(spark: SparkSession, sf_dir: str):
     )
     base = pts.where(F.col("vec_id") % 10 != 0)
     cents = _km_centroids(_lloyd_assign(base, KMEANS_ITERS)).persist()
+    cached: list = [cents]
     _res, rsub = _v20_residual_sub(
-        _v16_coarse_encode(base, cents), cents
+        _v16_coarse_encode(base, cents), cents, cached
     )
     passigned = rsub.persist()
+    cached.append(passigned)
     pcents = None
     for _ in range(PQ_ITERS):
         pcents = _pq_centroids(passigned).withColumnRenamed("cell", "c_cell")
@@ -2871,7 +2898,8 @@ def _v20_train(spark: SparkSession, sf_dir: str):
             )
             .persist()
         )
-    return cents, pcents
+        cached.append(passigned)
+    return cents, pcents, cached
 
 
 def v20_index_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -2900,15 +2928,18 @@ def v20_ensure_index(spark: SparkSession, sf_dir: str) -> str:
         for part in ("cents", "pcents", "codes_base")
     )
     if not done:
-        cents, pcents = _v20_train(spark, sf_dir)
+        cents, pcents, cached = _v20_train(spark, sf_dir)
         e = load_table(spark, sf_dir, "embeddings")
         base = e.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         ).where(F.col("vec_id") % 10 != 0)
-        codes = _v20_encode(base, cents, pcents)
+        codes = _v20_encode(base, cents, pcents, cached)
         cents.write.mode("overwrite").parquet(os.path.join(path, "cents"))
         pcents.write.mode("overwrite").parquet(os.path.join(path, "pcents"))
         codes.write.mode("overwrite").parquet(os.path.join(path, "codes_base"))
+        # artifacts are on disk — release every training/encode cache
+        for df in cached:
+            df.unpersist()
     return path
 
 
@@ -2943,9 +2974,12 @@ def v20_pq_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = e.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         ).where(F.col("vec_id") % 10 == 0)
-        _v20_encode(delta, cents, pcents).write.mode("overwrite").parquet(
-            delta_path
-        )
+        cached: list = []
+        _v20_encode(delta, cents, pcents, cached).write.mode(
+            "overwrite"
+        ).parquet(delta_path)
+        for df in cached:
+            df.unpersist()
     codes = spark.read.parquet(os.path.join(path, "codes_base"), delta_path)
     return _v16_serve_plan(spark, sf_dir, cents, pcents, codes)
 

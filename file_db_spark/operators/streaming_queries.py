@@ -477,6 +477,18 @@ def s9_stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def merge_cells(batch_df: DataFrame, batch_id: int) -> None:
+        # the cell-sum merge is additive, so an at-least-once
+        # foreachBatch replay would double-count the batch — no-op
+        # replays via a last-applied marker (the idempotent-sink
+        # pattern; s15/s16 use TableStore.txn_version for the same)
+        marker = os.path.join(store_root, "_txn")
+        try:
+            with open(marker) as fh:
+                last = int(fh.read())
+        except (FileNotFoundError, ValueError):
+            last = -1
+        if batch_id <= last:
+            return
         part = batch_cells(batch_df)
         if os.path.isdir(data_dir):
             existing = spark.read.parquet(data_dir)
@@ -492,6 +504,9 @@ def s9_stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isdir(data_dir):
             shutil.rmtree(data_dir)
         os.rename(tmp, data_dir)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(marker + ".tmp", marker)
 
     src = es.events_source(spark, sf_dir)
     q = (
@@ -1211,6 +1226,12 @@ def s15_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracked = ["name", "dir_id", "size", "mtime"]
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a replayed micro-batch would
+        # re-append the same 'U'/'D' change rows, corrupting the SCD2
+        # log — the txn-version marker no-ops replays (Delta's
+        # txnAppId/txnVersion idempotent-sink pattern)
+        if batch_id <= store.txn_version("s15_scd2"):
+            return
         if batch_df.isEmpty():
             return
         b = batch_df.persist()
@@ -1221,6 +1242,7 @@ def s15_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             store.merge_scd2("dim", b.drop("wave"), ["id"], tracked, ver)
         finally:
             b.unpersist()
+        store.set_txn_version("s15_scd2", batch_id)
 
     stream = (
         spark.readStream.schema(
@@ -1367,6 +1389,11 @@ def s16_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_metrics: dict = {}
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once foreachBatch: a replayed batch would re-append
+        # its violations to the quarantine (append is not idempotent);
+        # the txn-version marker no-ops replays
+        if batch_id <= store.txn_version("s16_gate"):
+            return
         if batch_df.isEmpty():
             return
         b = batch_df.persist()
@@ -1380,6 +1407,7 @@ def s16_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_metrics["_wave"] = ver
         finally:
             b.unpersist()
+        store.set_txn_version("s16_gate", batch_id)
 
     import pyspark.sql.types as T
 

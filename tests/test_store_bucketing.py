@@ -425,3 +425,124 @@ def test_replace_if_conflict_and_rebase(spark, tmp_path):
     st.replace_if("t", b_change(st.read("t")), expected_gen=g2)
     assert rows(st.read("t")) == {(1, 20), (2, 21)}  # both effects present
     assert len(st.generations("t")) == 3
+
+
+def _kv_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+
+
+def test_runtime_tables_survive_instance_lifetime(spark, tmp_path):
+    """Tables registered at runtime (clone targets, quarantines) are
+    persisted in the on-disk schema registry: a TableStore re-created
+    over the same root — declaring only the base table — can read
+    them, and ITS vacuum() still protects the source segments the
+    on-disk clone references (ADVICE r5, medium)."""
+    sch = _kv_schema()
+    root = str(tmp_path / "cat")
+    st = TableStore(spark, root, {"t": sch}, bucketing=False)
+    w1 = {(1, "a"), (2, "b")}
+    st.replace("t", spark.createDataFrame(sorted(w1), sch))
+    st.clone("t", "t_fork")
+    st.write_with_expectations(
+        "t",
+        spark.createDataFrame([(1, "a"), (3, None)], sch),
+        {"has_v": "v IS NOT NULL"},
+    )
+
+    def rows(df):
+        return {(r["id"], r["v"]) for r in df.collect()}
+
+    # fresh instance, base schema only: adopted tables are readable
+    st2 = TableStore(spark, root, {"t": sch}, bucketing=False)
+    assert rows(st2.read("t_fork")) == w1
+    q = st2.read("t__quarantine")
+    assert {(r["id"], r["violated"]) for r in q.collect()} == {(3, "has_v")}
+
+    # the fresh instance's vacuum must not reclaim the snapshot the
+    # clone still references (pre-fix: it only scanned its own dict)
+    st2.replace("t", spark.createDataFrame([(9, "z")], sch))
+    st2.vacuum(retain=1)
+    assert rows(st2.read("t_fork")) == w1
+    assert rows(st2.read("t")) == {(9, "z")}
+
+
+def test_vacuum_protects_concurrent_instance_clone(spark, tmp_path):
+    """vacuum() scans tables ON DISK, not just its own schema dict: a
+    clone created by ANOTHER instance after this one initialized is
+    still protected."""
+    sch = _kv_schema()
+    root = str(tmp_path / "cat")
+    a = TableStore(spark, root, {"t": sch}, bucketing=False)
+    b = TableStore(spark, root, {"t": sch}, bucketing=False)  # init BEFORE clone
+    w1 = {(1, "a"), (2, "b")}
+    a.replace("t", spark.createDataFrame(sorted(w1), sch))
+    a.clone("t", "t_pin")  # b's schema dict has never heard of t_pin
+    a.replace("t", spark.createDataFrame([(3, "c")], sch))
+    b.vacuum(retain=1)
+    assert {(r["id"], r["v"]) for r in a.read("t_pin").collect()} == w1
+
+
+def test_replace_if_thread_race_single_winner(spark, tmp_path):
+    """Same-process replace_if racers serialize on the commit lock:
+    exactly one of N threads committing against the same base wins;
+    the rest get CommitConflict (no silent lost update)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from file_db_spark.filedb.store import CommitConflict
+
+    sch = _kv_schema()
+    st = TableStore(spark, str(tmp_path / "cat"), {"t": sch}, bucketing=False)
+    base = st.replace_if("t", spark.createDataFrame([(0, "base")], sch), None)
+
+    def attempt(i: int) -> str:
+        df = spark.createDataFrame([(i, f"w{i}")], sch)
+        try:
+            st.replace_if("t", df, expected_gen=base)
+            return "win"
+        except CommitConflict:
+            return "conflict"
+
+    with ThreadPoolExecutor(6) as pool:
+        outcomes = list(pool.map(attempt, range(1, 7)))
+    assert outcomes.count("win") == 1, outcomes
+    assert outcomes.count("conflict") == 5, outcomes
+    assert len(st.generations("t")) == 2  # base + the single winner
+
+
+def test_txn_version_idempotent_sink(spark, tmp_path):
+    """TableStore.txn_version/set_txn_version — the idempotent-
+    foreachBatch guard: a replayed batch_id no-ops, so an at-least-once
+    replay cannot double a quarantine append (the s15/s16 hazard,
+    ADVICE r5); the marker survives instance re-creation."""
+    sch = _kv_schema()
+    root = str(tmp_path / "cat")
+    st = TableStore(spark, root, {"t": sch}, bucketing=False)
+    assert st.txn_version("gate") == -1
+
+    def gate(batch_rows, batch_id):
+        if batch_id <= st.txn_version("gate"):
+            return  # replay — already applied
+        st.write_with_expectations(
+            "t",
+            spark.createDataFrame(batch_rows, sch),
+            {"has_v": "v IS NOT NULL"},
+        )
+        st.set_txn_version("gate", batch_id)
+
+    gate([(1, "a"), (2, None)], 0)
+    gate([(1, "a"), (2, None)], 0)  # at-least-once replay of batch 0
+    gate([(3, None)], 1)
+    gate([(3, None)], 1)  # replay of batch 1
+    q = st.read("t__quarantine")
+    assert {r["id"] for r in q.collect()} == {2, 3}  # no duplicates
+    assert q.count() == 2
+    # marker is per-root state, not per-instance state
+    st2 = TableStore(spark, root, {"t": sch}, bucketing=False)
+    assert st2.txn_version("gate") == 1

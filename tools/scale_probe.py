@@ -40,6 +40,13 @@ SRC = "/root/testdata/sf0.1"
 #: synthesizes sf10 for a two-decade exponent on the scale-critical
 #: entries (still <100 MB of parquet; the box handles it easily)
 COPIES = int(os.environ.get("PROBE_COPIES", "10"))
+# the per-decade exponent divides by log10(COPIES): 1 would divide by
+# zero (and label the probe dir 'sf0.1', colliding with SRC); <10 gives
+# sub-decade noise-dominated exponents — refuse early with a clear error
+if COPIES < 10:
+    raise SystemExit(
+        f"PROBE_COPIES must be >= 10 (one decade of growth); got {COPIES}"
+    )
 DST = os.path.join(REPO, ".scale_probe", f"sf{COPIES / 10:.1f}")
 
 #: the most expensive headline plans of BENCH_r03, i.e. the ones whose
