@@ -1026,6 +1026,441 @@ def a16_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 TPC-H completion set: every remaining query shape expressible
+# over the available tables (no partsupp in the testdata, so Q9/Q11/
+# Q16/Q20 have no analog; Q6 is p6's shape; Q12 needs shipmode).
+# ---------------------------------------------------------------------------
+@_q(
+    "a17_small_qty_revenue",
+    """
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 10
+      AND 5 * CAST(l.l_quantity AS BIGINT)
+            * (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def a17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 (engine addition, TPC-H Q17's shape): revenue lost to
+    small-quantity orders — lines whose quantity is below 20%% of the
+    part's average order quantity. The oracle keeps the textbook
+    correlated-AVG-per-part scalar subquery (twice: count and sum);
+    the Spark plan decorrelates it into ONE window pass over
+    l_partkey. The 0.2x-average boundary is evaluated in pure integer
+    arithmetic (qty*5*count < sum over integral quantities), so the
+    comparison can never flip on a float-mean ulp disagreement
+    between engines — the a16 integer-threshold discipline.
+
+    Scale: one shuffle of lineitem on l_partkey serves both correlated
+    subqueries at once; part is dim-sized -> broadcast with its size
+    filter pruning before the join; the final groupBy runs over the
+    heavily-filtered small-qty rows with map-side partials across
+    ~25 brands."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = li.select(
+        "*",
+        F.sum("qty").over(w).alias("part_qty"),
+        F.count("*").over(w).alias("part_cnt"),
+    )
+    small = flagged.where(
+        F.lit(5) * F.col("qty") * F.col("part_cnt") < F.col("part_qty")
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    return (
+        small.join(F.broadcast(p), small.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            (_dsum(_d2(F.col("l_extendedprice"))) / F.lit(7)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "a18_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def a18_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 (engine addition, TPC-H Q15's shape): the supplier(s) with
+    the maximum quarterly revenue. The oracle keeps the textbook view
+    + scalar MAX subquery; the Spark plan aggregates once, broadcasts
+    the 1-row MAX back (the d19/a16 scalar pattern) and keeps every
+    tie — revenue totals are exact decimal sums, so the equality can
+    never straddle a float ulp.
+
+    Scale: ONE shuffle of the date-pruned lineitem to per-supplier
+    totals (map-side partials over ~|suppliers| keys); the MAX reduces
+    the tiny aggregate to one broadcast row; supplier is dim-sized ->
+    broadcast join at the end. No global sort, no second pass over the
+    fact table."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_d2(F.col("l_extendedprice")) * (1 - _d2(F.col("l_discount")))).alias(
+            "total_rev"
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    best = rev.crossJoin(F.broadcast(top)).where(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(F.broadcast(s), best.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+    )
+
+
+@_q(
+    "a19_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority NOT LIKE '1%'
+      GROUP BY c.c_custkey
+    ) t GROUP BY c_count
+    """,
+)
+def a19_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 (engine addition, TPC-H Q13's shape): the distribution of
+    customers by how many non-urgent orders they placed — the outer
+    join must PRESERVE zero-order customers (they form the c_count=0
+    bucket, the bucket an inner join silently drops). The non-equi
+    residual (the priority filter) rides the join condition, not a
+    WHERE, exactly like the textbook form — filtering after the join
+    would turn matched-but-filtered customers into false zeros.
+
+    Scale: one shuffle of orders on o_custkey against customer; the
+    double aggregation collapses fast (|customers| keys, then
+    |distinct counts| keys, both with map-side partials). At 100 TB
+    customers with no orders survive as join misses — no spine or
+    driver-side fill-in needed."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (o.o_custkey == c.c_custkey)
+        & ~o.o_orderpriority.startswith("1"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q(
+    "a20_bracket_revenue",
+    """
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY p.p_brand
+    """,
+)
+def a20_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 (engine addition, TPC-H Q19's shape): revenue under a
+    disjunction of brand/size/quantity brackets that mixes columns
+    from BOTH join sides. The classic execution trap is evaluating the
+    OR as a filter after a full join; the right plan extracts the
+    common equi-key (p_partkey = l_partkey) for the hash join and
+    DERIVES the implied single-side prefilters from the disjunction —
+    part pruned to the three brands at max size span, lineitem pruned
+    to the quantity hull [1, 30] — before the join, leaving the exact
+    OR as a cheap post-join residual. Catalyst does the extraction;
+    the hull prefilters are stated explicitly so they push into the
+    parquet scans (constraint propagation across an OR is not free).
+
+    Scale: the lineitem scan reads only qty-hull rows; part is
+    dim-sized -> broadcast, so the only data movement is the pruned
+    fact scan itself; groupBy over 3 brands is map-side collapsed."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)  # hull of the three brackets
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#2", "Brand#4", "Brand#19")
+        & F.col("p_size").between(1, 15)
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#2")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#4")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#19")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        j.where(bracket)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(
+                _d2(F.col("l_extendedprice")) * (1 - _d2(F.col("l_discount")))
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "a21_volume_shipping",
+    """
+    SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((n2.n_name = 'NATION_1' AND n1.n_name = 'NATION_2')
+        OR (n2.n_name = 'NATION_2' AND n1.n_name = 'NATION_1'))
+    GROUP BY n2.n_name, n1.n_name, year(l.l_shipdate)
+    """,
+)
+def a21_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 (engine addition, TPC-H Q7's shape): shipping volume
+    between a nation PAIR in either direction. The disjunctive
+    nation-pair predicate can't prune either side alone to one
+    nation, but its HULL can: both the supplier side and the customer
+    side are pre-pruned to the two named nations (broadcast semi
+    through the 2-row nation slice), shrinking the fact rows long
+    before the cross-side OR is testable; the exact pair residual
+    then only has to discard the two same-nation combinations.
+
+    Scale: ONE fact-fact shuffle (lineitem ⋈ orders on the order
+    key); customer joins on o_custkey pre-pruned to ~2/25ths of
+    customers; supplier/nation are dim-sized broadcasts. Year
+    extraction is a codegen expr; the final groupBy has 2x2xYEARS
+    keys — map-side collapsed."""
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        _dsum(
+            _d2(F.col("l_extendedprice")) * (1 - _d2(F.col("l_discount")))
+        ).alias("revenue")
+    )
+
+
+@_q(
+    "a22_market_share",
+    """
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                         THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                   * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                                   AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                           AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def a22_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 (engine addition, TPC-H Q8's shape): one nation's share of
+    PROMO-part revenue sold into a region, per year — the conditional-
+    aggregate-ratio pattern. Both the numerator (CASE-gated) and the
+    denominator are EXACT decimal sums normalized to one scale before
+    the final double division, so the ratio is bit-identical across
+    engines without any rounding smoothing.
+
+    Scale: the region/nation/part/supplier dims all broadcast, with
+    the part p_type filter pruning lineitem through the join and the
+    region filter pruning the customer side; the only fact-fact
+    shuffle is lineitem ⋈ orders on the order key. The CASE keeps the
+    share computation in ONE aggregation pass — no second scan, no
+    self-join of per-nation aggregates."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = (
+        _d2(F.col("l_extendedprice")) * (1 - _d2(F.col("l_discount")))
+    ).cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return j.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@_q(
+    "a23_promo_share",
+    """
+    SELECT month(l.l_shipdate) AS l_month,
+           CAST(100 AS DOUBLE)
+           * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                     * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                                     AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                           AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY month(l.l_shipdate)
+    """,
+)
+def a23_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 (engine addition, TPC-H Q14's shape): the monthly share of
+    revenue from promotional parts — the same conditional-ratio
+    discipline as a22 (exact same-scale decimal sums, one final
+    double division), over the simplest possible join.
+
+    Scale: part broadcasts; the date filter pushes into the lineitem
+    scan; one aggregation pass with 12 groups, map-side collapsed."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = (
+        _d2(F.col("l_extendedprice")) * (1 - _d2(F.col("l_discount")))
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.month("l_shipdate").alias("l_month"), vol.alias("volume"), "p_type")
+        .groupBy("l_month")
+        .agg(
+            (
+                F.lit(100).cast("double")
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sorts / top-k
 # ---------------------------------------------------------------------------
 @_q(

@@ -195,6 +195,17 @@ _RQ2_PARTS = {
         "a16_dormant_accounts",
         "'a16', nationkey, numcust, NULL, totacctbal",
     ),
+    # round-6 TPC-H completion set (Q17/Q15/Q13/Q19/Q7/Q8/Q14 shapes)
+    "a17": ("a17_small_qty_revenue", "'a17', n_lines, NULL, p_brand, avg_yearly"),
+    "a18": ("a18_top_supplier", "'a18', s_suppkey, NULL, s_name, total_revenue"),
+    "a19": ("a19_order_count_distribution", "'a19', c_count, custdist, NULL, NULL"),
+    "a20": ("a20_bracket_revenue", "'a20', n_lines, NULL, p_brand, revenue"),
+    "a21": (
+        "a21_volume_shipping",
+        "'a21', l_year, NULL, supp_nation || '>' || cust_nation, revenue",
+    ),
+    "a22": ("a22_market_share", "'a22', o_year, NULL, NULL, mkt_share"),
+    "a23": ("a23_promo_share", "'a23', l_month, NULL, NULL, promo_revenue"),
 }
 
 
@@ -340,10 +351,59 @@ def rq2_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sn().alias("s1"),
         F.col("totacctbal").alias("v1"),
     )
+    a17 = relational.a17_small_qty_revenue(spark, sf_dir).select(
+        F.lit("a17").alias("probe"),
+        F.col("n_lines").alias("k1"),
+        _bn().alias("k2"),
+        F.col("p_brand").alias("s1"),
+        F.col("avg_yearly").alias("v1"),
+    )
+    a18 = relational.a18_top_supplier(spark, sf_dir).select(
+        F.lit("a18").alias("probe"),
+        F.col("s_suppkey").alias("k1"),
+        _bn().alias("k2"),
+        F.col("s_name").alias("s1"),
+        F.col("total_revenue").alias("v1"),
+    )
+    a19 = relational.a19_order_count_distribution(spark, sf_dir).select(
+        F.lit("a19").alias("probe"),
+        F.col("c_count").alias("k1"),
+        F.col("custdist").alias("k2"),
+        _sn().alias("s1"),
+        _dn().alias("v1"),
+    )
+    a20 = relational.a20_bracket_revenue(spark, sf_dir).select(
+        F.lit("a20").alias("probe"),
+        F.col("n_lines").alias("k1"),
+        _bn().alias("k2"),
+        F.col("p_brand").alias("s1"),
+        F.col("revenue").alias("v1"),
+    )
+    a21 = relational.a21_volume_shipping(spark, sf_dir).select(
+        F.lit("a21").alias("probe"),
+        F.col("l_year").cast("bigint").alias("k1"),
+        _bn().alias("k2"),
+        F.concat_ws(">", "supp_nation", "cust_nation").alias("s1"),
+        F.col("revenue").alias("v1"),
+    )
+    a22 = relational.a22_market_share(spark, sf_dir).select(
+        F.lit("a22").alias("probe"),
+        F.col("o_year").cast("bigint").alias("k1"),
+        _bn().alias("k2"),
+        _sn().alias("s1"),
+        F.col("mkt_share").alias("v1"),
+    )
+    a23 = relational.a23_promo_share(spark, sf_dir).select(
+        F.lit("a23").alias("probe"),
+        F.col("l_month").cast("bigint").alias("k1"),
+        _bn().alias("k2"),
+        _sn().alias("s1"),
+        F.col("promo_revenue").alias("v1"),
+    )
     out = j1
     for part in (
         j2, j3, j4, j6, j7, j8, j9, j13, a7, a9, a10, a11, a12, a13, a14,
-        a15, a16,
+        a15, a16, a17, a18, a19, a20, a21, a22, a23,
     ):
         out = out.unionByName(part)
     return out
