@@ -133,11 +133,51 @@ class TableStore:
                 except OSError:
                     continue
                 if any(
-                    c.startswith(("gen-", "seg-")) or c == "_SCHEMA.json"
+                    c.startswith(("gen-", "seg-", "dv-")) or c == "_SCHEMA.json"
                     for c in children
                 ):
                     names.add(entry)
         return names
+
+    def _base_doc(self, name: str) -> dict:
+        """The current generation expressed as manifest entries
+        (relative to the table dir — the SAME dir any new generation
+        lives in, so entries carry over verbatim); a plain snapshot
+        generation becomes a single base segment."""
+        cur = self._current(name)
+        if cur is None:
+            return {"segments": [], "deletes": []}
+        doc = self._doc(cur)
+        if doc is None:
+            return {
+                "segments": [{"path": os.path.relpath(cur, self._dir(name))}],
+                "deletes": [],
+            }
+        return doc
+
+    def _commit_manifest(self, name: str, doc: dict) -> None:
+        """Atomically commit a new manifest generation (write-tmp-then-
+        rename — the log-append of this single-box lakehouse)."""
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        gen = os.path.join(d, f"gen-{time.time_ns()}")
+        os.makedirs(gen, exist_ok=True)
+        tmp = os.path.join(gen, "_MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, os.path.join(gen, "_MANIFEST"))
+
+    def _write_segment(self, name: str, df: DataFrame, prefix: str) -> str:
+        """Write rows as one immutable segment dir; returns its relpath."""
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        cols = [f.name for f in self.schemas[name].fields]
+        out = df.select(*cols)
+        if name in SORT_KEYS:
+            out = out.sortWithinPartitions(*SORT_KEYS[name])
+        seg = f"{prefix}-{time.time_ns()}"
+        out.write.mode("overwrite").parquet(os.path.join(d, seg))
+        return seg
 
     def _table_name(self, name: str, gen_dir: str) -> str:
         gen = os.path.basename(gen_dir).replace("gen-", "")
@@ -155,27 +195,76 @@ class TableStore:
         )
         return os.path.join(d, gens[-1]) if gens else None
 
-    def _manifest(self, gen_dir: str) -> list[str] | None:
-        """Segment paths (absolute) if `gen_dir` is a manifest
-        generation, else None (plain snapshot generation)."""
+    def _doc(self, gen_dir: str) -> dict | None:
+        """Parsed, normalized manifest if `gen_dir` is a manifest
+        generation, else None (plain snapshot generation). Normal form:
+        ``{"segments": [{"path": rel, "filter": sql?}],
+           "deletes":  [{"path": rel, "keys": [col...],
+                         "over": [segment-basename...]}]}``
+        — v1 manifests (bare relpath strings, no deletes) normalize
+        transparently."""
         mf = os.path.join(gen_dir, "_MANIFEST")
         if not os.path.exists(mf):
             return None
-        import json
-
         with open(mf) as fh:
-            rels = json.load(fh)["segments"]
+            raw = json.load(fh)
+        segs = [
+            {"path": e} if isinstance(e, str) else dict(e)
+            for e in raw["segments"]
+        ]
+        return {"segments": segs, "deletes": list(raw.get("deletes", []))}
+
+    def _manifest(self, gen_dir: str) -> list[str] | None:
+        """ALL file paths (absolute) a manifest generation references —
+        data segments AND deletion-vector files — else None. This is
+        the reference set vacuum() must protect."""
+        doc = self._doc(gen_dir)
+        if doc is None:
+            return None
         table_dir = os.path.dirname(gen_dir)
-        return [os.path.join(table_dir, r) for r in rels]
+        return [
+            os.path.join(table_dir, e["path"])
+            for e in doc["segments"] + doc["deletes"]
+        ]
 
     def _read_gen(self, name: str, gen_dir: str) -> DataFrame:
-        segs = self._manifest(gen_dir)
+        """Materialize a generation: per-segment scoped filters (the
+        replace_where/delete_where predicate tombstones) apply inside
+        each segment's scan; deletion vectors anti-join ONLY the
+        segments they were committed over (file-scoped, like Delta
+        DVs / Iceberg position deletes), so rows appended AFTER a
+        delete are never swallowed by an older vector."""
+        doc = self._doc(gen_dir)
         reader = self.spark.read.schema(self.schemas[name])
-        if segs is None:
+        if doc is None:
             return reader.parquet(gen_dir)
-        if not segs:
+        table_dir = os.path.dirname(gen_dir)
+        dvs = [
+            {
+                "df": self.spark.read.parquet(
+                    os.path.join(table_dir, d["path"])
+                ).select(*d["keys"]),
+                "keys": d["keys"],
+                "over": set(d["over"]),
+            }
+            for d in doc["deletes"]
+        ]
+        parts: list[DataFrame] = []
+        for e in doc["segments"]:
+            df = reader.parquet(os.path.join(table_dir, e["path"]))
+            if e.get("filter"):
+                df = df.where(F.expr(e["filter"]))
+            seg_id = os.path.basename(e["path"].rstrip("/"))
+            for dv in dvs:
+                if seg_id in dv["over"]:
+                    df = df.join(dv["df"], dv["keys"], "left_anti")
+            parts.append(df)
+        if not parts:
             return self.spark.createDataFrame([], self.schemas[name])
-        return reader.parquet(*segs)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self, name: str) -> DataFrame:
         """Current generation of the table; empty (declared schema) if
@@ -254,7 +343,7 @@ class TableStore:
             for entry in sorted(os.listdir(d)):
                 if entry in keep:
                     continue
-                if not (entry.startswith("gen-") or entry.startswith("seg-")):
+                if not entry.startswith(("gen-", "seg-", "dv-")):
                     continue
                 gen_dir = os.path.join(d, entry)
                 if os.path.normpath(os.path.abspath(gen_dir)) in referenced:
@@ -283,35 +372,15 @@ class TableStore:
         bucketed entity tables go through replace()/MERGE."""
         if self.bucketing and name in BUCKET_SPECS:
             raise ValueError(f"append() on bucketed table {name!r}; use replace()")
-        import json
-
-        d = self._dir(name)
-        os.makedirs(d, exist_ok=True)
-        cols = [f.name for f in self.schemas[name].fields]
-        out = df.select(*cols)
-        if name in SORT_KEYS:
-            out = out.sortWithinPartitions(*SORT_KEYS[name])
-        ns = time.time_ns()
-        seg = f"seg-{ns}"
-        out.write.mode("overwrite").parquet(os.path.join(d, seg))
-        cur = self._current(name)
-        base: list[str] = []
-        if cur is not None:
-            prior = self._manifest(cur)
-            # a plain snapshot generation becomes the base "segment";
-            # paths are stored relative to the TABLE dir (== basename
-            # for own segments, `../<src>/...` for clone()d ones)
-            base = (
-                [os.path.relpath(p, d) for p in prior]
-                if prior is not None
-                else [os.path.relpath(cur, d)]
-            )
-        gen = os.path.join(d, f"gen-{time.time_ns()}")
-        os.makedirs(gen, exist_ok=True)
-        tmp = os.path.join(gen, "_MANIFEST.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"segments": base + [seg]}, fh)
-        os.replace(tmp, os.path.join(gen, "_MANIFEST"))
+        seg = self._write_segment(name, df, "seg")
+        base = self._base_doc(name)
+        self._commit_manifest(
+            name,
+            {
+                "segments": base["segments"] + [{"path": seg}],
+                "deletes": base["deletes"],
+            },
+        )
 
     def write_with_expectations(
         self, name: str, df: DataFrame, expectations: dict[str, str]
@@ -423,21 +492,26 @@ class TableStore:
         pin a training-data snapshot without paying for a copy."""
         self.schemas.setdefault(target, self.schemas[name])
         self._persist_schema(target)
-        cur = self._current(name)
+        src_dir = self._dir(name)
         tdir = self._dir(target)
-        if cur is None:
-            segs_rel: list[str] = []
-        else:
-            segs_abs = self._manifest(cur)
-            if segs_abs is None:
-                segs_abs = [cur]  # plain snapshot gen becomes the base
-            segs_rel = [os.path.relpath(p, tdir) for p in segs_abs]
-        gen = os.path.join(tdir, f"gen-{time.time_ns()}")
-        os.makedirs(gen, exist_ok=True)
-        tmp = os.path.join(gen, "_MANIFEST.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"segments": segs_rel}, fh)
-        os.replace(tmp, os.path.join(gen, "_MANIFEST"))
+        base = self._base_doc(name)
+
+        def rerel(rel: str) -> str:
+            return os.path.relpath(os.path.join(src_dir, rel), tdir)
+
+        # scoped filters and DV "over" lists (segment basenames, which
+        # re-relativizing never changes) carry over verbatim
+        self._commit_manifest(
+            target,
+            {
+                "segments": [
+                    {**e, "path": rerel(e["path"])} for e in base["segments"]
+                ],
+                "deletes": [
+                    {**dv, "path": rerel(dv["path"])} for dv in base["deletes"]
+                ],
+            },
+        )
 
     def merge_scd2(
         self,
@@ -530,23 +604,162 @@ class TableStore:
                     pass
 
     def segment_count(self, name: str) -> int:
-        """Segments the current generation reads (1 for a plain
-        snapshot; 0 for a never-written table)."""
+        """Data segments the current generation reads (1 for a plain
+        snapshot; 0 for a never-written table; deletion vectors are
+        merge-on-read debt, not segments — see mor_debt)."""
         cur = self._current(name)
         if cur is None:
             return 0
-        segs = self._manifest(cur)
-        return 1 if segs is None else len(segs)
+        doc = self._doc(cur)
+        return 1 if doc is None else len(doc["segments"])
 
-    def compact(self, name: str, max_segments: int = 8) -> bool:
+    def mor_debt(self, name: str) -> dict[str, int]:
+        """Merge-on-read debt of the current generation: how many
+        scoped filters (predicate tombstones) and deletion vectors the
+        read path must apply. The compaction trigger a 100 TB table
+        watches alongside segment_count — compact() folds all of it
+        back into one clean snapshot."""
+        cur = self._current(name)
+        doc = self._doc(cur) if cur is not None else None
+        if doc is None:
+            return {"filters": 0, "deletes": 0}
+        return {
+            "filters": sum(1 for e in doc["segments"] if e.get("filter")),
+            "deletes": len(doc["deletes"]),
+        }
+
+    def replace_where(self, name: str, df: DataFrame, predicate: str) -> None:
+        """Predicate-scoped overwrite (the Delta `replaceWhere` /
+        dynamic-partition-overwrite analog): rows matching `predicate`
+        are replaced by `df`; everything else is untouched — WITHOUT
+        rewriting it. The commit is one new segment holding df plus a
+        metadata-only NOT(predicate) scoped filter on every existing
+        segment, so cost is O(new rows), never O(table). `df` rows
+        violating the predicate are refused (they would silently
+        escape the next replace_where over the same predicate).
+
+        At 100 TB this is the backfill primitive: rewrite one day /
+        one source partition of a table by writing just that slice.
+        Read-side debt (the scoped filters) is pure codegen inside
+        each segment scan — no join — and compact() folds it away."""
+        if self.bucketing and name in BUCKET_SPECS:
+            raise ValueError(
+                f"replace_where() on bucketed table {name!r}; use replace()"
+            )
+        if (
+            df.where(~F.coalesce(F.expr(predicate), F.lit(False)))
+            .limit(1)
+            .count()
+            > 0
+        ):
+            raise ValueError(
+                f"replace_where({name!r}): df has rows violating {predicate!r}"
+            )
+        seg = self._write_segment(name, df, "seg")
+        base = self._base_doc(name)
+        # rows where the predicate is NULL do NOT match -> keep them
+        notp = f"NOT COALESCE(({predicate}), FALSE)"
+        segs = [
+            {
+                **e,
+                "filter": f"({e['filter']}) AND {notp}"
+                if e.get("filter")
+                else notp,
+            }
+            for e in base["segments"]
+        ]
+        self._commit_manifest(
+            name,
+            {"segments": segs + [{"path": seg}], "deletes": base["deletes"]},
+        )
+
+    def delete_where(self, name: str, predicate: str) -> None:
+        """METADATA-ONLY predicate delete: compose NOT(predicate) onto
+        every existing segment's scoped filter — no data file is read
+        or written, O(1) at any table size (the Iceberg metadata-
+        delete analog; the GDPR-style 'drop everything matching this
+        predicate' primitive). Rows appended later are unaffected:
+        the filter is scoped to the segments that existed now."""
+        if self.bucketing and name in BUCKET_SPECS:
+            raise ValueError(
+                f"delete_where() on bucketed table {name!r}; use replace()"
+            )
+        base = self._base_doc(name)
+        notp = f"NOT COALESCE(({predicate}), FALSE)"
+        segs = [
+            {
+                **e,
+                "filter": f"({e['filter']}) AND {notp}"
+                if e.get("filter")
+                else notp,
+            }
+            for e in base["segments"]
+        ]
+        self._commit_manifest(
+            name, {"segments": segs, "deletes": base["deletes"]}
+        )
+
+    def delete_rows(
+        self, name: str, keys: DataFrame, key_cols: list[str]
+    ) -> None:
+        """Row-level merge-on-read delete (the Delta deletion-vector /
+        Iceberg equality-delete analog): the keys to drop are written
+        ONCE as a small `dv-` file and the commit records which
+        segments it applies over (by basename — FILE-SCOPED, so a row
+        with the same key appended in a later segment is NOT
+        swallowed). Write cost is O(deleted keys); the read path
+        anti-joins each covered segment against the vector until
+        compact() folds the debt into a clean snapshot.
+
+        This is how row-level deletes stay sustainable at 100 TB:
+        deleting a million rows from a billion-row table writes
+        megabytes, not the table."""
+        if self.bucketing and name in BUCKET_SPECS:
+            raise ValueError(
+                f"delete_rows() on bucketed table {name!r}; use replace()"
+            )
+        base = self._base_doc(name)
+        if not base["segments"]:
+            return  # nothing to delete from
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        dv = f"dv-{time.time_ns()}"
+        keys.select(*key_cols).distinct().write.mode("overwrite").parquet(
+            os.path.join(d, dv)
+        )
+        over = [
+            os.path.basename(e["path"].rstrip("/")) for e in base["segments"]
+        ]
+        self._commit_manifest(
+            name,
+            {
+                "segments": base["segments"],
+                "deletes": base["deletes"]
+                + [{"path": dv, "keys": list(key_cols), "over": over}],
+            },
+        )
+
+    def compact(
+        self,
+        name: str,
+        max_segments: int = 8,
+        max_mor_debt: int | None = None,
+    ) -> bool:
         """Fold an append-chain back into one snapshot generation when
         the current manifest references more than `max_segments`
-        segments (the OPTIMIZE/rewrite half of the append story —
-        bounded-frequency O(table) instead of O(table) per append).
-        Returns True if a compaction ran. History note: the compacted
-        snapshot is a NEW generation; older generations still time-
-        travel until vacuum()."""
-        if self.segment_count(name) <= max_segments:
+        segments, or — if `max_mor_debt` is given — when the scoped
+        filters + deletion vectors the read path must apply exceed it
+        (the OPTIMIZE/rewrite half of the append and merge-on-read
+        stories — bounded-frequency O(table) instead of O(table) per
+        write). Returns True if a compaction ran. History note: the
+        compacted snapshot is a NEW generation; older generations
+        still time-travel until vacuum()."""
+        debt = self.mor_debt(name)
+        over_debt = (
+            max_mor_debt is not None
+            and debt["filters"] + debt["deletes"] > max_mor_debt
+        )
+        if self.segment_count(name) <= max_segments and not over_debt:
             return False
         self.replace(name, self.read(name))
         return True

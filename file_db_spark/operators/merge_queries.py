@@ -1696,6 +1696,229 @@ def g20_optimistic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g21: PREDICATE-SCOPED OVERWRITE (replaceWhere) — rewrite one slice of
+# a table by writing ONLY that slice; everything else survives as
+# metadata-scoped filters on the existing segments.
+# ---------------------------------------------------------------------------
+_G21_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE}
+SELECT 'cur' AS part, CAST(id AS BIGINT) AS id, name,
+       CAST(dir_id AS BIGINT) AS dir_id, CAST(size AS DOUBLE) AS size,
+       {_ep_sql('mtime')} AS mtime_ep
+FROM (
+  SELECT id, name, dir_id, size, mtime FROM fx_file
+  WHERE NOT COALESCE(dir_id % 4 = 1, FALSE)
+    AND NOT COALESCE(dir_id % 4 = 2, FALSE)
+  UNION ALL
+  SELECT id, name, dir_id, size, mtime FROM f2
+  WHERE COALESCE(dir_id % 4 = 1, FALSE)
+  UNION ALL
+  SELECT id, name, dir_id,
+         CAST(size + CAST('0.01' AS DECIMAL(4,2)) AS DECIMAL(18,6)),
+         mtime + INTERVAL 1 DAY
+  FROM fx_file WHERE COALESCE(dir_id % 4 = 2, FALSE)
+) t
+UNION ALL
+SELECT 'meta', 3, CAST(NULL AS VARCHAR), 2, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT)
+"""
+
+
+@_q("g21_replace_where", _G21_ORACLE)
+def g21_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped overwrite through the real table store (the
+    Delta `replaceWhere` / dynamic-partition-overwrite analog): two
+    successive backfills — the g6 wave's dir_id%4==1 slice, then a
+    size+0.01/mtime+1day correction of the dir_id%4==2 slice — each
+    commit ONE new segment plus metadata-only NOT(predicate) filters
+    scoped onto the pre-existing segments. The oracle recomputes the
+    slice algebra in SQL (untouched remainder + slice 1 from the wave
+    + corrected slice 2), with the NULL-predicate rows (the orphan
+    file's NULL dir_id) KEPT — 'doesn't match' never means 'delete'.
+    The meta row pins the physical story: 3 segments, 2 scoped
+    filters, nothing rewritten.
+
+    Scale: this is the backfill primitive at 100 TB — rewriting one
+    day/source slice costs O(slice), the untouched 99.9%% of the
+    table is never read; read-side debt is pure codegen filters until
+    compact() folds it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    base = {f.name: f for f in schemas.FILE.fields}
+    dim_schema = T.StructType(
+        [base[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+    )
+    cols = [f.name for f in dim_schema.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_g21_")
+    store = TableStore(spark, root, {"dim": dim_schema}, bucketing=False)
+    store.replace("dim", f1.select(*cols))
+
+    pred1 = "dir_id % 4 = 1"
+    slice1 = _g6_wave(spark, f1).where(F.expr(pred1)).select(*cols)
+    store.replace_where("dim", slice1, pred1)
+
+    pred2 = "dir_id % 4 = 2"
+    slice2 = (
+        f1.where(F.expr(pred2))
+        .withColumn(
+            "size",
+            (F.col("size") + F.expr("CAST('0.01' AS DECIMAL(4,2))")).cast(
+                "decimal(18,6)"
+            ),
+        )
+        .withColumn("mtime", F.col("mtime") + F.expr("INTERVAL 1 DAY"))
+        .select(*cols)
+    )
+    store.replace_where("dim", slice2, pred2)
+
+    cur = store.read("dim").select(
+        F.lit("cur").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.col("dir_id").cast("bigint").alias("dir_id"),
+        F.col("size").cast("double").alias("size"),
+        _ep(F.col("mtime")).alias("mtime_ep"),
+    )
+    debt = store.mor_debt("dim")
+    meta = spark.createDataFrame(
+        [(store.segment_count("dim"), debt["filters"])], "s long, f long"
+    ).select(
+        F.lit("meta").alias("part"),
+        F.col("s").cast("bigint").alias("id"),
+        _sn().alias("name"),
+        F.col("f").cast("bigint").alias("dir_id"),
+        _dn().alias("size"),
+        _bn().alias("mtime_ep"),
+    )
+    out = cur.unionByName(meta).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# g22: MERGE-ON-READ DELETES — a metadata-only predicate delete plus a
+# file-scoped deletion vector; later appends with the same keys
+# survive; compact() folds the debt into a clean snapshot.
+# ---------------------------------------------------------------------------
+_G22_SURVIVORS = """
+  SELECT id, name, dir_id, size, mtime FROM fx_file
+  WHERE id % 10 <> 7 AND id % 7 <> 0
+  UNION ALL
+  SELECT id, name, dir_id, size, mtime FROM f2 WHERE id % 7 = 0
+"""
+
+_G22_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE}
+SELECT 'mor' AS part, CAST(id AS BIGINT) AS id, name,
+       CAST(dir_id AS BIGINT) AS dir_id, CAST(size AS DOUBLE) AS size,
+       {_ep_sql('mtime')} AS mtime_ep
+FROM ({_G22_SURVIVORS}) a
+UNION ALL
+SELECT 'post', CAST(id AS BIGINT), name, CAST(dir_id AS BIGINT),
+       CAST(size AS DOUBLE), {_ep_sql('mtime')}
+FROM ({_G22_SURVIVORS}) b
+UNION ALL
+SELECT 'meta', 2, CAST(NULL AS VARCHAR), 1, CAST(1 AS DOUBLE),
+       CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'meta2', 1, CAST(NULL AS VARCHAR), 0, CAST(0 AS DOUBLE),
+       CAST(NULL AS BIGINT)
+"""
+
+
+@_q("g22_deletion_vectors", _G22_ORACLE)
+def g22_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row deletes through the real table store — both
+    flavors: `delete_where` (id%%10==7) commits METADATA ONLY (a
+    scoped NOT-predicate on the existing segment); `delete_rows`
+    (the id%%7==0 keys) writes one small deletion-vector file scoped
+    to the segments it was committed over — the Delta DV / Iceberg
+    equality-delete analog. The g6 wave's id%%7==0 rows are then
+    APPENDED, and because the vector is FILE-scoped they all survive
+    — re-ingesting an id that was once deleted must not be swallowed
+    by the old tombstone. 'mor' pins the merge-on-read state
+    (2 segments, 1 filter, 1 DV — the meta row), compact() folds the
+    debt, 'post' proves the clean snapshot serves identical rows and
+    'meta2' that the debt is gone.
+
+    Scale: deleting a million rows from a billion-row table writes
+    megabytes (the keys), not the table; the read-side anti-join is
+    per-covered-segment and disappears at the next bounded-frequency
+    compaction — the only sustainable row-delete shape at 100 TB."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    base = {f.name: f for f in schemas.FILE.fields}
+    dim_schema = T.StructType(
+        [base[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+    )
+    cols = [f.name for f in dim_schema.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_g22_")
+    store = TableStore(spark, root, {"dim": dim_schema}, bucketing=False)
+    store.replace("dim", f1.select(*cols))
+
+    store.delete_where("dim", "id % 10 = 7")
+    keys = store.read("dim").where(F.col("id") % 7 == 0).select("id")
+    store.delete_rows("dim", keys, ["id"])
+    store.append(
+        "dim", _g6_wave(spark, f1).where(F.col("id") % 7 == 0).select(*cols)
+    )
+
+    def proj(df: DataFrame, part: str) -> DataFrame:
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("id").cast("bigint").alias("id"),
+            "name",
+            F.col("dir_id").cast("bigint").alias("dir_id"),
+            F.col("size").cast("double").alias("size"),
+            _ep(F.col("mtime")).alias("mtime_ep"),
+        )
+
+    def meta_row(part: str) -> DataFrame:
+        debt = store.mor_debt("dim")
+        return spark.createDataFrame(
+            [(store.segment_count("dim"), debt["filters"], debt["deletes"])],
+            "s long, f long, d long",
+        ).select(
+            F.lit(part).alias("part"),
+            F.col("s").cast("bigint").alias("id"),
+            _sn().alias("name"),
+            F.col("f").cast("bigint").alias("dir_id"),
+            F.col("d").cast("double").alias("size"),
+            _bn().alias("mtime_ep"),
+        )
+
+    mor = proj(store.read("dim"), "mor")
+    meta = meta_row("meta")
+    store.compact("dim", max_segments=99, max_mor_debt=0)
+    post = proj(store.read("dim"), "post")
+    meta2 = meta_row("meta2")
+    out = (
+        mor.unionByName(meta)
+        .unionByName(post)
+        .unionByName(meta2)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g7: PARTITION PRUNING through the storage layer — write the events
 # table Hive-partitioned by day, then serve a one-day query from it.
 # The complement of the bucketed-join store feature: bucketing kills
@@ -2915,6 +3138,18 @@ FROM counts_all c JOIN fin f ON f.part = c.part
         _G18_ORACLE,
         "'g18', id, name, dir_id, valid_from, valid_to, mtime_ep, NULL, "
         "CASE WHEN is_current THEN 1 ELSE 0 END, NULL, size",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G21_ORACLE,
+        "'g21_' || part, id, name, dir_id, NULL, mtime_ep, NULL, NULL, "
+        "NULL, NULL, size",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G22_ORACLE,
+        "'g22_' || part, id, name, dir_id, NULL, mtime_ep, NULL, NULL, "
+        "NULL, NULL, size",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2949,6 +3184,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g16": g16_schema_evolution,
         "g17": g17_expectations,
         "g18": g18_scd2_merge,
+        "g21": g21_replace_where,
+        "g22": g22_deletion_vectors,
     }
     from . import _timing
 
@@ -3179,6 +3416,24 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         F.col("size").alias("v1"),
     )
+
+    def _mor_proj(key: str):
+        return raw[key].select(
+            F.concat(F.lit(f"{key}_"), F.col("part")).alias("part"),
+            F.col("id").alias("k1"),
+            F.col("name").alias("s1"),
+            F.col("dir_id").alias("n1"),
+            _bn().alias("n2"),
+            F.col("mtime_ep").alias("e1"),
+            _bn().alias("e2"),
+            _bn().alias("e3"),
+            _bn().alias("flag"),
+            _bn().alias("pid"),
+            F.col("size").alias("v1"),
+        )
+
+    g21 = _mor_proj("g21")
+    g22 = _mor_proj("g22")
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -3195,6 +3450,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g16)
         .unionByName(g17)
         .unionByName(g18)
+        .unionByName(g21)
+        .unionByName(g22)
     )
 
 

@@ -546,3 +546,62 @@ def test_txn_version_idempotent_sink(spark, tmp_path):
     # marker is per-root state, not per-instance state
     st2 = TableStore(spark, root, {"t": sch}, bucketing=False)
     assert st2.txn_version("gate") == 1
+
+
+def test_replace_where_scoped_overwrite(spark, tmp_path):
+    """replace_where rewrites ONLY the predicate slice (one new
+    segment + metadata filters; nothing else rewritten); df rows
+    violating the predicate are refused; NULL-predicate rows are
+    KEPT (doesn't-match never means delete)."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("grp", T.LongType(), True),
+        ]
+    )
+    st = TableStore(spark, str(tmp_path / "cat"), {"t": sch}, bucketing=False)
+    st.replace("t", spark.createDataFrame([(1, 1), (2, 2), (3, None)], sch))
+    st.replace_where("t", spark.createDataFrame([(10, 1)], sch), "grp = 1")
+    got = sorted((r["id"], r["grp"]) for r in st.read("t").collect())
+    assert got == [(2, 2), (3, None), (10, 1)], got
+    assert st.segment_count("t") == 2
+    assert st.mor_debt("t") == {"filters": 1, "deletes": 0}
+    with pytest.raises(ValueError):
+        st.replace_where("t", spark.createDataFrame([(9, 2)], sch), "grp = 1")
+
+
+def test_deletion_vectors_file_scoped(spark, tmp_path):
+    """delete_where is metadata-only; delete_rows writes a file-scoped
+    deletion vector — a later append with a previously-deleted key
+    SURVIVES; compact (debt-triggered) folds filters+DVs into a clean
+    snapshot; clones carry the merge-on-read state."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    st = TableStore(spark, str(tmp_path / "cat"), {"t": sch}, bucketing=False)
+    st.replace("t", spark.createDataFrame([(i, i * 10) for i in range(10)], sch))
+    st.delete_where("t", "id >= 8")  # metadata only: no new files
+    st.delete_rows("t", spark.createDataFrame([(3,), (5,)], "id long"), ["id"])
+    st.append("t", spark.createDataFrame([(3, 999)], sch))  # resurrects id=3
+    expected = [(0, 0), (1, 10), (2, 20), (3, 999), (4, 40), (6, 60), (7, 70)]
+    got = sorted((r["id"], r["v"]) for r in st.read("t").collect())
+    assert got == expected, got
+    assert st.mor_debt("t") == {"filters": 1, "deletes": 1}
+
+    st.clone("t", "t_fork")
+    assert sorted(
+        (r["id"], r["v"]) for r in st.read("t_fork").collect()
+    ) == expected
+
+    assert st.compact("t", max_segments=99, max_mor_debt=0) is True
+    assert st.mor_debt("t") == {"filters": 0, "deletes": 0}
+    assert st.segment_count("t") == 1
+    got = sorted((r["id"], r["v"]) for r in st.read("t").collect())
+    assert got == expected, got
