@@ -101,6 +101,15 @@ HEADLINE = [
     "g3456_control_suite",
     "s12_streaming",
     "s38_streaming_suite",
+    # round-6 additions: TPC-H completion set + merge-on-read deletes
+    "a17_small_qty_revenue",  # Q17 correlated-AVG decorrelated to one window
+    "a19_order_count_distribution",  # Q13 outer-join count distribution
+    "a22_market_share",  # Q8 conditional-ratio over a 6-way join
+    "a24_product_profit",  # Q9 with the partsupp join inlined away
+    "a25_important_stock",  # Q11 over the derived partsupp dimension
+    "a28_shipmode_priority",  # Q12 on derived shipmode/commit/receipt
+    "g21_replace_where",  # predicate-scoped overwrite
+    "g22_deletion_vectors",  # merge-on-read delete + scoped vectors
 ]
 
 #: the 14-query headline set BENCH_r02 recorded (rounds 1-2). The

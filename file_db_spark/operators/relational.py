@@ -1461,6 +1461,401 @@ def a23_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# a24-a28: the partsupp-family TPC-H shapes (Q9/Q11/Q16/Q20/Q12). The
+# testdata ships no partsupp table, so the engine DERIVES one: the
+# distinct (l_partkey, l_suppkey) pairs of lineitem, with ps_availqty
+# and ps_supplycost as pure integer functions of the pair key. Both
+# engines compute the identical derivation (the oracle CTE below is
+# shared by every a24-a28 oracle), and because the attributes are
+# functions of the join key, the Spark plans may INLINE them wherever
+# the textbook plan would pay a partsupp join — a projection instead
+# of a shuffle. Q12's l_shipmode / l_commitdate / l_receiptdate are
+# derived the same way (integer functions of the line key).
+# ---------------------------------------------------------------------------
+
+#: shared derived-partsupp CTE body (see above) — integer-only attrs so
+#: no float boundary can flip between engines (the a16 discipline).
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         1 + (l_partkey * 37 + l_suppkey * 17) % 9999 AS ps_availqty,
+         10 + (l_partkey * 131 + l_suppkey * 59) % 990 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) dp
+)
+"""
+
+
+def _ps_availqty(pk, sk):
+    """ps_availqty as a pure Column function of the pair key."""
+    return F.lit(1) + (pk * F.lit(37) + sk * F.lit(17)) % F.lit(9999)
+
+
+def _ps_supplycost(pk, sk):
+    """ps_supplycost (integer dollars) as a pure Column function."""
+    return F.lit(10) + (pk * F.lit(131) + sk * F.lit(59)) % F.lit(990)
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp dimension: one distinct-pair shuffle over
+    lineitem. At 100 TB this is a build-once materialized dimension
+    (the distinct is the same shuffle a real partsupp ETL would pay);
+    queries that only need the attributes inline them instead."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    pk, sk = F.col("l_partkey"), F.col("l_suppkey")
+    return pairs.select(
+        pk.alias("ps_partkey"),
+        sk.alias("ps_suppkey"),
+        _ps_availqty(pk, sk).alias("ps_availqty"),
+        _ps_supplycost(pk, sk).alias("ps_supplycost"),
+    )
+
+
+@_q(
+    "a24_product_profit",
+    f"""
+    WITH {_PARTSUPP_CTE.strip()}
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                         AS DECIMAL(18,4))
+                    - CAST(ps.ps_supplycost * CAST(l.l_quantity AS BIGINT)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def a24_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 (engine addition, TPC-H Q9's shape): per-nation, per-year
+    profit on a part-name family — revenue minus supply cost. The
+    oracle pays the textbook partsupp join; the Spark plan exploits
+    the derived dimension's key-determinism and INLINES ps_supplycost
+    as a projection on lineitem, deleting the 4th join entirely.
+    Profit stays in exact same-scale decimals until the final double
+    cast (the a22 discipline).
+
+    Scale: part/supplier/nation broadcast (part's name filter prunes
+    lineitem through the join); the only fact-fact shuffle is
+    lineitem ⋈ orders on the order key; ~nations×years groups
+    collapse map-side. The textbook plan's partsupp shuffle join —
+    the largest join in Q9 — costs zero here."""
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    vol = (
+        _d2(F.col("l_extendedprice")) * (1 - _d2(F.col("l_discount")))
+    ).cast("decimal(18,4)")
+    cost = (
+        _ps_supplycost(F.col("l_partkey"), F.col("l_suppkey"))
+        * F.col("l_quantity").cast("bigint")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("nation", F.year("o_orderdate").alias("o_year"),
+                (vol - cost).alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@_q(
+    "a25_important_stock",
+    f"""
+    WITH {_PARTSUPP_CTE.strip()},
+    german AS (
+      SELECT ps.ps_partkey,
+             ps.ps_supplycost * ps.ps_availqty AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   AND n.n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value
+    FROM german
+    GROUP BY ps_partkey
+    HAVING SUM(v) * 10000 > (SELECT SUM(v) FROM german)
+    """,
+)
+def a25_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 (engine addition, TPC-H Q11's shape): parts whose stock
+    value at one nation's suppliers exceeds a fraction of that
+    nation's total stock value. The oracle keeps the textbook
+    HAVING-scalar-subquery; Spark computes the per-part values ONCE,
+    derives the grand total from those SAME partials, and applies the
+    threshold via a broadcast one-row cross join (the a16 idiom). The
+    0.0001 fraction is applied as `value * 10000 > total` — all
+    integer arithmetic on integer-dollar supply costs, so the
+    boundary can never flip on a float ulp.
+
+    Scale: partsupp here is genuinely a table (the sum ranges over
+    pairs, not lineitems), built by one distinct shuffle; the
+    supplier/nation filter broadcasts into it; one groupBy on
+    ps_partkey with map-side partials; the total re-aggregates the
+    ~|parts| partials, not the pairs. No second scan of anything."""
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    )
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    german = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    per_part = german.groupBy("ps_partkey").agg(F.sum("v").alias("value"))
+    total = per_part.agg(F.sum("value").alias("grand"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value") * F.lit(10000) > F.col("grand"))
+        .select("ps_partkey", "value")
+    )
+
+
+@_q(
+    "a26_supplier_cnt",
+    f"""
+    WITH {_PARTSUPP_CTE.strip()}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def a26_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 (engine addition, TPC-H Q16's shape): how many suppliers
+    can furnish each surviving (brand, type, size) bucket, excluding
+    blacklisted suppliers. The testdata's supplier has no s_comment,
+    so the 'Customer Complaints' blacklist becomes the negative-
+    balance suppliers — same NOT-IN-subquery shape. Spark decorrelates
+    the NOT IN into a broadcast LEFT ANTI join (safe here: s_suppkey
+    is never NULL, so NOT IN == anti).
+
+    Scale: part's three filters broadcast into the derived-pair
+    table; the blacklist is a handful of rows — broadcast anti; the
+    COUNT(DISTINCT) shuffles once on the group key with partial
+    distinct aggregation. Nothing touches lineitem twice."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = _partsupp(spark, sf_dir)
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            ps.ps_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "a27_excess_stock",
+    f"""
+    WITH {_PARTSUPP_CTE.strip()}
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+                 AND n.n_name = 'NATION_3'
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM partsupp ps
+      WHERE ps.ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      AND 2 * ps.ps_availqty > (
+        SELECT SUM(CAST(l.l_quantity AS BIGINT))
+        FROM lineitem l
+        WHERE l.l_partkey = ps.ps_partkey
+          AND l.l_suppkey = ps.ps_suppkey
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      )
+    )
+    """,
+)
+def a27_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27 (engine addition, TPC-H Q20's shape): suppliers in one
+    nation holding excess stock (availqty above half a year's
+    shipments) of a part-name family. The oracle keeps the doubly-
+    nested correlated form; Spark runs it forward: ONE filtered
+    aggregation of lineitem on the (part, supp) pair key, availqty
+    inlined from the pair key (the derived dimension is key-
+    determined, so the partsupp probe join vanishes), `2*availqty >
+    sum_qty` in pure integers, then two broadcast hops (part-family
+    semi, supplier dim). Pairs with no shipments in the window drop
+    out of the inner join exactly as the correlated NULL comparison
+    drops them.
+
+    Scale: the pair aggregation is the only shuffle and it runs on
+    the date-pruned scan; everything downstream is broadcast-sized
+    (qualifying pairs << lineitem). The textbook plan's partsupp
+    scan + correlated per-pair subquery become one pass."""
+    pfam = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(pfam), li.l_partkey == pfam.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+    )
+    excess = shipped.where(
+        F.lit(2) * _ps_availqty(F.col("l_partkey"), F.col("l_suppkey"))
+        > F.col("sum_qty")
+    ).select(F.col("l_suppkey").alias("ps_suppkey")).distinct()
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    )
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return sup.join(
+        F.broadcast(excess),
+        sup.s_suppkey == F.col("ps_suppkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+
+
+#: Q12's derived line-shipping attributes, as SQL expressions over a
+#: lineitem alias — integer functions of the line key, mirrored by the
+#: Column builders below.
+_A28_MODE = (
+    "CASE (l.l_orderkey + l.l_linenumber) % 7 "
+    "WHEN 0 THEN 'AIR' WHEN 1 THEN 'AIR REG' WHEN 2 THEN 'FOB' "
+    "WHEN 3 THEN 'MAIL' WHEN 4 THEN 'RAIL' WHEN 5 THEN 'SHIP' "
+    "ELSE 'TRUCK' END"
+)
+_A28_COMMIT_OFF = "(l.l_orderkey * 7 + l.l_linenumber * 13) % 60 - 30"
+_A28_RECEIPT_OFF = "(l.l_orderkey * 11 + l.l_linenumber * 5) % 45 - 10"
+
+
+@_q(
+    "a28_shipmode_priority",
+    f"""
+    SELECT shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT {_A28_MODE} AS shipmode,
+             {_A28_COMMIT_OFF} AS commit_off,
+             {_A28_RECEIPT_OFF} AS receipt_off,
+             l.l_shipdate, l.l_orderkey
+      FROM lineitem l
+    ) d
+    JOIN orders o ON o.o_orderkey = d.l_orderkey
+    WHERE shipmode IN ('MAIL', 'SHIP')
+      AND commit_off > 0
+      AND commit_off < receipt_off
+      AND year(l_shipdate + INTERVAL (receipt_off) DAY) = 1997
+    GROUP BY shipmode
+    """,
+)
+def a28_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 (engine addition, TPC-H Q12's shape): late-line counts by
+    ship mode and order priority. The testdata carries no shipmode /
+    commitdate / receiptdate, so all three are DERIVED as integer
+    functions of the line key (mode = key mod 7 over the 7 TPC-H
+    modes; commit/receipt as signed day offsets from the ship date) —
+    identically in both engines. The late-arrival predicates
+    (`shipdate < commitdate < receiptdate`) compare the integer
+    offsets directly; only the receipt-year filter touches real date
+    arithmetic, via whole-day adds on midnight timestamps (no DST
+    surface).
+
+    Scale: the mode/offset predicates are a pure projection+filter on
+    the lineitem scan (~2/7 of lines survive the mode filter before
+    any join); the one shuffle is lineitem ⋈ orders on the order key;
+    two groups, map-side collapsed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("bigint")
+    mode = (
+        F.element_at(
+            F.array(*[F.lit(m) for m in (
+                "AIR", "AIR REG", "FOB", "MAIL", "RAIL", "SHIP", "TRUCK"
+            )]),
+            ((ok + ln) % 7 + 1).cast("int"),
+        )
+    )
+    commit_off = (ok * 7 + ln * 13) % 60 - 30
+    receipt_off = (ok * 11 + ln * 5) % 45 - 10
+    d = li.select(
+        "l_orderkey",
+        mode.alias("shipmode"),
+        commit_off.alias("commit_off"),
+        receipt_off.alias("receipt_off"),
+        "l_shipdate",
+    ).where(
+        F.col("shipmode").isin("MAIL", "SHIP")
+        & (F.col("commit_off") > 0)
+        & (F.col("commit_off") < F.col("receipt_off"))
+        & (
+            F.year(
+                F.date_add(F.col("l_shipdate"), F.col("receipt_off").cast("int"))
+            )
+            == 1997
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        d.join(o, d.l_orderkey == o.o_orderkey)
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sorts / top-k
 # ---------------------------------------------------------------------------
 @_q(

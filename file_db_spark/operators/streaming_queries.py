@@ -1452,3 +1452,142 @@ def s16_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s16_stream_expectations"] = s16_stream_expectations
 ORACLES["s16_stream_expectations"] = _s16_oracle()
+
+
+def _s17_oracle() -> str:
+    from ..filedb import fixtures
+    from .merge_queries import _G6_WAVE_CTE, _G22_SURVIVORS, _ep_sql
+
+    return f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE}
+SELECT 'mor' AS part, CAST(id AS BIGINT) AS id, name,
+       CAST(dir_id AS BIGINT) AS dir_id, CAST(size AS DOUBLE) AS size,
+       {_ep_sql('mtime')} AS mtime_ep
+FROM ({_G22_SURVIVORS}) a
+UNION ALL
+SELECT 'meta', 2, CAST(NULL AS VARCHAR), 1, CAST(1 AS DOUBLE),
+       CAST(NULL AS BIGINT)
+"""
+
+
+def s17_stream_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed merge-on-read deletes — CDC waves drive the table
+    store's delete path through foreachBatch: wave 1 applies a
+    metadata-only predicate delete (id%%10==7) plus a file-scoped
+    deletion vector for its key rows (id%%7==0); wave 2 APPENDS rows
+    carrying the very ids wave 1 deleted. Because the vector is
+    scoped to the segments that existed at delete time, the re-
+    ingested rows all survive — the streaming proof of the g22
+    contract, whose survivors algebra the oracle SHARES VERBATIM
+    (the s15/g18 shared-oracle pattern). Both batches are guarded by
+    the txn-version marker, so an at-least-once replay can neither
+    double-apply the vector nor re-append the wave. The meta row pins
+    the physical story: 2 segments, 1 scoped filter, 1 vector —
+    nothing rewritten.
+
+    Scale: this is continuous GDPR/compliance deletion at 100 TB —
+    each micro-batch writes O(deleted keys) + O(new rows), the read
+    path pays a per-covered-segment anti-join until the bounded-
+    frequency compaction, and ingestion never stalls behind a table
+    rewrite."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..filedb import fixtures, schemas
+    from ..filedb.store import TableStore
+    from .merge_queries import _ep, _g6_wave
+
+    base = {f.name: f for f in schemas.FILE.fields}
+    dim_schema = T.StructType(
+        [base[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+    )
+    cols = [f.name for f in dim_schema.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    waves = [
+        f1.where(F.col("id") % 7 == 0),  # wave 1: the delete keys
+        _g6_wave(spark, f1).where(F.col("id") % 7 == 0),  # wave 2: re-ingest
+    ]
+    root = tempfile.mkdtemp(prefix="fdb_s17_")
+    sdir = os.path.join(root, "stream")
+    os.makedirs(sdir)
+    for i, w in enumerate(waves):
+        tmp = os.path.join(root, f"w{i}")
+        w.select(*cols).withColumn("wave", F.lit(i + 1).cast("int")).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(sdir, f"wave{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    store = TableStore(
+        spark, os.path.join(root, "cat"), {"dim": dim_schema}, bucketing=False
+    )
+    store.replace("dim", f1.select(*cols))
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # delete_rows/append are not replay-idempotent — the
+        # txn-version marker no-ops at-least-once replays
+        if batch_id <= store.txn_version("s17_rowdel"):
+            return
+        if batch_df.isEmpty():
+            return
+        b = batch_df.persist()
+        try:
+            wave = int(b.select(F.max("wave")).first()[0])
+            if wave == 1:
+                store.delete_where("dim", "id % 10 = 7")
+                store.delete_rows("dim", b.select("id"), ["id"])
+            else:
+                store.append("dim", b.drop("wave"))
+        finally:
+            b.unpersist()
+        store.set_txn_version("s17_rowdel", batch_id)
+
+    stream_schema = T.StructType(
+        list(dim_schema.fields) + [T.StructField("wave", T.IntegerType(), True)]
+    )
+    q = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    mor = store.read("dim").select(
+        F.lit("mor").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.col("dir_id").cast("bigint").alias("dir_id"),
+        F.col("size").cast("double").alias("size"),
+        _ep(F.col("mtime")).alias("mtime_ep"),
+    )
+    debt = store.mor_debt("dim")
+    meta = spark.createDataFrame(
+        [(store.segment_count("dim"), debt["filters"], debt["deletes"])],
+        "s long, f long, d long",
+    ).select(
+        F.lit("meta").alias("part"),
+        F.col("s").cast("bigint").alias("id"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("f").cast("bigint").alias("dir_id"),
+        F.col("d").cast("double").alias("size"),
+        F.lit(None).cast("bigint").alias("mtime_ep"),
+    )
+    out = mor.unionByName(meta).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+QUERIES["s17_stream_row_deletes"] = s17_stream_row_deletes
+ORACLES["s17_stream_row_deletes"] = _s17_oracle()

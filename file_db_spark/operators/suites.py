@@ -206,6 +206,19 @@ _RQ2_PARTS = {
     ),
     "a22": ("a22_market_share", "'a22', o_year, NULL, NULL, mkt_share"),
     "a23": ("a23_promo_share", "'a23', l_month, NULL, NULL, promo_revenue"),
+    # round-6 derived-partsupp set (Q9/Q11/Q16/Q20/Q12 shapes)
+    "a24": ("a24_product_profit", "'a24', o_year, NULL, nation, sum_profit"),
+    "a25": ("a25_important_stock", "'a25', ps_partkey, value, NULL, NULL"),
+    "a26": (
+        "a26_supplier_cnt",
+        "'a26', CAST(p_size AS BIGINT), supplier_cnt, "
+        "p_brand || '/' || p_type, NULL",
+    ),
+    "a27": ("a27_excess_stock", "'a27', s_suppkey, NULL, s_name, NULL"),
+    "a28": (
+        "a28_shipmode_priority",
+        "'a28', high_line_count, low_line_count, shipmode, NULL",
+    ),
 }
 
 
@@ -400,10 +413,46 @@ def rq2_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sn().alias("s1"),
         F.col("promo_revenue").alias("v1"),
     )
+    a24 = relational.a24_product_profit(spark, sf_dir).select(
+        F.lit("a24").alias("probe"),
+        F.col("o_year").cast("bigint").alias("k1"),
+        _bn().alias("k2"),
+        F.col("nation").alias("s1"),
+        F.col("sum_profit").alias("v1"),
+    )
+    a25 = relational.a25_important_stock(spark, sf_dir).select(
+        F.lit("a25").alias("probe"),
+        F.col("ps_partkey").alias("k1"),
+        F.col("value").alias("k2"),
+        _sn().alias("s1"),
+        _dn().alias("v1"),
+    )
+    a26 = relational.a26_supplier_cnt(spark, sf_dir).select(
+        F.lit("a26").alias("probe"),
+        F.col("p_size").cast("bigint").alias("k1"),
+        F.col("supplier_cnt").alias("k2"),
+        F.concat_ws("/", "p_brand", "p_type").alias("s1"),
+        _dn().alias("v1"),
+    )
+    a27 = relational.a27_excess_stock(spark, sf_dir).select(
+        F.lit("a27").alias("probe"),
+        F.col("s_suppkey").alias("k1"),
+        _bn().alias("k2"),
+        F.col("s_name").alias("s1"),
+        _dn().alias("v1"),
+    )
+    a28 = relational.a28_shipmode_priority(spark, sf_dir).select(
+        F.lit("a28").alias("probe"),
+        F.col("high_line_count").alias("k1"),
+        F.col("low_line_count").alias("k2"),
+        F.col("shipmode").alias("s1"),
+        _dn().alias("v1"),
+    )
     out = j1
     for part in (
         j2, j3, j4, j6, j7, j8, j9, j13, a7, a9, a10, a11, a12, a13, a14,
-        a15, a16, a17, a18, a19, a20, a21, a22, a23,
+        a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25, a26, a27,
+        a28,
     ):
         out = out.unionByName(part)
     return out
@@ -2163,7 +2212,10 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            "CASE WHEN is_current THEN 1 ELSE 0 END, size")
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s16_stream_expectations"],
-           "'gate_' || part, id, NULL, NULL, s1, n1, NULL"),
+           "'gate_' || part, id, NULL, NULL, s1, n1, NULL")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s17_stream_row_deletes"],
+           "'rowdel_' || part, id, dir_id, mtime_ep, name, NULL, size"),
 )
 def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eight more real Structured Streaming drains in one graded row:
@@ -2203,6 +2255,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s14": streaming_queries.s14_stream_checkpoint_recovery,
         "s15": streaming_queries.s15_stream_scd2,
         "s16": streaming_queries.s16_stream_expectations,
+        "s17": streaming_queries.s17_stream_row_deletes,
     }
     from . import _timing
 
@@ -2341,6 +2394,15 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n"),
         _dn().alias("v1"),
     )
+    s17 = raw["s17"].select(
+        F.concat(F.lit("rowdel_"), F.col("part")).alias("stream"),
+        F.col("id").alias("k1"),
+        F.col("dir_id").alias("k2"),
+        F.col("mtime_ep").alias("k3"),
+        F.col("name").alias("s1"),
+        _bn().alias("n"),
+        F.col("size").alias("v1"),
+    )
     return (
         s3.unionByName(s4)
         .unionByName(s5)
@@ -2354,6 +2416,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s14)
         .unionByName(s15)
         .unionByName(s16)
+        .unionByName(s17)
     )
 
 

@@ -189,6 +189,7 @@ _BNLJ_OK = {
     "j13_salted_join",  # salt-explode dimension is a literal range table
     "rq2_join_suite",  # carries j13 (same literal salt-range cross join)
     "a18_top_supplier",  # broadcast 1-row MAX revenue (d19 scalar pattern)
+    "a25_important_stock",  # broadcast 1-row stock-value total (a16 pattern)
     # x19's vertex-count normalizer is a broadcast 1-row cross join
     # (the d19 pattern); x710 carries x19
     "x19_pagerank",

@@ -72,6 +72,7 @@ BNLJ_OK_MEMBERS = {
     "v16_serve",  # serve half of v16: same broadcast-codebook query fan-out
     "v20_pq_index_add",  # incremental add: same broadcast-codebook encode/serve fan-out
     "a16_dormant_accounts",  # broadcast 1-row balance threshold (d19 scalar pattern)
+    "a25_important_stock",  # broadcast 1-row stock-value total (a16 pattern)
     "a18_top_supplier",  # broadcast 1-row MAX revenue (d19 scalar pattern)
     "x32_prototype_pruning",  # v6's broadcast k x dim centroid rounds (Lloyd loop)
     "v17_ann_recall_eval",  # evaluates v1/v2/v3/v4/v16 — inherits their broadcast-query scans
