@@ -110,6 +110,8 @@ HEADLINE = [
     "a28_shipmode_priority",  # Q12 on derived shipmode/commit/receipt
     "g21_replace_where",  # predicate-scoped overwrite
     "g22_deletion_vectors",  # merge-on-read delete + scoped vectors
+    "g23_data_skipping",  # manifest zone-map + bloom point-lookup pruning
+    "g24_multi_table_txn",  # multi-table atomic commit + crash recovery
 ]
 
 #: the 14-query headline set BENCH_r02 recorded (rounds 1-2). The

@@ -12,6 +12,7 @@ staging tiers (FileDbDAL/__init__.py:40-48).
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import json
 import os
@@ -49,6 +50,20 @@ def _commit_lock(root: str, name: str) -> threading.Lock:
     key = (os.path.abspath(root), name)
     with _COMMIT_LOCKS_GUARD:
         return _COMMIT_LOCKS.setdefault(key, threading.Lock())
+
+
+def _seg_id(entry: dict) -> str:
+    """Stable identity of a manifest segment entry (its basename —
+    what DV `over` lists and data-skipping prune sets key on)."""
+    return os.path.basename(entry["path"].rstrip("/"))
+
+
+def _bloom_positions(h: int, m: int, k: int) -> list[int]:
+    """k bit positions for one 64-bit hash by double hashing
+    (h1 + i*h2 mod m, h2 forced odd); m is a power of two."""
+    h &= (1 << 64) - 1
+    h1, h2 = h & 0xFFFFFFFF, (h >> 32) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
 
 
 #: Sort-on-write keys per table: parquet row-group min/max stats then
@@ -227,13 +242,18 @@ class TableStore:
             for e in doc["segments"] + doc["deletes"]
         ]
 
-    def _read_gen(self, name: str, gen_dir: str) -> DataFrame:
+    def _read_gen(
+        self, name: str, gen_dir: str, keep: set[str] | None = None
+    ) -> DataFrame:
         """Materialize a generation: per-segment scoped filters (the
         replace_where/delete_where predicate tombstones) apply inside
         each segment's scan; deletion vectors anti-join ONLY the
         segments they were committed over (file-scoped, like Delta
         DVs / Iceberg position deletes), so rows appended AFTER a
-        delete are never swallowed by an older vector."""
+        delete are never swallowed by an older vector. `keep`
+        restricts the scan to the named segment basenames — the hook
+        data-skipping (read_point) prunes through; the scoped filters
+        and vectors of the surviving segments still apply."""
         doc = self._doc(gen_dir)
         reader = self.spark.read.schema(self.schemas[name])
         if doc is None:
@@ -251,6 +271,8 @@ class TableStore:
         ]
         parts: list[DataFrame] = []
         for e in doc["segments"]:
+            if keep is not None and _seg_id(e) not in keep:
+                continue
             df = reader.parquet(os.path.join(table_dir, e["path"]))
             if e.get("filter"):
                 df = df.where(F.expr(e["filter"]))
@@ -357,7 +379,13 @@ class TableStore:
                         pass
                 shutil.rmtree(gen_dir, ignore_errors=True)
 
-    def append(self, name: str, df: DataFrame) -> None:
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        zone_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> None:
         """Append rows (archive/removal-queue semantics): O(delta), not
         O(table) — the new rows are written once as an immutable
         segment (`seg-<ns>/`), and the next generation is a tiny
@@ -369,18 +397,159 @@ class TableStore:
         segments; `compact()` folds them back into one snapshot
         (the OPTIMIZE analog) on the engine's idle path. Appends to a
         bucketed table would break the bucket layout and are refused —
-        bucketed entity tables go through replace()/MERGE."""
+        bucketed entity tables go through replace()/MERGE.
+
+        `zone_cols` / `bloom_cols` record per-segment data-skipping
+        statistics in the manifest entry (zone maps = min/max; bloom
+        digests = packed bitmaps over the column's value hashes — the
+        Delta file-stats / Iceberg metrics + Parquet-bloom analog at
+        the manifest level, where pruning needs no file open at all).
+        Stats cost one extra O(delta) aggregate over the segment just
+        written — read back from disk so they describe exactly the
+        bytes a future scan sees."""
         if self.bucketing and name in BUCKET_SPECS:
             raise ValueError(f"append() on bucketed table {name!r}; use replace()")
         seg = self._write_segment(name, df, "seg")
+        entry: dict = {"path": seg}
+        if zone_cols or bloom_cols:
+            written = self.spark.read.schema(self.schemas[name]).parquet(
+                os.path.join(self._dir(name), seg)
+            )
+            entry["stats"] = self._segment_stats(
+                written, zone_cols or [], bloom_cols or []
+            )
         base = self._base_doc(name)
         self._commit_manifest(
             name,
             {
-                "segments": base["segments"] + [{"path": seg}],
+                "segments": base["segments"] + [entry],
                 "deletes": base["deletes"],
             },
         )
+
+    #: bloom shape: k fixed at 4 probes; m = next power of two >= 32
+    #: bits per distinct value (false-positive rate ~2e-4 per segment)
+    _BLOOM_K = 4
+    _BLOOM_BITS_PER_KEY = 32
+
+    def _segment_stats(
+        self, df: DataFrame, zone_cols: list[str], bloom_cols: list[str]
+    ) -> dict:
+        """Per-segment skipping statistics, one aggregate pass: zone
+        maps (min/max/null count) for `zone_cols`, bloom digests for
+        `bloom_cols`. The bloom is built from the column's xxhash64
+        values (collected distinct — the segment is one append's
+        delta, so this is O(delta distinct)); bit positions derive by
+        double hashing (h1 + i*h2 mod m) and pack into a base64
+        bitmap, so a segment's digest costs ~4 bytes per distinct
+        value in the manifest — the same order as Parquet's own
+        column-index metadata."""
+        aggs: list = []
+        for c in zone_cols:
+            aggs += [
+                F.min(c).alias(f"zmin__{c}"),
+                F.max(c).alias(f"zmax__{c}"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"znull__{c}"),
+            ]
+        for c in bloom_cols:
+            aggs.append(F.collect_set(F.xxhash64(c)).alias(f"bh__{c}"))
+        row = df.agg(*aggs).first()
+        stats: dict = {}
+        for c in zone_cols:
+            mn, mx = row[f"zmin__{c}"], row[f"zmax__{c}"]
+            for v in (mn, mx):
+                if v is not None and not isinstance(v, (int, float, str)):
+                    raise TypeError(
+                        f"zone stats on {c!r}: unsupported type {type(v).__name__}"
+                    )
+            stats[c] = {
+                "min": mn,
+                "max": mx,
+                "nulls": int(row[f"znull__{c}"]),
+            }
+        for c in bloom_cols:
+            hashes = row[f"bh__{c}"] or []
+            nbits = max(64, len(hashes) * self._BLOOM_BITS_PER_KEY)
+            m = 1 << (nbits - 1).bit_length()
+            bmp = bytearray(m // 8)
+            for h in hashes:
+                for pos in _bloom_positions(h, m, self._BLOOM_K):
+                    bmp[pos >> 3] |= 1 << (pos & 7)
+            stats.setdefault(c, {})["bloom"] = {
+                "m": m,
+                "k": self._BLOOM_K,
+                "bits": base64.b64encode(bytes(bmp)).decode(),
+            }
+        return stats
+
+    def read_point(
+        self, name: str, col: str, value
+    ) -> tuple[DataFrame, dict[str, int]]:
+        """Point lookup with manifest-level data skipping: consult each
+        segment's recorded zone map and bloom digest for `col` and
+        scan ONLY the segments that might contain `value` — segments
+        are pruned from pure metadata, no data file is opened (the
+        Delta data-skipping / Iceberg metrics-pruning read path).
+        Scoped filters and deletion vectors of surviving segments
+        still apply, so a skipped read returns exactly what a full
+        scan + filter would. Returns (rows, report) where report
+        counts {total, zone_skipped, bloom_skipped, scanned} — the
+        observability a 100 TB point lookup is judged by: a lookup
+        that scans 1 of 10,000 daily segments is index-grade without
+        any index structure, just honest manifest stats."""
+        cur = self._current(name)
+        if cur is None:
+            return (
+                self.spark.createDataFrame([], self.schemas[name]),
+                {"total": 0, "zone_skipped": 0, "bloom_skipped": 0, "scanned": 0},
+            )
+        doc = self._doc(cur)
+        pred = F.col(col).eqNullSafe(F.lit(value))
+        if doc is None:
+            return self._read_gen(name, cur).where(pred), {
+                "total": 1,
+                "zone_skipped": 0,
+                "bloom_skipped": 0,
+                "scanned": 1,
+            }
+        coltype = self.schemas[name][col].dataType
+        probe_hash: int | None = None
+        report = {
+            "total": len(doc["segments"]),
+            "zone_skipped": 0,
+            "bloom_skipped": 0,
+            "scanned": 0,
+        }
+        keep: set[str] = set()
+        for e in doc["segments"]:
+            st = (e.get("stats") or {}).get(col)
+            if st is not None and value is not None:
+                zmin, zmax = st.get("min"), st.get("max")
+                if zmin is not None and (value < zmin or value > zmax):
+                    report["zone_skipped"] += 1
+                    continue
+                bloom = st.get("bloom")
+                if bloom is not None:
+                    if probe_hash is None:
+                        # hash the literal exactly as the stats pass
+                        # hashed the column (same Spark type)
+                        probe_hash = (
+                            self.spark.range(1)
+                            .select(F.xxhash64(F.lit(value).cast(coltype)))
+                            .first()[0]
+                        )
+                    bmp = base64.b64decode(bloom["bits"])
+                    if not all(
+                        bmp[p >> 3] & (1 << (p & 7))
+                        for p in _bloom_positions(
+                            probe_hash, bloom["m"], bloom["k"]
+                        )
+                    ):
+                        report["bloom_skipped"] += 1
+                        continue
+            keep.add(_seg_id(e))
+            report["scanned"] += 1
+        return self._read_gen(name, cur, keep=keep).where(pred), report
 
     def write_with_expectations(
         self, name: str, df: DataFrame, expectations: dict[str, str]
@@ -763,6 +932,130 @@ class TableStore:
             return False
         self.replace(name, self.read(name))
         return True
+
+    def commit_multi(
+        self,
+        writes: dict[str, DataFrame],
+        crash_after_publish: int | None = None,
+        crash_before_journal: bool = False,
+    ) -> str:
+        """Multi-table ATOMIC commit (the cross-table transaction most
+        single-table lakehouses lack): replace several tables so that
+        after crash recovery either ALL new generations are visible or
+        NONE are. Protocol — stage, journal, publish:
+
+        1. STAGE: each table's new generation is fully written to an
+           invisible `staged-<txn>` directory (readers resolve only
+           `gen-` dirs, so staging is never visible; vacuum ignores
+           `staged-` too).
+        2. JOURNAL: one write-ahead intent file
+           (`<root>/_txn_multi/<txn>.json`, atomic tmp-then-rename)
+           lists every staged dir. THIS IS THE COMMIT POINT.
+        3. PUBLISH: each staged dir renames to a fresh `gen-` name
+           (O(1) per table); the journal is removed last.
+
+        A crash before the journal leaves orphan staged dirs —
+        recover_multi() rolls them BACK (deletes; no reader ever saw
+        them). A crash after the journal leaves a committed intent —
+        recover_multi() rolls it FORWARD (publishes the remaining
+        staged dirs idempotently). Readers between publish renames can
+        observe table A new / table B old — the read-side visibility
+        window a true multi-table catalog pointer would close; the
+        ATOMIC DURABILITY guarantee (no post-recovery torn state) is
+        what this protocol adds, and it is exactly Delta's
+        single-table journal shape lifted one level up.
+
+        `crash_after_publish` / `crash_before_journal` inject crashes
+        for tests (raise mid-protocol); publish order is sorted table
+        name, so injection points are deterministic. Returns the txn
+        id. Bucketed tables are refused (their generations publish
+        through the session catalog, not a rename)."""
+        for name in writes:
+            if self.bucketing and name in BUCKET_SPECS:
+                raise ValueError(
+                    f"commit_multi() on bucketed table {name!r}; use replace()"
+                )
+        txn = f"txn-{time.time_ns()}"
+        staged: dict[str, str] = {}
+        for name in sorted(writes):
+            d = self._dir(name)
+            os.makedirs(d, exist_ok=True)
+            sdir = os.path.join(d, f"staged-{txn}")
+            cols = [f.name for f in self.schemas[name].fields]
+            out = writes[name].select(*cols)
+            if name in SORT_KEYS:
+                out = out.sortWithinPartitions(*SORT_KEYS[name])
+            out.write.mode("overwrite").parquet(sdir)
+            staged[name] = os.path.basename(sdir)
+        if crash_before_journal:
+            raise RuntimeError(
+                f"injected crash before journal of {txn} "
+                "(staged dirs orphaned; recover_multi rolls back)"
+            )
+        jdir = os.path.join(self.root, "_txn_multi")
+        os.makedirs(jdir, exist_ok=True)
+        jpath = os.path.join(jdir, f"{txn}.json")
+        tmp = jpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"staged": staged}, fh)
+        os.replace(tmp, jpath)  # COMMIT POINT
+        self._publish_txn(txn, staged, crash_after_publish)
+        return txn
+
+    def _publish_txn(
+        self, txn: str, staged: dict[str, str], crash_after: int | None = None
+    ) -> None:
+        """Publish a journaled txn's staged dirs (idempotent: a dir
+        already renamed by a pre-crash publish is skipped), then
+        retire the journal."""
+        for i, name in enumerate(sorted(staged)):
+            if crash_after is not None and i >= crash_after:
+                raise RuntimeError(
+                    f"injected crash after publishing {i} of "
+                    f"{len(staged)} tables in {txn}"
+                )
+            src = os.path.join(self._dir(name), staged[name])
+            if os.path.isdir(src):
+                os.rename(
+                    src, os.path.join(self._dir(name), f"gen-{time.time_ns()}")
+                )
+        jpath = os.path.join(self.root, "_txn_multi", f"{txn}.json")
+        if os.path.exists(jpath):
+            os.remove(jpath)
+
+    def recover_multi(self) -> dict[str, str]:
+        """Crash recovery for commit_multi: every journaled txn rolls
+        FORWARD (its commit point passed — publish what remains),
+        every orphan staged dir (no journal) rolls BACK (its txn never
+        committed — delete, no reader ever resolved it). Idempotent;
+        call on store startup, like any write-ahead-log recovery.
+        Returns {txn: 'rolled-forward' | 'rolled-back'}."""
+        outcomes: dict[str, str] = {}
+        jdir = os.path.join(self.root, "_txn_multi")
+        journaled: set[str] = set()
+        if os.path.isdir(jdir):
+            for j in sorted(os.listdir(jdir)):
+                if not j.endswith(".json"):
+                    continue
+                txn = j[: -len(".json")]
+                journaled.add(txn)
+                with open(os.path.join(jdir, j)) as fh:
+                    staged = json.load(fh)["staged"]
+                self._publish_txn(txn, staged)
+                outcomes[txn] = "rolled-forward"
+        for name in self._disk_tables():
+            d = self._dir(name)
+            if not os.path.isdir(d):
+                continue
+            for entry in sorted(os.listdir(d)):
+                if not entry.startswith("staged-"):
+                    continue
+                txn = entry[len("staged-"):]
+                if txn in journaled:
+                    continue  # published above
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+                outcomes[txn] = "rolled-back"
+        return outcomes
 
     def generations(self, name: str) -> list[str]:
         """Generation directories of a table, oldest first."""

@@ -3074,3 +3074,149 @@ def x31_cross_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_rep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x33: FUZZY benchmark decontamination — the document-level MinHash-LSH
+# complement of x9 (exact gram probe) and x15 (bloom screening): flag
+# train docs whose estimated Jaccard vs ANY test doc clears the
+# threshold, catching near-verbatim contamination (reformatted or
+# lightly-edited benchmark copies) that per-gram counting quantifies
+# but cannot cheaply rank at corpus scale.
+# ---------------------------------------------------------------------------
+_X33_SPLIT_SQL = (
+    "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 4, 1)) - 1)) % 1000"
+)
+
+_X33_ORACLE = f"""
+    WITH {_x4_shingle_ctes(5)}, mins AS (
+      SELECT doc_id,
+             {_X4_MINS}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {_X4_SIG} AS sig FROM mins
+    ), split AS (
+      SELECT doc_id, {_X33_SPLIT_SQL} AS bucket FROM documents
+    ), banded AS (
+      {_X4_BANDS}
+    ), capped AS (
+      SELECT doc_id, band, key FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {MAX_LSH_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS test_doc
+      FROM capped a
+      JOIN split pa ON pa.doc_id = a.doc_id AND pa.bucket < 950
+      JOIN capped b ON a.band = b.band AND a.key = b.key
+      JOIN split pb ON pb.doc_id = b.doc_id AND pb.bucket >= 950
+    ), scored AS (
+      SELECT c.train_doc, c.test_doc,
+             CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.train_doc
+      JOIN sigs sb ON sb.doc_id = c.test_doc
+    )
+    SELECT train_doc, CAST(COUNT(*) AS BIGINT) AS n_test_matches,
+           MAX(est) AS max_est_jaccard
+    FROM scored WHERE est >= 0.5
+    GROUP BY train_doc
+    """
+
+
+@_q("x33_fuzzy_contamination", _X33_ORACLE)
+def x33_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: MinHash(32)+LSH(8x4) candidate
+    pairs BETWEEN the train and test hash-split halves (the same
+    md5-bucket split x9/d6 use, bucket >= 950 = test), verified by
+    signature-estimated Jaccard >= 0.5 and rolled up per train doc
+    (how many test docs it collides with, and how close the closest
+    is). x9 answers "shares grams with the benchmark"; x33 answers
+    "IS essentially a benchmark document" — the document-level kill
+    list a training-data pipeline actually applies before x9's
+    gram-level audit.
+
+    Scale: signatures are computed ONCE over the union corpus (the
+    same codegen pipeline x4 runs); the candidate join is train x
+    test on (band, key) with the x4 bucket cap, and the test side of
+    every join is benchmark-sized — broadcast it at 100 TB and the
+    whole screen is one map-side pass over the train bands plus a
+    per-candidate signature compare."""
+    from .textops import _HEX_BUCKET
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = (
+        d.select(
+            "doc_id",
+            (F.expr(_HEX_BUCKET) >= 950).alias("is_test"),
+            tokens(normalize_text("text")).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "is_test",
+            word_shingles_from_tokens(F.col("toks"), 5).alias("shingles"),
+        )
+        .select(
+            "doc_id", "is_test", portable_shingle_hashes(F.col("shingles")).alias("h")
+        )
+        .select(
+            "doc_id",
+            "is_test",
+            portable_minhash_from_hashes(F.col("h"), num_perm=32).alias("sig"),
+        )
+        .persist()
+    )
+    w_bucket = Window.partitionBy("band", "key")
+    banded = (
+        sig.select(
+            "doc_id",
+            "is_test",
+            F.explode(portable_lsh_bands(F.col("sig"), bands=8, rows=4)).alias("b"),
+        )
+        .select(
+            "doc_id",
+            "is_test",
+            F.col("b.band").alias("band"),
+            F.col("b.key").alias("key"),
+        )
+        .withColumn("bucket_n", F.count("*").over(w_bucket))
+        .filter(F.col("bucket_n") <= MAX_LSH_BUCKET)
+        .drop("bucket_n")
+    )
+    tr = banded.where(~F.col("is_test")).alias("a")
+    te = banded.where(F.col("is_test")).alias("b")
+    cand = (
+        tr.join(
+            te,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("train_doc"),
+            F.col("b.doc_id").alias("test_doc"),
+        )
+        .dropDuplicates(["train_doc", "test_doc"])
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sa.sig", "sb.sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / 32.0
+    )
+    return (
+        cand.join(sa, F.col("train_doc") == F.col("sa.doc_id"))
+        .join(sb, F.col("test_doc") == F.col("sb.doc_id"))
+        .select("train_doc", "test_doc", est.alias("est"))
+        .where(F.col("est") >= 0.5)
+        .groupBy("train_doc")
+        .agg(
+            F.count("*").alias("n_test_matches"),
+            F.max("est").alias("max_est_jaccard"),
+        )
+    )

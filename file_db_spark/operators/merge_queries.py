@@ -1919,6 +1919,348 @@ def g22_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g23: MANIFEST-LEVEL DATA SKIPPING — per-segment zone maps + bloom
+# digests recorded at append time; a point lookup prunes segments from
+# pure metadata. Both engines compute the identical chunk split
+# (integer value-range arithmetic over the id hull) and probe rows, so
+# the pinned skip report is SF-independent by construction.
+# ---------------------------------------------------------------------------
+_G23_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+bounds AS (
+  SELECT MIN(id) AS lo, MAX(id) - MIN(id) + 1 AS span FROM fx_file
+),
+chunked AS (
+  SELECT f.id, f.name,
+         CAST(((f.id - b.lo) * 4) // b.span AS INT) AS chunk
+  FROM fx_file f, bounds b
+),
+p1 AS (SELECT MIN(id) AS pid FROM chunked WHERE chunk = 2),
+p2 AS (SELECT MIN(id) AS pid2 FROM chunked WHERE chunk = 3),
+pn AS (SELECT c.name AS pname FROM chunked c, p2 WHERE c.id = p2.pid2)
+SELECT 'pt' AS part, CAST(f.id AS BIGINT) AS id, f.name,
+       CAST(f.dir_id AS BIGINT) AS dir_id, CAST(f.size AS DOUBLE) AS size,
+       {_ep_sql('f.mtime')} AS mtime_ep
+FROM fx_file f, p1 WHERE f.id = p1.pid
+UNION ALL
+SELECT 'nm', CAST(f.id AS BIGINT), f.name, CAST(f.dir_id AS BIGINT),
+       CAST(f.size AS DOUBLE), {_ep_sql('f.mtime')}
+FROM fx_file f, pn WHERE f.name = pn.pname
+UNION ALL
+SELECT 'meta_pt', 4, CAST(NULL AS VARCHAR), 1, CAST(3 AS DOUBLE),
+       CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'meta_nm', 4, CAST(NULL AS VARCHAR), 1, CAST(0 AS DOUBLE),
+       CAST(3 AS BIGINT)
+"""
+
+
+@_q("g23_data_skipping", _G23_ORACLE)
+def g23_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping (the Delta file-stats / Iceberg
+    metrics-pruning analog): the file dimension lands as four appends
+    split on contiguous id value ranges, each append recording a zone
+    map on `id` and a bloom digest on `name` in its manifest entry.
+    Two point lookups then prune from METADATA ONLY — no segment file
+    is opened to decide: the id probe (min id of chunk 2) zone-skips
+    the three other segments (disjoint id hulls); the name probe (the
+    chunk-3 row's name — names carry their id, so exactly one segment
+    contains it, and name order does NOT follow the id split, so zone
+    maps can't help) bloom-skips the other three. 'pt'/'nm' pin the
+    looked-up rows; the meta rows pin the skip reports (4 segments:
+    1 scanned / 3 zone-skipped, then 1 scanned / 3 bloom-skipped —
+    the digests are exact-hash bitmaps, deterministic at any SF; at
+    32 bits/key the per-segment false-positive odds are ~2e-4).
+
+    Scale: a time/range-partitioned 100 TB table gets this layout for
+    free (appends arrive clustered); a point lookup that consults
+    manifest stats scans 1 of N daily segments — index-grade latency
+    with zero index structure, and the bloom digest costs ~4 bytes
+    per distinct key. The probe-parameter aggregates (.first()) are
+    scalar lookups, not data movement."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    base = {f.name: f for f in schemas.FILE.fields}
+    dim_schema = T.StructType(
+        [base[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+    )
+    cols = [f.name for f in dim_schema.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    b = f1.agg(
+        F.min("id").alias("lo"),
+        (F.max("id") - F.min("id") + 1).alias("span"),
+    ).first()
+    lo, span = int(b["lo"]), int(b["span"])
+    chunk = F.expr(f"CAST(((id - {lo}) * 4) DIV {span} AS INT)")
+    root = tempfile.mkdtemp(prefix="fdb_g23_")
+    store = TableStore(spark, root, {"dim": dim_schema}, bucketing=False)
+    for c in range(4):
+        store.append(
+            "dim",
+            f1.where(chunk == c).select(*cols),
+            zone_cols=["id"],
+            bloom_cols=["name"],
+        )
+    pid = int(f1.where(chunk == 2).agg(F.min("id")).first()[0])
+    pid2 = int(f1.where(chunk == 3).agg(F.min("id")).first()[0])
+    pname = f1.where(F.col("id") == pid2).select("name").first()[0]
+
+    def proj(df: DataFrame, part: str) -> DataFrame:
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("id").cast("bigint").alias("id"),
+            "name",
+            F.col("dir_id").cast("bigint").alias("dir_id"),
+            F.col("size").cast("double").alias("size"),
+            _ep(F.col("mtime")).alias("mtime_ep"),
+        )
+
+    def meta_row(part: str, rep: dict[str, int]) -> DataFrame:
+        return spark.createDataFrame(
+            [(rep["total"], rep["scanned"], rep["zone_skipped"], rep["bloom_skipped"])],
+            "t long, s long, z long, b long",
+        ).select(
+            F.lit(part).alias("part"),
+            F.col("t").cast("bigint").alias("id"),
+            _sn().alias("name"),
+            F.col("s").cast("bigint").alias("dir_id"),
+            F.col("z").cast("double").alias("size"),
+            F.col("b").cast("bigint").alias("mtime_ep"),
+        )
+
+    by_id, rep1 = store.read_point("dim", "id", pid)
+    by_name, rep2 = store.read_point("dim", "name", pname)
+    out = (
+        proj(by_id, "pt")
+        .unionByName(proj(by_name, "nm"))
+        .unionByName(meta_row("meta_pt", rep1))
+        .unionByName(meta_row("meta_nm", rep2))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# g24: MULTI-TABLE ATOMIC COMMIT — stage / journal / publish with
+# write-ahead recovery: a crash after the journal rolls FORWARD, a
+# crash before it rolls BACK; either way no post-recovery torn state.
+# ---------------------------------------------------------------------------
+_G24_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE},
+d2 AS (
+  SELECT id, dir_path, updated_on + INTERVAL 1 DAY AS updated_on
+  FROM fx_directory
+)
+SELECT 'torn_files' AS part, CAST(id AS BIGINT) AS id, name,
+       CAST(dir_id AS BIGINT) AS dir_id, CAST(size AS DOUBLE) AS size,
+       {_ep_sql('mtime')} AS mtime_ep
+FROM fx_file
+UNION ALL
+SELECT 'torn_dirs', CAST(id AS BIGINT), dir_path, CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), {_ep_sql('updated_on')}
+FROM d2
+UNION ALL
+SELECT 'fin_files', CAST(id AS BIGINT), name, CAST(dir_id AS BIGINT),
+       CAST(size AS DOUBLE), {_ep_sql('mtime')}
+FROM f2
+UNION ALL
+SELECT 'fin_dirs', CAST(id AS BIGINT), dir_path, CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), {_ep_sql('updated_on')}
+FROM d2
+UNION ALL
+SELECT 'meta_torn', 1, CAST(NULL AS VARCHAR), 2, CAST(1 AS DOUBLE),
+       CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'meta_rec1', 2, CAST(NULL AS VARCHAR), 2, CAST(0 AS DOUBLE),
+       CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'meta_crash2', 2, CAST(NULL AS VARCHAR), 0, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'meta_rec2', 0, CAST(NULL AS VARCHAR), 2, CAST(NULL AS DOUBLE),
+       CAST(1 AS BIGINT)
+"""
+
+
+@_q("g24_multi_table_txn", _G24_ORACLE)
+def g24_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC commit through the store's write-ahead
+    journal (the cross-table transaction single-table lakehouses
+    lack), both crash sides proven:
+
+    - txn 1 (crash AFTER the journal, mid-publish): 'dirs' publishes,
+      the injected crash strands 'files'. 'torn_files'/'torn_dirs'
+      pin the torn-but-durable read state (files still OLD, dirs new)
+      and 'meta_torn' the physical story (files 1 gen, dirs 2, one
+      journal pending). recover_multi() rolls FORWARD — 'meta_rec1'
+      pins files published (2 gens), journal retired, 1 txn
+      rolled-forward.
+    - txn 2 (crash BEFORE the journal): both tables staged, nothing
+      visible. 'meta_crash2' pins 2 orphan staged dirs and 0 pending
+      journals; recover_multi() rolls BACK — 'meta_rec2' pins 0
+      staged left, files still at 2 generations, 1 txn rolled-back.
+
+    'fin_files'/'fin_dirs' read both tables at the end: exactly the
+    txn-1 wave contents — txn 2 left no trace. That is the atomic-
+    durability contract: after recovery, all of a committed txn and
+    none of an uncommitted one.
+
+    Scale: staging cost is the data write you'd pay anyway; the
+    commit point is ONE atomic journal rename regardless of table
+    count or size, publish is O(1) renames, and recovery reads only
+    the journal directory — the protocol adds metadata, never a
+    second data pass."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    fbase = {f.name: f for f in schemas.FILE.fields}
+    f_schema = T.StructType(
+        [fbase[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+    )
+    dbase = {f.name: f for f in schemas.DIRECTORY.fields}
+    d_schema = T.StructType(
+        [dbase[c] for c in ("id", "dir_path", "updated_on")]
+    )
+    fcols = [f.name for f in f_schema.fields]
+    dcols = [f.name for f in d_schema.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    d1 = fixtures.fixture_directory(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_g24_")
+    store = TableStore(
+        spark, root, {"files": f_schema, "dirs": d_schema}, bucketing=False
+    )
+    store.replace("files", f1.select(*fcols))
+    store.replace("dirs", d1.select(*dcols))
+
+    wave_f = _g6_wave(spark, f1).select(*fcols)
+    wave_d = d1.withColumn(
+        "updated_on", F.col("updated_on") + F.expr("INTERVAL 1 DAY")
+    ).select(*dcols)
+
+    def gens(name: str) -> int:
+        return len(store.generations(name))
+
+    def pending_journals() -> int:
+        jd = _os.path.join(root, "_txn_multi")
+        if not _os.path.isdir(jd):
+            return 0
+        return sum(1 for j in _os.listdir(jd) if j.endswith(".json"))
+
+    def staged_orphans() -> int:
+        return sum(
+            1
+            for t in ("files", "dirs")
+            for e in _os.listdir(store._dir(t))
+            if e.startswith("staged-")
+        )
+
+    # txn 1: journal lands, crash strands 'files' (publish order is
+    # sorted table name: dirs first)
+    try:
+        store.commit_multi(
+            {"files": wave_f, "dirs": wave_d}, crash_after_publish=1
+        )
+        raise AssertionError("injected publish crash did not fire")
+    except RuntimeError:
+        pass
+
+    def proj_f(df: DataFrame, part: str) -> DataFrame:
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("id").cast("bigint").alias("id"),
+            "name",
+            F.col("dir_id").cast("bigint").alias("dir_id"),
+            F.col("size").cast("double").alias("size"),
+            _ep(F.col("mtime")).alias("mtime_ep"),
+        )
+
+    def proj_d(df: DataFrame, part: str) -> DataFrame:
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("id").cast("bigint").alias("id"),
+            F.col("dir_path").alias("name"),
+            _bn().alias("dir_id"),
+            _dn().alias("size"),
+            _ep(F.col("updated_on")).alias("mtime_ep"),
+        )
+
+    def meta_row(part: str, a, b, c, d) -> DataFrame:
+        return spark.createDataFrame(
+            [(a, b, c, d)], "a long, b long, c double, d long"
+        ).select(
+            F.lit(part).alias("part"),
+            F.col("a").cast("bigint").alias("id"),
+            _sn().alias("name"),
+            F.col("b").cast("bigint").alias("dir_id"),
+            F.col("c").alias("size"),
+            F.col("d").cast("bigint").alias("mtime_ep"),
+        )
+
+    torn_f = proj_f(store.read("files"), "torn_files").localCheckpoint(
+        eager=True
+    )
+    torn_d = proj_d(store.read("dirs"), "torn_dirs").localCheckpoint(
+        eager=True
+    )
+    meta_torn = meta_row(
+        "meta_torn", gens("files"), gens("dirs"), float(pending_journals()), None
+    )
+
+    out1 = store.recover_multi()
+    n_fwd = sum(1 for v in out1.values() if v == "rolled-forward")
+    meta_rec1 = meta_row(
+        "meta_rec1", gens("files"), gens("dirs"), float(pending_journals()), n_fwd
+    )
+
+    # txn 2: crash BEFORE the journal — never committed, must vanish
+    try:
+        store.commit_multi(
+            {"files": f1.select(*fcols), "dirs": d1.select(*dcols)},
+            crash_before_journal=True,
+        )
+        raise AssertionError("injected pre-journal crash did not fire")
+    except RuntimeError:
+        pass
+    meta_crash2 = meta_row(
+        "meta_crash2", staged_orphans(), pending_journals(), None, None
+    )
+    out2 = store.recover_multi()
+    n_back = sum(1 for v in out2.values() if v == "rolled-back")
+    meta_rec2 = meta_row(
+        "meta_rec2", staged_orphans(), gens("files"), None, n_back
+    )
+
+    fin_f = proj_f(store.read("files"), "fin_files")
+    fin_d = proj_d(store.read("dirs"), "fin_dirs")
+    out = (
+        torn_f.unionByName(torn_d)
+        .unionByName(fin_f)
+        .unionByName(fin_d)
+        .unionByName(meta_torn)
+        .unionByName(meta_rec1)
+        .unionByName(meta_crash2)
+        .unionByName(meta_rec2)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g7: PARTITION PRUNING through the storage layer — write the events
 # table Hive-partitioned by day, then serve a one-day query from it.
 # The complement of the bucketed-join store feature: bucketing kills
@@ -3150,6 +3492,18 @@ FROM counts_all c JOIN fin f ON f.part = c.part
         _G22_ORACLE,
         "'g22_' || part, id, name, dir_id, NULL, mtime_ep, NULL, NULL, "
         "NULL, NULL, size",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G23_ORACLE,
+        "'g23_' || part, id, name, dir_id, NULL, mtime_ep, NULL, NULL, "
+        "NULL, NULL, size",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G24_ORACLE,
+        "'g24_' || part, id, name, dir_id, NULL, mtime_ep, NULL, NULL, "
+        "NULL, NULL, size",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3186,6 +3540,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g18": g18_scd2_merge,
         "g21": g21_replace_where,
         "g22": g22_deletion_vectors,
+        "g23": g23_data_skipping,
+        "g24": g24_multi_table_txn,
     }
     from . import _timing
 
@@ -3434,6 +3790,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g21 = _mor_proj("g21")
     g22 = _mor_proj("g22")
+    g23 = _mor_proj("g23")
+    g24 = _mor_proj("g24")
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -3452,6 +3810,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g18)
         .unionByName(g21)
         .unionByName(g22)
+        .unionByName(g23)
+        .unionByName(g24)
     )
 
 

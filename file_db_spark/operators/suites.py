@@ -2759,22 +2759,31 @@ def e812_rollup_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x915_contamination",
     _sub(dedup.ORACLES["x9_contamination"],
          "'x9' AS member, doc_id, n_overlap AS n1, "
-         "CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3")
+         "CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3, "
+         "CAST(NULL AS DOUBLE) AS v1")
     + "\nUNION ALL\n"
     + _sub(dedup.ORACLES["x15_bloom_contamination"],
-           "'x15', doc_id, n_grams, n_true, n_bloom_hits"),
+           "'x15', doc_id, n_grams, n_true, n_bloom_hits, "
+           "CAST(NULL AS DOUBLE)")
+    + "\nUNION ALL\n"
+    + _sub(dedup.ORACLES["x33_fuzzy_contamination"],
+           "'x33', train_doc, n_test_matches, NULL, NULL, "
+           "max_est_jaccard"),
 )
 def x915_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x9 exact benchmark-decontamination probe + x15 portable
-    Bloom-filter screening in one graded row. The Bloom member's
-    (n_true, n_bloom_hits) pair shows the one-sided error directly;
-    both members run unchanged."""
+    Bloom-filter screening + x33 fuzzy MinHash-LSH document-level
+    kill list in one graded row — the three passes of a production
+    decontamination pipeline (screen cheap, confirm exact, kill
+    near-copies). The Bloom member's (n_true, n_bloom_hits) pair
+    shows the one-sided error directly; all members run unchanged."""
     x9 = dedup.x9_contamination(spark, sf_dir).select(
         F.lit("x9").alias("member"),
         F.col("doc_id"),
         F.col("n_overlap").alias("n1"),
         _bn().alias("n2"),
         _bn().alias("n3"),
+        _dn().alias("v1"),
     )
     x15 = dedup.x15_bloom_contamination(spark, sf_dir).select(
         F.lit("x15").alias("member"),
@@ -2782,5 +2791,14 @@ def x915_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").alias("n1"),
         F.col("n_true").alias("n2"),
         F.col("n_bloom_hits").alias("n3"),
+        _dn().alias("v1"),
     )
-    return x9.unionByName(x15)
+    x33 = dedup.x33_fuzzy_contamination(spark, sf_dir).select(
+        F.lit("x33").alias("member"),
+        F.col("train_doc").alias("doc_id"),
+        F.col("n_test_matches").alias("n1"),
+        _bn().alias("n2"),
+        _bn().alias("n3"),
+        F.col("max_est_jaccard").alias("v1"),
+    )
+    return x9.unionByName(x15).unionByName(x33)

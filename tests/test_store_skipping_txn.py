@@ -1,0 +1,215 @@
+"""Manifest-level data skipping (zone maps + bloom digests) and the
+multi-table atomic commit protocol — the two store features a point
+lookup and a cross-table pipeline lean on at 100 TB: skipped reads
+must equal full-scan-and-filter exactly (including under scoped
+filters and deletion vectors), and crash recovery must leave no torn
+state in either direction."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from file_db_spark.filedb.store import TableStore
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _rows(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"n{i}", i * 10) for i in range(lo, hi)], _SCHEMA
+    )
+
+
+def _store(spark, tmp_path, tag="cat"):
+    return TableStore(spark, str(tmp_path / tag), {"t": _SCHEMA}, bucketing=False)
+
+
+def _skip_store(spark, tmp_path):
+    """Four appends on disjoint id ranges, stats on id (zone) and
+    name (bloom)."""
+    st = _store(spark, tmp_path)
+    for lo in (0, 100, 200, 300):
+        st.append(
+            "t", _rows(spark, lo, lo + 100), zone_cols=["id"], bloom_cols=["name"]
+        )
+    return st
+
+
+def test_zone_skip_prunes_and_matches_full_scan(spark, tmp_path):
+    st = _skip_store(spark, tmp_path)
+    df, rep = st.read_point("t", "id", 250)
+    assert rep == {"total": 4, "zone_skipped": 3, "bloom_skipped": 0, "scanned": 1}
+    assert [tuple(r) for r in df.collect()] == [(250, "n250", 2500)]
+
+
+def test_bloom_skip_prunes_and_matches_full_scan(spark, tmp_path):
+    st = _skip_store(spark, tmp_path)
+    df, rep = st.read_point("t", "name", "n42")
+    # zone maps were not recorded for name -> pruning is bloom-only
+    assert rep["total"] == 4 and rep["zone_skipped"] == 0
+    assert rep["scanned"] == 1 and rep["bloom_skipped"] == 3
+    assert [tuple(r) for r in df.collect()] == [(42, "n42", 420)]
+
+
+def test_absent_value_skips_everything(spark, tmp_path):
+    st = _skip_store(spark, tmp_path)
+    df, rep = st.read_point("t", "id", 999)  # above every zone max
+    assert rep["zone_skipped"] == 4 and rep["scanned"] == 0
+    assert df.count() == 0
+    df2, rep2 = st.read_point("t", "name", "no_such_name")
+    assert df2.count() == 0
+    assert rep2["scanned"] + rep2["bloom_skipped"] == 4  # fp possible, rows exact
+
+
+def test_skipped_read_still_applies_filters_and_vectors(spark, tmp_path):
+    st = _skip_store(spark, tmp_path)
+    st.delete_where("t", "id % 2 = 1")  # scoped filter over all segments
+    st.delete_rows("t", spark.createDataFrame([(250,)], "id long"), ["id"])
+    got, rep = st.read_point("t", "id", 250)
+    assert rep["scanned"] == 1  # pruning still works on the covered segment
+    assert got.count() == 0  # ... but the deletion vector still applies
+    got2, _ = st.read_point("t", "id", 251)
+    assert got2.count() == 0  # the scoped filter still applies
+    got3, _ = st.read_point("t", "id", 252)
+    assert [tuple(r) for r in got3.collect()] == [(252, "n252", 2520)]
+
+
+def test_stats_on_segment_without_stats_are_scanned(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.append("t", _rows(spark, 0, 10))  # no stats recorded
+    st.append("t", _rows(spark, 100, 110), zone_cols=["id"])
+    _, rep = st.read_point("t", "id", 5)
+    # the stats-less segment can never be pruned; the stats one can
+    assert rep == {"total": 2, "zone_skipped": 1, "bloom_skipped": 0, "scanned": 1}
+
+
+def _journal_count(st):
+    jd = os.path.join(st.root, "_txn_multi")
+    return (
+        sum(1 for j in os.listdir(jd) if j.endswith(".json"))
+        if os.path.isdir(jd)
+        else 0
+    )
+
+
+_TWO = {
+    "a": _SCHEMA,
+    "b": _SCHEMA,
+}
+
+
+def test_commit_multi_happy_path_is_atomic_and_clean(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path / "cat"), dict(_TWO), bucketing=False)
+    st.replace("a", _rows(spark, 0, 5))
+    st.replace("b", _rows(spark, 0, 5))
+    st.commit_multi({"a": _rows(spark, 10, 15), "b": _rows(spark, 20, 25)})
+    assert {r["id"] for r in st.read("a").collect()} == set(range(10, 15))
+    assert {r["id"] for r in st.read("b").collect()} == set(range(20, 25))
+    assert _journal_count(st) == 0
+    assert st.recover_multi() == {}  # nothing pending
+
+
+def test_crash_after_journal_rolls_forward(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path / "cat"), dict(_TWO), bucketing=False)
+    st.replace("a", _rows(spark, 0, 5))
+    st.replace("b", _rows(spark, 0, 5))
+    with pytest.raises(RuntimeError, match="injected crash after"):
+        st.commit_multi(
+            {"a": _rows(spark, 10, 15), "b": _rows(spark, 20, 25)},
+            crash_after_publish=1,
+        )
+    # publish order is sorted: 'a' published, 'b' stranded, journal kept
+    assert {r["id"] for r in st.read("a").collect()} == set(range(10, 15))
+    assert {r["id"] for r in st.read("b").collect()} == set(range(0, 5))
+    assert _journal_count(st) == 1
+    out = st.recover_multi()
+    assert list(out.values()) == ["rolled-forward"]
+    assert {r["id"] for r in st.read("b").collect()} == set(range(20, 25))
+    assert _journal_count(st) == 0
+    assert st.recover_multi() == {}  # idempotent
+
+
+def test_crash_before_journal_rolls_back(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path / "cat"), dict(_TWO), bucketing=False)
+    st.replace("a", _rows(spark, 0, 5))
+    st.replace("b", _rows(spark, 0, 5))
+    with pytest.raises(RuntimeError, match="injected crash before"):
+        st.commit_multi(
+            {"a": _rows(spark, 10, 15), "b": _rows(spark, 20, 25)},
+            crash_before_journal=True,
+        )
+    staged = [
+        e
+        for t in ("a", "b")
+        for e in os.listdir(os.path.join(st.root, t))
+        if e.startswith("staged-")
+    ]
+    assert len(staged) == 2 and _journal_count(st) == 0
+    out = st.recover_multi()
+    assert list(out.values()) == ["rolled-back"]
+    assert {r["id"] for r in st.read("a").collect()} == set(range(0, 5))
+    assert {r["id"] for r in st.read("b").collect()} == set(range(0, 5))
+    staged2 = [
+        e
+        for t in ("a", "b")
+        for e in os.listdir(os.path.join(st.root, t))
+        if e.startswith("staged-")
+    ]
+    assert staged2 == []
+
+
+def test_recovery_survives_instance_lifetime(spark, tmp_path):
+    """The journal is on disk: a NEW TableStore over the same root
+    (fresh process after the crash) completes the txn."""
+    st = TableStore(spark, str(tmp_path / "cat"), dict(_TWO), bucketing=False)
+    st.replace("a", _rows(spark, 0, 5))
+    st.replace("b", _rows(spark, 0, 5))
+    with pytest.raises(RuntimeError):
+        st.commit_multi(
+            {"a": _rows(spark, 10, 15), "b": _rows(spark, 20, 25)},
+            crash_after_publish=0,  # crash before ANY publish, journal kept
+        )
+    st2 = TableStore(spark, str(tmp_path / "cat"), dict(_TWO), bucketing=False)
+    out = st2.recover_multi()
+    assert list(out.values()) == ["rolled-forward"]
+    assert {r["id"] for r in st2.read("a").collect()} == set(range(10, 15))
+    assert {r["id"] for r in st2.read("b").collect()} == set(range(20, 25))
+
+
+def test_commit_multi_refuses_bucketed_tables(spark, tmp_path):
+    from file_db_spark.filedb import schemas
+
+    st = TableStore(
+        spark, str(tmp_path / "cat"), {"file": schemas.FILE}, bucketing=True
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        st.commit_multi({"file": spark.createDataFrame([], schemas.FILE)})
+
+
+def test_vacuum_ignores_staged_and_journal(spark, tmp_path):
+    """vacuum() must never reclaim a staged dir (it may be about to
+    roll forward) nor trip over the journal directory."""
+    st = TableStore(spark, str(tmp_path / "cat"), dict(_TWO), bucketing=False)
+    st.replace("a", _rows(spark, 0, 5))
+    st.replace("b", _rows(spark, 0, 5))
+    with pytest.raises(RuntimeError):
+        st.commit_multi(
+            {"a": _rows(spark, 10, 15), "b": _rows(spark, 20, 25)},
+            crash_after_publish=0,
+        )
+    st.vacuum(retain=1)
+    out = st.recover_multi()
+    assert list(out.values()) == ["rolled-forward"]
+    assert {r["id"] for r in st.read("a").collect()} == set(range(10, 15))
+    assert {r["id"] for r in st.read("b").collect()} == set(range(20, 25))
