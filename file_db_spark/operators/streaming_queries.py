@@ -1591,3 +1591,93 @@ def s17_stream_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s17_stream_row_deletes"] = s17_stream_row_deletes
 ORACLES["s17_stream_row_deletes"] = _s17_oracle()
+
+
+# ---------------------------------------------------------------------------
+# s18: stream-stream LEFT OUTER interval join — the semantics s8's
+# inner form cannot show: unmatched purchases emit NULL-extended ONLY
+# after the watermark proves no qualifying click can still arrive. A
+# far-future sentinel wave advances both sides' watermarks past every
+# real event, so the drained result is deterministically the full
+# batch left join.
+# ---------------------------------------------------------------------------
+def s18_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: purchases against
+    same-user clicks in the preceding 5 minutes, keeping purchases
+    with NO such click (the attribution-pipeline signal). Outer rows
+    cannot emit eagerly — Spark holds each unmatched purchase in the
+    join state until the watermark passes its match horizon, then
+    emits it NULL-extended. The staged source carries the real events
+    plus one sentinel click/purchase pair a day past the corpus
+    (user -1): batch 0 ingests everything and emits the eager inner
+    matches; ingesting the sentinels advances BOTH sides' watermarks
+    past every real horizon, and a watermark advance is exactly what
+    makes availableNow run one more batch — which evicts and emits
+    every remaining unmatched purchase. The sentinel rows are removed
+    from the DRAINED result, deliberately not from the streaming
+    plan: a pre-drain `user_id != -1` filter would be pushed below
+    the join into both source legs (constraint propagation carries it
+    to c_user through the equi-join), silently killing the sentinels
+    before the watermark node — the watermark then never advances and
+    the last unmatched purchase never flushes. (Found the hard way;
+    pinned by tests/test_streaming.py::test_s18_outer_join_flushes.)
+    The oracle is the plain batch LEFT JOIN — a green row certifies
+    eviction-driven outer emission end-to-end.
+
+    Scale: this is s8's bounded-state story plus the outer contract:
+    state per user stays O(watermark + interval horizon), and the
+    sentinel trick is exactly how a production pipeline flushes a
+    quiescent source (heartbeat events advancing event time)."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    e = load_table(spark, sf_dir, "events").select(*cols)
+    mx = e.agg(F.max("ts")).first()[0]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    sent_ts = mx + datetime.timedelta(days=1)
+    sentinels = spark.createDataFrame(
+        [(-2, sent_ts, -1, "click", 0.0), (-3, sent_ts, -1, "purchase", 0.0)],
+        schema,
+    )
+    import glob
+
+    root = tempfile.mkdtemp(prefix="fdb_s18_")
+    sdir = os.path.join(root, "stream")
+    os.makedirs(sdir)
+    tmp = os.path.join(root, "w0")
+    e.unionByName(sentinels).coalesce(1).write.parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(sdir, "b0.parquet"))
+
+    def src() -> DataFrame:
+        return spark.readStream.schema(schema).parquet(sdir)
+
+    joined = es.purchase_click_join(src(), src(), how="leftOuter")
+    out = (
+        _drain(joined, "s18", "append")
+        .where(F.col("user_id") != -1)  # post-drain: see the docstring
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+QUERIES["s18_stream_outer_join"] = s18_stream_outer_join
+
+ORACLES["s18_stream_outer_join"] = """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """

@@ -2215,7 +2215,10 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'gate_' || part, id, NULL, NULL, s1, n1, NULL")
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s17_stream_row_deletes"],
-           "'rowdel_' || part, id, dir_id, mtime_ep, name, NULL, size"),
+           "'rowdel_' || part, id, dir_id, mtime_ep, name, NULL, size")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s18_stream_outer_join"],
+           "'s18', purchase_id, user_id, click_id, NULL, NULL, NULL"),
 )
 def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eight more real Structured Streaming drains in one graded row:
@@ -2256,6 +2259,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s15": streaming_queries.s15_stream_scd2,
         "s16": streaming_queries.s16_stream_expectations,
         "s17": streaming_queries.s17_stream_row_deletes,
+        "s18": streaming_queries.s18_stream_outer_join,
     }
     from . import _timing
 
@@ -2403,6 +2407,15 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("n"),
         F.col("size").alias("v1"),
     )
+    s18 = raw["s18"].select(
+        F.lit("s18").alias("stream"),
+        F.col("purchase_id").alias("k1"),
+        F.col("user_id").alias("k2"),
+        F.col("click_id").alias("k3"),
+        _sn().alias("s1"),
+        _bn().alias("n"),
+        _dn().alias("v1"),
+    )
     return (
         s3.unionByName(s4)
         .unionByName(s5)
@@ -2417,6 +2430,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s15)
         .unionByName(s16)
         .unionByName(s17)
+        .unionByName(s18)
     )
 
 

@@ -236,7 +236,10 @@ def documents_source(
 
 
 def purchase_click_join(
-    purchases_src: DataFrame, clicks_src: DataFrame, watermark: str = "10 minutes"
+    purchases_src: DataFrame,
+    clicks_src: DataFrame,
+    watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (streaming e7 candidate form): for
     each purchase, the clicks by the same user in the 5 minutes before
@@ -246,6 +249,12 @@ def purchase_click_join(
     derives the eviction bound from the time-range predicate). Inner
     joins emit eagerly on match, so an availableNow drain over a static
     source equals the batch interval join exactly.
+
+    `how="leftOuter"` keeps unmatched purchases: their NULL-extended
+    rows emit once the watermark passes the purchase's match horizon
+    (no click that could still arrive can pair with it) — the
+    attribution-pipeline form, where 'purchase with no preceding
+    click' is itself the signal (s18 drives and certifies this path).
 
     Scale: state is O(events inside the watermark+interval horizon) per
     user — the streaming replacement for re-running e7's binned batch
@@ -273,5 +282,6 @@ def purchase_click_join(
         F.expr(
             "user_id = c_user AND c_ts > p_ts - INTERVAL 5 MINUTES AND c_ts <= p_ts"
         ),
+        how,
     )
     return joined.select("purchase_id", "user_id", "click_id")

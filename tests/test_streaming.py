@@ -240,3 +240,38 @@ def test_s15_stream_scd2_equals_batch_g18(spark, sf_dir):
     batch = {tuple(r[c] for c in cols): r.asDict() for r in g18_scd2_merge(spark, sf_dir).collect()}
     stream = {tuple(r[c] for c in cols): r.asDict() for r in s15_stream_scd2(spark, sf_dir).collect()}
     assert batch == stream
+
+
+def test_s18_outer_join_flushes(spark, sf_dir):
+    """The LEFT OUTER stream-stream join must emit every unmatched
+    purchase NULL-extended (eviction-driven outer emission), equal to
+    the batch left join — including the LAST purchase by event time,
+    the row a pre-drain sentinel-filter regression would silently
+    drop (the filter pushes below the join and kills the watermark
+    advance; see s18's docstring)."""
+    from pyspark.sql import functions as F
+
+    from file_db_spark.catalog import load_table
+    from file_db_spark.operators.streaming_queries import s18_stream_outer_join
+
+    got = s18_stream_outer_join(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    p = e.where("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id", "ts AS p_ts"
+    )
+    c = e.where("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS c_user", "ts AS c_ts"
+    )
+    batch = p.join(
+        c,
+        F.expr("user_id = c_user AND c_ts > p_ts - INTERVAL 5 MINUTES AND c_ts <= p_ts"),
+        "left",
+    ).select("purchase_id", "user_id", "click_id")
+    key = ["purchase_id", "user_id", "click_id"]
+    gs = {tuple(-1 if v is None else v for v in r) for r in got.select(*key).collect()}
+    bs = {tuple(-1 if v is None else v for v in r) for r in batch.collect()}
+    assert gs == bs
+    # outer rows exist, and the latest purchase flushed
+    assert got.where(F.col("click_id").isNull()).count() > 0
+    last = p.orderBy(F.desc("p_ts")).select("purchase_id").first()[0]
+    assert got.where(F.col("purchase_id") == last).count() >= 1
