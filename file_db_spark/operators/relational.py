@@ -1026,9 +1026,11 @@ def a16_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-6 TPC-H completion set: every remaining query shape expressible
-# over the available tables (no partsupp in the testdata, so Q9/Q11/
-# Q16/Q20 have no analog; Q6 is p6's shape; Q12 needs shipmode).
+# Round-6 TPC-H completion set. With the derived-partsupp family
+# (a24-a28) and a29 (Q6), ALL 22 query shapes now have an a-entry:
+# Q1=a1 Q2=a13 Q3=a9 Q4=a14 Q5=a10 Q6=a29 Q7=a21 Q8=a22 Q9=a24 Q10=a12
+# Q11=a25 Q12=a28 Q13=a19 Q14=a23 Q15=a18 Q16=a26 Q17=a17 Q18=a11
+# Q19=a20 Q20=a27 Q21=a15 Q22=a16.
 # ---------------------------------------------------------------------------
 @_q(
     "a17_small_qty_revenue",
@@ -1851,6 +1853,49 @@ def a28_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "a29_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND CAST(l_discount AS DECIMAL(12,2))
+          BETWEEN CAST('0.05' AS DECIMAL(12,2)) AND CAST('0.07' AS DECIMAL(12,2))
+      AND CAST(l_quantity AS DECIMAL(12,2)) < 24
+    """,
+)
+def a29_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 (engine addition, TPC-H Q6's shape): forecast-revenue-change
+    — one filter-aggregate, no join, no group key. The discount
+    band compares exact decimals (never a float boundary), the sum is
+    exact decimal until the final double cast. Completes the full
+    22-query TPC-H shape set (a1, a9-a29 + the a13 Q2 form).
+
+    Scale: the canonical scan-dominated query — all three predicates
+    push into the parquet scan (shipdate min/max prunes row groups),
+    the aggregate is one map-side combine into a single row; no
+    shuffle of any data row at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & _d2(F.col("l_discount")).between(
+                F.expr("CAST('0.05' AS DECIMAL(12,2))"),
+                F.expr("CAST('0.07' AS DECIMAL(12,2))"),
+            )
+            & (_d2(F.col("l_quantity")) < 24)
+        )
+        .agg(
+            F.sum(_d2(F.col("l_extendedprice")) * _d2(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
         )
     )
 

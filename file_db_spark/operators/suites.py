@@ -219,6 +219,7 @@ _RQ2_PARTS = {
         "a28_shipmode_priority",
         "'a28', high_line_count, low_line_count, shipmode, NULL",
     ),
+    "a29": ("a29_forecast_revenue", "'a29', NULL, NULL, NULL, revenue"),
 }
 
 
@@ -448,11 +449,18 @@ def rq2_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shipmode").alias("s1"),
         _dn().alias("v1"),
     )
+    a29 = relational.a29_forecast_revenue(spark, sf_dir).select(
+        F.lit("a29").alias("probe"),
+        _bn().alias("k1"),
+        _bn().alias("k2"),
+        _sn().alias("s1"),
+        F.col("revenue").alias("v1"),
+    )
     out = j1
     for part in (
         j2, j3, j4, j6, j7, j8, j9, j13, a7, a9, a10, a11, a12, a13, a14,
         a15, a16, a17, a18, a19, a20, a21, a22, a23, a24, a25, a26, a27,
-        a28,
+        a28, a29,
     ):
         out = out.unionByName(part)
     return out
