@@ -1057,6 +1057,84 @@ class TableStore:
                 outcomes[txn] = "rolled-back"
         return outcomes
 
+    def _cursor_path(self, name: str, consumer: str) -> str:
+        return os.path.join(self._dir(name), f"_CURSOR-{consumer}")
+
+    def create_consumer(self, name: str, consumer: str) -> None:
+        """Register a CDC consumer at the table's CURRENT generation:
+        its first changes_since() returns everything committed after
+        this point (the Delta CDF `startingVersion` / Kafka
+        consumer-group seek analog). O(1) metadata."""
+        cur = self._current(name)
+        if cur is None:
+            raise ValueError(
+                f"create_consumer({name!r}): table has no generation yet"
+            )
+        p = self._cursor_path(name, consumer)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(cur))
+        os.replace(tmp, p)
+
+    def changes_since(
+        self,
+        name: str,
+        consumer: str,
+        key_cols: list[str],
+        compare_cols: list[str],
+    ) -> DataFrame:
+        """The I/D/U change feed between `consumer`'s cursor and the
+        current generation — incremental CDC CONSUMPTION (g6's
+        diff_generations turned into a subscription): each downstream
+        job pulls exactly the changes it has not yet applied, however
+        many commits happened in between (multi-commit deltas collapse
+        into one net diff — an insert+delete between pulls cancels
+        out, which is what a net-state consumer wants). The pull does
+        NOT move the cursor; call advance_cursor() after the
+        downstream apply commits — the standard at-least-once cursor
+        contract (a crashed consumer re-pulls the same delta).
+
+        Retention contract: the cursor generation must survive until
+        the consumer advances past it — vacuum(retain=N) must cover
+        the slowest consumer's lag, exactly Delta CDF's
+        retention-vs-reader rule. A vacuumed cursor raises with a
+        re-seed instruction rather than returning a wrong (partial)
+        diff.
+
+        Scale: one full-outer equi-join between two snapshots per
+        pull, O(changed keys) output — never a log replay, never a
+        full-table handoff to the consumer."""
+        cur = self._current(name)
+        if cur is None:
+            raise ValueError(f"changes_since({name!r}): table never written")
+        try:
+            with open(self._cursor_path(name, consumer)) as fh:
+                cursor = fh.read().strip()
+        except FileNotFoundError:
+            raise ValueError(
+                f"changes_since({name!r}): unknown consumer {consumer!r}; "
+                "create_consumer() first"
+            ) from None
+        new = self._read_gen(name, cur)
+        if os.path.basename(cur) == cursor:
+            empty = new.limit(0)
+            return diff_generations(empty, empty, key_cols, compare_cols)
+        old_dir = os.path.join(self._dir(name), cursor)
+        if not os.path.isdir(old_dir):
+            raise ValueError(
+                f"changes_since({name!r}): cursor generation {cursor} was "
+                f"vacuumed — retention must cover consumer lag; re-seed "
+                f"with create_consumer()"
+            )
+        return diff_generations(
+            self._read_gen(name, old_dir), new, key_cols, compare_cols
+        )
+
+    def advance_cursor(self, name: str, consumer: str) -> None:
+        """Move `consumer`'s cursor to the current generation (atomic
+        replace). Call AFTER the downstream apply is durable."""
+        self.create_consumer(name, consumer)
+
     def generations(self, name: str) -> list[str]:
         """Generation directories of a table, oldest first."""
         d = self._dir(name)

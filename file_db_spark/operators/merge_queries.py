@@ -2261,6 +2261,152 @@ def g24_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g25: CDC SUBSCRIPTION — g6's change feed turned into per-consumer
+# incremental consumption: durable cursors, multi-commit net deltas,
+# at-least-once advance. Three pulls (fast x2 + slow x1) + an empty
+# re-pull, all diffed in SQL by the oracle.
+# ---------------------------------------------------------------------------
+def _diff_sql(old_rel: str, new_rel: str) -> str:
+    """The g6 diff as SQL between two relations (op/old/new columns,
+    unchanged rows dropped) — shared by every g25 pull's oracle."""
+    return f"""SELECT * FROM (
+  SELECT CASE WHEN o.id IS NULL THEN 'I'
+              WHEN n.id IS NULL THEN 'D'
+              WHEN o.name IS DISTINCT FROM n.name
+                OR o.dir_id IS DISTINCT FROM n.dir_id
+                OR o.size IS DISTINCT FROM n.size
+                OR o.mtime IS DISTINCT FROM n.mtime THEN 'U'
+              END AS op,
+         CAST(COALESCE(n.id, o.id) AS BIGINT) AS id,
+         o.name AS old_name, n.name AS new_name,
+         CAST(o.dir_id AS BIGINT) AS old_dir_id,
+         CAST(n.dir_id AS BIGINT) AS new_dir_id,
+         CAST(o.size AS DOUBLE) AS old_size, CAST(n.size AS DOUBLE) AS new_size,
+         {_ep_sql('o.mtime')} AS old_mtime_ep, {_ep_sql('n.mtime')} AS new_mtime_ep
+  FROM {old_rel} o FULL OUTER JOIN {new_rel} n ON o.id = n.id
+) WHERE op IS NOT NULL"""
+
+
+#: wave 3 (applied on top of f2): drop id%13 rows, bump size on id%5
+_G25_F3_CTE = """f3 AS (
+  SELECT id, name, dir_id,
+         CASE WHEN id % 5 = 0 THEN size + CAST('0.002' AS DECIMAL(4,3))
+              ELSE size END AS size,
+         mtime
+  FROM f2 WHERE id % 13 <> 0
+)"""
+
+_G25_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE},
+{_G25_F3_CTE}
+SELECT 'p1' AS part, * FROM ({_diff_sql('fx_file', 'f2')})
+UNION ALL
+SELECT 'p2', * FROM ({_diff_sql('f2', 'f3')})
+UNION ALL
+SELECT 'slow', * FROM ({_diff_sql('fx_file', 'f3')})
+UNION ALL
+SELECT 'meta', CAST(NULL AS VARCHAR), 0, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), 3, CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+"""
+
+
+@_q("g25_cdc_subscription", _G25_ORACLE)
+def g25_cdc_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC subscription over the table store (the Delta CDF reader /
+    changelog-consumer analog): two consumers register at generation
+    1; two waves then commit. The 'fast' consumer pulls after each
+    wave (p1 = gen1->gen2 diff, p2 = gen2->gen3 diff) and advances its
+    cursor after each apply; its third pull is EMPTY (the meta row
+    pins 0 rows — an idempotent re-pull, the at-least-once contract).
+    The 'slow' consumer never advanced: its single pull is the NET
+    gen1->gen3 diff — multi-commit deltas collapse (an id%%13 row that
+    wave 2 updated and wave 3 deleted nets to one 'D'), which is what
+    a net-state consumer wants and what log replay would get wrong
+    without compaction. The meta row also pins 3 generations live —
+    retention covered every cursor (the vacuum-vs-reader contract a
+    vacuumed cursor enforces by raising, pinned in pytest).
+
+    Scale: each pull is ONE full-outer equi-join between two
+    snapshots (co-located when bucketed), O(changed keys) output; the
+    cursor is O(1) metadata. Downstream jobs consume exactly their
+    lag, never the table."""
+    import shutil
+    import tempfile
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    f2 = _g6_wave(spark, f1)
+    fid = F.col("id")
+    f3 = f2.where(fid % 13 != 0).withColumn(
+        "size",
+        F.when(
+            fid % 5 == 0,
+            F.expr("size + CAST('0.002' AS DECIMAL(4,3))"),
+        )
+        .otherwise(F.col("size"))
+        .cast("decimal(18,6)"),
+    )
+    root = tempfile.mkdtemp(prefix="fdb_g25_")
+    store = TableStore(spark, root, {"file": schemas.FILE}, bucketing=False)
+    store.replace("file", f1)
+    store.create_consumer("file", "fast")
+    store.create_consumer("file", "slow")
+    kc, cc = ["id"], ["name", "dir_id", "size", "mtime"]
+
+    def proj(df: DataFrame, part: str) -> DataFrame:
+        return df.select(
+            F.lit(part).alias("part"),
+            "op",
+            F.col("id").cast("bigint").alias("id"),
+            "old_name",
+            "new_name",
+            F.col("old_dir_id").cast("bigint").alias("old_dir_id"),
+            F.col("new_dir_id").cast("bigint").alias("new_dir_id"),
+            F.col("old_size").cast("double").alias("old_size"),
+            F.col("new_size").cast("double").alias("new_size"),
+            _ep(F.col("old_mtime")).alias("old_mtime_ep"),
+            _ep(F.col("new_mtime")).alias("new_mtime_ep"),
+        )
+
+    store.replace("file", f2)
+    p1 = proj(store.changes_since("file", "fast", kc, cc), "p1")
+    store.advance_cursor("file", "fast")
+    store.replace("file", f3)
+    p2 = proj(store.changes_since("file", "fast", kc, cc), "p2")
+    store.advance_cursor("file", "fast")
+    p3_rows = store.changes_since("file", "fast", kc, cc).count()
+    slow = proj(store.changes_since("file", "slow", kc, cc), "slow")
+    meta = spark.createDataFrame(
+        [(p3_rows, len(store.generations("file")))], "p long, g long"
+    ).select(
+        F.lit("meta").alias("part"),
+        _sn().alias("op"),
+        F.col("p").cast("bigint").alias("id"),
+        _sn().alias("old_name"),
+        _sn().alias("new_name"),
+        F.col("g").cast("bigint").alias("old_dir_id"),
+        _bn().alias("new_dir_id"),
+        _dn().alias("old_size"),
+        _dn().alias("new_size"),
+        _bn().alias("old_mtime_ep"),
+        _bn().alias("new_mtime_ep"),
+    )
+    out = (
+        p1.unionByName(p2)
+        .unionByName(slow)
+        .unionByName(meta)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g7: PARTITION PRUNING through the storage layer — write the events
 # table Hive-partitioned by day, then serve a one-day query from it.
 # The complement of the bucketed-join store feature: bucketing kills
@@ -3504,6 +3650,14 @@ FROM counts_all c JOIN fin f ON f.part = c.part
         _G24_ORACLE,
         "'g24_' || part, id, name, dir_id, NULL, mtime_ep, NULL, NULL, "
         "NULL, NULL, size",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G25_ORACLE,
+        "'g25_' || part, id, COALESCE(op, '') || '#' || "
+        "COALESCE(old_name, '') || '#' || COALESCE(new_name, ''), "
+        "old_dir_id, new_dir_id, old_mtime_ep, new_mtime_ep, "
+        "CAST(ROUND(old_size * 1000000) AS BIGINT), NULL, NULL, new_size",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3542,6 +3696,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g22": g22_deletion_vectors,
         "g23": g23_data_skipping,
         "g24": g24_multi_table_txn,
+        "g25": g25_cdc_subscription,
     }
     from . import _timing
 
@@ -3792,6 +3947,24 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     g22 = _mor_proj("g22")
     g23 = _mor_proj("g23")
     g24 = _mor_proj("g24")
+    g25 = raw["g25"].select(
+        F.concat(F.lit("g25_"), F.col("part")).alias("part"),
+        F.col("id").alias("k1"),
+        F.concat_ws(
+            "#",
+            F.coalesce(F.col("op"), F.lit("")),
+            F.coalesce(F.col("old_name"), F.lit("")),
+            F.coalesce(F.col("new_name"), F.lit("")),
+        ).alias("s1"),
+        F.col("old_dir_id").alias("n1"),
+        F.col("new_dir_id").alias("n2"),
+        F.col("old_mtime_ep").alias("e1"),
+        F.col("new_mtime_ep").alias("e2"),
+        F.round(F.col("old_size") * 1000000).cast("bigint").alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        F.col("new_size").alias("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -3812,6 +3985,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g22)
         .unionByName(g23)
         .unionByName(g24)
+        .unionByName(g25)
     )
 
 

@@ -213,3 +213,40 @@ def test_vacuum_ignores_staged_and_journal(spark, tmp_path):
     assert list(out.values()) == ["rolled-forward"]
     assert {r["id"] for r in st.read("a").collect()} == set(range(10, 15))
     assert {r["id"] for r in st.read("b").collect()} == set(range(20, 25))
+
+
+def test_cdc_cursor_contract(spark, tmp_path):
+    """changes_since: per-consumer isolation, empty re-pull after
+    advance, net multi-commit deltas, and the vacuumed-cursor error
+    (retention must cover consumer lag)."""
+    st = _store(spark, tmp_path)
+    st.replace("t", _rows(spark, 0, 10))
+    st.create_consumer("t", "fast")
+    st.create_consumer("t", "slow")
+    kc, cc = ["id"], ["name", "v"]
+
+    st.replace("t", _rows(spark, 5, 15))  # drop 0-4, add 10-14
+    d1 = st.changes_since("t", "fast", kc, cc)
+    ops = {(r["op"], r["id"]) for r in d1.collect()}
+    assert ops == {("D", i) for i in range(5)} | {("I", i) for i in range(10, 15)}
+    st.advance_cursor("t", "fast")
+    assert st.changes_since("t", "fast", kc, cc).count() == 0  # idempotent re-pull
+
+    st.replace("t", _rows(spark, 0, 10))  # invert the wave
+    # fast sees only the second commit (re-insert 0-4, drop 10-14);
+    # slow sees the NET of both commits = nothing changed
+    ops2 = {
+        (r["op"], r["id"])
+        for r in st.changes_since("t", "fast", kc, cc).collect()
+    }
+    assert ops2 == {("I", i) for i in range(5)} | {("D", i) for i in range(10, 15)}
+    assert st.changes_since("t", "slow", kc, cc).count() == 0
+
+    with pytest.raises(ValueError, match="unknown consumer"):
+        st.changes_since("t", "nobody", kc, cc)
+
+    st.vacuum(retain=1)  # reclaims the slow consumer's cursor generation
+    with pytest.raises(ValueError, match="vacuumed"):
+        st.changes_since("t", "slow", kc, cc)
+    st.create_consumer("t", "slow")  # re-seed as the error instructs
+    assert st.changes_since("t", "slow", kc, cc).count() == 0
