@@ -3701,7 +3701,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import _timing
 
     _timing.reset("g3456_control_suite")
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    with ThreadPoolExecutor(max_workers=8) as pool:
         futures = {
             k: pool.submit(
                 _timing.timed_member, "g3456_control_suite", k, fn, spark, sf_dir

@@ -2272,7 +2272,7 @@ def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import _timing
 
     _timing.reset("s38_streaming_suite")
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    with ThreadPoolExecutor(max_workers=8) as pool:
         futures = {
             k: pool.submit(
                 _timing.timed_member, "s38_streaming_suite", k, fn, spark, sf_dir
