@@ -112,6 +112,9 @@ HEADLINE = [
     "g22_deletion_vectors",  # merge-on-read delete + scoped vectors
     "g23_data_skipping",  # manifest zone-map + bloom point-lookup pruning
     "g24_multi_table_txn",  # multi-table atomic commit + crash recovery
+    "g25_cdc_subscription",  # CDC pulls with durable consumer cursors
+    "x33_fuzzy_contamination",  # MinHash-LSH document-level kill list
+    "a29_forecast_revenue",  # Q6 scan-dominated filter-aggregate
 ]
 
 #: the 14-query headline set BENCH_r02 recorded (rounds 1-2). The

@@ -3209,7 +3209,7 @@ def x33_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / 32.0
     )
-    return (
+    out = (
         cand.join(sa, F.col("train_doc") == F.col("sa.doc_id"))
         .join(sb, F.col("test_doc") == F.col("sb.doc_id"))
         .select("train_doc", "test_doc", est.alias("est"))
@@ -3219,4 +3219,9 @@ def x33_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_test_matches"),
             F.max("est").alias("max_est_jaccard"),
         )
+        # tiny result; materialize so the signature cache can be
+        # released immediately (the v20-leak lesson from round 5)
+        .localCheckpoint(eager=True)
     )
+    sig.unpersist()
+    return out
