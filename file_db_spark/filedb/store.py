@@ -1161,6 +1161,33 @@ class TableStore:
             )
         return self._read_gen(name, gens[len(gens) - 1 - back])
 
+    def read_as_of(self, name: str, ts) -> DataFrame:
+        """Time travel by wall clock (the Delta/Iceberg `TIMESTAMP AS
+        OF` analog): read the newest generation committed at or before
+        `ts` (a datetime or epoch seconds). Generation names carry
+        their commit nanos (`gen-<time_ns>`), so resolution is O(#
+        generations) metadata — no data file is opened to decide.
+        Raises if `ts` predates the first retained generation (older
+        history was never written or was vacuumed — same contract as
+        read_at)."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            epoch_ns = int(ts.timestamp() * 1_000_000_000)
+        else:
+            epoch_ns = int(float(ts) * 1_000_000_000)
+        eligible = [
+            g
+            for g in self.generations(name)
+            if int(os.path.basename(g)[len("gen-"):]) <= epoch_ns
+        ]
+        if not eligible:
+            raise ValueError(
+                f"table {name!r} has no generation at or before {ts} "
+                "(predates first write, or vacuumed)"
+            )
+        return self._read_gen(name, eligible[-1])
+
 
 def apply_expectations(
     df: DataFrame, expectations: dict[str, str]

@@ -250,3 +250,28 @@ def test_cdc_cursor_contract(spark, tmp_path):
         st.changes_since("t", "slow", kc, cc)
     st.create_consumer("t", "slow")  # re-seed as the error instructs
     assert st.changes_since("t", "slow", kc, cc).count() == 0
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF resolves to the newest generation committed at
+    or before the asked time, across plain and manifest generations,
+    and refuses a time before the first retained write."""
+    import time
+
+    st = _store(spark, tmp_path)
+    st.replace("t", _rows(spark, 0, 5))
+    t1 = time.time()
+    time.sleep(0.01)
+    st.replace("t", _rows(spark, 10, 15))
+    time.sleep(0.01)
+    st.append("t", _rows(spark, 20, 25))  # manifest generation
+    ids = lambda df: {r["id"] for r in df.collect()}
+    assert ids(st.read_as_of("t", t1)) == set(range(0, 5))
+    assert ids(st.read_as_of("t", time.time())) == set(range(10, 15)) | set(
+        range(20, 25)
+    )
+    import datetime
+
+    assert ids(st.read_as_of("t", datetime.datetime.now())) == ids(st.read("t"))
+    with pytest.raises(ValueError, match="no generation at or before"):
+        st.read_as_of("t", t1 - 3600)
