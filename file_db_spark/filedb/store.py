@@ -40,16 +40,19 @@ class CommitConflict(Exception):
 
 #: per-(root, table) commit locks so same-process writers (e.g. suite
 #: members sharing a store under ThreadPoolExecutor) serialize their
-#: check+replace — without this, two threads can both pass the
-#: _current() check and silently lose one update.
-_COMMIT_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+#: read-base + commit sequence — without this, two threads can both
+#: read the same base generation and silently lose one update. EVERY
+#: manifest-mutating method takes its table's lock (not just
+#: replace_if); re-entrant so composed writes (merge_scd2 -> append,
+#: compact -> replace) nest without deadlock.
+_COMMIT_LOCKS: dict[tuple[str, str], threading.RLock] = {}
 _COMMIT_LOCKS_GUARD = threading.Lock()
 
 
-def _commit_lock(root: str, name: str) -> threading.Lock:
+def _commit_lock(root: str, name: str) -> threading.RLock:
     key = (os.path.abspath(root), name)
     with _COMMIT_LOCKS_GUARD:
-        return _COMMIT_LOCKS.setdefault(key, threading.Lock())
+        return _COMMIT_LOCKS.setdefault(key, threading.RLock())
 
 
 def _seg_id(entry: dict) -> str:
@@ -64,6 +67,112 @@ def _bloom_positions(h: int, m: int, k: int) -> list[int]:
     h &= (1 << 64) - 1
     h1, h2 = h & 0xFFFFFFFF, (h >> 32) | 1
     return [(h1 + i * h2) % m for i in range(k)]
+
+
+# ---------------------------------------------------------------------------
+# Portable xxHash64 (seed 42) — bit-identical to Spark's xxhash64()
+# expression for integral, string, and double columns, so a point
+# lookup can hash its probe literal ON THE DRIVER with zero Spark
+# jobs (read_point's whole purpose is index-grade latency; a 1-row
+# spark.range job in front of it defeated that). The algorithm is the
+# public XXH64 spec; parity with the JVM expression is pinned in
+# tests/test_store_skipping_txn.py.
+# ---------------------------------------------------------------------------
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    """Signed-64 XXH64 of a byte string (little-endian words — the
+    layout Spark's hashUnsafeBytes reads on every supported platform)."""
+    import struct
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                (w,) = struct.unpack_from("<Q", data, i + 8 * j)
+                v = (v + w * _XXP2) & _M64
+                v = (_rotl64(v, 31) * _XXP1) & _M64
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = ((h * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (w,) = struct.unpack_from("<Q", data, i)
+        h ^= (_rotl64((w * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = ((_rotl64(h, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (w,) = struct.unpack_from("<I", data, i)
+        h ^= (w * _XXP1) & _M64
+        h = ((_rotl64(h, 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def portable_xxhash64(value, dtype: T.DataType) -> int | None:
+    """Spark `xxhash64(CAST(value AS dtype))` computed in Python, or
+    None when the type needs the JVM (decimal/timestamp/binary probes
+    fall back to a memoized 1-row job). Integral types hash their
+    widened-to-long little-endian bytes; strings their UTF-8 bytes;
+    doubles their IEEE bits with -0.0 normalized — exactly the public
+    XxHash64 expression semantics."""
+    import struct
+
+    if value is None:
+        return None
+    if isinstance(dtype, T.LongType):
+        return _xxh64_bytes(struct.pack("<q", int(value)))
+    if isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        return _xxh64_bytes(struct.pack("<i", int(value)))
+    if isinstance(dtype, T.StringType):
+        return _xxh64_bytes(str(value).encode("utf-8"))
+    if isinstance(dtype, T.DoubleType):
+        d = float(value) + 0.0  # normalize -0.0
+        return _xxh64_bytes(struct.pack("<d", d))
+    if isinstance(dtype, T.FloatType):
+        f = float(value) + 0.0
+        return _xxh64_bytes(struct.pack("<f", f))
+    if isinstance(dtype, T.BooleanType):
+        return _xxh64_bytes(struct.pack("<i", 1 if value else 0))
+    return None
 
 
 #: Sort-on-write keys per table: parquet row-group min/max stats then
@@ -107,8 +216,67 @@ class TableStore:
         self.bucketing = bucketing
         #: stable identifier prefix for this store's catalog entries
         self._ident = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:8]
+        #: per-(column-type, value) memo for probe hashes whose type the
+        #: portable kernel can't cover (decimal/timestamp) — those pay
+        #: ONE 1-row job ever, not one per lookup
+        self._probe_hash_memo: dict = {}
         os.makedirs(root, exist_ok=True)
         self._load_disk_schemas()
+
+    # -- root catalog pointer -------------------------------------------------
+    # ONE root-level file maps every table -> its current generation and
+    # is swapped by a single atomic rename. This is the store's
+    # VISIBILITY commit point (the Iceberg root-metadata-pointer /
+    # Delta _last_checkpoint analog): commit_multi publishes all its
+    # generations invisibly and then swaps the pointer ONCE, so a
+    # reader interleaved between publishes sees all-old or all-new,
+    # never mixed — the torn-read window the pre-pointer protocol
+    # documented is closed (pinned in tests/test_store_skipping_txn.py).
+
+    def _catalog_path(self) -> str:
+        return os.path.join(self.root, "_CATALOG.json")
+
+    def _read_catalog(self) -> dict:
+        """{"version": int, "tables": {name: gen_basename}} — empty at
+        version 0 for a root that predates its first commit."""
+        try:
+            with open(self._catalog_path()) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {"version": 0, "tables": {}}
+
+    def catalog_version(self) -> int:
+        return self._read_catalog()["version"]
+
+    def _catalog_swap(self, updates: dict[str, str]) -> int:
+        """Atomically advance the catalog pointer for `updates`
+        (table -> gen basename). MONOTONIC per table: an entry only
+        moves to a strictly newer generation (gen names carry commit
+        nanos), so a crash-recovery replay can re-swap idempotently
+        without regressing past commits that landed after the crash.
+        Returns the (possibly unchanged) catalog version."""
+
+        def _ns(gen: str) -> int:
+            try:
+                return int(gen.split("-", 1)[1])
+            except (IndexError, ValueError):
+                return -1
+
+        with _commit_lock(self.root, "//catalog"):
+            cat = self._read_catalog()
+            changed = False
+            for name, gen in updates.items():
+                old = cat["tables"].get(name)
+                if old is None or _ns(gen) > _ns(old):
+                    cat["tables"][name] = gen
+                    changed = True
+            if changed:
+                cat["version"] += 1
+                tmp = self._catalog_path() + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(cat, fh)
+                os.replace(tmp, self._catalog_path())
+            return cat["version"]
 
     def _persist_schema(self, name: str) -> None:
         """Write the table's schema to `<root>/<name>/_SCHEMA.json` so
@@ -172,7 +340,9 @@ class TableStore:
 
     def _commit_manifest(self, name: str, doc: dict) -> None:
         """Atomically commit a new manifest generation (write-tmp-then-
-        rename — the log-append of this single-box lakehouse)."""
+        rename), then advance the catalog pointer — the swap is the
+        visibility commit point; a crash in between leaves an orphan
+        generation no pointer-resolved reader ever sees."""
         d = self._dir(name)
         os.makedirs(d, exist_ok=True)
         gen = os.path.join(d, f"gen-{time.time_ns()}")
@@ -181,6 +351,7 @@ class TableStore:
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
         os.replace(tmp, os.path.join(gen, "_MANIFEST"))
+        self._catalog_swap({name: os.path.basename(gen)})
 
     def _write_segment(self, name: str, df: DataFrame, prefix: str) -> str:
         """Write rows as one immutable segment dir; returns its relpath."""
@@ -202,7 +373,16 @@ class TableStore:
         return os.path.join(self.root, name)
 
     def _current(self, name: str) -> str | None:
+        """Current generation, resolved through the root catalog
+        pointer (the visibility commit point). Fallback to the newest
+        on-disk generation covers tables that predate the pointer or
+        whose generation landed without a swap (a crashed single-table
+        commit — its orphan becomes visible only via this legacy path,
+        and only when the catalog has never tracked the table)."""
         d = self._dir(name)
+        ent = self._read_catalog()["tables"].get(name)
+        if ent is not None and os.path.isdir(os.path.join(d, ent)):
+            return os.path.join(d, ent)
         gens = (
             sorted(g for g in os.listdir(d) if g.startswith("gen-"))
             if os.path.isdir(d)
@@ -315,25 +495,27 @@ class TableStore:
         isolation; Delta/Iceberg time travel + VACUUM play this role on
         a cluster. Generations are a few KB of parquet here; vacuum()
         is the explicit retention knob."""
-        d = self._dir(name)
-        os.makedirs(d, exist_ok=True)
-        gen = os.path.join(d, f"gen-{time.time_ns()}")
-        cols = [f.name for f in self.schemas[name].fields]
-        out = df.select(*cols)
-        if self.bucketing and name in BUCKET_SPECS:
-            n, keys = BUCKET_SPECS[name]
-            (
-                out.write.mode("overwrite")
-                .format("parquet")
-                .option("path", gen)
-                .bucketBy(n, *keys)
-                .sortBy(*keys)
-                .saveAsTable(self._table_name(name, gen))
-            )
-            return
-        if name in SORT_KEYS:
-            out = out.sortWithinPartitions(*SORT_KEYS[name])
-        out.write.mode("overwrite").parquet(gen)
+        with _commit_lock(self.root, name):
+            d = self._dir(name)
+            os.makedirs(d, exist_ok=True)
+            gen = os.path.join(d, f"gen-{time.time_ns()}")
+            cols = [f.name for f in self.schemas[name].fields]
+            out = df.select(*cols)
+            if self.bucketing and name in BUCKET_SPECS:
+                n, keys = BUCKET_SPECS[name]
+                (
+                    out.write.mode("overwrite")
+                    .format("parquet")
+                    .option("path", gen)
+                    .bucketBy(n, *keys)
+                    .sortBy(*keys)
+                    .saveAsTable(self._table_name(name, gen))
+                )
+            else:
+                if name in SORT_KEYS:
+                    out = out.sortWithinPartitions(*SORT_KEYS[name])
+                out.write.mode("overwrite").parquet(gen)
+            self._catalog_swap({name: os.path.basename(gen)})
 
     def vacuum(self, retain: int = 1) -> None:
         """Drop all but the newest `retain` generations of every table,
@@ -350,12 +532,18 @@ class TableStore:
         only when no lazy plans over older snapshots are alive."""
         keep_by_table: dict[str, set[str]] = {}
         referenced: set[str] = set()
+        cat_tables = self._read_catalog()["tables"]
         for name in self._disk_tables():
             d = self._dir(name)
             if not os.path.isdir(d):
                 continue
             gens = sorted(g for g in os.listdir(d) if g.startswith("gen-"))
             keep_by_table[name] = set(gens[max(0, len(gens) - retain):])
+            # the catalog-pointed generation is ALWAYS retained — it is
+            # what read() resolves, even when a crashed commit left
+            # newer orphan gen dirs above it in the listing
+            if name in cat_tables:
+                keep_by_table[name].add(cat_tables[name])
             for g in keep_by_table[name]:
                 segs = self._manifest(os.path.join(d, g))
                 for s in segs or []:
@@ -409,41 +597,50 @@ class TableStore:
         bytes a future scan sees."""
         if self.bucketing and name in BUCKET_SPECS:
             raise ValueError(f"append() on bucketed table {name!r}; use replace()")
-        seg = self._write_segment(name, df, "seg")
-        entry: dict = {"path": seg}
-        if zone_cols or bloom_cols:
-            written = self.spark.read.schema(self.schemas[name]).parquet(
-                os.path.join(self._dir(name), seg)
+        with _commit_lock(self.root, name):
+            seg = self._write_segment(name, df, "seg")
+            entry: dict = {"path": seg}
+            if zone_cols or bloom_cols:
+                written = self.spark.read.schema(self.schemas[name]).parquet(
+                    os.path.join(self._dir(name), seg)
+                )
+                entry["stats"] = self._segment_stats(
+                    written, zone_cols or [], bloom_cols or []
+                )
+            base = self._base_doc(name)
+            self._commit_manifest(
+                name,
+                {
+                    "segments": base["segments"] + [entry],
+                    "deletes": base["deletes"],
+                },
             )
-            entry["stats"] = self._segment_stats(
-                written, zone_cols or [], bloom_cols or []
-            )
-        base = self._base_doc(name)
-        self._commit_manifest(
-            name,
-            {
-                "segments": base["segments"] + [entry],
-                "deletes": base["deletes"],
-            },
-        )
 
     #: bloom shape: k fixed at 4 probes; m = next power of two >= 32
     #: bits per distinct value (false-positive rate ~2e-4 per segment)
     _BLOOM_K = 4
     _BLOOM_BITS_PER_KEY = 32
+    #: segments with more distinct keys than this record NO bloom
+    #: digest (zone-map-only): beyond it the base64 digest outgrows a
+    #: manifest entry's budget (~44 KB at the cap) and pruning should
+    #: come from value clustering instead. The cap also bounds the
+    #: driver-side bitmap assembly — nothing here is O(segment rows)
+    #: on the driver.
+    _BLOOM_MAX_KEYS = 8192
 
     def _segment_stats(
         self, df: DataFrame, zone_cols: list[str], bloom_cols: list[str]
     ) -> dict:
-        """Per-segment skipping statistics, one aggregate pass: zone
-        maps (min/max/null count) for `zone_cols`, bloom digests for
-        `bloom_cols`. The bloom is built from the column's xxhash64
-        values (collected distinct — the segment is one append's
-        delta, so this is O(delta distinct)); bit positions derive by
-        double hashing (h1 + i*h2 mod m) and pack into a base64
-        bitmap, so a segment's digest costs ~4 bytes per distinct
-        value in the manifest — the same order as Parquet's own
-        column-index metadata."""
+        """Per-segment skipping statistics: zone maps (min/max/null
+        count) for `zone_cols` and bloom digests for `bloom_cols`,
+        computed in one aggregate pass plus (per bloom column) one
+        DISTRIBUTIVE bit-position aggregation: each row's xxhash64
+        expands to its k double-hashed positions (h1 + i*h2 mod m)
+        JVM-side, and only the distinct positions — at most m, capped
+        — reach the driver. A high-cardinality append can never OOM
+        the driver the way collecting every distinct hash could;
+        above _BLOOM_MAX_KEYS distinct keys the digest is skipped
+        entirely (zone-map-only stats)."""
         aggs: list = []
         for c in zone_cols:
             aggs += [
@@ -452,7 +649,7 @@ class TableStore:
                 (F.count(F.lit(1)) - F.count(c)).alias(f"znull__{c}"),
             ]
         for c in bloom_cols:
-            aggs.append(F.collect_set(F.xxhash64(c)).alias(f"bh__{c}"))
+            aggs.append(F.count_distinct(F.xxhash64(c)).alias(f"bn__{c}"))
         row = df.agg(*aggs).first()
         stats: dict = {}
         for c in zone_cols:
@@ -468,19 +665,51 @@ class TableStore:
                 "nulls": int(row[f"znull__{c}"]),
             }
         for c in bloom_cols:
-            hashes = row[f"bh__{c}"] or []
-            nbits = max(64, len(hashes) * self._BLOOM_BITS_PER_KEY)
+            n_keys = int(row[f"bn__{c}"])
+            if n_keys > self._BLOOM_MAX_KEYS:
+                continue  # zone-map-only; digest would blow the budget
+            nbits = max(64, n_keys * self._BLOOM_BITS_PER_KEY)
             m = 1 << (nbits - 1).bit_length()
+            k = self._BLOOM_K
+            # JVM-side replica of _bloom_positions: h1 = low 32 bits,
+            # h2 = high 32 bits forced odd (parity pinned in pytest)
+            pos_expr = (
+                f"transform(sequence(0, {k - 1}), i -> "
+                f"pmod((xxhash64({c}) & 4294967295) + "
+                f"i * (shiftrightunsigned(xxhash64({c}), 32) | 1), {m}))"
+            )
+            positions = (
+                df.select(F.explode(F.expr(pos_expr)).alias("p"))
+                .agg(F.collect_set("p"))
+                .first()[0]
+            )
             bmp = bytearray(m // 8)
-            for h in hashes:
-                for pos in _bloom_positions(h, m, self._BLOOM_K):
-                    bmp[pos >> 3] |= 1 << (pos & 7)
+            for p in positions:
+                bmp[p >> 3] |= 1 << (p & 7)
             stats.setdefault(c, {})["bloom"] = {
                 "m": m,
-                "k": self._BLOOM_K,
+                "k": k,
                 "bits": base64.b64encode(bytes(bmp)).decode(),
             }
         return stats
+
+    def _probe_hash(self, value, coltype: T.DataType) -> int:
+        """xxhash64 of the probe literal exactly as the stats pass
+        hashed the column. Integral/string/double/float/boolean types
+        hash ON THE DRIVER (portable_xxhash64 — zero Spark jobs, the
+        point of an index-grade lookup); anything else pays one
+        memoized 1-row job per distinct (type, value)."""
+        h = portable_xxhash64(value, coltype)
+        if h is not None:
+            return h
+        key = (coltype.simpleString(), value)
+        if key not in self._probe_hash_memo:
+            self._probe_hash_memo[key] = (
+                self.spark.range(1)
+                .select(F.xxhash64(F.lit(value).cast(coltype)))
+                .first()[0]
+            )
+        return self._probe_hash_memo[key]
 
     def read_point(
         self, name: str, col: str, value
@@ -531,13 +760,7 @@ class TableStore:
                 bloom = st.get("bloom")
                 if bloom is not None:
                     if probe_hash is None:
-                        # hash the literal exactly as the stats pass
-                        # hashed the column (same Spark type)
-                        probe_hash = (
-                            self.spark.range(1)
-                            .select(F.xxhash64(F.lit(value).cast(coltype)))
-                            .first()[0]
-                        )
+                        probe_hash = self._probe_hash(value, coltype)
                     bmp = base64.b64decode(bloom["bits"])
                     if not all(
                         bmp[p >> 3] & (1 << (p & 7))
@@ -663,6 +886,12 @@ class TableStore:
         self._persist_schema(target)
         src_dir = self._dir(name)
         tdir = self._dir(target)
+        with _commit_lock(self.root, target):
+            return self._clone_locked(name, src_dir, tdir, target)
+
+    def _clone_locked(
+        self, name: str, src_dir: str, tdir: str, target: str
+    ) -> None:
         base = self._base_doc(name)
 
         def rerel(rel: str) -> str:
@@ -701,6 +930,19 @@ class TableStore:
         write path: per-wave cost scales with the change rate, never
         with dimension size, and the append is one immutable segment
         plus a manifest entry."""
+        with _commit_lock(self.root, name):
+            return self._merge_scd2_locked(
+                name, incoming, key_cols, compare_cols, version
+            )
+
+    def _merge_scd2_locked(
+        self,
+        name: str,
+        incoming: DataFrame,
+        key_cols: list[str],
+        compare_cols: list[str],
+        version: int,
+    ) -> None:
         log_cols = [f.name for f in self.schemas[name].fields]
         cur = scd2_snapshot(self.read(name), key_cols)
         diff = diff_generations(cur, incoming, key_cols, compare_cols)
@@ -824,23 +1066,24 @@ class TableStore:
             raise ValueError(
                 f"replace_where({name!r}): df has rows violating {predicate!r}"
             )
-        seg = self._write_segment(name, df, "seg")
-        base = self._base_doc(name)
-        # rows where the predicate is NULL do NOT match -> keep them
-        notp = f"NOT COALESCE(({predicate}), FALSE)"
-        segs = [
-            {
-                **e,
-                "filter": f"({e['filter']}) AND {notp}"
-                if e.get("filter")
-                else notp,
-            }
-            for e in base["segments"]
-        ]
-        self._commit_manifest(
-            name,
-            {"segments": segs + [{"path": seg}], "deletes": base["deletes"]},
-        )
+        with _commit_lock(self.root, name):
+            seg = self._write_segment(name, df, "seg")
+            base = self._base_doc(name)
+            # rows where the predicate is NULL do NOT match -> keep them
+            notp = f"NOT COALESCE(({predicate}), FALSE)"
+            segs = [
+                {
+                    **e,
+                    "filter": f"({e['filter']}) AND {notp}"
+                    if e.get("filter")
+                    else notp,
+                }
+                for e in base["segments"]
+            ]
+            self._commit_manifest(
+                name,
+                {"segments": segs + [{"path": seg}], "deletes": base["deletes"]},
+            )
 
     def delete_where(self, name: str, predicate: str) -> None:
         """METADATA-ONLY predicate delete: compose NOT(predicate) onto
@@ -853,20 +1096,21 @@ class TableStore:
             raise ValueError(
                 f"delete_where() on bucketed table {name!r}; use replace()"
             )
-        base = self._base_doc(name)
-        notp = f"NOT COALESCE(({predicate}), FALSE)"
-        segs = [
-            {
-                **e,
-                "filter": f"({e['filter']}) AND {notp}"
-                if e.get("filter")
-                else notp,
-            }
-            for e in base["segments"]
-        ]
-        self._commit_manifest(
-            name, {"segments": segs, "deletes": base["deletes"]}
-        )
+        with _commit_lock(self.root, name):
+            base = self._base_doc(name)
+            notp = f"NOT COALESCE(({predicate}), FALSE)"
+            segs = [
+                {
+                    **e,
+                    "filter": f"({e['filter']}) AND {notp}"
+                    if e.get("filter")
+                    else notp,
+                }
+                for e in base["segments"]
+            ]
+            self._commit_manifest(
+                name, {"segments": segs, "deletes": base["deletes"]}
+            )
 
     def delete_rows(
         self, name: str, keys: DataFrame, key_cols: list[str]
@@ -887,26 +1131,27 @@ class TableStore:
             raise ValueError(
                 f"delete_rows() on bucketed table {name!r}; use replace()"
             )
-        base = self._base_doc(name)
-        if not base["segments"]:
-            return  # nothing to delete from
-        d = self._dir(name)
-        os.makedirs(d, exist_ok=True)
-        dv = f"dv-{time.time_ns()}"
-        keys.select(*key_cols).distinct().write.mode("overwrite").parquet(
-            os.path.join(d, dv)
-        )
-        over = [
-            os.path.basename(e["path"].rstrip("/")) for e in base["segments"]
-        ]
-        self._commit_manifest(
-            name,
-            {
-                "segments": base["segments"],
-                "deletes": base["deletes"]
-                + [{"path": dv, "keys": list(key_cols), "over": over}],
-            },
-        )
+        with _commit_lock(self.root, name):
+            base = self._base_doc(name)
+            if not base["segments"]:
+                return  # nothing to delete from
+            d = self._dir(name)
+            os.makedirs(d, exist_ok=True)
+            dv = f"dv-{time.time_ns()}"
+            keys.select(*key_cols).distinct().write.mode("overwrite").parquet(
+                os.path.join(d, dv)
+            )
+            over = [
+                os.path.basename(e["path"].rstrip("/")) for e in base["segments"]
+            ]
+            self._commit_manifest(
+                name,
+                {
+                    "segments": base["segments"],
+                    "deletes": base["deletes"]
+                    + [{"path": dv, "keys": list(key_cols), "over": over}],
+                },
+            )
 
     def compact(
         self,
@@ -923,15 +1168,206 @@ class TableStore:
         write). Returns True if a compaction ran. History note: the
         compacted snapshot is a NEW generation; older generations
         still time-travel until vacuum()."""
-        debt = self.mor_debt(name)
-        over_debt = (
-            max_mor_debt is not None
-            and debt["filters"] + debt["deletes"] > max_mor_debt
-        )
-        if self.segment_count(name) <= max_segments and not over_debt:
-            return False
-        self.replace(name, self.read(name))
-        return True
+        with _commit_lock(self.root, name):
+            debt = self.mor_debt(name)
+            over_debt = (
+                max_mor_debt is not None
+                and debt["filters"] + debt["deletes"] > max_mor_debt
+            )
+            if self.segment_count(name) <= max_segments and not over_debt:
+                return False
+            self.replace(name, self.read(name))
+            return True
+
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict | str | None = "all",
+        when_not_matched_insert: dict | str | None = "all",
+        when_matched_delete=None,
+        changed_only: list[str] | None = None,
+    ) -> dict[str, int]:
+        """General MERGE INTO (the Delta/Iceberg `MERGE` analog),
+        unifying the engine's bespoke upserts (merge.py M1/M2) with
+        the store's merge-on-read machinery:
+
+        - `on`: equi-join key columns (an update clause may never
+          assign them). `source` must be key-distinct — like Delta,
+          multiple source matches for one target row are the caller's
+          bug (the engine dedups staged waves first).
+        - `when_matched_update`: 'all' (every non-key column takes the
+          source value), a dict {col: Column|SQL-expr over aliases
+          `t`/`s`}, or None (no update clause).
+        - `when_matched_delete`: optional Column/SQL condition over
+          `t`/`s`; evaluated BEFORE the update clause (Delta clause
+          order).
+        - `when_not_matched_insert`: 'all' / dict / None, as update.
+        - `changed_only`: O5 change suppression — a matched row is
+          updated only if one of these columns differs null-safely
+          between source and target, so a re-crawl wave that touched
+          nothing writes nothing.
+
+        COMMIT SHAPE: for a non-bucketed table with an existing base
+        the merge commits O(changes) — ONE manifest generation adding
+        a deletion vector over the updated+deleted keys and ONE
+        segment holding updated+inserted rows; the base segments are
+        never rewritten (exactly the merge-on-read MERGE a 100 TB
+        table needs: deleting/updating a million rows writes
+        megabytes). Bucketed tables rewrite through replace() to
+        preserve the bucket layout (their O(table) cost buys the
+        shuffle-free joins the layout exists for). Returns metrics
+        {'inserted', 'updated', 'deleted'}.
+        """
+        import functools
+        import operator as _op
+
+        from pyspark.sql import Column
+
+        cols = [f.name for f in self.schemas[name].fields]
+        data_cols = [c for c in cols if c not in on]
+        for clause in (when_matched_update, when_not_matched_insert):
+            if isinstance(clause, dict) and set(clause) & set(on):
+                raise ValueError(
+                    f"merge({name!r}): clause assigns key column(s) "
+                    f"{sorted(set(clause) & set(on))}"
+                )
+
+        def _c(v) -> Column:
+            return F.expr(v) if isinstance(v, str) else v
+
+        with _commit_lock(self.root, name):
+            t = self.read(name).alias("t")
+            s = source.alias("s")
+            cond = functools.reduce(
+                _op.and_,
+                [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on],
+            )
+            j = t.join(s, cond, "full_outer")
+            tp = F.col(f"t.{on[0]}").isNotNull()
+            sp = F.col(f"s.{on[0]}").isNotNull()
+
+            if changed_only:
+                changed = functools.reduce(
+                    _op.or_,
+                    [
+                        ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+                        for c in changed_only
+                    ],
+                )
+            else:
+                changed = F.lit(True)
+
+            op = F.lit(None).cast("string")
+            branches = []
+            if when_matched_delete is not None:
+                branches.append((tp & sp & _c(when_matched_delete), "D"))
+            if when_matched_update is not None:
+                branches.append((tp & sp & changed, "U"))
+            if when_not_matched_insert is not None:
+                branches.append((~tp & sp, "I"))
+            for bcond, tag in reversed(branches):
+                op = F.when(bcond, F.lit(tag)).otherwise(op)
+
+            def _val(clause, c: str, default: Column) -> Column:
+                if clause == "all":
+                    return F.col(f"s.{c}") if c in data_cols else default
+                if isinstance(clause, dict) and c in clause:
+                    return _c(clause[c])
+                return default
+
+            newvals = []
+            for c in cols:
+                tcol = F.col(f"t.{c}")
+                scol = F.col(f"s.{c}") if c in on else tcol
+                null = F.lit(None).cast(self.schemas[name][c].dataType)
+                ins_default = scol if c in on else null
+                v = (
+                    F.when(
+                        F.col("__op") == "U",
+                        _val(when_matched_update, c, tcol),
+                    )
+                    .when(
+                        F.col("__op") == "I",
+                        _val(when_not_matched_insert, c, ins_default),
+                    )
+                    .otherwise(tcol)
+                )
+                newvals.append(v.alias(c))
+            key_out = [
+                F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(f"__k_{k}")
+                for k in on
+            ]
+            classified = (
+                j.withColumn("__op", op)
+                .select("__op", *key_out, *newvals)
+                .persist()
+            )
+            try:
+                counts = {
+                    r["__op"]: r["n"]
+                    for r in classified.groupBy("__op")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                metrics = {
+                    "inserted": int(counts.get("I", 0)),
+                    "updated": int(counts.get("U", 0)),
+                    "deleted": int(counts.get("D", 0)),
+                }
+                n_changes = sum(metrics.values())
+                base = self._base_doc(name)
+                delta_ok = (
+                    not (self.bucketing and name in BUCKET_SPECS)
+                    and bool(base["segments"])
+                )
+                if not delta_ok:
+                    self.replace(
+                        name,
+                        classified.where(
+                            F.col("__op").isNull() | (F.col("__op") != "D")
+                        ).select(*cols),
+                    )
+                    return metrics
+                if n_changes == 0:
+                    return metrics  # nothing differs: write NOTHING
+                d = self._dir(name)
+                doc = {
+                    "segments": list(base["segments"]),
+                    "deletes": list(base["deletes"]),
+                }
+                if metrics["updated"] or metrics["deleted"]:
+                    dv = f"dv-{time.time_ns()}"
+                    (
+                        classified.where(F.col("__op").isin("U", "D"))
+                        .select(
+                            *[F.col(f"__k_{k}").alias(k) for k in on]
+                        )
+                        .distinct()
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(d, dv))
+                    )
+                    doc["deletes"] = doc["deletes"] + [
+                        {
+                            "path": dv,
+                            "keys": list(on),
+                            "over": [_seg_id(e) for e in base["segments"]],
+                        }
+                    ]
+                if metrics["updated"] or metrics["inserted"]:
+                    seg = self._write_segment(
+                        name,
+                        classified.where(F.col("__op").isin("U", "I")).select(
+                            *cols
+                        ),
+                        "seg",
+                    )
+                    doc["segments"] = doc["segments"] + [{"path": seg}]
+                self._commit_manifest(name, doc)
+                return metrics
+            finally:
+                classified.unpersist()
 
     def commit_multi(
         self,
@@ -946,89 +1382,130 @@ class TableStore:
 
         1. STAGE: each table's new generation is fully written to an
            invisible `staged-<txn>` directory (readers resolve only
-           `gen-` dirs, so staging is never visible; vacuum ignores
-           `staged-` too).
+           catalog-pointed `gen-` dirs, so staging is never visible;
+           vacuum ignores `staged-` too).
         2. JOURNAL: one write-ahead intent file
            (`<root>/_txn_multi/<txn>.json`, atomic tmp-then-rename)
-           lists every staged dir. THIS IS THE COMMIT POINT.
-        3. PUBLISH: each staged dir renames to a fresh `gen-` name
-           (O(1) per table); the journal is removed last.
+           records every staged dir AND the `gen-` name each will
+           publish to. THIS IS THE DURABILITY COMMIT POINT.
+        3. PUBLISH: each staged dir renames to its journaled target
+           (O(1) per table), then the root catalog pointer swaps ONCE
+           for all tables — THE VISIBILITY COMMIT POINT. A reader
+           interleaved anywhere before the swap resolves every table
+           at its old generation; after, every table at its new one —
+           never mixed (the torn-read window the pre-pointer protocol
+           documented is closed). The journal is removed last.
 
         A crash before the journal leaves orphan staged dirs —
         recover_multi() rolls them BACK (deletes; no reader ever saw
         them). A crash after the journal leaves a committed intent —
-        recover_multi() rolls it FORWARD (publishes the remaining
-        staged dirs idempotently). Readers between publish renames can
-        observe table A new / table B old — the read-side visibility
-        window a true multi-table catalog pointer would close; the
-        ATOMIC DURABILITY guarantee (no post-recovery torn state) is
-        what this protocol adds, and it is exactly Delta's
-        single-table journal shape lifted one level up.
+        recover_multi() rolls it FORWARD: remaining renames replay
+        idempotently against the journaled targets (a missing staged
+        dir whose target was never published is CORRUPTION and
+        raises, not a silent no-op), then the catalog swap replays
+        (monotonic — it never regresses a table a later commit moved
+        past). recover_multi() must only run at startup with no
+        in-flight commit_multi writers, like any WAL recovery.
 
         `crash_after_publish` / `crash_before_journal` inject crashes
         for tests (raise mid-protocol); publish order is sorted table
-        name, so injection points are deterministic. Returns the txn
-        id. Bucketed tables are refused (their generations publish
-        through the session catalog, not a rename)."""
+        name, so injection points are deterministic
+        (`crash_after_publish=len(writes)` crashes after every rename
+        but before the catalog swap). Returns the txn id. Bucketed
+        tables are refused (their generations publish through the
+        session catalog, not a rename)."""
         for name in writes:
             if self.bucketing and name in BUCKET_SPECS:
                 raise ValueError(
                     f"commit_multi() on bucketed table {name!r}; use replace()"
                 )
-        txn = f"txn-{time.time_ns()}"
-        staged: dict[str, str] = {}
-        for name in sorted(writes):
-            d = self._dir(name)
-            os.makedirs(d, exist_ok=True)
-            sdir = os.path.join(d, f"staged-{txn}")
-            cols = [f.name for f in self.schemas[name].fields]
-            out = writes[name].select(*cols)
-            if name in SORT_KEYS:
-                out = out.sortWithinPartitions(*SORT_KEYS[name])
-            out.write.mode("overwrite").parquet(sdir)
-            staged[name] = os.path.basename(sdir)
-        if crash_before_journal:
-            raise RuntimeError(
-                f"injected crash before journal of {txn} "
-                "(staged dirs orphaned; recover_multi rolls back)"
-            )
-        jdir = os.path.join(self.root, "_txn_multi")
-        os.makedirs(jdir, exist_ok=True)
-        jpath = os.path.join(jdir, f"{txn}.json")
-        tmp = jpath + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"staged": staged}, fh)
-        os.replace(tmp, jpath)  # COMMIT POINT
-        self._publish_txn(txn, staged, crash_after_publish)
-        return txn
+        locks = [_commit_lock(self.root, n) for n in sorted(writes)]
+        for lk in locks:
+            lk.acquire()
+        try:
+            txn = f"txn-{time.time_ns()}"
+            staged: dict[str, str] = {}
+            for name in sorted(writes):
+                d = self._dir(name)
+                os.makedirs(d, exist_ok=True)
+                sdir = os.path.join(d, f"staged-{txn}")
+                cols = [f.name for f in self.schemas[name].fields]
+                out = writes[name].select(*cols)
+                if name in SORT_KEYS:
+                    out = out.sortWithinPartitions(*SORT_KEYS[name])
+                out.write.mode("overwrite").parquet(sdir)
+                staged[name] = os.path.basename(sdir)
+            if crash_before_journal:
+                raise RuntimeError(
+                    f"injected crash before journal of {txn} "
+                    "(staged dirs orphaned; recover_multi rolls back)"
+                )
+            targets = {
+                name: f"gen-{time.time_ns()}" for name in sorted(writes)
+            }
+            jdir = os.path.join(self.root, "_txn_multi")
+            os.makedirs(jdir, exist_ok=True)
+            jpath = os.path.join(jdir, f"{txn}.json")
+            tmp = jpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"staged": staged, "targets": targets}, fh)
+            os.replace(tmp, jpath)  # DURABILITY COMMIT POINT
+            self._publish_txn(txn, staged, targets, crash_after_publish)
+            return txn
+        finally:
+            for lk in reversed(locks):
+                lk.release()
 
     def _publish_txn(
-        self, txn: str, staged: dict[str, str], crash_after: int | None = None
+        self,
+        txn: str,
+        staged: dict[str, str],
+        targets: dict[str, str],
+        crash_after: int | None = None,
     ) -> None:
-        """Publish a journaled txn's staged dirs (idempotent: a dir
-        already renamed by a pre-crash publish is skipped), then
-        retire the journal."""
-        for i, name in enumerate(sorted(staged)):
+        """Publish a journaled txn: rename each staged dir to its
+        journaled target (idempotent on replay: target already there
+        -> skip; staged AND target both missing -> corruption, raise),
+        swap the catalog pointer once for all tables (visibility
+        commit), then retire the journal."""
+        names = sorted(staged)
+        for i, name in enumerate(names):
             if crash_after is not None and i >= crash_after:
                 raise RuntimeError(
                     f"injected crash after publishing {i} of "
                     f"{len(staged)} tables in {txn}"
                 )
             src = os.path.join(self._dir(name), staged[name])
-            if os.path.isdir(src):
-                os.rename(
-                    src, os.path.join(self._dir(name), f"gen-{time.time_ns()}")
+            dst = os.path.join(self._dir(name), targets[name])
+            if os.path.isdir(dst):
+                continue  # published before a crash; replay skips
+            if not os.path.isdir(src):
+                raise RuntimeError(
+                    f"{txn}: staged dir {staged[name]} for {name!r} is "
+                    f"missing and target {targets[name]} was never "
+                    "published — journal names the expected generation, "
+                    "so this is corruption (or recovery ran concurrently "
+                    "with a live writer), not a safe no-op"
                 )
+            os.rename(src, dst)
+        if crash_after is not None and crash_after >= len(names):
+            raise RuntimeError(
+                f"injected crash after all renames of {txn}, before the "
+                "catalog swap (readers still resolve every table OLD)"
+            )
+        self._catalog_swap(dict(targets))  # VISIBILITY COMMIT POINT
         jpath = os.path.join(self.root, "_txn_multi", f"{txn}.json")
         if os.path.exists(jpath):
             os.remove(jpath)
 
     def recover_multi(self) -> dict[str, str]:
         """Crash recovery for commit_multi: every journaled txn rolls
-        FORWARD (its commit point passed — publish what remains),
-        every orphan staged dir (no journal) rolls BACK (its txn never
-        committed — delete, no reader ever resolved it). Idempotent;
-        call on store startup, like any write-ahead-log recovery.
+        FORWARD (its durability commit point passed — replay renames +
+        catalog swap), every orphan staged dir (no journal) rolls BACK
+        (its txn never committed — delete, no reader ever resolved
+        it). Idempotent; call on store STARTUP ONLY, with no active
+        writers (a concurrent in-flight commit_multi's staged dirs
+        would be indistinguishable from orphans).
         Returns {txn: 'rolled-forward' | 'rolled-back'}."""
         outcomes: dict[str, str] = {}
         jdir = os.path.join(self.root, "_txn_multi")
@@ -1040,8 +1517,8 @@ class TableStore:
                 txn = j[: -len(".json")]
                 journaled.add(txn)
                 with open(os.path.join(jdir, j)) as fh:
-                    staged = json.load(fh)["staged"]
-                self._publish_txn(txn, staged)
+                    doc = json.load(fh)
+                self._publish_txn(txn, doc["staged"], doc["targets"])
                 outcomes[txn] = "rolled-forward"
         for name in self._disk_tables():
             d = self._dir(name)

@@ -1950,8 +1950,8 @@ UNION ALL
 SELECT 'meta_pt', 4, CAST(NULL AS VARCHAR), 1, CAST(3 AS DOUBLE),
        CAST(0 AS BIGINT)
 UNION ALL
-SELECT 'meta_nm', 4, CAST(NULL AS VARCHAR), 1, CAST(0 AS DOUBLE),
-       CAST(3 AS BIGINT)
+SELECT 'meta_nm', 4, CAST(NULL AS VARCHAR), 1, CAST(1 AS DOUBLE),
+       CAST(NULL AS BIGINT)
 """
 
 
@@ -2036,11 +2036,25 @@ def g23_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     by_id, rep1 = store.read_point("dim", "id", pid)
     by_name, rep2 = store.read_point("dim", "name", pname)
+    # the id probe's zone skips are exact-arithmetic (disjoint hulls)
+    # and pinned verbatim; the name probe's bloom skips admit a ~2e-4
+    # per-segment false positive at an unvalidated SF, so its meta row
+    # pins BOUNDS — scanned within [1, 2] and every segment accounted
+    # for — rather than the exact skip split (ADVICE r6)
+    nm_meta = {
+        "total": rep2["total"],
+        "scanned": 1 if 1 <= rep2["scanned"] <= 2 else rep2["scanned"],
+        "zone_skipped": int(
+            rep2["scanned"] + rep2["zone_skipped"] + rep2["bloom_skipped"]
+            == rep2["total"]
+        ),
+        "bloom_skipped": None,
+    }
     out = (
         proj(by_id, "pt")
         .unionByName(proj(by_name, "nm"))
         .unionByName(meta_row("meta_pt", rep1))
-        .unionByName(meta_row("meta_nm", rep2))
+        .unionByName(meta_row("meta_nm", nm_meta))
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(root, ignore_errors=True)
@@ -2059,14 +2073,14 @@ d2 AS (
   SELECT id, dir_path, updated_on + INTERVAL 1 DAY AS updated_on
   FROM fx_directory
 )
-SELECT 'torn_files' AS part, CAST(id AS BIGINT) AS id, name,
+SELECT 'mid_files' AS part, CAST(id AS BIGINT) AS id, name,
        CAST(dir_id AS BIGINT) AS dir_id, CAST(size AS DOUBLE) AS size,
        {_ep_sql('mtime')} AS mtime_ep
 FROM fx_file
 UNION ALL
-SELECT 'torn_dirs', CAST(id AS BIGINT), dir_path, CAST(NULL AS BIGINT),
+SELECT 'mid_dirs', CAST(id AS BIGINT), dir_path, CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE), {_ep_sql('updated_on')}
-FROM d2
+FROM fx_directory
 UNION ALL
 SELECT 'fin_files', CAST(id AS BIGINT), name, CAST(dir_id AS BIGINT),
        CAST(size AS DOUBLE), {_ep_sql('mtime')}
@@ -2076,11 +2090,14 @@ SELECT 'fin_dirs', CAST(id AS BIGINT), dir_path, CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE), {_ep_sql('updated_on')}
 FROM d2
 UNION ALL
-SELECT 'meta_torn', 1, CAST(NULL AS VARCHAR), 2, CAST(1 AS DOUBLE),
-       CAST(NULL AS BIGINT)
+SELECT 'meta_mid', 1, CAST(NULL AS VARCHAR), 2, CAST(1 AS DOUBLE),
+       CAST(2 AS BIGINT)
 UNION ALL
 SELECT 'meta_rec1', 2, CAST(NULL AS VARCHAR), 2, CAST(0 AS DOUBLE),
        CAST(1 AS BIGINT)
+UNION ALL
+SELECT 'meta_cat', 2, CAST(NULL AS VARCHAR), 3, CAST(3 AS DOUBLE),
+       CAST(NULL AS BIGINT)
 UNION ALL
 SELECT 'meta_crash2', 2, CAST(NULL AS VARCHAR), 0, CAST(NULL AS DOUBLE),
        CAST(NULL AS BIGINT)
@@ -2093,31 +2110,38 @@ SELECT 'meta_rec2', 0, CAST(NULL AS VARCHAR), 2, CAST(NULL AS DOUBLE),
 @_q("g24_multi_table_txn", _G24_ORACLE)
 def g24_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table ATOMIC commit through the store's write-ahead
-    journal (the cross-table transaction single-table lakehouses
-    lack), both crash sides proven:
+    journal plus the ROOT CATALOG POINTER (the cross-table
+    transaction single-table lakehouses lack), both crash sides
+    proven:
 
-    - txn 1 (crash AFTER the journal, mid-publish): 'dirs' publishes,
-      the injected crash strands 'files'. 'torn_files'/'torn_dirs'
-      pin the torn-but-durable read state (files still OLD, dirs new)
-      and 'meta_torn' the physical story (files 1 gen, dirs 2, one
-      journal pending). recover_multi() rolls FORWARD — 'meta_rec1'
-      pins files published (2 gens), journal retired, 1 txn
-      rolled-forward.
+    - txn 1 (crash AFTER the journal, mid-publish): 'dirs' renames to
+      its journaled target, the injected crash strands 'files' — but
+      the catalog pointer never swapped, so 'mid_files'/'mid_dirs'
+      pin BOTH tables reading OLD (all-old, never mixed: the
+      torn-read window the pointer closes). 'meta_mid' pins the
+      physical story (files 1 gen, dirs 2, one journal pending,
+      catalog still at version 2). recover_multi() rolls FORWARD —
+      'meta_rec1' pins files published (2 gens), journal retired, 1
+      txn rolled-forward; 'meta_cat' pins the pointer trajectory
+      (v2 after the crash, v3 after recovery's SINGLE swap covering
+      both tables, v3 final — roll-back never bumps it).
     - txn 2 (crash BEFORE the journal): both tables staged, nothing
       visible. 'meta_crash2' pins 2 orphan staged dirs and 0 pending
       journals; recover_multi() rolls BACK — 'meta_rec2' pins 0
       staged left, files still at 2 generations, 1 txn rolled-back.
 
     'fin_files'/'fin_dirs' read both tables at the end: exactly the
-    txn-1 wave contents — txn 2 left no trace. That is the atomic-
-    durability contract: after recovery, all of a committed txn and
-    none of an uncommitted one.
+    txn-1 wave contents — txn 2 left no trace. That is atomic
+    durability AND atomic visibility: after recovery, all of a
+    committed txn and none of an uncommitted one; at any instant in
+    between, all-old or all-new.
 
     Scale: staging cost is the data write you'd pay anyway; the
-    commit point is ONE atomic journal rename regardless of table
-    count or size, publish is O(1) renames, and recovery reads only
-    the journal directory — the protocol adds metadata, never a
-    second data pass."""
+    durability commit is ONE atomic journal rename and the
+    visibility commit ONE atomic pointer swap, regardless of table
+    count or size; publish is O(1) renames; recovery reads only the
+    journal directory — the protocol adds metadata, never a second
+    data pass."""
     import os as _os
     import shutil
     import tempfile
@@ -2210,18 +2234,24 @@ def g24_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("bigint").alias("mtime_ep"),
         )
 
-    torn_f = proj_f(store.read("files"), "torn_files").localCheckpoint(
+    mid_f = proj_f(store.read("files"), "mid_files").localCheckpoint(
         eager=True
     )
-    torn_d = proj_d(store.read("dirs"), "torn_dirs").localCheckpoint(
+    mid_d = proj_d(store.read("dirs"), "mid_dirs").localCheckpoint(
         eager=True
     )
-    meta_torn = meta_row(
-        "meta_torn", gens("files"), gens("dirs"), float(pending_journals()), None
+    v_after_crash = store.catalog_version()
+    meta_mid = meta_row(
+        "meta_mid",
+        gens("files"),
+        gens("dirs"),
+        float(pending_journals()),
+        v_after_crash,
     )
 
     out1 = store.recover_multi()
     n_fwd = sum(1 for v in out1.values() if v == "rolled-forward")
+    v_after_rec1 = store.catalog_version()
     meta_rec1 = meta_row(
         "meta_rec1", gens("files"), gens("dirs"), float(pending_journals()), n_fwd
     )
@@ -2243,15 +2273,23 @@ def g24_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta_rec2 = meta_row(
         "meta_rec2", staged_orphans(), gens("files"), None, n_back
     )
+    meta_cat = meta_row(
+        "meta_cat",
+        v_after_crash,
+        v_after_rec1,
+        float(store.catalog_version()),
+        None,
+    )
 
     fin_f = proj_f(store.read("files"), "fin_files")
     fin_d = proj_d(store.read("dirs"), "fin_dirs")
     out = (
-        torn_f.unionByName(torn_d)
+        mid_f.unionByName(mid_d)
         .unionByName(fin_f)
         .unionByName(fin_d)
-        .unionByName(meta_torn)
+        .unionByName(meta_mid)
         .unionByName(meta_rec1)
+        .unionByName(meta_cat)
         .unionByName(meta_crash2)
         .unionByName(meta_rec2)
         .localCheckpoint(eager=True)

@@ -94,6 +94,93 @@ def test_stats_on_segment_without_stats_are_scanned(spark, tmp_path):
     assert rep == {"total": 2, "zone_skipped": 1, "bloom_skipped": 0, "scanned": 1}
 
 
+def test_point_lookup_probe_hash_runs_zero_jobs(spark, tmp_path):
+    """read_point hashes its probe literal on the driver
+    (portable_xxhash64): a fully-skipped lookup must launch NO Spark
+    job — metadata in, empty lazy frame out."""
+    st = _skip_store(spark, tmp_path)
+    sc = spark.sparkContext
+    sc.setJobGroup("probe_zero_jobs", "read_point must not run jobs")
+    try:
+        df, rep = st.read_point("t", "id", 999)       # zone-skips all
+        df2, rep2 = st.read_point("t", "name", "zz")  # bloom path, no match
+    finally:
+        sc.setJobGroup(None, None)
+    assert rep["scanned"] == 0
+    assert sc.statusTracker().getJobIdsForGroup("probe_zero_jobs") == []
+    # the frames are still correct when later executed (outside group)
+    assert df.count() == 0 and df2.count() == 0
+
+
+def test_portable_probe_hash_matches_jvm(spark):
+    """portable_xxhash64 == Spark's xxhash64() for every type the
+    driver-side kernel claims (incl. >=32-byte strings, which take
+    the accumulator path, and multi-byte UTF-8)."""
+    from file_db_spark.filedb.store import portable_xxhash64
+
+    cases = [
+        (12345, T.LongType()), (-7, T.LongType()), (0, T.LongType()),
+        (12345, T.IntegerType()), (-1, T.ShortType()),
+        ("", T.StringType()), ("n42", T.StringType()),
+        ("a" * 31, T.StringType()), ("b" * 32, T.StringType()),
+        ("c" * 67, T.StringType()), ("日本語テキスト", T.StringType()),
+        (3.14159, T.DoubleType()), (-0.0, T.DoubleType()),
+        (1.5, T.FloatType()), (True, T.BooleanType()),
+    ]
+    row = spark.range(1).select(
+        *[
+            F.xxhash64(F.lit(v).cast(dt)).alias(f"h{i}")
+            for i, (v, dt) in enumerate(cases)
+        ]
+    ).first()
+    for i, (v, dt) in enumerate(cases):
+        assert portable_xxhash64(v, dt) == row[f"h{i}"], (v, dt)
+    # types the kernel does not cover fall back (memoized JVM job)
+    assert portable_xxhash64(1, T.DecimalType(18, 6)) is None
+
+
+def test_bloom_positions_jvm_matches_python(spark, tmp_path):
+    """The distributive digest build expands bit positions JVM-side;
+    they must equal _bloom_positions exactly, else probe-time checks
+    read the wrong bits."""
+    from file_db_spark.filedb.store import _bloom_positions
+
+    m, k = 4096, 4
+    hs = [0, -1, 42, 2**63 - 1, -(2**63), 123456789123456789]
+    got = (
+        spark.createDataFrame([(h,) for h in hs], "h long")
+        .selectExpr(
+            "h",
+            f"transform(sequence(0, {k - 1}), i -> "
+            f"pmod((h & 4294967295) + i * (shiftrightunsigned(h, 32) | 1), {m})) AS p",
+        )
+        .collect()
+    )
+    for r in got:
+        assert [int(x) for x in r["p"]] == _bloom_positions(r["h"], m, k)
+
+
+def test_bloom_digest_caps_at_max_keys(spark, tmp_path):
+    """Above _BLOOM_MAX_KEYS distinct values no digest is recorded
+    (zone-map-only) — the manifest entry and the driver-side bitmap
+    stay bounded no matter how large the append."""
+    st = _store(spark, tmp_path)
+    orig = TableStore._BLOOM_MAX_KEYS
+    TableStore._BLOOM_MAX_KEYS = 50
+    try:
+        st.append("t", _rows(spark, 0, 100), bloom_cols=["name"])   # over cap
+        st.append("t", _rows(spark, 100, 130), bloom_cols=["name"])  # under
+    finally:
+        TableStore._BLOOM_MAX_KEYS = orig
+    doc = st._doc(st._current("t"))
+    segs = doc["segments"]
+    assert "bloom" not in (segs[0].get("stats") or {}).get("name", {})
+    assert "bloom" in segs[1]["stats"]["name"]
+    # the capped segment is always scanned; the digested one prunes
+    _, rep = st.read_point("t", "name", "n5")
+    assert rep["scanned"] == 1 and rep["bloom_skipped"] == 1
+
+
 def _journal_count(st):
     jd = os.path.join(st.root, "_txn_multi")
     return (
@@ -129,15 +216,65 @@ def test_crash_after_journal_rolls_forward(spark, tmp_path):
             {"a": _rows(spark, 10, 15), "b": _rows(spark, 20, 25)},
             crash_after_publish=1,
         )
-    # publish order is sorted: 'a' published, 'b' stranded, journal kept
-    assert {r["id"] for r in st.read("a").collect()} == set(range(10, 15))
+    # publish order is sorted: 'a' renamed, 'b' stranded, journal kept —
+    # but the catalog pointer never swapped, so a reader sees BOTH
+    # tables OLD (no torn visibility, unlike the pre-pointer protocol)
+    assert {r["id"] for r in st.read("a").collect()} == set(range(0, 5))
     assert {r["id"] for r in st.read("b").collect()} == set(range(0, 5))
     assert _journal_count(st) == 1
     out = st.recover_multi()
     assert list(out.values()) == ["rolled-forward"]
+    assert {r["id"] for r in st.read("a").collect()} == set(range(10, 15))
     assert {r["id"] for r in st.read("b").collect()} == set(range(20, 25))
     assert _journal_count(st) == 0
     assert st.recover_multi() == {}  # idempotent
+
+
+def test_reader_between_renames_sees_all_old_then_all_new(spark, tmp_path):
+    """The root-catalog-pointer contract: with every staged dir
+    RENAMED but the pointer not yet swapped (crash_after_publish =
+    len(writes)), a reader resolves every table at its OLD
+    generation; after recovery, every table at its NEW one. No
+    interleaving can observe a mixed catalog."""
+    st = TableStore(spark, str(tmp_path / "cat"), dict(_TWO), bucketing=False)
+    st.replace("a", _rows(spark, 0, 5))
+    st.replace("b", _rows(spark, 0, 5))
+    v0 = st.catalog_version()
+    with pytest.raises(RuntimeError, match="before the catalog swap"):
+        st.commit_multi(
+            {"a": _rows(spark, 10, 15), "b": _rows(spark, 20, 25)},
+            crash_after_publish=2,
+        )
+    # both new generations physically exist as gen- dirs ...
+    assert len(st.generations("a")) == 2 and len(st.generations("b")) == 2
+    # ... yet the visibility point (the pointer) has not moved
+    assert st.catalog_version() == v0
+    assert {r["id"] for r in st.read("a").collect()} == set(range(0, 5))
+    assert {r["id"] for r in st.read("b").collect()} == set(range(0, 5))
+    out = st.recover_multi()
+    assert list(out.values()) == ["rolled-forward"]
+    assert st.catalog_version() == v0 + 1  # ONE swap covered both tables
+    assert {r["id"] for r in st.read("a").collect()} == set(range(10, 15))
+    assert {r["id"] for r in st.read("b").collect()} == set(range(20, 25))
+
+
+def test_recovery_never_regresses_a_later_commit(spark, tmp_path):
+    """Monotonic pointer swap: if a table moved FORWARD after a
+    crashed txn published its rename, replaying the txn's catalog
+    swap must not drag the table back to the txn's generation."""
+    st = TableStore(spark, str(tmp_path / "cat"), dict(_TWO), bucketing=False)
+    st.replace("a", _rows(spark, 0, 5))
+    st.replace("b", _rows(spark, 0, 5))
+    with pytest.raises(RuntimeError, match="before the catalog swap"):
+        st.commit_multi(
+            {"a": _rows(spark, 10, 15), "b": _rows(spark, 20, 25)},
+            crash_after_publish=2,
+        )
+    st.replace("a", _rows(spark, 50, 55))  # later commit wins
+    out = st.recover_multi()
+    assert list(out.values()) == ["rolled-forward"]
+    assert {r["id"] for r in st.read("a").collect()} == set(range(50, 55))
+    assert {r["id"] for r in st.read("b").collect()} == set(range(20, 25))
 
 
 def test_crash_before_journal_rolls_back(spark, tmp_path):
