@@ -148,8 +148,15 @@ class Engine:
         control = scheduler.seed_control_for_dirs(control, d_res.new_dirs, now)
         control = merge.mark_dirs_crawled(control, stats, missing, now)
 
-        self.store.replace("directory", d_res.directory)
-        self.store.replace("file", f_res.file)
+        # entity-table commits through the store's general MERGE INTO
+        # (merge.py's M1/M2 clauses): `directory` commits O(changes)
+        # merge-on-read — one DV + one upsert segment per wave instead
+        # of rewriting the whole table; `file` is bucketed, so the
+        # store rewrites it to preserve the co-located join layout.
+        # State is value-identical to d_res.directory / f_res.file
+        # (pinned in tests/test_incremental_ops.py).
+        merge.upsert_directories_into(self.store, staged_dirs, now)
+        merge.upsert_files_into(self.store, staged_files.drop("dir_path"), now)
         self.store.replace("directory_control", control)
         self.store.append("hash_control", f_res.hash_schedule)
         # one emptiness probe for both queues (two isEmpty calls would
@@ -247,6 +254,10 @@ class Engine:
         horizon = self.config.get("archive_compact_segments", 8)
         for t in ("directory_archive", "file_archive", "hash_control"):
             self.store.compact(t, max_segments=horizon)
+        # `directory` now accrues one upsert segment + one DV per
+        # MERGE-committed wave — fold that merge-on-read debt on the
+        # same idle edge
+        self.store.compact("directory", max_segments=horizon, max_mor_debt=horizon)
 
     # -- query surface ------------------------------------------------------
     def listing(self) -> DataFrame:

@@ -40,6 +40,8 @@ __all__ = [
     "upsert_hash",
     "delete_files",
     "delete_directories",
+    "upsert_directories_into",
+    "upsert_files_into",
 ]
 
 
@@ -224,6 +226,76 @@ def merge_files(
         hash_schedule=to_hash,
         removal_queue=vanished,
         scratch=joined,
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1/M2 entity commits re-expressed on the store's general MERGE INTO
+# ---------------------------------------------------------------------------
+def upsert_directories_into(store, staged_dirs: DataFrame, now) -> dict:
+    """M1's entity-table upsert as a TableStore.merge() call — the
+    same clauses merge_directories computes by hand (update ctime/
+    mtime + stamp updated_on on O5-changed rows only; insert staged
+    values + both timestamps), but COMMITTED O(changes): one deletion
+    vector over the touched dir_paths plus one upsert segment, never
+    a full `directory` rewrite per crawl wave (the sustainable shape
+    when the catalog holds 10^9 directories and a wave touches 10^3).
+    Vanish detection stays in merge_directories (it needs the crawl
+    scope); this is the write path. Returns merge metrics."""
+    staged = staged_dirs.dropDuplicates(["dir_path"])
+    nowc = _now_lit(now)
+    return store.merge(
+        "directory",
+        staged,
+        ["dir_path"],
+        when_matched_update={
+            "ctime": F.col("s.ctime"),
+            "mtime": F.col("s.mtime"),
+            "updated_on": nowc,
+        },
+        when_not_matched_insert={
+            "id": F.col("s.id"),
+            "ctime": F.col("s.ctime"),
+            "mtime": F.col("s.mtime"),
+            "inserted_on": nowc,
+            "updated_on": nowc,
+        },
+        changed_only=["ctime", "mtime"],
+    )
+
+
+def upsert_files_into(store, staged_files: DataFrame, now) -> dict:
+    """M2's entity-table upsert as a TableStore.merge() call (update
+    size/ctime/mtime/atime + updated_on when any differs — O5; insert
+    staged values + timestamps). `file` is a BUCKETED table, so the
+    store rewrites through replace() to preserve the co-located join
+    layout — same cost as before, one code path for the semantics.
+    Rehash scheduling stays in merge_files (it needs the
+    content-changed split). Returns merge metrics."""
+    staged = staged_files.dropDuplicates(["id"])
+    nowc = _now_lit(now)
+    return store.merge(
+        "file",
+        staged,
+        ["id"],
+        when_matched_update={
+            "size": F.col("s.size"),
+            "ctime": F.col("s.ctime"),
+            "mtime": F.col("s.mtime"),
+            "atime": F.col("s.atime"),
+            "updated_on": nowc,
+        },
+        when_not_matched_insert={
+            "name": F.col("s.name"),
+            "dir_id": F.col("s.dir_id"),
+            "size": F.col("s.size"),
+            "ctime": F.col("s.ctime"),
+            "mtime": F.col("s.mtime"),
+            "atime": F.col("s.atime"),
+            "inserted_on": nowc,
+            "updated_on": nowc,
+        },
+        changed_only=["size", "ctime", "mtime", "atime"],
     )
 
 

@@ -2445,6 +2445,172 @@ def g25_cdc_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g26: GENERAL MERGE INTO — the store-level MERGE primitive (update /
+# insert / delete clauses + O5 change suppression) committed as ONE
+# merge-on-read generation: a deletion vector over the touched keys
+# plus one upsert segment. Oracle = a DuckDB CTE mirror of MERGE
+# semantics over the same source wave.
+# ---------------------------------------------------------------------------
+_G26_SRC_CTE = """g26src AS (
+  SELECT id, name, dir_id,
+         CASE WHEN id % 3 = 0 THEN size + CAST('0.001' AS DECIMAL(4,3))
+              ELSE size END AS size,
+         mtime,
+         (id % 7 = 0) AS _del
+  FROM fx_file WHERE id % 11 <> 0
+  UNION ALL
+  SELECT id + 900000, 'ins_' || CAST(id AS VARCHAR), 1,
+         CAST('2.5' AS DECIMAL(18,6)), TIMESTAMP '2024-06-30', FALSE
+  FROM fx_file WHERE id % 13 = 0
+),
+g26m AS (
+  SELECT s.*, (t.id IS NOT NULL) AS matched,
+         (s.name IS DISTINCT FROM t.name
+          OR s.dir_id IS DISTINCT FROM t.dir_id
+          OR s.size IS DISTINCT FROM t.size
+          OR s.mtime IS DISTINCT FROM t.mtime) AS changed
+  FROM g26src s LEFT JOIN fx_file t ON s.id = t.id
+),
+g26final AS (
+  SELECT t.id, t.name, t.dir_id, t.size, t.mtime
+  FROM fx_file t LEFT JOIN g26src s ON t.id = s.id WHERE s.id IS NULL
+  UNION ALL
+  SELECT t.id, t.name, t.dir_id, t.size, t.mtime
+  FROM fx_file t JOIN g26m m ON t.id = m.id
+  WHERE NOT m._del AND NOT m.changed
+  UNION ALL
+  SELECT id, name, dir_id, size, mtime FROM g26m
+  WHERE matched AND NOT _del AND changed
+  UNION ALL
+  SELECT id, name, dir_id, size, mtime FROM g26m WHERE NOT matched
+)"""
+
+_G26_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G26_SRC_CTE}
+SELECT 'merged' AS part, CAST(id AS BIGINT) AS id, name,
+       CAST(dir_id AS BIGINT) AS dir_id, CAST(size AS DOUBLE) AS size,
+       {_ep_sql('mtime')} AS mtime_ep
+FROM g26final
+UNION ALL
+SELECT 'metrics',
+       (SELECT COUNT(*) FROM g26m WHERE NOT matched),
+       CAST(NULL AS VARCHAR),
+       (SELECT COUNT(*) FROM g26m WHERE matched AND NOT _del AND changed),
+       CAST((SELECT COUNT(*) FROM g26m WHERE matched AND _del) AS DOUBLE),
+       CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'shape', 2, CAST(NULL AS VARCHAR), 0, CAST(1 AS DOUBLE),
+       CAST(NULL AS BIGINT)
+"""
+
+
+@_q("g26_merge_into", _G26_ORACLE)
+def g26_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE INTO on the table store (the Delta/Iceberg
+    `MERGE` analog the reference's Postgres upserts approximate with
+    INSERT..ON CONFLICT, File.py:264-344): one source wave carrying
+    updates (id%%3 size bump), untouched copies (everything else
+    matched — O5 change suppression must write NOTHING for them),
+    tombstones (id%%7, the `when_matched_delete` clause, which wins
+    over update in Delta clause order), and brand-new rows (id%%13
+    re-keyed +900000, `when_not_matched_insert`). 'merged' pins the
+    post-merge table against a DuckDB CTE that mirrors MERGE
+    semantics clause by clause; 'metrics' pins the returned
+    inserted/updated/deleted counts against SQL aggregates over the
+    same classification; 'shape' pins the COMMIT's merge-on-read
+    form — 2 segments (base + upserts), 0 scoped filters, 1 deletion
+    vector — proving the write was O(changes), not a table rewrite.
+
+    Scale: the merge is ONE full-outer equi-join on the key
+    (co-located when bucketed) + one aggregate for metrics; the
+    commit writes only the touched keys (DV) and changed/new rows
+    (segment). Updating a million rows of a billion-row table writes
+    megabytes — the only sustainable MERGE shape at 100 TB, and the
+    same machinery merge.py's M1/M2 now commit through."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    base = {f.name: f for f in schemas.FILE.fields}
+    dim_schema = T.StructType(
+        [base[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+    )
+    cols = [f.name for f in dim_schema.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    fid = F.col("id")
+    src = (
+        f1.where(fid % 11 != 0)
+        .select(
+            "id",
+            "name",
+            "dir_id",
+            F.when(
+                fid % 3 == 0,
+                F.expr("size + CAST('0.001' AS DECIMAL(4,3))"),
+            )
+            .otherwise(F.col("size"))
+            .cast("decimal(18,6)")
+            .alias("size"),
+            "mtime",
+            (fid % 7 == 0).alias("_del"),
+        )
+        .unionByName(
+            f1.where(fid % 13 == 0).select(
+                (fid + 900000).alias("id"),
+                F.concat(F.lit("ins_"), fid.cast("string")).alias("name"),
+                F.lit(1).cast("int").alias("dir_id"),
+                F.expr("CAST('2.5' AS DECIMAL(18,6))").alias("size"),
+                F.expr("TIMESTAMP '2024-06-30'").alias("mtime"),
+                F.lit(False).alias("_del"),
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="fdb_g26_")
+    store = TableStore(spark, root, {"dim": dim_schema}, bucketing=False)
+    store.replace("dim", f1.select(*cols))
+    metrics = store.merge(
+        "dim",
+        src,
+        ["id"],
+        when_matched_update="all",
+        when_not_matched_insert="all",
+        when_matched_delete="s._del",
+        changed_only=["name", "dir_id", "size", "mtime"],
+    )
+    merged = store.read("dim").select(
+        F.lit("merged").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.col("dir_id").cast("bigint").alias("dir_id"),
+        F.col("size").cast("double").alias("size"),
+        _ep(F.col("mtime")).alias("mtime_ep"),
+    )
+    debt = store.mor_debt("dim")
+    meta = spark.createDataFrame(
+        [
+            ("metrics", metrics["inserted"], metrics["updated"], float(metrics["deleted"])),
+            ("shape", store.segment_count("dim"), debt["filters"], float(debt["deletes"])),
+        ],
+        "part string, a long, b long, c double",
+    ).select(
+        "part",
+        F.col("a").cast("bigint").alias("id"),
+        _sn().alias("name"),
+        F.col("b").cast("bigint").alias("dir_id"),
+        F.col("c").alias("size"),
+        _bn().alias("mtime_ep"),
+    )
+    out = merged.unionByName(meta).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g7: PARTITION PRUNING through the storage layer — write the events
 # table Hive-partitioned by day, then serve a one-day query from it.
 # The complement of the bucketed-join store feature: bucketing kills
