@@ -459,7 +459,15 @@ class TableStore:
             seg_id = os.path.basename(e["path"].rstrip("/"))
             for dv in dvs:
                 if seg_id in dv["over"]:
-                    df = df.join(dv["df"], dv["keys"], "left_anti")
+                    # NULL-SAFE anti-join: a NULL key names a real row
+                    # group (merge() deletes rows whose key is NULL —
+                    # e.g. the orphan-file rollup group); a plain
+                    # USING-join would let those escape the vector
+                    cond = None
+                    for k in dv["keys"]:
+                        eq = df[k].eqNullSafe(dv["df"][k])
+                        cond = eq if cond is None else cond & eq
+                    df = df.join(dv["df"], cond, "left_anti")
             parts.append(df)
         if not parts:
             return self.spark.createDataFrame([], self.schemas[name])
@@ -1238,15 +1246,19 @@ class TableStore:
             return F.expr(v) if isinstance(v, str) else v
 
         with _commit_lock(self.root, name):
-            t = self.read(name).alias("t")
-            s = source.alias("s")
+            # explicit presence markers, NOT key-nullability: the keys
+            # join null-safely, so a NULL key is a legitimate match
+            # (e.g. the catalog's orphan-file group) and must not be
+            # misread as "row absent"
+            t = self.read(name).withColumn("__tp", F.lit(True)).alias("t")
+            s = source.withColumn("__sp", F.lit(True)).alias("s")
             cond = functools.reduce(
                 _op.and_,
                 [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on],
             )
             j = t.join(s, cond, "full_outer")
-            tp = F.col(f"t.{on[0]}").isNotNull()
-            sp = F.col(f"s.{on[0]}").isNotNull()
+            tp = F.col("t.__tp").isNotNull()
+            sp = F.col("s.__sp").isNotNull()
 
             if changed_only:
                 changed = functools.reduce(

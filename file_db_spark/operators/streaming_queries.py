@@ -1681,3 +1681,201 @@ ORACLES["s18_stream_outer_join"] = """
      AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
     WHERE p.event_type = 'purchase'
     """
+
+
+# ---------------------------------------------------------------------------
+# s19: STREAMING CDC SOURCE — the g25 subscription cursors driving a
+# foreachBatch incremental-apply loop that maintains a downstream
+# aggregate table FROM the change feed (Delta-CDF-as-stream; the
+# continuous version of the reference's 5-second polling loops,
+# Server/__init__.py:48-56). Oracle = the batch recompute of the
+# maintained view at each pinned point (the s15/g18 shared-oracle
+# pattern).
+# ---------------------------------------------------------------------------
+def _s19_oracle() -> str:
+    from ..filedb import fixtures
+    from .merge_queries import _G6_WAVE_CTE, _G25_F3_CTE
+
+    return f"""
+WITH {fixtures.FIXTURE_CTES},
+{_G6_WAVE_CTE},
+{_G25_F3_CTE}
+SELECT 'mid' AS part, CAST(dir_id AS BIGINT) AS dir_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size) AS DOUBLE) AS total_size
+FROM f2 GROUP BY dir_id
+UNION ALL
+SELECT 'fin', CAST(dir_id AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(size) AS DOUBLE)
+FROM f3 GROUP BY dir_id
+UNION ALL
+SELECT 'meta', 2, 0, CAST(3 AS DOUBLE)
+"""
+
+
+def s19_stream_cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC source: a downstream per-directory rollup
+    (n_files, total_size) is MAINTAINED from the table store's CDC
+    subscription instead of recomputed. The downstream registers a
+    consumer at generation 1 and seeds itself with the initial full
+    load; each micro-batch then (1) lands the upstream commit (the
+    writer that ran between polls), (2) pulls `changes_since` — the
+    net I/D/U delta for exactly this consumer's lag, (3) converts it
+    to per-directory contributions (old side −1/−size, new side
+    +1/+size, so cross-directory moves adjust both ends), (4) MERGEs
+    them into the rollup (groups reaching zero files are deleted),
+    and (5) only then advances the cursor — the at-least-once
+    contract: a crash mid-apply re-pulls the same delta (pinned in
+    tests/test_streaming.py), a replayed batch no-ops on the
+    txn-version guard. 'mid'/'fin' pin the maintained table against
+    the batch recompute over f2/f3 — incremental decimal arithmetic
+    is EXACT, so the match is bit-for-bit; 'meta' pins 2 applied
+    batches, 0 outstanding delta rows after the final advance, and 3
+    upstream generations (retention covered the cursor).
+
+    Scale: per batch this reads O(changed keys) from the feed,
+    aggregates O(touched directories), and commits a MERGE that
+    writes only those groups — a 100 TB upstream with a 0.1% change
+    rate maintains its rollups for megabytes per batch, where the
+    reference's polling loop re-ran the full aggregate every 5
+    seconds."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..filedb import fixtures, schemas
+    from ..filedb.store import TableStore
+    from ..streaming import cdc_source
+    from .merge_queries import _g6_wave
+
+    base = {f.name: f for f in schemas.FILE.fields}
+    dim_schema = T.StructType(
+        [base[c] for c in ("id", "name", "dir_id", "size", "mtime")]
+    )
+    stats_schema = T.StructType(
+        [
+            T.StructField("dir_id", T.LongType()),
+            T.StructField("n_files", T.LongType()),
+            T.StructField("total_size", T.DecimalType(28, 6)),
+        ]
+    )
+    cols = [f.name for f in dim_schema.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    f2 = _g6_wave(spark, f1)
+    fid = F.col("id")
+    f3 = f2.where(fid % 13 != 0).withColumn(
+        "size",
+        F.when(
+            fid % 5 == 0,
+            F.expr("size + CAST('0.002' AS DECIMAL(4,3))"),
+        )
+        .otherwise(F.col("size"))
+        .cast("decimal(18,6)"),
+    )
+
+    root = tempfile.mkdtemp(prefix="fdb_s19_")
+    sdir = os.path.join(root, "stream")
+    os.makedirs(sdir)
+    for i, w in enumerate([f2, f3]):
+        tmp = os.path.join(root, f"w{i}")
+        w.select(*cols).withColumn("wave", F.lit(i + 1).cast("int")).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(sdir, f"wave{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    store = TableStore(
+        spark,
+        os.path.join(root, "cat"),
+        {"dim": dim_schema, "dir_stats": stats_schema},
+        bucketing=False,
+    )
+    store.replace("dim", f1.select(*cols))
+    store.create_consumer("dim", "ivm")
+    # initial full load: the one-time batch seed every CDC-maintained
+    # view starts from
+    store.replace(
+        "dir_stats",
+        f1.groupBy("dir_id").agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").cast("decimal(28,6)").alias("total_size"),
+        ),
+    )
+
+    mid_state: list = []
+    applied: list = []
+
+    def proj(df: DataFrame, part: str) -> DataFrame:
+        return df.select(
+            F.lit(part).alias("part"),
+            F.col("dir_id").cast("bigint").alias("dir_id"),
+            F.col("n_files").cast("bigint").alias("n_files"),
+            F.col("total_size").cast("double").alias("total_size"),
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= store.txn_version("s19_cdc"):
+            return
+        if batch_df.isEmpty():
+            return
+        b = batch_df.persist()
+        try:
+            wave = int(b.select(F.max("wave")).first()[0])
+            store.replace("dim", b.drop("wave"))  # the upstream commit
+            m = cdc_source.apply_cdc_batch(store, "dim", "ivm", "dir_stats")
+            applied.append(m)
+            if wave == 1:
+                mid_state.append(
+                    proj(store.read("dir_stats"), "mid").localCheckpoint(
+                        eager=True
+                    )
+                )
+        finally:
+            b.unpersist()
+        store.set_txn_version("s19_cdc", batch_id)
+
+    stream_schema = T.StructType(
+        list(dim_schema.fields) + [T.StructField("wave", T.IntegerType(), True)]
+    )
+    q = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    pending = store.changes_since(
+        "dim", "ivm", ["id"], ["name", "dir_id", "size", "mtime"]
+    ).count()
+    fin = proj(store.read("dir_stats"), "fin")
+    meta = spark.createDataFrame(
+        [(len(applied), pending, float(len(store.generations("dim"))))],
+        "a long, p long, g double",
+    ).select(
+        F.lit("meta").alias("part"),
+        F.col("a").cast("bigint").alias("dir_id"),
+        F.col("p").cast("bigint").alias("n_files"),
+        F.col("g").alias("total_size"),
+    )
+    out = (
+        mid_state[0]
+        .unionByName(fin)
+        .unionByName(meta)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+QUERIES["s19_stream_cdc_source"] = s19_stream_cdc_source
+ORACLES["s19_stream_cdc_source"] = _s19_oracle()

@@ -275,3 +275,84 @@ def test_s18_outer_join_flushes(spark, sf_dir):
     assert got.where(F.col("click_id").isNull()).count() > 0
     last = p.orderBy(F.desc("p_ts")).select("purchase_id").first()[0]
     assert got.where(F.col("purchase_id") == last).count() >= 1
+
+
+def test_s19_cdc_apply_at_least_once(spark, tmp_path):
+    """The CDC-source contract: the cursor advances ONLY after the
+    downstream apply commits. A crash between apply and advance loses
+    nothing — the re-pull returns the very same delta; a clean apply
+    then drains it and the next pull is empty."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from file_db_spark.filedb.store import TableStore
+    from file_db_spark.streaming.cdc_source import apply_cdc_batch
+
+    from decimal import Decimal
+    from datetime import datetime
+
+    dim_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("dir_id", T.LongType()),
+            T.StructField("size", T.DecimalType(18, 6)),
+            T.StructField("mtime", T.TimestampType()),
+        ]
+    )
+    stats_schema = T.StructType(
+        [
+            T.StructField("dir_id", T.LongType()),
+            T.StructField("n_files", T.LongType()),
+            T.StructField("total_size", T.DecimalType(28, 6)),
+        ]
+    )
+    t0 = datetime(2024, 6, 1)
+    rows = [
+        (1, "a", 10, Decimal("1.0"), t0),
+        (2, "b", 10, Decimal("2.0"), t0),
+        (3, "c", 20, Decimal("3.0"), t0),
+    ]
+    st = TableStore(
+        spark, str(tmp_path / "cdc"),
+        {"dim": dim_schema, "dir_stats": stats_schema}, bucketing=False,
+    )
+    st.replace("dim", spark.createDataFrame(rows, dim_schema))
+    st.create_consumer("dim", "ivm")
+    st.replace(
+        "dir_stats",
+        st.read("dim").groupBy("dir_id").agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").cast("decimal(28,6)").alias("total_size"),
+        ),
+    )
+    # wave: drop id 3 (dir 20 empties), bump id 1's size, insert id 4
+    wave = [
+        (1, "a", 10, Decimal("1.5"), t0),
+        (2, "b", 10, Decimal("2.0"), t0),
+        (4, "d", 30, Decimal("4.0"), t0),
+    ]
+    st.replace("dim", spark.createDataFrame(wave, dim_schema))
+
+    kc, cc = ["id"], ["name", "dir_id", "size", "mtime"]
+    pull = lambda: st.changes_since("dim", "ivm", kc, cc)
+    before = {(r["op"], r["id"]) for r in pull().collect()}
+    assert before == {("U", 1), ("D", 3), ("I", 4)}
+
+    with pytest.raises(RuntimeError, match="before cursor advance"):
+        apply_cdc_batch(st, "dim", "ivm", "dir_stats", crash_before_advance=True)
+    # the apply committed ...
+    got = {
+        r["dir_id"]: (r["n_files"], float(r["total_size"]))
+        for r in st.read("dir_stats").collect()
+    }
+    assert got == {10: (2, 3.5), 30: (1, 4.0)}  # dir 20 deleted at zero
+    # ... but the cursor did NOT move: the same delta is re-pullable
+    assert {(r["op"], r["id"]) for r in pull().collect()} == before
+
+    # clean run drains it (the documented duplication window: this
+    # re-applies the same delta — at-least-once, not exactly-once)
+    m = apply_cdc_batch(st, "dim", "ivm", "dir_stats")
+    assert m["delta_rows"] == len(before)
+    assert pull().count() == 0  # cursor advanced; next pull empty
