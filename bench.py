@@ -93,14 +93,15 @@ HEADLINE = [
     "a15_waiting_supplier",  # Q21 double-correlation in one window pass
     "v20_pq_index_add",  # IVF-PQ incremental index add + serve
     # merge-engine + streaming pipeline cost, previously invisible in
-    # BENCH (these time the engine's own fixture-wave pipelines; s38
-    # alone runs nine real availableNow stream drains — its wall time
-    # is stream startup x9, not data volume)
+    # BENCH (these time the engine's own fixture-wave pipelines; the
+    # streaming carriers run real availableNow stream drains — wall
+    # time is stream startup x members, not data volume)
     "g1_merge_recrawl",
     "g2_hash_lifecycle",
     "g3456_control_suite",
     "s12_streaming",
-    "s38_streaming_suite",
+    "s311_streaming_suite",
+    "s1319_streaming_suite",
     # round-6 additions: TPC-H completion set + merge-on-read deletes
     "a17_small_qty_revenue",  # Q17 correlated-AVG decorrelated to one window
     "a19_order_count_distribution",  # Q13 outer-join count distribution
@@ -201,7 +202,7 @@ def main() -> None:
         total += timings[name]
 
     shared = round(sum(timings.get(n, 0.0) for n in R02_SHARED), 3)
-    # per-member wall seconds for the concurrent suites (s38/g3456),
+    # per-member wall seconds for the concurrent suites (streaming/g3456),
     # from each suite's LAST timed run — so a member regression can't
     # hide behind the suite's startup-dominated total (VERDICT r4 #6)
     from file_db_spark.operators import _timing

@@ -258,13 +258,31 @@ class Engine:
         # MERGE-committed wave — fold that merge-on-read debt on the
         # same idle edge
         self.store.compact("directory", max_segments=horizon, max_mor_debt=horizon)
+        # refresh planner statistics on the same maintenance cadence
+        # (one aggregate pass) so the broadcast-vs-shuffle decision
+        # tracks the catalog's actual size
+        self.store.analyze("directory")
 
     # -- query surface ------------------------------------------------------
+    def _broadcast_dirs(self) -> bool:
+        """Stats-driven join strategy for the `directory` dimension:
+        broadcast while ANALYZE says it fits (planner thresholds),
+        shuffle once it outgrows them — instead of a hardcoded hint
+        that OOMs the day the catalog holds 10^9 directories. An
+        un-analyzed store keeps the historical broadcast default;
+        run_until_idle refreshes stats on its idle edge."""
+        from .. import planner
+
+        return planner.should_broadcast(
+            self.store.table_stats("directory"), default=True
+        )
+
     def listing(self) -> DataFrame:
         return views.vw_ll(
             self.store.read("directory"),
             self.store.read("file"),
             self.store.read("hash"),
+            broadcast_dirs=self._broadcast_dirs(),
         )
 
     def file_detail(self) -> DataFrame:
@@ -273,6 +291,7 @@ class Engine:
             self.store.read("file"),
             self.store.read("hash"),
             self.store.read("file_category"),
+            broadcast_dirs=self._broadcast_dirs(),
         )
 
     def dir_detail(self) -> DataFrame:

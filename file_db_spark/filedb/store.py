@@ -852,6 +852,89 @@ class TableStore:
             assert new is not None
             return new
 
+    def analyze(
+        self, name: str, skew_cols: tuple | list = (), top_k: int = 5
+    ) -> dict:
+        """ANALYZE the table and persist planner statistics as
+        `_STATS-<name>.json` next to its generations: row count, an
+        estimated serialized width (type widths + measured average
+        string lengths), total size estimate, and — for each
+        `skew_cols` entry — the a7-style hot-key profile (top-k values
+        + the hottest key's share). Consulting the stats later is a
+        METADATA read (planner.py makes no Spark job to decide a join
+        strategy); computing them is one aggregate pass plus one
+        group-count per skew column, the standard ANALYZE cost a
+        cluster pays on its maintenance edge. Stats are stamped with
+        the analyzed generation; like any CBO the planner tolerates
+        mild staleness — re-analyze on the same cadence as compact()."""
+        df = self.read(name)
+        schema = self.schemas[name]
+        str_cols = [
+            f.name for f in schema.fields if isinstance(f.dataType, T.StringType)
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.avg(F.length(c)).alias(f"len__{c}") for c in str_cols
+        ]
+        row = df.agg(*aggs).first()
+        n = int(row["__n"])
+        width = 0
+        for f in schema.fields:
+            dt = f.dataType
+            if isinstance(dt, T.StringType):
+                width += int(row[f"len__{f.name}"] or 0) + 20
+            elif isinstance(dt, (T.ByteType, T.BooleanType)):
+                width += 1
+            elif isinstance(dt, (T.IntegerType, T.ShortType, T.FloatType)):
+                width += 4
+            elif isinstance(dt, T.DecimalType):
+                width += 16
+            else:  # long/double/timestamp/date and conservative default
+                width += 8
+        skew: dict = {}
+        for c in skew_cols:
+            top = (
+                df.groupBy(c)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .orderBy(F.desc("__c"))
+                .limit(top_k)
+                .collect()
+            )
+            skew[c] = {
+                "top": [
+                    {
+                        "value": None if r[c] is None else str(r[c]),
+                        "count": int(r["__c"]),
+                    }
+                    for r in top
+                ],
+                "max_share": (int(top[0]["__c"]) / n) if top and n else 0.0,
+            }
+        cur = self._current(name)
+        doc = {
+            "n_rows": n,
+            "row_bytes": width,
+            "bytes_est": n * width,
+            "skew": skew,
+            "generation": os.path.basename(cur) if cur else None,
+        }
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"_STATS-{name}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, p)
+        return doc
+
+    def table_stats(self, name: str) -> dict | None:
+        """Persisted ANALYZE stats for the table, or None if never
+        analyzed. O(1) metadata — safe to call per planning decision."""
+        try:
+            with open(os.path.join(self._dir(name), f"_STATS-{name}.json")) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
     def txn_version(self, app_id: str) -> int:
         """Last micro-batch id committed under `app_id` (-1 if none) —
         the Delta `txnAppId`/`txnVersion` idempotent-foreachBatch

@@ -35,16 +35,31 @@ __all__ = [
 ]
 
 
-def vw_ll(directory: DataFrame, file: DataFrame, hash_df: DataFrame) -> DataFrame:
+def _dim(dim: DataFrame, broadcast: bool) -> DataFrame:
+    """Optionally broadcast-hint a dimension side. Call sites default
+    to True (the historical plan); the engine passes the stats-driven
+    decision (planner.should_broadcast over ANALYZE stats) so the hint
+    stops being a hardcoded assumption that breaks the day the
+    dimension outgrows the executors."""
+    return F.broadcast(dim) if broadcast else dim
+
+
+def vw_ll(
+    directory: DataFrame,
+    file: DataFrame,
+    hash_df: DataFrame,
+    broadcast_dirs: bool = True,
+) -> DataFrame:
     """Union listing (FileDbDAL/SQLUtil.py:223-248): file branch is
     file ⋈ directory ⟕ hash; dir branch self-joins each directory to its
     parent (parent.dir_path = basepath(dir_path), J4) — drive roots are
-    their own parent (basepath('C:\\')='C:\\', replicated quirk)."""
+    their own parent (basepath('C:\\')='C:\\', replicated quirk).
+    `broadcast_dirs` is the stats-driven strategy switch (see _dim)."""
     d = directory.alias("d")
     f = file.alias("f")
     h = hash_df.alias("h")
     files = (
-        f.join(F.broadcast(d), F.col("f.dir_id") == F.col("d.id"))
+        f.join(_dim(d, broadcast_dirs), F.col("f.dir_id") == F.col("d.id"))
         .join(h, F.col("h.file_id") == F.col("f.id"), "left")
         .select(
             F.lit("file").alias("type"),
@@ -65,7 +80,7 @@ def vw_ll(directory: DataFrame, file: DataFrame, hash_df: DataFrame) -> DataFram
     parent = directory.alias("p")
     dirs = (
         child.join(
-            F.broadcast(parent),
+            _dim(parent, broadcast_dirs),
             basepath(F.col("c.dir_path")) == F.col("p.dir_path"),
         )
         .select(
@@ -91,17 +106,20 @@ def vw_file_detail(
     file: DataFrame,
     hash_df: DataFrame,
     file_category: DataFrame,
+    broadcast_dirs: bool = True,
 ) -> DataFrame:
     """file ⋈ directory ⟕ hash ⟕ file_category on the derived extension
     key (FileDbDAL/SQLUtil.py:252-266; J3 expression join materialized
-    as a column so it stays a broadcast equi-join)."""
+    as a column so it stays a broadcast equi-join). file_category is a
+    true constant dimension (extension lookup) and always broadcasts;
+    `directory` follows the stats-driven switch (see _dim)."""
     d = directory.alias("d")
     f = file.alias("f")
     h = hash_df.alias("h")
     fc = file_category.alias("fc")
     return (
         f.withColumn("ext", extension(F.col("name")))
-        .join(F.broadcast(d), F.col("dir_id") == F.col("d.id"))
+        .join(_dim(d, broadcast_dirs), F.col("dir_id") == F.col("d.id"))
         .join(h, F.col("h.file_id") == F.col("f.id"), "left")
         .join(F.broadcast(fc), F.col("ext") == F.col("fc.extension"), "left")
         .select(

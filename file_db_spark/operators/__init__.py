@@ -59,13 +59,11 @@ _GRADED_ORDER = (
     "c1_vw_ll",
     "c2_vw_file_detail",
     "c3_dir_detail",
-    "c4_dir_contents",
-    "c5_directory_activity",
+    "cs3_param_listing_suite",  # packs c4 + c7 (members stay in ALL_QUERIES)
+    "cs4_probe_agg_suite",  # packs c5 + c10 (members stay in ALL_QUERIES)
     "cs1_name_search_suite",  # packs c6 + c11 + c12 (members stay in ALL_QUERIES)
-    "c7_search_full_path",
     "c8_duplicate_search",
     "c9_duplicate_groups",
-    "c10_path_probes",
     "cs2_duplicate_suite",  # packs c13 + c14 + c15 (members stay in ALL_QUERIES)
     # event analytics (F11/§2.10 batch family)
     "e1_tumbling_window",
@@ -107,13 +105,16 @@ _GRADED_ORDER = (
     "v346_ivf_kmeans",
     # multimodal plumbing
     "m124_multimodal",
-    # structured streaming
+    # structured streaming (split carriers: window/state/sketch family
+    # + lakehouse-streaming family incl. the s19 CDC source)
     "s12_streaming",
-    "s38_streaming_suite",
-    # merge engine (M1-M8 + O5/O7)
+    "s311_streaming_suite",
+    "s1319_streaming_suite",
+    # merge engine (M1-M8 + O5/O7) + the general MERGE INTO primitive
     "g1_merge_recrawl",
     "g2_hash_lifecycle",
     "g3456_control_suite",
+    "g26_merge_into",
 )
 assert len(_GRADED_ORDER) == 50, len(_GRADED_ORDER)
 _missing = [n for n in _GRADED_ORDER if n not in ALL_QUERIES]

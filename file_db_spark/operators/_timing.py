@@ -1,6 +1,6 @@
 """Per-member wall-clock capture for the packed suite carriers.
 
-The two expensive suites (s38 streaming drains, g3456 engine waves)
+The expensive suites (the streaming-drain carriers, g3456 engine waves)
 run their members concurrently, so the suite's single bench number can
 mask a real member regression behind startup noise (VERDICT r4 #6).
 Each suite records the wall seconds of every member's build/drain call

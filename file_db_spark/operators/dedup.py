@@ -3146,10 +3146,23 @@ def x33_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import _HEX_BUCKET
 
     d = load_table(spark, sf_dir, "documents")
-    sig = (
+    return _fuzzy_screen(
         d.select(
+            "doc_id", (F.expr(_HEX_BUCKET) >= 950).alias("is_test"), "text"
+        )
+    )
+
+
+def _fuzzy_screen(docs: DataFrame) -> DataFrame:
+    """x33's MinHash(32)+LSH(8x4) train-vs-test screen over a labeled
+    corpus (doc_id, is_test, text): candidate (band,key) collisions
+    between the sides under the x4 bucket cap, signature-estimated
+    Jaccard >= 0.5, rolled up per train doc. Shared by x33 (direct)
+    and x34 (composed on the x30 exact-dup collapse)."""
+    sig = (
+        docs.select(
             "doc_id",
-            (F.expr(_HEX_BUCKET) >= 950).alias("is_test"),
+            "is_test",
             tokens(normalize_text("text")).alias("toks"),
         )
         .select(
@@ -3225,3 +3238,112 @@ def x33_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# x34: x33 COMPOSED ON x30's collapse — the deployable decontamination
+# shape at 100 TB: exact-duplicate cliques on the train side collapse
+# to one representative BEFORE the MinHash screen (signatures are a
+# pure function of text, so one rep answers for its whole clique), and
+# the verdict expands back through the member map. Pair generation and
+# signature compares run on the distinct-text corpus; only the hash
+# groupBy and the final expansion touch O(corpus).
+# ---------------------------------------------------------------------------
+_X34_ORACLE = f"""
+    WITH split34 AS (
+      SELECT doc_id, {_X33_SPLIT_SQL} AS bucket FROM documents
+    ), train34 AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN split34 p ON p.doc_id = d.doc_id AND p.bucket < 950
+    ), test34 AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN split34 p ON p.doc_id = d.doc_id AND p.bucket >= 950
+    ), groups34 AS (
+      SELECT md5(text) AS tkey, MIN(doc_id) AS rep_id
+      FROM train34 GROUP BY 1
+    ), members34 AS (
+      SELECT t.doc_id, g.rep_id FROM train34 t
+      JOIN groups34 g ON md5(t.text) = g.tkey
+    ), corpus34 AS (
+      SELECT doc_id, text, FALSE AS is_test FROM train34
+      WHERE doc_id IN (SELECT rep_id FROM groups34)
+      UNION ALL
+      SELECT doc_id, text, TRUE AS is_test FROM test34
+    ), {_x4_shingle_ctes(5).replace("FROM documents", "FROM corpus34")},
+    mins AS (
+      SELECT doc_id,
+             {_X4_MINS}
+      FROM hashed GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {_X4_SIG} AS sig FROM mins
+    ), banded AS (
+      {_X4_BANDS}
+    ), capped AS (
+      SELECT doc_id, band, key FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= {MAX_LSH_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS train_rep, b.doc_id AS test_doc
+      FROM capped a
+      JOIN corpus34 ca ON ca.doc_id = a.doc_id AND NOT ca.is_test
+      JOIN capped b ON a.band = b.band AND a.key = b.key
+      JOIN corpus34 cb ON cb.doc_id = b.doc_id AND cb.is_test
+    ), scored AS (
+      SELECT c.train_rep, c.test_doc,
+             CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.train_rep
+      JOIN sigs sb ON sb.doc_id = c.test_doc
+    ), rolled AS (
+      SELECT train_rep, CAST(COUNT(*) AS BIGINT) AS n_test_matches,
+             MAX(est) AS max_est_jaccard
+      FROM scored WHERE est >= 0.5
+      GROUP BY train_rep
+    )
+    SELECT m.doc_id AS train_doc, CAST(m.rep_id AS BIGINT) AS rep_id,
+           r.n_test_matches, r.max_est_jaccard
+    FROM rolled r JOIN members34 m ON m.rep_id = r.train_rep
+    """
+
+
+@_q("x34_decontaminate_representatives", _X34_ORACLE)
+def x34_decontaminate_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Composed decontamination (the SCALING.md x33 deployment note
+    made real): collapse the train split's exact-duplicate cliques by
+    md5(text) to one representative each (x30's collapse stage), run
+    x33's MinHash-LSH screen between the REPRESENTATIVE corpus and
+    the untouched test split, and expand every contaminated rep's
+    verdict to its whole clique through the member map. Signatures
+    are a pure function of text, so a rep's estimated Jaccard IS
+    every member's — the expansion loses nothing.
+
+    Scale: this is why the screen survives duplication-dense corpora
+    — candidate pairs and signature compares are O(distinct texts),
+    not O(docs); the hash groupBy and the expansion join are the only
+    O(corpus) stages, both single-shuffle. The fixed-benchmark scale
+    probe (SCALING.md) measures this form with the test side held
+    constant — the production shape where the benchmark never grows
+    with the train corpus."""
+    from .textops import _HEX_BUCKET
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_HEX_BUCKET)
+    train = d.where(bucket < 950)
+    test = d.where(bucket >= 950)
+    keyed = train.select("doc_id", F.md5("text").alias("tkey"))
+    groups = keyed.groupBy("tkey").agg(F.min("doc_id").alias("rep_id"))
+    members = keyed.join(groups, "tkey").select("doc_id", "rep_id")
+    rep_docs = train.join(
+        groups.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", F.lit(False).alias("is_test"), "text")
+    corpus = rep_docs.unionByName(
+        test.select("doc_id", F.lit(True).alias("is_test"), "text")
+    )
+    rolled = _fuzzy_screen(corpus).withColumnRenamed("train_doc", "rep_id")
+    return members.join(rolled, "rep_id").select(
+        F.col("doc_id").alias("train_doc"),
+        F.col("rep_id").cast("bigint").alias("rep_id"),
+        "n_test_matches",
+        "max_est_jaccard",
+    )

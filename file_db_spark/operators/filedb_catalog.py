@@ -385,6 +385,101 @@ def cs1_name_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cs3/cs4: packed parameterized-lookup carriers (round-7 window
+# rebalance: the freed slots went to the split streaming carriers and
+# the MERGE INTO entry). cs3 packs the two vw_ll-shaped parameterized
+# reads (c4 dir-contents + c7 full-path probes); cs4 the two small
+# probe aggregates (c5 directory activity + c10 exact-path probes).
+# Member originals stay registered and individually checked.
+# ---------------------------------------------------------------------------
+@_q(
+    "cs3_param_listing_suite",
+    f"""
+    WITH {fixtures.FIXTURE_CTES}, {_VW_LL_CTE},
+    probes AS (
+      SELECT probe_path, {_BP.format(p="probe_path")} AS p_dir,
+             regexp_replace(probe_path, '^.+[/\\\\]', '') AS p_name
+      FROM (VALUES ('/corpus/src2\\doc_2.txt'),
+                   ('C:\\corpus\\src9\\same_name.txt'),
+                   ('/corpus/src4'),
+                   ('/nope/missing.txt')) AS t(probe_path)
+    )
+    SELECT 'c4' AS probe, {_LL_COLS}, CAST(NULL AS VARCHAR) AS probe_path
+    FROM vw_ll WHERE dir_id IN (1, 2, 3)
+    UNION ALL
+    SELECT 'c7', {_LL_COLS}, probe_path FROM vw_ll
+    JOIN probes ON vw_ll.dir_path = probes.p_dir AND vw_ll.name = probes.p_name
+    """,
+)
+def cs3_param_listing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vwf_dir_contents (parameterized listing) + J7 array-probe
+    full-path lookup in one graded row — both members run the SAME
+    view/search implementations unchanged (c4/c7)."""
+    d, f, h, _ = _catalog(spark, sf_dir)
+    ll = _listing(spark, sf_dir)
+    c4 = (
+        _ll_cols(views.vwf_dir_contents(d, f, h, [1, 2, 3]))
+        .select(F.lit("c4").alias("probe"), "*")
+        .withColumn("probe_path", F.lit(None).cast("string"))
+    )
+    c7 = _ll_cols(
+        search.search_full_path(
+            spark,
+            ll,
+            [
+                "/corpus/src2\\doc_2.txt",
+                "C:\\corpus\\src9\\same_name.txt",
+                "/corpus/src4",
+                "/nope/missing.txt",
+            ],
+        )
+    ).select(F.lit("c7").alias("probe"), "*")
+    return c4.unionByName(c7)
+
+
+@_q(
+    "cs4_probe_agg_suite",
+    f"""
+    WITH {fixtures.FIXTURE_CTES},
+    probes AS (SELECT * FROM (VALUES ('/corpus'), ('C:\\'), ('/corpus/src5'),
+                                     ('/nope')) AS t(probe_path))
+    SELECT 'c5' AS probe, CAST(dir_id AS VARCHAR) AS key_s,
+           CAST(NULL AS BIGINT) AS n,
+           MIN(ctime) AS t1, MAX(ctime) AS t2, MIN(mtime) AS t3,
+           MAX(mtime) AS t4
+    FROM fx_file WHERE dir_id IN (1,2,3,4,5,6,7,8,9,10)
+    GROUP BY dir_id
+    UNION ALL
+    SELECT 'c10', p.probe_path, CAST(COUNT(d.id) AS BIGINT),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+    FROM probes p LEFT JOIN fx_directory d ON d.dir_path = p.probe_path
+    GROUP BY p.probe_path
+    """,
+)
+def cs4_probe_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vwf_directory_activity (c5) + P1 exact-path probe counts (c10)
+    in one graded row; both members run their original
+    implementations unchanged."""
+    c5 = QUERIES["c5_directory_activity"](spark, sf_dir).select(
+        F.lit("c5").alias("probe"),
+        F.col("dir_id").cast("string").alias("key_s"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.col("min_ctime").alias("t1"),
+        F.col("max_ctime").alias("t2"),
+        F.col("min_mtime").alias("t3"),
+        F.col("max_mtime").alias("t4"),
+    )
+    c10 = QUERIES["c10_path_probes"](spark, sf_dir).select(
+        F.lit("c10").alias("probe"),
+        F.col("probe_path").alias("key_s"),
+        F.col("n_matches").alias("n"),
+        *[F.lit(None).cast("timestamp").alias(t) for t in ("t1", "t2", "t3", "t4")],
+    )
+    return c5.unionByName(c10)
+
+
+# ---------------------------------------------------------------------------
 # c13/c14: the J6 DIRECTORY duplicate search (reference Search.py:298-345)
 # ---------------------------------------------------------------------------
 # Shared oracle text for the sha1-preferred / md5-fallback / size match,

@@ -2165,14 +2165,204 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# s38: the remaining Structured Streaming operators in one graded row —
-# s3 sliding windows, s4 keyed dedup, s5 session windows, s6 stream-
-# static LSH near-dup admission, s7 foreachBatch incremental rollup
-# maintenance, s8 stream-stream watermarked interval join, s9 sketch
-# maintenance, s10 in-stream training-data admission gate
+# s311 / s1319: the Structured Streaming operators, split across TWO
+# graded carriers (round-6 judge ask: the single 16-member s38 carrier
+# was 31% of headline bench wall, and one member failure reddened the
+# whole row). s311 carries the window/state/sketch family (s3-s11);
+# s1319 the lakehouse-streaming family (s13-s19, incl. the new CDC
+# source). Members run CONCURRENTLY on isolated uuid/mkdtemp
+# checkpoints and sinks, exactly as independent streaming jobs overlap
+# on a production cluster; results are deterministic regardless of
+# interleaving (each member reads only the static source and its own
+# state). The normalized per-member projections are shared (_STREAM_
+# PROJ), so a member's math is identical whichever carrier runs it.
 # ---------------------------------------------------------------------------
+_STREAM_PROJ = {
+    "s3": lambda df: df.select(
+        F.lit("sliding").alias("stream"),
+        _epoch(F.col("window_start")).alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        _sn().alias("s1"),
+        F.col("n_purchases").alias("n"),
+        F.col("total_value").alias("v1"),
+    ),
+    "s4": lambda df: df.select(
+        F.lit("dedup").alias("stream"),
+        F.col("user_id").cast("bigint").alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("event_type").alias("s1"),
+        _bn().alias("n"),
+        _dn().alias("v1"),
+    ),
+    "s5": lambda df: df.select(
+        F.lit("sessions").alias("stream"),
+        F.col("user_id").cast("bigint").alias("k1"),
+        _epoch(F.col("session_start")).alias("k2"),
+        _epoch(F.col("session_end")).alias("k3"),
+        _sn().alias("s1"),
+        F.col("n_events").alias("n"),
+        _dn().alias("v1"),
+    ),
+    "s6": lambda df: df.select(
+        F.lit("neardup").alias("stream"),
+        F.col("new_doc_id").cast("bigint").alias("k1"),
+        F.col("dup_of").cast("bigint").alias("k2"),
+        _bn().alias("k3"),
+        _sn().alias("s1"),
+        _bn().alias("n"),
+        F.col("est_jaccard").alias("v1"),
+    ),
+    "s7": lambda df: df.select(
+        F.lit("rollup").alias("stream"),
+        _epoch(F.col("day")).alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("event_type").alias("s1"),
+        F.col("n_events").alias("n"),
+        F.col("total_value").alias("v1"),
+    ),
+    "s8": lambda df: df.select(
+        F.lit("ssjoin").alias("stream"),
+        F.col("purchase_id").cast("bigint").alias("k1"),
+        F.col("user_id").cast("bigint").alias("k2"),
+        F.col("click_id").cast("bigint").alias("k3"),
+        _sn().alias("s1"),
+        _bn().alias("n"),
+        _dn().alias("v1"),
+    ),
+    "s9": lambda df: df.select(
+        F.lit("cms").alias("stream"),
+        F.col("user_id").alias("k1"),
+        F.col("true_count").alias("k2"),
+        F.col("cms_est").alias("k3"),
+        _sn().alias("s1"),
+        F.col("rank").alias("n"),
+        _dn().alias("v1"),
+    ),
+    "s10": lambda df: df.select(
+        F.lit("admission").alias("stream"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        F.col("score_scaled").alias("k2"),
+        F.col("n_toks").alias("k3"),
+        _sn().alias("s1"),
+        F.col("admitted").alias("n"),
+        (F.col("quality_keep") * 2 + F.col("is_dup")).cast("double").alias("v1"),
+    ),
+    "s11": lambda df: df.select(
+        F.lit("hll").alias("stream"),
+        F.col("day").alias("k1"),
+        F.col("dau_exact").alias("k2"),
+        F.col("dau_register_sum").alias("k3"),
+        _sn().alias("s1"),
+        F.col("dau_exact").alias("n"),
+        F.col("dau_hll").alias("v1"),
+    ),
+    "s13": lambda df: df.select(
+        F.lit("late").alias("stream"),
+        _epoch(F.col("window_start")).alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("event_type").alias("s1"),
+        F.col("n_events").alias("n"),
+        F.col("total_value").alias("v1"),
+    ),
+    "s14": lambda df: df.select(
+        F.lit("recovery").alias("stream"),
+        _epoch(F.col("window_start")).alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("event_type").alias("s1"),
+        F.col("n_events").alias("n"),
+        F.col("total_value").alias("v1"),
+    ),
+    "s15": lambda df: df.select(
+        F.lit("scd2").alias("stream"),
+        F.col("id").alias("k1"),
+        F.col("valid_from").alias("k2"),
+        F.col("valid_to").alias("k3"),
+        F.concat(
+            F.col("name"),
+            F.lit("#"),
+            F.coalesce(F.col("dir_id").cast("string"), F.lit("-")),
+            F.lit("#"),
+            F.coalesce(F.col("mtime_ep").cast("string"), F.lit("-")),
+        ).alias("s1"),
+        F.when(F.col("is_current"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n"),
+        F.col("size").alias("v1"),
+    ),
+    "s16": lambda df: df.select(
+        F.concat(F.lit("gate_"), F.col("part")).alias("stream"),
+        F.col("id").alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        F.col("s1"),
+        F.col("n1").alias("n"),
+        _dn().alias("v1"),
+    ),
+    "s17": lambda df: df.select(
+        F.concat(F.lit("rowdel_"), F.col("part")).alias("stream"),
+        F.col("id").alias("k1"),
+        F.col("dir_id").alias("k2"),
+        F.col("mtime_ep").alias("k3"),
+        F.col("name").alias("s1"),
+        _bn().alias("n"),
+        F.col("size").alias("v1"),
+    ),
+    "s18": lambda df: df.select(
+        F.lit("s18").alias("stream"),
+        F.col("purchase_id").alias("k1"),
+        F.col("user_id").alias("k2"),
+        F.col("click_id").alias("k3"),
+        _sn().alias("s1"),
+        _bn().alias("n"),
+        _dn().alias("v1"),
+    ),
+    "s19": lambda df: df.select(
+        F.concat(F.lit("cdc_"), F.col("part")).alias("stream"),
+        F.col("dir_id").alias("k1"),
+        _bn().alias("k2"),
+        _bn().alias("k3"),
+        _sn().alias("s1"),
+        F.col("n_files").alias("n"),
+        F.col("total_size").alias("v1"),
+    ),
+}
+
+
+def _run_stream_suite(
+    suite_name: str, member_fns: dict, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain every member's availableNow stream concurrently (8-way
+    pool — the round-5 sweep found no gain past 8) and union the
+    normalized projections. Suite wall-time is the slowest member
+    plus overlap, not the sum of stream startups."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import _timing
+
+    _timing.reset(suite_name)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = {
+            k: pool.submit(
+                _timing.timed_member, suite_name, k, fn, spark, sf_dir
+            )
+            for k, fn in member_fns.items()
+        }
+        raw = {k: f.result() for k, f in futures.items()}
+    parts = [_STREAM_PROJ[k](raw[k]) for k in member_fns]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @_q(
-    "s38_streaming_suite",
+    "s311_streaming_suite",
     _sub(streaming_queries.ORACLES["s3_stream_sliding"],
          f"'sliding' AS stream, {_ep('window_start')} AS k1, CAST(NULL AS BIGINT) AS k2, "
          "CAST(NULL AS BIGINT) AS k3, CAST(NULL AS VARCHAR) AS s1, "
@@ -2203,11 +2393,46 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s11_stream_hll_maintenance"],
            "'hll', day, dau_exact, dau_register_sum, NULL, dau_exact, "
-           "dau_hll")
-    + "\nUNION ALL\n"
-    + _sub(streaming_queries.ORACLES["s13_stream_late_data"],
-           f"'late', {_ep('window_start')}, NULL, NULL, event_type, "
-           "n_events, total_value")
+           "dau_hll"),
+)
+def s311_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nine real Structured Streaming drains in one graded row — the
+    window/state/sketch family: s3 sliding windows (complete), s4
+    watermark-bounded keyed dedup (key-set projection), s5 native
+    session windows (complete), s6 stream-static LSH near-dup
+    admission (append), s7 incremental rollup maintenance
+    (foreachBatch MERGE into a generation-swapped hourly store), s8
+    stream-stream watermarked interval join (append), s9 streaming
+    count-min-sketch maintenance (foreachBatch cell-sum merge; heavy
+    hitters served from the maintained sketch), s10 the in-stream
+    training-data admission gate (d33 quality classifier + exact-dedup
+    probe per arriving document), s11 streaming HLL register
+    maintenance. Each member runs its own availableNow stream
+    unchanged and concurrently (see _run_stream_suite)."""
+    return _run_stream_suite(
+        "s311_streaming_suite",
+        {
+            "s3": streaming_queries.s3_stream_sliding,
+            "s4": streaming_queries.s4_stream_dedup,
+            "s5": streaming_queries.s5_stream_sessions,
+            "s6": streaming_queries.s6_stream_neardup,
+            "s7": streaming_queries.s7_stream_rollup_upsert,
+            "s8": streaming_queries.s8_stream_stream_join,
+            "s9": streaming_queries.s9_stream_cms_maintenance,
+            "s10": streaming_queries.s10_stream_admission,
+            "s11": streaming_queries.s11_stream_hll_maintenance,
+        },
+        spark,
+        sf_dir,
+    )
+
+
+@_q(
+    "s1319_streaming_suite",
+    _sub(streaming_queries.ORACLES["s13_stream_late_data"],
+         f"'late' AS stream, {_ep('window_start')} AS k1, CAST(NULL AS BIGINT) AS k2, "
+         "CAST(NULL AS BIGINT) AS k3, event_type AS s1, "
+         "n_events AS n, total_value AS v1")
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s14_stream_checkpoint_recovery"],
            f"'recovery', {_ep('window_start')}, NULL, NULL, event_type, "
@@ -2226,219 +2451,38 @@ def x710_components_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            "'rowdel_' || part, id, dir_id, mtime_ep, name, NULL, size")
     + "\nUNION ALL\n"
     + _sub(streaming_queries.ORACLES["s18_stream_outer_join"],
-           "'s18', purchase_id, user_id, click_id, NULL, NULL, NULL"),
+           "'s18', purchase_id, user_id, click_id, NULL, NULL, NULL")
+    + "\nUNION ALL\n"
+    + _sub(streaming_queries.ORACLES["s19_stream_cdc_source"],
+           "'cdc_' || part, dir_id, NULL, NULL, NULL, n_files, total_size"),
 )
-def s38_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eight more real Structured Streaming drains in one graded row:
-    s3 sliding windows (complete), s4 watermark-bounded keyed dedup
-    (key-set projection), s5 native session windows (complete), s6
-    stream-static LSH near-dup admission (append), s7 incremental
-    rollup maintenance (foreachBatch MERGE into a generation-swapped
-    hourly store), s8 stream-stream watermarked interval join (append),
-    s9 streaming count-min-sketch maintenance (foreachBatch cell-sum
-    merge; heavy hitters served from the maintained sketch), s10 the
-    in-stream training-data admission gate (d33 quality classifier +
-    exact-dedup probe per arriving document), s15 streaming SCD type-2
-    dimension maintenance (foreachBatch merge_scd2 into the real table
-    store; history == the g18 batch contract), s16 streamed write-path
-    expectations (foreachBatch write_with_expectations; accumulated
-    quarantine + final-wave metrics vs the SQL recomputation). Each member runs its own
-    availableNow stream unchanged — CONCURRENTLY: the drains are
-    independent jobs on isolated uuid/mkdtemp checkpoints and sinks,
-    so they overlap exactly as independent streaming jobs do on a
-    production cluster; suite wall-time is the slowest member plus
-    overlap, not the sum of eleven stream startups. Results are
-    deterministic regardless of interleaving (each member reads only
-    the static source and its own state)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    member_fns = {
-        "s3": streaming_queries.s3_stream_sliding,
-        "s4": streaming_queries.s4_stream_dedup,
-        "s5": streaming_queries.s5_stream_sessions,
-        "s6": streaming_queries.s6_stream_neardup,
-        "s7": streaming_queries.s7_stream_rollup_upsert,
-        "s8": streaming_queries.s8_stream_stream_join,
-        "s9": streaming_queries.s9_stream_cms_maintenance,
-        "s10": streaming_queries.s10_stream_admission,
-        "s11": streaming_queries.s11_stream_hll_maintenance,
-        "s13": streaming_queries.s13_stream_late_data,
-        "s14": streaming_queries.s14_stream_checkpoint_recovery,
-        "s15": streaming_queries.s15_stream_scd2,
-        "s16": streaming_queries.s16_stream_expectations,
-        "s17": streaming_queries.s17_stream_row_deletes,
-        "s18": streaming_queries.s18_stream_outer_join,
-    }
-    from . import _timing
-
-    _timing.reset("s38_streaming_suite")
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        futures = {
-            k: pool.submit(
-                _timing.timed_member, "s38_streaming_suite", k, fn, spark, sf_dir
-            )
-            for k, fn in member_fns.items()
-        }
-        raw = {k: f.result() for k, f in futures.items()}
-    s3 = raw["s3"].select(
-        F.lit("sliding").alias("stream"),
-        _epoch(F.col("window_start")).alias("k1"),
-        _bn().alias("k2"),
-        _bn().alias("k3"),
-        _sn().alias("s1"),
-        F.col("n_purchases").alias("n"),
-        F.col("total_value").alias("v1"),
-    )
-    s4 = raw["s4"].select(
-        F.lit("dedup").alias("stream"),
-        F.col("user_id").cast("bigint").alias("k1"),
-        _bn().alias("k2"),
-        _bn().alias("k3"),
-        F.col("event_type").alias("s1"),
-        _bn().alias("n"),
-        _dn().alias("v1"),
-    )
-    s5 = raw["s5"].select(
-        F.lit("sessions").alias("stream"),
-        F.col("user_id").cast("bigint").alias("k1"),
-        _epoch(F.col("session_start")).alias("k2"),
-        _epoch(F.col("session_end")).alias("k3"),
-        _sn().alias("s1"),
-        F.col("n_events").alias("n"),
-        _dn().alias("v1"),
-    )
-    s6 = raw["s6"].select(
-        F.lit("neardup").alias("stream"),
-        F.col("new_doc_id").cast("bigint").alias("k1"),
-        F.col("dup_of").cast("bigint").alias("k2"),
-        _bn().alias("k3"),
-        _sn().alias("s1"),
-        _bn().alias("n"),
-        F.col("est_jaccard").alias("v1"),
-    )
-    s7 = raw["s7"].select(
-        F.lit("rollup").alias("stream"),
-        _epoch(F.col("day")).alias("k1"),
-        _bn().alias("k2"),
-        _bn().alias("k3"),
-        F.col("event_type").alias("s1"),
-        F.col("n_events").alias("n"),
-        F.col("total_value").alias("v1"),
-    )
-    s8 = raw["s8"].select(
-        F.lit("ssjoin").alias("stream"),
-        F.col("purchase_id").cast("bigint").alias("k1"),
-        F.col("user_id").cast("bigint").alias("k2"),
-        F.col("click_id").cast("bigint").alias("k3"),
-        _sn().alias("s1"),
-        _bn().alias("n"),
-        _dn().alias("v1"),
-    )
-    s9 = raw["s9"].select(
-        F.lit("cms").alias("stream"),
-        F.col("user_id").alias("k1"),
-        F.col("true_count").alias("k2"),
-        F.col("cms_est").alias("k3"),
-        _sn().alias("s1"),
-        F.col("rank").alias("n"),
-        _dn().alias("v1"),
-    )
-    s10 = raw["s10"].select(
-        F.lit("admission").alias("stream"),
-        F.col("doc_id").cast("bigint").alias("k1"),
-        F.col("score_scaled").alias("k2"),
-        F.col("n_toks").alias("k3"),
-        _sn().alias("s1"),
-        F.col("admitted").alias("n"),
-        (F.col("quality_keep") * 2 + F.col("is_dup")).cast("double").alias("v1"),
-    )
-    s11 = raw["s11"].select(
-        F.lit("hll").alias("stream"),
-        F.col("day").alias("k1"),
-        F.col("dau_exact").alias("k2"),
-        F.col("dau_register_sum").alias("k3"),
-        _sn().alias("s1"),
-        F.col("dau_exact").alias("n"),
-        F.col("dau_hll").alias("v1"),
-    )
-    s13 = raw["s13"].select(
-        F.lit("late").alias("stream"),
-        _epoch(F.col("window_start")).alias("k1"),
-        _bn().alias("k2"),
-        _bn().alias("k3"),
-        F.col("event_type").alias("s1"),
-        F.col("n_events").alias("n"),
-        F.col("total_value").alias("v1"),
-    )
-    s14 = raw["s14"].select(
-        F.lit("recovery").alias("stream"),
-        _epoch(F.col("window_start")).alias("k1"),
-        _bn().alias("k2"),
-        _bn().alias("k3"),
-        F.col("event_type").alias("s1"),
-        F.col("n_events").alias("n"),
-        F.col("total_value").alias("v1"),
-    )
-    s15 = raw["s15"].select(
-        F.lit("scd2").alias("stream"),
-        F.col("id").alias("k1"),
-        F.col("valid_from").alias("k2"),
-        F.col("valid_to").alias("k3"),
-        F.concat(
-            F.col("name"),
-            F.lit("#"),
-            F.coalesce(F.col("dir_id").cast("string"), F.lit("-")),
-            F.lit("#"),
-            F.coalesce(F.col("mtime_ep").cast("string"), F.lit("-")),
-        ).alias("s1"),
-        F.when(F.col("is_current"), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("n"),
-        F.col("size").alias("v1"),
-    )
-    s16 = raw["s16"].select(
-        F.concat(F.lit("gate_"), F.col("part")).alias("stream"),
-        F.col("id").alias("k1"),
-        _bn().alias("k2"),
-        _bn().alias("k3"),
-        F.col("s1"),
-        F.col("n1").alias("n"),
-        _dn().alias("v1"),
-    )
-    s17 = raw["s17"].select(
-        F.concat(F.lit("rowdel_"), F.col("part")).alias("stream"),
-        F.col("id").alias("k1"),
-        F.col("dir_id").alias("k2"),
-        F.col("mtime_ep").alias("k3"),
-        F.col("name").alias("s1"),
-        _bn().alias("n"),
-        F.col("size").alias("v1"),
-    )
-    s18 = raw["s18"].select(
-        F.lit("s18").alias("stream"),
-        F.col("purchase_id").alias("k1"),
-        F.col("user_id").alias("k2"),
-        F.col("click_id").alias("k3"),
-        _sn().alias("s1"),
-        _bn().alias("n"),
-        _dn().alias("v1"),
-    )
-    return (
-        s3.unionByName(s4)
-        .unionByName(s5)
-        .unionByName(s6)
-        .unionByName(s7)
-        .unionByName(s8)
-        .unionByName(s9)
-        .unionByName(s10)
-        .unionByName(s11)
-        .unionByName(s13)
-        .unionByName(s14)
-        .unionByName(s15)
-        .unionByName(s16)
-        .unionByName(s17)
-        .unionByName(s18)
+def s1319_streaming_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven streaming drains in one graded row — the
+    lakehouse-streaming family: s13 watermark-dropped late data, s14
+    checkpoint recovery across a mid-stream restart, s15 streaming
+    SCD type-2 dimension maintenance (foreachBatch merge_scd2 into
+    the real table store; history == the g18 batch contract), s16
+    streamed write-path expectations (foreachBatch
+    write_with_expectations; accumulated quarantine + final-wave
+    metrics vs the SQL recomputation), s17 streamed merge-on-read
+    deletes (g22's contract, oracle shared verbatim), s18 the
+    stream-stream LEFT OUTER interval join with eviction-driven
+    emission, s19 the CDC SOURCE — a downstream rollup maintained
+    from the store's subscription cursors, hash-equal to the batch
+    recompute. Members run concurrently (see _run_stream_suite)."""
+    return _run_stream_suite(
+        "s1319_streaming_suite",
+        {
+            "s13": streaming_queries.s13_stream_late_data,
+            "s14": streaming_queries.s14_stream_checkpoint_recovery,
+            "s15": streaming_queries.s15_stream_scd2,
+            "s16": streaming_queries.s16_stream_expectations,
+            "s17": streaming_queries.s17_stream_row_deletes,
+            "s18": streaming_queries.s18_stream_outer_join,
+            "s19": streaming_queries.s19_stream_cdc_source,
+        },
+        spark,
+        sf_dir,
     )
 
 

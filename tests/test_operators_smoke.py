@@ -23,11 +23,20 @@ def test_contract_shape():
     # merge-engine waves last — and every family inside the window
     names = list(q)
     assert names[0] == "c1_vw_ll" and names[5] == "cs1_name_search_suite"
-    assert names[10] == "cs2_duplicate_suite"  # packs c13 + c14 + c15
-    assert names[11] == "e1_tumbling_window" and names[21] == "e11_value_outliers"
+    assert names[3] == "cs3_param_listing_suite"  # packs c4 + c7
+    assert names[4] == "cs4_probe_agg_suite"  # packs c5 + c10
+    assert names[8] == "cs2_duplicate_suite"  # packs c13 + c14 + c15
+    assert names[9] == "e1_tumbling_window" and names[19] == "e11_value_outliers"
     # the collapse-first dedup graph is the CERTIFIED components path
     assert "x30_collapsed_dedup_graph" in names
-    assert names[-3:] == ["g1_merge_recrawl", "g2_hash_lifecycle", "g3456_control_suite"]
+    # both streaming carriers + the CDC source family are graded
+    assert "s311_streaming_suite" in names and "s1319_streaming_suite" in names
+    assert names[-4:] == [
+        "g1_merge_recrawl",
+        "g2_hash_lifecycle",
+        "g3456_control_suite",
+        "g26_merge_into",
+    ]
     prefixes = {n.split("_")[0][0] for n in names}
     assert {"c", "e", "a", "r", "d", "x", "v", "m", "s", "g"} <= prefixes
 

@@ -71,7 +71,8 @@ PROBE_SET = [
     "g2_hash_lifecycle",
     "g3456_control_suite",
     "s12_streaming",
-    "s38_streaming_suite",
+    "s311_streaming_suite",
+    "s1319_streaming_suite",
     "c13_duplicate_dir",
     "c14_duplicate_dir_contents",
     "c15_duplicate_media",
