@@ -3347,3 +3347,49 @@ def x34_decontaminate_representatives(
         "n_test_matches",
         "max_est_jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# x35: x33 with a FIXED benchmark side — the scale-probe shape. The
+# id-shifted probe corpora grow BOTH md5-split halves, so x33's
+# recorded exponent (0.78, SCALING.md r6) is an upper bound; in
+# production the benchmark never grows with the train corpus. This
+# entry pins the test side to the base id range (doc_id < 133200, the
+# probe tool's copy offset), so a 10x probe grows ONLY the train side
+# and the exponent measures the real deployment asymptotics. At base
+# SF the bound is vacuous (all doc_ids are below it) — the entry is
+# value-identical to x33 there, which is what its oracle pins.
+# ---------------------------------------------------------------------------
+# the corpus itself is restricted (train half ∪ base-range test half)
+# so bucket-cap populations match the Spark side exactly; the filter is
+# applied by shadowing the documents relation with fixed35
+_X35_ORACLE = (
+    "\n    WITH split35 AS (\n"
+    f"      SELECT doc_id, {_X33_SPLIT_SQL} AS bucket FROM documents\n"
+    "    ), fixed35 AS (\n"
+    "      SELECT d.* FROM documents d\n"
+    "      JOIN split35 p ON p.doc_id = d.doc_id\n"
+    "       AND (p.bucket < 950 OR d.doc_id < 133200)\n"
+    "    ), "
+    + _X33_ORACLE.replace("FROM documents", "FROM fixed35")
+    .lstrip()
+    .removeprefix("WITH ")
+)
+
+
+@_q("x35_fixed_benchmark_screen", _X35_ORACLE)
+def x35_fixed_benchmark_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x33's fuzzy decontamination screen with the benchmark (test)
+    side FIXED to the base id range — the production contract where
+    the held-out benchmark is a constant-size set while the train
+    corpus grows without bound. Used by tools/scale_probe.py to
+    measure the fixed-benchmark exponent (SCALING.md); value-identical
+    to x33 at base SF (the doc_id bound is vacuous there)."""
+    from .textops import _HEX_BUCKET
+
+    d = load_table(spark, sf_dir, "documents")
+    return _fuzzy_screen(
+        d.where((F.expr(_HEX_BUCKET) < 950) | (F.col("doc_id") < 133200)).select(
+            "doc_id", (F.expr(_HEX_BUCKET) >= 950).alias("is_test"), "text"
+        )
+    )
