@@ -276,7 +276,51 @@ class TableStore:
                 with open(tmp, "w") as fh:
                     json.dump(cat, fh)
                 os.replace(tmp, self._catalog_path())
+                # append the applied swaps to the pointer LOG — the
+                # record time travel resolves through (a generation
+                # that was never pointed, e.g. a crashed commit's
+                # orphan, must never be served as history)
+                applied = {
+                    n: g for n, g in updates.items() if cat["tables"].get(n) == g
+                }
+                with open(self._catalog_log_path(), "a") as fh:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "v": cat["version"],
+                                "ns": time.time_ns(),
+                                "t": applied,
+                            }
+                        )
+                        + "\n"
+                    )
             return cat["version"]
+
+    def _catalog_log_path(self) -> str:
+        return os.path.join(self.root, "_CATALOG_LOG.jsonl")
+
+    def _history(self, name: str) -> list[tuple[int, str]]:
+        """(swap_ns, gen_basename) pairs for every generation of
+        `name` that was ever POINTED, oldest first, restricted to
+        generations still on disk (vacuum drops history exactly as it
+        does for the directory listing). Empty for a table that
+        predates the pointer log — callers fall back to the listing."""
+        out: list[tuple[int, str]] = []
+        try:
+            with open(self._catalog_log_path()) as fh:
+                for line in fh:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue  # torn trailing line after a crash
+                    gen = rec.get("t", {}).get(name)
+                    if gen is not None and os.path.isdir(
+                        os.path.join(self._dir(name), gen)
+                    ):
+                        out.append((int(rec["ns"]), gen))
+        except FileNotFoundError:
+            pass
+        return out
 
     def _persist_schema(self, name: str) -> None:
         """Write the table's schema to `<root>/<name>/_SCHEMA.json` so
@@ -1724,41 +1768,56 @@ class TableStore:
         """Time travel: read the generation `back` swaps before the
         current one (back=0 is the current table). The single-box
         analog of Delta/Iceberg `VERSION AS OF`; raises IndexError if
-        that much history was never written or was vacuumed."""
-        gens = self.generations(name)
-        if back >= len(gens):
+        that much history was never written or was vacuumed. History
+        resolves through the catalog pointer LOG when the table has
+        one: only generations that were actually pointed count — a
+        crashed commit's orphan generation is not history, it is a
+        write that never happened. Pre-pointer tables fall back to
+        the directory listing."""
+        hist = [g for _, g in self._history(name)]
+        if not hist:
+            hist = [os.path.basename(g) for g in self.generations(name)]
+        if back >= len(hist):
             raise IndexError(
-                f"table {name!r} has {len(gens)} generation(s); "
+                f"table {name!r} has {len(hist)} generation(s); "
                 f"cannot travel back {back}"
             )
-        return self._read_gen(name, gens[len(gens) - 1 - back])
+        return self._read_gen(
+            name, os.path.join(self._dir(name), hist[len(hist) - 1 - back])
+        )
 
     def read_as_of(self, name: str, ts) -> DataFrame:
         """Time travel by wall clock (the Delta/Iceberg `TIMESTAMP AS
-        OF` analog): read the newest generation committed at or before
-        `ts` (a datetime or epoch seconds). Generation names carry
-        their commit nanos (`gen-<time_ns>`), so resolution is O(#
-        generations) metadata — no data file is opened to decide.
-        Raises if `ts` predates the first retained generation (older
-        history was never written or was vacuumed — same contract as
-        read_at)."""
+        OF` analog): read the newest generation VISIBLE at or before
+        `ts` (a datetime or epoch seconds). Resolution walks the
+        catalog pointer log — O(# swaps) metadata, no data file is
+        opened, and the timestamps are the moments the generations
+        actually became readable (the swap), so a crashed commit's
+        orphan can never resolve and a just-published-but-unswapped
+        generation does not time-travel early. Pre-pointer tables
+        fall back to the generation-name nanos in the directory
+        listing. Raises if `ts` predates the first retained
+        generation (older history was never written or was vacuumed —
+        same contract as read_at)."""
         import datetime as _dt
 
         if isinstance(ts, _dt.datetime):
             epoch_ns = int(ts.timestamp() * 1_000_000_000)
         else:
             epoch_ns = int(float(ts) * 1_000_000_000)
-        eligible = [
-            g
-            for g in self.generations(name)
-            if int(os.path.basename(g)[len("gen-"):]) <= epoch_ns
-        ]
+        hist = self._history(name)
+        if not hist:
+            hist = [
+                (int(os.path.basename(g)[len("gen-"):]), os.path.basename(g))
+                for g in self.generations(name)
+            ]
+        eligible = [g for ns, g in hist if ns <= epoch_ns]
         if not eligible:
             raise ValueError(
                 f"table {name!r} has no generation at or before {ts} "
                 "(predates first write, or vacuumed)"
             )
-        return self._read_gen(name, eligible[-1])
+        return self._read_gen(name, os.path.join(self._dir(name), eligible[-1]))
 
 
 def apply_expectations(

@@ -251,6 +251,12 @@ def test_reader_between_renames_sees_all_old_then_all_new(spark, tmp_path):
     assert st.catalog_version() == v0
     assert {r["id"] for r in st.read("a").collect()} == set(range(0, 5))
     assert {r["id"] for r in st.read("b").collect()} == set(range(0, 5))
+    # and TIME TRAVEL agrees: the renamed-but-unswapped generation is
+    # not history — read_at(0) serves the pointed generation, and
+    # back=1 is out of range (only one swap ever happened per table)
+    assert {r["id"] for r in st.read_at("a", back=0).collect()} == set(range(0, 5))
+    with pytest.raises(IndexError):
+        st.read_at("a", back=1)
     out = st.recover_multi()
     assert list(out.values()) == ["rolled-forward"]
     assert st.catalog_version() == v0 + 1  # ONE swap covered both tables
