@@ -152,3 +152,30 @@ def test_m1_upsert_via_merge_equals_handbuilt(spark, tmp_path):
     # and the commit was merge-on-read, not a rewrite
     assert st.segment_count("directory") == 2
     assert st.mor_debt("directory")["deletes"] == 1
+
+
+def test_merge_after_schema_evolution(spark, tmp_path):
+    """MERGE INTO composes with metadata-only schema evolution: after
+    evolve() adds a nullable column, a merge may set it — old rows
+    (written pre-evolution) read NULL there, updated/inserted rows
+    carry values, and the delta commit shape is preserved."""
+    st = _store(spark, tmp_path)
+    st.replace("t", _rows(spark, 0, 5))
+    wider = T.StructType(
+        list(_SCHEMA.fields) + [T.StructField("tag", T.StringType(), True)]
+    )
+    st.evolve("t", wider)
+    src = spark.createDataFrame(
+        [(1, "n1", 999, "hot"), (100, "new", 1, "cold")],
+        "id long, name string, v long, tag string",
+    )
+    m = st.merge(
+        "t", src, ["id"],
+        when_matched_update="all", when_not_matched_insert="all",
+        changed_only=["name", "v", "tag"],
+    )
+    assert m == {"inserted": 1, "updated": 1, "deleted": 0}
+    got = {r["id"]: (r["v"], r["tag"]) for r in st.read("t").collect()}
+    assert got[1] == (999, "hot") and got[100] == (1, "cold")
+    assert got[2] == (20, None)  # pre-evolution row null-fills
+    assert st.segment_count("t") == 2  # still a delta commit

@@ -418,3 +418,25 @@ def test_read_as_of_timestamp(spark, tmp_path):
     assert ids(st.read_as_of("t", datetime.datetime.now())) == ids(st.read("t"))
     with pytest.raises(ValueError, match="no generation at or before"):
         st.read_as_of("t", t1 - 3600)
+
+
+def test_catalog_pointer_is_cross_instance(spark, tmp_path):
+    """The pointer lives on disk: a SECOND TableStore over the same
+    root resolves current/history through it — including seeing a
+    crashed commit's orphan as invisible — and its own recover_multi
+    completes the txn for both instances."""
+    st = TableStore(spark, str(tmp_path / "cat"), dict(_TWO), bucketing=False)
+    st.replace("a", _rows(spark, 0, 5))
+    st.replace("b", _rows(spark, 0, 5))
+    with pytest.raises(RuntimeError, match="before the catalog swap"):
+        st.commit_multi(
+            {"a": _rows(spark, 10, 15), "b": _rows(spark, 20, 25)},
+            crash_after_publish=2,
+        )
+    st2 = TableStore(spark, str(tmp_path / "cat"), dict(_TWO), bucketing=False)
+    assert {r["id"] for r in st2.read("a").collect()} == set(range(0, 5))
+    st2.recover_multi()
+    # BOTH instances now see the committed state
+    for inst in (st, st2):
+        assert {r["id"] for r in inst.read("a").collect()} == set(range(10, 15))
+        assert {r["id"] for r in inst.read("b").collect()} == set(range(20, 25))
