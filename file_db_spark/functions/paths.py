@@ -153,7 +153,13 @@ def clamp(c: Column, lo, hi) -> Column:
 
 
 def strip_trailing_slashes(path: str) -> str:
-    """F7 python mirror — API/Util.py:165-168 semantics."""
+    """F7 python mirror — API/Util.py:165-168 semantics EXACTLY (trim,
+    then one slash-strip pass preserving a captured pre-slash char for
+    drive roots). Deliberately NOT a fixpoint: on pathological inputs
+    (a path whose trailing whitespace hides behind the slash, '/0 /';
+    a doubled drive-root slash) the reference's single application is
+    not idempotent, and parity wins — the sanitizer runs once per
+    user input, never on its own output."""
     path = path.strip()
     return re.sub(r"([^:])?[\\|/]+$", r"\1", path)
 
