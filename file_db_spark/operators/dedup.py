@@ -203,13 +203,23 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_x3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return _x3_pairs_from(load_table(spark, sf_dir, "documents"))
+
+
+def _x3_pairs_from(d: DataFrame, scratch: list | None = None) -> DataFrame:
+    """The x3 shingle-Jaccard pair pipeline over an arbitrary (doc_id,
+    text) corpus — shared by x3 (full corpus) and x36 (exact-collapsed
+    representative corpus). `scratch` collects the internally persisted
+    frames so a caller that materializes a small result can release
+    them (the v20-leak lesson)."""
     sh = (
         d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
         .filter(F.size("toks") >= 5)  # drop docs shorter than the shingle
         .select("doc_id", F.explode(word_shingles_from_tokens(F.col("toks"), 5)).alias("shingle"))
         .persist()  # referenced 3x (sizes + both join sides); see x4 note
     )
+    if scratch is not None:
+        scratch.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     w_df = Window.partitionBy("shingle")
     capped = (
@@ -337,10 +347,11 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _x4_pairs_from(load_table(spark, sf_dir, "documents"))
 
 
-def _x4_pairs_from(d: DataFrame) -> DataFrame:
+def _x4_pairs_from(d: DataFrame, scratch: list | None = None) -> DataFrame:
     """The x4 MinHash+LSH pair pipeline over an arbitrary (doc_id,
-    text) corpus — shared by x4 (full corpus) and x30 (exact-collapsed
-    representative corpus)."""
+    text) corpus — shared by x4 (full corpus), x30 and x36
+    (exact-collapsed representative corpora). `scratch` collects the
+    persisted signature table for caller-side release."""
     sig = (
         d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
         .select(
@@ -357,6 +368,8 @@ def _x4_pairs_from(d: DataFrame) -> DataFrame:
         # then candidate-join it" — persist is the single-process analog.
         .persist()
     )
+    if scratch is not None:
+        scratch.append(sig)
     # Band table carries ONLY (doc_id, band, key) — the candidate
     # self-join and pair-dedup shuffle 3 scalars per row, not the
     # 32-long signature arrays (those rejoin after dedup, when the pair
@@ -463,7 +476,12 @@ def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: band explode + equi-join on (band, bucket); the 64 per-bit
     vote aggregations are per-row array ops inside codegen, and the
     persisted band table is 4 small ints per doc."""
-    d = load_table(spark, sf_dir, "documents")
+    return _x5_pairs_from(load_table(spark, sf_dir, "documents"))
+
+
+def _x5_pairs_from(d: DataFrame, scratch: list | None = None) -> DataFrame:
+    """The x5 SimHash band pipeline over an arbitrary (doc_id, text)
+    corpus — shared by x5 (full corpus) and x36 (representatives)."""
     sh = (
         d.select("doc_id", tokens(normalize_text("text")).alias("toks"))
         .select(
@@ -496,6 +514,8 @@ def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("bucket_n")
         .persist()  # four 16-bit ints/doc; see x4 note — avoids 2x pipeline
     )
+    if scratch is not None:
+        scratch.append(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     ham = sum(
@@ -984,9 +1004,12 @@ _X11_SPARK_OVERLAP_MIN = 0.5
 
 def _winnow_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, minima array<bigint>) via d17's staged expressions."""
+    return _winnow_minima_from(load_table(spark, sf_dir, "documents"))
+
+
+def _winnow_minima_from(d: DataFrame) -> DataFrame:
     from . import textops as _t
 
-    d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", normalize_text("text").alias("norm"))
     hs = staged.select("doc_id", F.expr(_t._SPARK_KGRAMS).alias("hs"))
     return hs.select(
@@ -1034,7 +1057,16 @@ def x11_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|doc|/W values so the exploded table is a fraction of the k-gram
     count. One shuffle for the cap window (reused by the join), one
     pair aggregate."""
-    fp = _winnow_minima(spark, sf_dir).persist()
+    return _x11_pairs_from(load_table(spark, sf_dir, "documents"))
+
+
+def _x11_pairs_from(d: DataFrame, scratch: list | None = None) -> DataFrame:
+    """The x11 winnowing-minima pair pipeline over an arbitrary
+    (doc_id, text) corpus — shared by x11 (full corpus) and x36
+    (representatives)."""
+    fp = _winnow_minima_from(d).persist()
+    if scratch is not None:
+        scratch.append(fp)
     ex = fp.select("doc_id", F.explode("minima").alias("m"))
     w_m = Window.partitionBy("m")
     capped = (
@@ -3393,3 +3425,138 @@ def x35_fixed_benchmark_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (F.expr(_HEX_BUCKET) >= 950).alias("is_test"), "text"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x36: x27 COMPOSED ON the exact-dup collapse — the deployable fused
+# provenance graph. x27's measured exponent (1.40, SCALING.md) comes
+# from pair enumeration inside exact-dup cliques; x36 runs ALL FOUR
+# generators on the representative corpus only and expands components
+# + provenance back through the member map (every generator is a pure
+# function of text, so a rep's memberships are its whole clique's).
+# x27 stays registered as the audit-scale per-doc provenance tool;
+# this is the form a 100 TB pipeline runs.
+# ---------------------------------------------------------------------------
+def _x36_oracle() -> str:
+    base = _x27_oracle().lstrip().removeprefix("WITH RECURSIVE ")
+    base = base.replace("FROM documents", "FROM x36corpus")
+    final = """SELECT c.doc_id, c.component_id, p.in_x3, p.in_x4, p.in_x5, p.in_x11,
+           p.n_sources
+    FROM comp c JOIN prov p ON p.doc_id = c.doc_id
+    """
+    assert final in base
+    expansion = """SELECT m.doc_id, CAST(m.rep_id AS BIGINT) AS rep_id,
+           CAST(COALESCE(c.component_id, m.rep_id) AS BIGINT) AS component_id,
+           COALESCE(p.in_x3, 0) AS in_x3, COALESCE(p.in_x4, 0) AS in_x4,
+           COALESCE(p.in_x5, 0) AS in_x5, COALESCE(p.in_x11, 0) AS in_x11,
+           COALESCE(p.n_sources, 0) AS n_sources
+    FROM x36m m
+    LEFT JOIN comp c ON c.doc_id = m.rep_id
+    LEFT JOIN prov p ON p.doc_id = m.rep_id
+    """
+    base = base.replace(final, expansion)
+    return (
+        "\n    WITH RECURSIVE x36g AS (\n"
+        "      SELECT md5(text) AS tkey, MIN(doc_id) AS rep_id\n"
+        "      FROM documents GROUP BY 1\n"
+        "    ), x36m AS (\n"
+        "      SELECT d.doc_id, g.rep_id FROM documents d\n"
+        "      JOIN x36g g ON md5(d.text) = g.tkey\n"
+        "    ), x36corpus AS (\n"
+        "      SELECT d.* FROM documents d\n"
+        "      WHERE d.doc_id IN (SELECT rep_id FROM x36g)\n"
+        "    ), " + base
+    )
+
+
+@_q("x36_collapsed_provenance_graph", _x36_oracle())
+def x36_collapsed_provenance_graph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collapse-first FUSED dedup graph with provenance: exact
+    md5(text) collapse to representatives, then x27's four candidate
+    generators (x3 shingle-Jaccard, x4 MinHash-LSH, x5 SimHash, x11
+    winnowing) run over the REPRESENTATIVE corpus only; components
+    close on the rep graph and both labels and per-generator
+    provenance flags expand to every clique member (a generator's
+    verdict is a pure function of text, so a rep answers for its
+    whole clique). Docs whose rep joined no pair keep their rep as a
+    singleton component with zero flags — the output covers the full
+    corpus, x30-style.
+
+    Scale: this removes x27's one measured superlinearity (exponent
+    1.40 — pair enumeration quadratic in exact-dup clique size): all
+    four generators' pair work becomes O(distinct texts); the hash
+    groupBy and the expansion join are the only O(corpus) stages.
+    x27 remains the audit-scale tool when per-DOC (not per-clique)
+    provenance is required."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.md5("text").alias("tkey"))
+    rep_groups = g.groupBy("tkey").agg(F.min("doc_id").alias("rep_id"))
+    members = g.join(rep_groups, "tkey").select("doc_id", "rep_id")
+    rep_docs = d.join(
+        rep_groups.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    scratch: list = []
+    srcs = {
+        "x3": _x3_pairs_from(rep_docs, scratch),
+        "x4": _x4_pairs_from(rep_docs, scratch),
+        "x5": _x5_pairs_from(rep_docs, scratch),
+        "x11": _x11_pairs_from(rep_docs, scratch),
+    }
+    tagged = None
+    for k, df in srcs.items():
+        part = df.select("doc_a", "doc_b").withColumn("src", F.lit(k))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    tagged = tagged.persist()
+    scratch.append(tagged)
+    pairs = tagged.select("doc_a", "doc_b").distinct()
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    labels = _propagate_min_labels(edges, "x36").select(
+        F.col("v").alias("rep_id"),
+        F.col("lab").cast("bigint").alias("component_id"),
+    )
+    prov = (
+        tagged.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("rep_id"), "src"
+        )
+        .distinct()
+        .groupBy("rep_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("src") == k, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"in_{k}")
+                for k in _X27_SOURCES
+            ],
+            F.countDistinct("src").cast("bigint").alias("n_sources"),
+        )
+    )
+    out = (
+        members.join(labels, "rep_id", "left")
+        .join(prov, "rep_id", "left")
+        .select(
+            "doc_id",
+            F.col("rep_id").cast("bigint").alias("rep_id"),
+            F.coalesce(F.col("component_id"), F.col("rep_id"))
+            .cast("bigint")
+            .alias("component_id"),
+            *[
+                F.coalesce(F.col(f"in_{k}"), F.lit(0))
+                .cast("bigint")
+                .alias(f"in_{k}")
+                for k in _X27_SOURCES
+            ],
+            F.coalesce(F.col("n_sources"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sources"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for fr in scratch:
+        fr.unpersist()
+    return out
