@@ -102,6 +102,11 @@ HEADLINE = [
     "s12_streaming",
     "s311_streaming_suite",
     "s1319_streaming_suite",
+    # round-7 additions: MERGE INTO, CDC source (inside s1319), the
+    # composed decontamination + collapse-first fused graph
+    "g26_merge_into",
+    "x34_decontaminate_representatives",
+    "x36_collapsed_provenance_graph",
     # round-6 additions: TPC-H completion set + merge-on-read deletes
     "a17_small_qty_revenue",  # Q17 correlated-AVG decorrelated to one window
     "a19_order_count_distribution",  # Q13 outer-join count distribution
