@@ -1,0 +1,125 @@
+"""Bucketed (hash-clustered) table layout — co-located joins with NO
+shuffle.
+
+The reference keeps ``file`` and ``hash`` permanently joinable through
+B-tree indexes on the shared key (FileDbDAL/File.py / Hash.py schema:
+``hash.file_id -> file.id``); every catalog view (``vw_ll``,
+``vw_file_detail``, FileDbDAL/Search.py's duplicate queries) re-joins
+the two tables per query. At 100 TB the Spark analog of that standing
+index is a BUCKETED layout: both fact tables are written hash-clustered
+into the same number of buckets on the join key
+(``df.write.bucketBy(n, key).sortBy(key)``), so each table's bucket *i*
+holds exactly the rows whose ``murmur3(key) % n == i``. Catalyst then
+plans every equi-join between them as a SortMergeJoin whose children
+already satisfy the required HashPartitioning — the plan has ZERO
+Exchange nodes. The per-query shuffle of BOTH fact tables (the largest
+single cost of the unbucketed plan — 2 full network passes over the
+data) is paid ONCE at write time and amortized over every subsequent
+join, exactly like the reference's index build.
+
+Secondary win: with bucketed scans forced (the planner auto-disables
+them when it sees no join/agg benefit), a point predicate on the bucket
+key prunes to ONE bucket at metadata level (``SelectedBucketsCount: 1
+out of n``) — the read_point() analog for catalog-registered tables.
+
+Scale notes: pick ``n_buckets`` so one bucket of the LARGER table fits
+an executor's shuffle-free sort (~1 GB); both sides must use the same
+``n`` (Spark can only zip equal bucket counts without
+``coalesceBucketsInJoin`` rewrites). The pre-write ``repartition(n,
+key)`` makes each task own exactly one bucket, so every bucket is a
+single file — no small-file fanout (without it, each of the m input
+partitions writes up to n bucket files = m*n files).
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = [
+    "ensure_bucket_db",
+    "write_bucketed",
+    "drop_bucket_db",
+    "physical_plan",
+    "exchange_count",
+    "selected_buckets",
+]
+
+#: planner flag that auto-disables bucketed scans for non-join queries;
+#: turned off briefly (try/finally) to demonstrate bucket pruning.
+_AUTO_SCAN = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+
+
+def ensure_bucket_db(spark: SparkSession, db: str) -> str:
+    """Create catalog database `db` at a scratch location; return the
+    location so callers can rmtree after DROP DATABASE CASCADE."""
+    loc = tempfile.mkdtemp(prefix=f"fdb_{db}_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    # IF NOT EXISTS may have kept an earlier location; read it back.
+    row = spark.sql(f"DESCRIBE DATABASE {db}").where(
+        F.col("info_name") == "Location"
+    ).first()
+    actual = row["info_value"] if row is not None else loc
+    if actual.startswith("file:"):
+        actual = actual[len("file:") :]
+    if actual != loc:
+        shutil.rmtree(loc, ignore_errors=True)
+    return actual
+
+
+def write_bucketed(
+    spark: SparkSession,
+    db: str,
+    name: str,
+    df: DataFrame,
+    key: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Write `df` hash-clustered on `key` into `n_buckets` single-file
+    buckets and return the catalog-registered table."""
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{db}.{name}")
+    )
+    return spark.table(f"{db}.{name}")
+
+
+def drop_bucket_db(spark: SparkSession, db: str, location: str) -> None:
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(location, ignore_errors=True)
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The physical plan string (pre-execution; AQE's initial plan —
+    bucketed-join exchange elimination is decided here, not at
+    runtime)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle OR broadcast) nodes in the plan."""
+    return physical_plan(df).count("Exchange")
+
+
+def selected_buckets(df: DataFrame) -> tuple[int, int]:
+    """(selected, total) bucket counts for `df`'s scan, planned with
+    bucketed scans forced on so pruning is visible. Restores the
+    session flag afterwards."""
+    spark = df.sparkSession
+    prev = spark.conf.get(_AUTO_SCAN)
+    try:
+        spark.conf.set(_AUTO_SCAN, "false")
+        plan = physical_plan(df)
+    finally:
+        spark.conf.set(_AUTO_SCAN, prev)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    if not m:
+        return (-1, -1)
+    return (int(m.group(1)), int(m.group(2)))

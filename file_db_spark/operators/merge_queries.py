@@ -2611,6 +2611,98 @@ def g26_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g27: BUCKETED CO-LOCATED JOIN — the standing file<->hash join paid
+# once at write time. Both fact tables are hash-clustered on the join
+# key into the same bucket count; every subsequent equi-join plans
+# with ZERO Exchange nodes (filedb/bucketing.py has the full story).
+# ---------------------------------------------------------------------------
+
+#: bucket count for the g27 layout (both sides MUST match)
+G27_BUCKETS = 16
+
+_G27_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES}
+SELECT 'row' AS part, CAST(f.id AS BIGINT) AS id, f.name,
+       CAST(f.dir_id AS BIGINT) AS dir_id, h.md5_hash AS md5,
+       CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2
+FROM fx_file f JOIN fx_hash h ON h.file_id = f.id
+UNION ALL
+SELECT 'meta', 1, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), 0, 2
+UNION ALL
+SELECT 'probe', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1, {G27_BUCKETS}
+"""
+
+
+@_q("g27_bucketed_join", _G27_ORACLE)
+def g27_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: write the `file` and `hash` fixtures
+    hash-clustered on the join key (`bucketBy(16)` + `sortBy`, one
+    file per bucket) and join them — the per-query shuffle of BOTH
+    fact tables that the reference's B-tree index on `hash.file_id`
+    avoids (FileDbDAL schema; every vw_ll / vw_file_detail / Search.py
+    duplicate query re-joins the pair) is paid ONCE at write time.
+
+    Three verdicts in one row set: 'row' pins the join RESULT against
+    the plain DuckDB join (the layout changes the plan, never the
+    answer); 'meta' pins the PLAN — id=1 SortMergeJoin chosen, n1=0
+    Exchange nodes (the unbucketed control plan has 2; pytest pins
+    that delta), n2=2 scans reading `Bucketed: true`; 'probe' pins
+    bucket PRUNING — a point predicate on the bucket key plans with
+    `SelectedBucketsCount: 1 out of 16`, the metadata-level read_point
+    analog for catalog tables.
+
+    Scale: at 100 TB the two-sided shuffle is THE dominant cost of
+    every file<->hash query; bucketing amortizes it across all of
+    them, and each bucket joins executor-locally (a bucket pair
+    streams through one task's sort-merge — no network). Same-count
+    buckets are required; size n_buckets so a bucket fits one
+    executor's sort budget."""
+    from ..filedb import bucketing
+    from ..filedb.fixtures import fixture_file, fixture_hash
+
+    f = fixture_file(spark, sf_dir).select("id", "name", "dir_id")
+    h = fixture_hash(spark, sf_dir).select("file_id", "md5_hash")
+    db = "fdb_g27"
+    loc = bucketing.ensure_bucket_db(spark, db)
+    t_f = bucketing.write_bucketed(spark, db, "file_b", f, "id", G27_BUCKETS)
+    t_h = bucketing.write_bucketed(
+        spark, db, "hash_b", h, "file_id", G27_BUCKETS
+    )
+    j = (
+        t_f.hint("merge")
+        .join(t_h.hint("merge"), t_f["id"] == t_h["file_id"])
+        .select("id", "name", "dir_id", F.col("md5_hash").alias("md5"))
+    )
+    plan = bucketing.physical_plan(j)
+    smj = 1 if "SortMergeJoin" in plan else 0
+    exchanges = plan.count("Exchange")
+    bucketed_scans = plan.count("Bucketed: true")
+    sel, tot = bucketing.selected_buckets(t_f.filter(F.col("id") == 42))
+    rows = j.select(
+        F.lit("row").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.col("dir_id").cast("bigint").alias("dir_id"),
+        F.col("md5").alias("md5"),
+        _bn().alias("n1"),
+        _bn().alias("n2"),
+    )
+    meta = spark.createDataFrame(
+        [
+            ("meta", smj, None, None, None, exchanges, bucketed_scans),
+            ("probe", None, None, None, None, sel, tot),
+        ],
+        "part string, id bigint, name string, dir_id bigint, "
+        "md5 string, n1 bigint, n2 bigint",
+    )
+    out = rows.unionByName(meta).localCheckpoint(eager=True)
+    bucketing.drop_bucket_db(spark, db, loc)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g7: PARTITION PRUNING through the storage layer — write the events
 # table Hive-partitioned by day, then serve a one-day query from it.
 # The complement of the bucketed-join store feature: bucketing kills
@@ -3862,6 +3954,12 @@ FROM counts_all c JOIN fin f ON f.part = c.part
         "COALESCE(old_name, '') || '#' || COALESCE(new_name, ''), "
         "old_dir_id, new_dir_id, old_mtime_ep, new_mtime_ep, "
         "CAST(ROUND(old_size * 1000000) AS BIGINT), NULL, NULL, new_size",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G27_ORACLE,
+        "'g27_' || part, id, COALESCE(name, '') || '#' || "
+        "COALESCE(md5, ''), dir_id, n1, n2, NULL, NULL, NULL, NULL, NULL",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3901,6 +3999,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g23": g23_data_skipping,
         "g24": g24_multi_table_txn,
         "g25": g25_cdc_subscription,
+        "g27": g27_bucketed_join,
     }
     from . import _timing
 
@@ -4169,6 +4268,23 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         F.col("new_size").alias("v1"),
     )
+    g27 = raw["g27"].select(
+        F.concat(F.lit("g27_"), F.col("part")).alias("part"),
+        F.col("id").alias("k1"),
+        F.concat_ws(
+            "#",
+            F.coalesce(F.col("name"), F.lit("")),
+            F.coalesce(F.col("md5"), F.lit("")),
+        ).alias("s1"),
+        F.col("dir_id").alias("n1"),
+        F.col("n1").alias("n2"),
+        F.col("n2").alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        _dn().alias("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -4190,6 +4306,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g23)
         .unionByName(g24)
         .unionByName(g25)
+        .unionByName(g27)
     )
 
 
