@@ -1082,6 +1082,10 @@ _DQ4_PARTS = {
         " || CAST(r_stopwords AS VARCHAR) || CAST(keep AS VARCHAR), "
         "n_words, n_stopwords, mean_word_len, frac_alpha",
     ),
+    "d46": (
+        "d46_pretrain_pipeline",
+        "'pipeline', part, key, n_docs, n_tokens, v1, NULL",
+    ),
 }
 
 
@@ -1096,9 +1100,13 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     length histogram, data-mix shares, cleaning funnel) plus the
     per-document analyses d17 (winnowing fingerprint), d19 (TF-IDF
     keywords), d20 (PII scrub) and d25 (bigram-LM perplexity quality)
-    as one graded row. The report members stay map-side-combined
-    aggregates onto tiny keys; the per-document members are scan-riding
-    projections (d17/d20) and vocab-key joins (d19/d25)."""
+    — and the d46 END-TO-END pretraining pipeline (quality gate ->
+    exact-dedup collapse -> decontamination -> UniMax budget ->
+    greedy selection -> shard manifest, its funnel/lang/shard
+    accounting graded as 'pipeline' rows) — as one graded row. The
+    report members stay map-side-combined aggregates onto tiny keys;
+    the per-document members are scan-riding projections (d17/d20)
+    and vocab-key joins (d19/d25)."""
     t = textops
     d1 = t.d1_token_stats(spark, sf_dir).select(
         F.lit("lang_stats").alias("report"),
@@ -1270,6 +1278,15 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fertility").alias("v1"),
         F.col("chars_per_token").alias("v2"),
     )
+    d46 = t.d46_pretrain_pipeline(spark, sf_dir).select(
+        F.lit("pipeline").alias("report"),
+        F.col("part").alias("k1"),
+        F.col("key").alias("k2"),
+        F.col("n_docs").alias("n_docs"),
+        F.col("n_tokens").alias("total_tokens"),
+        F.col("v1").alias("v1"),
+        _dn().alias("v2"),
+    )
     return (
         d1.unionByName(d7)
         .unionByName(d11)
@@ -1287,6 +1304,7 @@ def dq4_corpus_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d44)
         .unionByName(d36)
         .unionByName(d35)
+        .unionByName(d46)
     )
 
 

@@ -5,7 +5,7 @@ Column expressions (JVM-side) — the 100 TB path has zero Python in it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -24,6 +24,7 @@ from ..functions.text import (
     portable_fingerprint60,
     portable_hash60,
     tokens,
+    word_shingles_from_tokens,
 )
 
 QUERIES: dict = {}
@@ -2505,6 +2506,40 @@ def d35_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine). Composes ahead of d33 (model-based scoring) and
     d25 (perplexity) exactly as in a production curation stack."""
     d = load_table(spark, sf_dir, "documents")
+    rated = _gopher_rated(d)
+    r_word = F.col("n_words").between(50, 100000)
+    r_mean = F.col("mean_word_len").between(3, 10)
+    r_sym = F.col("symbol_ratio") <= 0.1
+    r_bul = F.col("frac_bullet") <= 0.9
+    r_ell = F.col("frac_ellipsis") <= 0.3
+    r_alp = F.col("frac_alpha") >= 0.8
+    r_stp = F.col("n_stopwords") >= 2
+    return rated.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "frac_bullet",
+        "frac_ellipsis",
+        "frac_alpha",
+        "n_stopwords",
+        r_word.cast("long").alias("r_word_count"),
+        r_mean.cast("long").alias("r_mean_word_len"),
+        r_sym.cast("long").alias("r_symbol_ratio"),
+        r_bul.cast("long").alias("r_bullet_lines"),
+        r_ell.cast("long").alias("r_ellipsis_lines"),
+        r_alp.cast("long").alias("r_alpha_words"),
+        r_stp.cast("long").alias("r_stopwords"),
+        (r_word & r_mean & r_sym & r_bul & r_ell & r_alp & r_stp)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+def _gopher_rated(d: DataFrame) -> DataFrame:
+    """The Gopher rule features over a (doc_id, text) frame — shared by
+    d35 (whole-corpus report) and d46 (pipeline quality gate). Docs
+    with zero words are dropped (they fail every rule)."""
     w = tokens("text")
     lines = F.split("text", "\n")
     base = d.select("doc_id", "text", w.alias("w"), lines.alias("lines")).filter(
@@ -2553,32 +2588,19 @@ def d35_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_alpha_words").cast("double") / nw).alias("frac_alpha"),
         "n_stopwords",
     )
-    r_word = F.col("n_words").between(50, 100000)
-    r_mean = F.col("mean_word_len").between(3, 10)
-    r_sym = F.col("symbol_ratio") <= 0.1
-    r_bul = F.col("frac_bullet") <= 0.9
-    r_ell = F.col("frac_ellipsis") <= 0.3
-    r_alp = F.col("frac_alpha") >= 0.8
-    r_stp = F.col("n_stopwords") >= 2
-    return rated.select(
-        "doc_id",
-        "n_words",
-        "mean_word_len",
-        "symbol_ratio",
-        "frac_bullet",
-        "frac_ellipsis",
-        "frac_alpha",
-        "n_stopwords",
-        r_word.cast("long").alias("r_word_count"),
-        r_mean.cast("long").alias("r_mean_word_len"),
-        r_sym.cast("long").alias("r_symbol_ratio"),
-        r_bul.cast("long").alias("r_bullet_lines"),
-        r_ell.cast("long").alias("r_ellipsis_lines"),
-        r_alp.cast("long").alias("r_alpha_words"),
-        r_stp.cast("long").alias("r_stopwords"),
-        (r_word & r_mean & r_sym & r_bul & r_ell & r_alp & r_stp)
-        .cast("long")
-        .alias("keep"),
+    return rated
+
+
+#: the d35 conjunction as a single reusable predicate (over _gopher_rated cols)
+def _gopher_keep() -> Column:
+    return (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("frac_bullet") <= 0.9)
+        & (F.col("frac_ellipsis") <= 0.3)
+        & (F.col("frac_alpha") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
     )
 
 
@@ -3164,6 +3186,24 @@ def d40_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_tok").cast("bigint").alias("avail"))
         .withColumn("cap", (F.lit(UNIMAX_EPOCH_CAP) * F.col("avail")).cast("bigint"))
     )
+    f = _unimax_waterfill(lt)
+    alloc = F.col("alloc")
+    return f.select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        alloc.alias("alloc_tokens"),
+        (alloc / F.col("avail")).alias("epochs"),
+        (alloc / F.col("b")).alias("budget_share"),
+    )
+
+
+def _unimax_waterfill(lt: DataFrame) -> DataFrame:
+    """UniMax closed form over a (lang, avail, cap) table: returns
+    (lang, avail, cap, alloc, b). Shared by d40 (whitespace tokens,
+    whole corpus) and d46 (BPE tokens, pipeline survivors) — the math
+    and its float behavior (exact bigint terms, one final IEEE
+    division) are identical in both."""
     tot = lt.agg(
         F.expr(
             f"CAST(SUM(avail) * {UNIMAX_BUDGET_NUM} div {UNIMAX_BUDGET_DEN} AS BIGINT)"
@@ -3200,14 +3240,7 @@ def d40_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     alloc = F.when(waterline, F.col("cap").cast("double")).otherwise(
         (F.col("b") - F.col("star_cum")) / (F.col("l") - F.col("istar") + 1)
     )
-    return f.select(
-        "lang",
-        F.col("avail").alias("avail_tokens"),
-        F.col("cap").alias("cap_tokens"),
-        alloc.alias("alloc_tokens"),
-        (alloc / F.col("avail")).alias("epochs"),
-        (alloc / F.col("b")).alias("budget_share"),
-    )
+    return f.select("lang", "avail", "cap", alloc.alias("alloc"), "b")
 
 
 # ---------------------------------------------------------------------------
@@ -3659,3 +3692,365 @@ def d45_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_of("card").alias("n_cards"),
         F.md5("red").alias("redacted_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d46: the END-TO-END pretraining data pipeline — the composition a
+# 100 TB curation run actually executes, as ONE declarative DAG:
+# quality gate (d35 Gopher rules) -> exact-dedup collapse (x30's
+# stage) -> benchmark decontamination (x9's exact word-4-gram probe)
+# -> UniMax language budget (d40's waterfill) -> deterministic greedy
+# selection (d15's hash-order prefix) -> shard manifest (d18's layout).
+# Every stage is the SAME logic its standalone entry verifies; this
+# entry pins that the composition — stage boundaries, funnel
+# accounting, budget arithmetic on the surviving corpus — is right.
+# ---------------------------------------------------------------------------
+
+#: d46 shard count (smaller than d18's N_SHARDS=64 — the selected
+#: corpus at test SFs is itself small; production raises this to O(10k))
+D46_SHARDS = 8
+
+_D46_BUCKET_DUCK = (
+    "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000"
+)
+
+_D46_TOKS_DUCK = (
+    r"list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace("
+    r"lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+_D46_SHINGLES_DUCK = (
+    "CASE WHEN len(toks) >= 4"
+    " THEN list_distinct(list_transform(range(1, len(toks) - 2),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))"
+    " ELSE [array_to_string(toks, ' ')] END"
+)
+
+_D46_ORACLE = (
+    r"""
+    WITH split46 AS (
+      SELECT doc_id, lang, text, """
+    + _D46_BUCKET_DUCK
+    + r""" AS bucket,
+             CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_tok
+      FROM documents
+    ), train46 AS (
+      SELECT * FROM split46 WHERE bucket < 950
+    ), base46 AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS w,
+             regexp_split_to_array(text, '\n') AS lines, text
+      FROM train46
+    ), feat46 AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS sum_word_len,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS BIGINT) AS n_ellipsis,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(list_transform(w, t -> lower(t))), {stops})) AS BIGINT) AS n_stopwords
+      FROM base46 WHERE len(w) > 0
+    ), keep46 AS (
+      SELECT doc_id FROM feat46
+      WHERE n_words BETWEEN 50 AND 100000
+        AND CAST(sum_word_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+        AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+        AND CAST(n_bullet AS DOUBLE) / n_lines <= 0.9
+        AND CAST(n_ellipsis AS DOUBLE) / n_lines <= 0.3
+        AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8
+        AND n_stopwords >= 2
+    ), qual46 AS (
+      SELECT t.* FROM train46 t SEMI JOIN keep46 k ON t.doc_id = k.doc_id
+    ), reps46 AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM qual46 GROUP BY md5(text)
+    ), dedup46 AS (
+      SELECT q.* FROM qual46 q SEMI JOIN reps46 r ON q.doc_id = r.doc_id
+    ), repsh46 AS (
+      SELECT doc_id, """
+    + _D46_SHINGLES_DUCK
+    + r""" AS shingles
+      FROM (SELECT doc_id, """
+    + _D46_TOKS_DUCK
+    + r""" AS toks FROM dedup46)
+    ), testg46 AS (
+      SELECT DISTINCT unnest(shingles) AS g
+      FROM (SELECT """
+    + _D46_SHINGLES_DUCK
+    + r""" AS shingles
+            FROM (SELECT """
+    + _D46_TOKS_DUCK
+    + r""" AS toks FROM split46 WHERE bucket >= 950))
+    ), contam46 AS (
+      SELECT DISTINCT s.doc_id
+      FROM (SELECT doc_id, unnest(shingles) AS g FROM repsh46) s
+      JOIN testg46 t ON s.g = t.g
+    ), clean46 AS (
+      SELECT d.* FROM dedup46 d ANTI JOIN contam46 c ON d.doc_id = c.doc_id
+    ), lt46 AS (
+      SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS avail,
+             CAST({cap} * SUM(n_tok) AS BIGINT) AS cap
+      FROM clean46 GROUP BY lang
+    ), tot46 AS (
+      SELECT CAST(SUM(avail) * {bnum} // {bden} AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS l
+      FROM lt46
+    ), ord46 AS (
+      SELECT lang, avail, cap,
+             CAST(ROW_NUMBER() OVER (ORDER BY avail, lang) AS BIGINT) AS idx,
+             CAST(COALESCE(SUM(cap) OVER (
+               ORDER BY avail, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev
+      FROM lt46
+    ), flagged46 AS (
+      SELECT o.*, t.b, t.l,
+             (o.cap * (t.l - o.idx + 1) > t.b - o.cum_prev) AS hit
+      FROM ord46 o, tot46 t
+    ), star46 AS (
+      SELECT CAST(MIN(idx) AS BIGINT) AS istar,
+             CAST(arg_min(cum_prev, idx) AS BIGINT) AS star_cum
+      FROM flagged46 WHERE hit
+    ), alloc46 AS (
+      SELECT f.lang, f.avail,
+             CASE WHEN f.idx < COALESCE(s.istar, f.l + 1)
+                  THEN CAST(f.cap AS DOUBLE)
+                  ELSE (f.b - s.star_cum) / (f.l - s.istar + 1) END AS alloc
+      FROM flagged46 f LEFT JOIN star46 s ON TRUE
+    ), sel46 AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(SUM(n_tok) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM clean46
+    ), picked46 AS (
+      SELECT s.doc_id, s.lang, s.n_tok
+      FROM sel46 s JOIN alloc46 a ON a.lang = s.lang
+      WHERE s.cum <= CAST(floor(a.alloc) AS BIGINT)
+    ), shard46 AS (
+      SELECT CAST({shard_h} % {nsh} AS BIGINT) AS shard, n_tok FROM picked46
+    )
+    SELECT 'funnel' AS part, '0_input' AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens,
+           CAST(NULL AS DOUBLE) AS v1
+    FROM train46
+    UNION ALL
+    SELECT 'funnel', '1_quality', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM qual46
+    UNION ALL
+    SELECT 'funnel', '2_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM dedup46
+    UNION ALL
+    SELECT 'funnel', '3_decontam', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM clean46
+    UNION ALL
+    SELECT 'funnel', '4_selected', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM picked46
+    UNION ALL
+    SELECT 'lang', a.lang, CAST(COUNT(p.doc_id) AS BIGINT),
+           CAST(COALESCE(SUM(p.n_tok), 0) AS BIGINT), MAX(a.alloc)
+    FROM alloc46 a LEFT JOIN picked46 p ON p.lang = a.lang
+    GROUP BY a.lang
+    UNION ALL
+    SELECT 'shard', CAST(shard AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tok) AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM shard46 GROUP BY shard
+    """
+).format(
+    bpe=_BPE_SQL,
+    stops=_D35_STOP_SQL,
+    cap=UNIMAX_EPOCH_CAP,
+    bnum=UNIMAX_BUDGET_NUM,
+    bden=UNIMAX_BUDGET_DEN,
+    shard_h="CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)",
+    nsh=D46_SHARDS,
+)
+
+
+@_q("d46_pretrain_pipeline", _D46_ORACLE)
+def d46_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining curation pipeline as one DAG over the
+    train split (d6 hash split, bucket < 950): (1) Gopher-rule quality
+    gate — _gopher_rated/_gopher_keep, the exact d35 conjunction; (2)
+    exact-duplicate collapse to the min-doc_id representative — x30's
+    collapse stage; (3) benchmark decontamination — x9's exact
+    word-4-gram probe against the untouched test split, any overlap
+    kills the representative; (4) UniMax per-language token budget on
+    the SURVIVING corpus (BPE pretoken counts, 3/5 budget, 3-epoch
+    cap) — d40's _unimax_waterfill; (5) deterministic greedy selection
+    per language in md5(doc_id) order up to floor(alloc) — d15's
+    hash-prefix idiom; (6) shard manifest — d18's salted-hash layout.
+
+    Output: 'funnel' rows (docs + BPE tokens surviving each stage),
+    'lang' rows (selected docs/tokens per language + the float alloc
+    target; selected <= floor(alloc) by construction), 'shard' rows
+    (the manifest a trainer consumes).
+
+    Scale: the funnel stages are one corpus scan + one md5 groupBy
+    (collapse) + one broadcast gram probe (benchmarks are tiny) — all
+    O(corpus) with a single shuffle each; the waterfill runs on the
+    |langs|-row aggregate (broadcast theta join, d40); selection is
+    one per-lang hash-order window (no global sort — at production
+    scale, pre-bucket by (lang, hash range) and prefix over bucket
+    sums so only the boundary bucket needs row order); the manifest is
+    a map-side-combined aggregate on the shard key.
+
+    Plan shape: the BPE regexp (the expensive scan expression) runs
+    ONCE into a persisted slim meta frame (doc_id, lang, n_tok — no
+    text); each funnel row aggregates that cache. Text is re-scanned
+    only where a stage needs a text-derived key (Gopher features,
+    md5 collapse key, the two gram sets) — four pruned-column passes
+    total, never per-funnel-row."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_HEX_BUCKET)
+    txt = d.select("doc_id", "text", bucket.alias("bucket"))
+    train_txt = txt.where(F.col("bucket") < 950).drop("bucket")
+    meta = (
+        d.select(
+            "doc_id",
+            "lang",
+            bucket.alias("bucket"),
+            bpe_token_count("text").cast("bigint").alias("n_tok"),
+        )
+        .where(F.col("bucket") < 950)
+        .drop("bucket")
+        .persist()
+    )
+
+    # (1) quality gate — the d35 conjunction over the train split
+    keep_ids = (
+        _gopher_rated(train_txt).where(_gopher_keep()).select("doc_id")
+    )
+    qual = meta.join(keep_ids, "doc_id", "semi").persist()
+
+    # (2) exact-dedup collapse (x30's stage): one md5 groupBy
+    qual_txt = train_txt.join(qual.select("doc_id"), "doc_id", "semi")
+    reps = (
+        qual_txt.groupBy(F.md5("text").alias("tkey"))
+        .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+        .select("doc_id")
+    )
+    dedup = qual.join(reps, "doc_id", "semi").persist()
+
+    # (3) decontamination (x9's probe): broadcast the test-split gram
+    # set, kill any representative sharing a single 4-gram with it
+    def grams(frame: DataFrame) -> DataFrame:
+        # stage the token array as a real column first — an inline
+        # tokens(...) inside the shingle HOF re-runs the regex pipeline
+        # per shingle index (word_shingles_from_tokens docstring)
+        staged = frame.select(
+            "doc_id", tokens(normalize_text("text")).alias("toks")
+        )
+        return staged.select(
+            "doc_id", word_shingles_from_tokens(F.col("toks"), 4).alias("shingles")
+        )
+
+    test_grams = (
+        grams(txt.where(F.col("bucket") >= 950))
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    rep_txt = train_txt.join(dedup.select("doc_id"), "doc_id", "semi")
+    contam = (
+        grams(rep_txt)
+        .select("doc_id", F.explode("shingles").alias("g"))
+        .join(F.broadcast(test_grams), "g", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.join(contam, "doc_id", "anti").persist()
+
+    # (4) UniMax waterfill on the surviving corpus (BPE tokens)
+    lt = (
+        clean.groupBy("lang")
+        .agg(F.sum("n_tok").cast("bigint").alias("avail"))
+        .withColumn(
+            "cap", (F.lit(UNIMAX_EPOCH_CAP) * F.col("avail")).cast("bigint")
+        )
+    )
+    alloc = _unimax_waterfill(lt).select("lang", "alloc")
+
+    # (5) deterministic greedy prefix per language up to floor(alloc)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = clean.select(
+        "doc_id", "lang", "n_tok", F.sum("n_tok").over(w).cast("bigint").alias("cum")
+    )
+    picked = (
+        sel.join(F.broadcast(alloc), "lang")
+        .where(F.col("cum") <= F.floor("alloc").cast("bigint"))
+        .select("doc_id", "lang", "n_tok")
+        .persist()
+    )
+
+    # (6) shard manifest (d18's salted hash, D46_SHARDS shards)
+    shard = picked.select(
+        (F.expr(_SHARD_SQL_SPARK) % D46_SHARDS).cast("bigint").alias("shard"),
+        "n_tok",
+    )
+
+    def funnel(key: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit("funnel").alias("part"),
+            F.lit(key).alias("key"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.lit(None).cast("double").alias("v1"),
+        )
+
+    lang_rows = (
+        alloc.join(picked, "lang", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.max("alloc").alias("v1"),
+        )
+        .select(
+            F.lit("lang").alias("part"),
+            F.col("lang").alias("key"),
+            "n_docs",
+            "n_tokens",
+            "v1",
+        )
+    )
+    shard_rows = (
+        shard.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.lit("shard").alias("part"),
+            F.col("shard").cast("string").alias("key"),
+            "n_docs",
+            "n_tokens",
+            F.lit(None).cast("double").alias("v1"),
+        )
+    )
+    out = (
+        funnel("0_input", meta)
+        .unionByName(funnel("1_quality", qual))
+        .unionByName(funnel("2_dedup", dedup))
+        .unionByName(funnel("3_decontam", clean))
+        .unionByName(funnel("4_selected", picked))
+        .unionByName(lang_rows)
+        .unionByName(shard_rows)
+    ).localCheckpoint(eager=True)
+    for frame in (meta, qual, dedup, clean, picked):
+        frame.unpersist()
+    return out

@@ -1,0 +1,73 @@
+"""d46 end-to-end pretraining pipeline invariants.
+
+The DuckDB oracle pins the exact values; these tests pin the CONTRACTS
+that must hold at any scale factor — funnel monotonicity, the budget
+bound, stage consistency — so a future fixture change that silently
+degenerates a stage (e.g. a quality gate that keeps everything) fails
+loudly here even if both engines still agree.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from file_db_spark.operators.textops import (
+    D46_SHARDS,
+    UNIMAX_BUDGET_DEN,
+    UNIMAX_BUDGET_NUM,
+    d46_pretrain_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    out = d46_pretrain_pipeline(spark, sf_dir).collect()
+    by_part: dict = {}
+    for r in out:
+        by_part.setdefault(r["part"], {})[r["key"]] = r
+    return by_part
+
+
+def test_funnel_monotone_and_nonempty(rows):
+    f = rows["funnel"]
+    stages = ["0_input", "1_quality", "2_dedup", "3_decontam", "4_selected"]
+    docs = [f[s]["n_docs"] for s in stages]
+    toks = [f[s]["n_tokens"] for s in stages]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] > 0 and docs[-1] > 0
+    # the quality gate must actually reject something
+    assert f["1_quality"]["n_docs"] < f["0_input"]["n_docs"]
+
+
+def test_selected_within_lang_budget(rows):
+    for lang, r in rows["lang"].items():
+        assert r["n_tokens"] <= math.floor(r["v1"]), lang
+        assert r["n_docs"] >= 0
+
+
+def test_budget_totals(rows):
+    # sum of per-lang allocations == the waterfill budget (3/5 of the
+    # surviving corpus) up to float error; selection stays under it
+    survived = rows["funnel"]["3_decontam"]["n_tokens"]
+    budget = survived * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    alloc_sum = sum(r["v1"] for r in rows["lang"].values())
+    assert alloc_sum == pytest.approx(budget, rel=1e-9)
+    assert rows["funnel"]["4_selected"]["n_tokens"] <= budget
+
+
+def test_shards_partition_the_selection(rows):
+    shard_docs = sum(r["n_docs"] for r in rows["shard"].values())
+    shard_toks = sum(r["n_tokens"] for r in rows["shard"].values())
+    assert shard_docs == rows["funnel"]["4_selected"]["n_docs"]
+    assert shard_toks == rows["funnel"]["4_selected"]["n_tokens"]
+    assert set(int(k) for k in rows["shard"]) <= set(range(D46_SHARDS))
+
+
+def test_lang_totals_match_selection(rows):
+    assert sum(r["n_docs"] for r in rows["lang"].values()) == (
+        rows["funnel"]["4_selected"]["n_docs"]
+    )
