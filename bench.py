@@ -107,6 +107,9 @@ HEADLINE = [
     "g26_merge_into",
     "x34_decontaminate_representatives",
     "x36_collapsed_provenance_graph",
+    "g27_bucketed_join",  # write-once hash clustering, zero-Exchange join
+    "d46_pretrain_pipeline",  # end-to-end curation DAG (quality->...->shards)
+    "g28_materialized_view",  # CDC-refreshed MV (seed/refresh/replay guard)
     # round-6 additions: TPC-H completion set + merge-on-read deletes
     "a17_small_qty_revenue",  # Q17 correlated-AVG decorrelated to one window
     "a19_order_count_distribution",  # Q13 outer-join count distribution

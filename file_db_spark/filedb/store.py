@@ -1751,6 +1751,166 @@ class TableStore:
         replace). Call AFTER the downstream apply is durable."""
         self.create_consumer(name, consumer)
 
+    # -- materialized views -------------------------------------------
+    #
+    # A registered MV is a normal store table (it gets time travel,
+    # CDC, stats and data skipping for free) whose contents are a
+    # group-by aggregate over a source table, maintained INCREMENTALLY
+    # from the source's CDC subscription (changes_since + a dedicated
+    # __mv_<view> consumer) applied through the general MERGE — the
+    # Delta Live Tables / Materialize-style refresh loop built from
+    # the store's own primitives. Only self-maintainable aggregates
+    # are allowed (COUNT(*) and SUM0 — SUM with NULLs counted as 0, so
+    # base + delta arithmetic is closed; MIN/MAX would need auxiliary
+    # state, the classic IVM restriction). Refresh is O(changed
+    # groups): one net multi-commit diff, one delta aggregate, one
+    # MERGE writing a DV + segment over the touched groups only.
+
+    def _mv_spec_path(self, view: str) -> str:
+        return os.path.join(self.root, f"_mv-{view}.json")
+
+    def _mv_write_spec(self, view: str, spec: dict) -> None:
+        p = self._mv_spec_path(view)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(spec, fh)
+        os.replace(tmp, p)
+
+    def mview_spec(self, view: str) -> dict:
+        with open(self._mv_spec_path(view)) as fh:
+            return json.load(fh)
+
+    def _mv_compute(self, df: DataFrame, spec: dict) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("bigint").alias(spec["count_col"])]
+        for out, src_col in spec["sums"].items():
+            s = F.sum(F.col(src_col))
+            zero = F.lit(0).cast(df.schema[src_col].dataType)
+            aggs.append(F.coalesce(s, zero).alias(out))
+        return df.groupBy(*spec["group_by"]).agg(*aggs)
+
+    def create_mview(
+        self,
+        view: str,
+        src: str,
+        *,
+        group_by: list[str],
+        count_col: str,
+        sums: dict[str, str],
+        key_cols: list[str],
+        compare_cols: list[str],
+    ) -> None:
+        """Register + seed a materialized view: `view` = SELECT
+        group_by, COUNT(*) AS count_col, SUM0(src_col) AS out... FROM
+        `src` GROUP BY group_by. The seed is one full recompute; the
+        consumer cursor is pinned at the seeded generation so the
+        first refresh applies exactly the commits after it. Group and
+        sum columns must be visible to the change feed (key_cols or
+        compare_cols) — a group move or value change the diff can't
+        see would silently corrupt the view."""
+        feed_cols = set(key_cols) | set(compare_cols)
+        missing = (set(group_by) | set(sums.values())) - feed_cols
+        if missing:
+            raise ValueError(
+                f"create_mview({view!r}): {sorted(missing)} not covered "
+                "by key_cols/compare_cols — the change feed could not "
+                "maintain them"
+            )
+        spec = {
+            "src": src,
+            "group_by": list(group_by),
+            "count_col": count_col,
+            "sums": dict(sums),
+            "key_cols": list(key_cols),
+            "compare_cols": list(compare_cols),
+        }
+        seed = self._mv_compute(self.read(src), spec)
+        self.schemas.setdefault(view, seed.schema)
+        self.replace(view, seed)
+        self.create_consumer(src, f"__mv_{view}")
+        spec["applied"] = os.path.basename(self._current(src))
+        self._mv_write_spec(view, spec)
+
+    def refresh_mview(self, view: str) -> dict:
+        """Incrementally refresh `view` from its source's CDC feed.
+        Returns merge metrics plus 'status': 'applied', 'noop' (source
+        unchanged), or 'replayed' (a prior refresh committed but
+        crashed before advancing the cursor — the cursor is rolled
+        forward WITHOUT re-applying, closing the at-least-once window
+        everywhere except a crash between the MERGE commit and the
+        spec-marker write, the same one-os.replace window the
+        streaming sinks' txn_version markers document)."""
+        spec = self.mview_spec(view)
+        src, cons = spec["src"], f"__mv_{view}"
+        cur = os.path.basename(self._current(src))
+        zero = {"inserted": 0, "updated": 0, "deleted": 0}
+        if spec.get("applied") == cur:
+            with open(self._cursor_path(src, cons)) as fh:
+                cursor = fh.read().strip()
+            if cursor != cur:
+                self.advance_cursor(src, cons)
+                return {**zero, "status": "replayed"}
+            return {**zero, "status": "noop"}
+        delta = self.changes_since(
+            src, cons, spec["key_cols"], spec["compare_cols"]
+        )
+        group_by = spec["group_by"]
+        cnt = spec["count_col"]
+        compare = set(spec["compare_cols"])
+
+        def side(prefix: str, ops: list[str], sign: int) -> DataFrame:
+            gcols = [
+                (
+                    F.col(f"{prefix}{g}") if g in compare else F.col(g)
+                ).alias(g)
+                for g in group_by
+            ]
+            vals = [
+                (F.lit(sign) * F.col(f"{prefix}{sc}")).alias(f"__d_{out}")
+                for out, sc in spec["sums"].items()
+            ]
+            return delta.where(F.col("op").isin(*ops)).select(
+                *gcols, F.lit(sign).cast("bigint").alias("__dn"), *vals
+            )
+
+        contrib = side("old_", ["D", "U"], -1).unionByName(
+            side("new_", ["I", "U"], 1)
+        )
+        mv_schema = self.schemas[view]
+        dn_sum = F.sum("__dn").cast("bigint").alias("__dn")
+        d_sums = []
+        nonzero = F.col("__dn") != 0
+        for out in spec["sums"]:
+            zt = mv_schema[out].dataType
+            d_sums.append(
+                F.coalesce(F.sum(F.col(f"__d_{out}")), F.lit(0).cast(zt))
+                .cast(zt)
+                .alias(f"__d_{out}")
+            )
+            nonzero = nonzero | (F.col(f"__d_{out}") != 0)
+        net = contrib.groupBy(*group_by).agg(dn_sum, *d_sums).where(nonzero)
+
+        upd = {cnt: f"CAST(t.{cnt} + s.__dn AS BIGINT)"}
+        ins = {cnt: "CAST(s.__dn AS BIGINT)"}
+        for out in spec["sums"]:
+            ddl = mv_schema[out].dataType.simpleString()
+            upd[out] = (
+                f"CAST(COALESCE(t.{out}, 0) + COALESCE(s.__d_{out}, 0) "
+                f"AS {ddl})"
+            )
+            ins[out] = f"CAST(COALESCE(s.__d_{out}, 0) AS {ddl})"
+        metrics = self.merge(
+            view,
+            net,
+            on=group_by,
+            when_matched_update=upd,
+            when_not_matched_insert=ins,
+            when_matched_delete=f"(t.{cnt} + s.__dn) = 0",
+        )
+        spec["applied"] = cur
+        self._mv_write_spec(view, spec)
+        self.advance_cursor(src, cons)
+        return {**metrics, "status": "applied"}
+
     def generations(self, name: str) -> list[str]:
         """Generation directories of a table, oldest first."""
         d = self._dir(name)

@@ -2611,6 +2611,158 @@ def g26_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g28: MATERIALIZED VIEW with CDC-driven incremental refresh — g15's
+# IVM proof promoted to a store-level facility: the MV is a real store
+# table maintained from the source's CDC subscription (g25 cursors)
+# through the general MERGE (g26), with a replay guard closing the
+# at-least-once window. The Delta Live Tables / Materialize refresh
+# loop, built from the store's own primitives.
+# ---------------------------------------------------------------------------
+
+#: the g28 second wave: a metadata-only MOR delete feeding the CDC feed
+G28_DEL_PRED = "id % 5 = 1"
+
+_G28_METRICS_CTE = """
+  SELECT CAST(COALESCE(SUM(CASE WHEN n_a IS NULL THEN 1 END), 0) AS BIGINT) AS ins,
+         CAST(COALESCE(SUM(CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+                                 AND (n_a <> n_b OR s_a <> s_b) THEN 1 END), 0) AS BIGINT) AS upd,
+         CAST(COALESCE(SUM(CASE WHEN n_b IS NULL THEN 1 END), 0) AS BIGINT) AS del
+  FROM (SELECT a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b
+        FROM {a} a FULL OUTER JOIN {b} b
+          ON a.dir_id IS NOT DISTINCT FROM b.dir_id)
+"""
+
+_G28_ORACLE = f"""
+WITH {{ctes}},
+{_G6_WAVE_CTE},
+g28s3 AS (
+  SELECT * FROM f2 WHERE NOT ({G28_DEL_PRED})
+),
+g28a1 AS (
+  SELECT dir_id, CAST(COUNT(*) AS BIGINT) AS n, COALESCE(SUM(size), 0) AS s
+  FROM fx_file GROUP BY dir_id
+),
+g28a2 AS (
+  SELECT dir_id, CAST(COUNT(*) AS BIGINT) AS n, COALESCE(SUM(size), 0) AS s
+  FROM f2 GROUP BY dir_id
+),
+g28a3 AS (
+  SELECT dir_id, CAST(COUNT(*) AS BIGINT) AS n, COALESCE(SUM(size), 0) AS s
+  FROM g28s3 GROUP BY dir_id
+),
+g28m1 AS ({_G28_METRICS_CTE.format(a="g28a1", b="g28a2")}),
+g28m2 AS ({_G28_METRICS_CTE.format(a="g28a2", b="g28a3")})
+SELECT 'mv1' AS part, CAST(dir_id AS BIGINT) AS k1,
+       n AS n1, CAST(s AS DOUBLE) AS v1
+FROM g28a2
+UNION ALL
+SELECT 'mv2', CAST(dir_id AS BIGINT), n, CAST(s AS DOUBLE) FROM g28a3
+UNION ALL
+SELECT 'meta1', ins, upd, CAST(del AS DOUBLE) FROM g28m1
+UNION ALL
+SELECT 'meta2', ins, upd, CAST(del AS DOUBLE) FROM g28m2
+UNION ALL
+SELECT 'status', 1, 1, CAST(NULL AS DOUBLE)
+""".format(ctes=fixtures.FIXTURE_CTES)
+
+
+@_q("g28_materialized_view", _G28_ORACLE)
+def g28_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view with CDC-driven incremental refresh
+    (TableStore.create_mview/refresh_mview — the Delta Live Tables /
+    Materialize loop from the store's own primitives): seed a
+    per-directory rollup MV (COUNT(*) + SUM0(size)) over the file
+    table, commit the g6 change wave, refresh, commit a MOR
+    delete_where wave, refresh again. 'mv1'/'mv2' pin the MV contents
+    after each refresh against straight recomputes — incremental ==
+    recompute, including group moves, NULL group keys (null-safe
+    MERGE keys), groups deleted to zero, and deletes arriving as
+    metadata-only deletion vectors through the CDC feed. 'meta1'/
+    'meta2' pin the refresh's MERGE metrics against SQL-derived
+    expected group counts (inserted = new groups, updated = net-
+    changed groups — zero-net groups are filtered before the MERGE
+    and must NOT count, deleted = emptied groups). 'status' pins the
+    protocol: a refresh with no source commits is a no-op, and a
+    replayed refresh (cursor rolled back past an applied generation —
+    the crash-between-commit-and-advance window) rolls the cursor
+    forward WITHOUT re-applying; mv2 is read AFTER the replay, so a
+    double-apply would break its hash.
+
+    Scale: refresh cost is O(changed groups) — one net CDC diff (full-
+    outer key join), one delta aggregate, one MERGE writing a DV +
+    segment over touched groups; the MV never recomputes and, being a
+    store table, gets time travel/CDC/stats for free. Maintaining a
+    billion-row table's rollup after a million-row wave touches
+    megabytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    cols = [f.name for f in schemas.FILE.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_g28_")
+    store = TableStore(spark, root, {"file": schemas.FILE}, bucketing=False)
+    store.replace("file", f1.select(*cols))
+    store.create_mview(
+        "dir_rollup",
+        "file",
+        group_by=["dir_id"],
+        count_col="n_files",
+        sums={"total_size": "size"},
+        key_cols=["id"],
+        compare_cols=["name", "dir_id", "size", "mtime"],
+    )
+    store.replace("file", _g6_wave(spark, f1).select(*cols))
+    m1 = store.refresh_mview("dir_rollup")
+    mv1 = store.read("dir_rollup").select(
+        F.lit("mv1").alias("part"),
+        F.col("dir_id").cast("bigint").alias("k1"),
+        F.col("n_files").cast("bigint").alias("n1"),
+        F.col("total_size").cast("double").alias("v1"),
+    )
+    noop = store.refresh_mview("dir_rollup")
+    store.delete_where("file", G28_DEL_PRED)
+    m2 = store.refresh_mview("dir_rollup")
+    # crash simulation: the refresh committed but died before advancing
+    # the cursor — roll the cursor back to the pre-wave generation and
+    # refresh again; the applied-generation guard must NOT re-apply
+    gens = store.generations("file")
+    with open(store._cursor_path("file", "__mv_dir_rollup"), "w") as fh:
+        fh.write(os.path.basename(gens[-2]))
+    replay = store.refresh_mview("dir_rollup")
+    mv2 = store.read("dir_rollup").select(
+        F.lit("mv2").alias("part"),
+        F.col("dir_id").cast("bigint").alias("k1"),
+        F.col("n_files").cast("bigint").alias("n1"),
+        F.col("total_size").cast("double").alias("v1"),
+    )
+    meta = spark.createDataFrame(
+        [
+            ("meta1", m1["inserted"], m1["updated"], float(m1["deleted"])),
+            ("meta2", m2["inserted"], m2["updated"], float(m2["deleted"])),
+            (
+                "status",
+                1 if noop["status"] == "noop" else 0,
+                1 if replay["status"] == "replayed" else 0,
+                None,
+            ),
+        ],
+        "part string, k1 long, n1 long, v1 double",
+    ).select(
+        "part",
+        F.col("k1").cast("bigint").alias("k1"),
+        F.col("n1").cast("bigint").alias("n1"),
+        "v1",
+    )
+    out = mv1.unionByName(mv2).unionByName(meta).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g27: BUCKETED CO-LOCATED JOIN — the standing file<->hash join paid
 # once at write time. Both fact tables are hash-clustered on the join
 # key into the same bucket count; every subsequent equi-join plans
@@ -3960,6 +4112,12 @@ FROM counts_all c JOIN fin f ON f.part = c.part
         _G27_ORACLE,
         "'g27_' || part, id, COALESCE(name, '') || '#' || "
         "COALESCE(md5, ''), dir_id, n1, n2, NULL, NULL, NULL, NULL, NULL",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G28_ORACLE,
+        "'g28_' || part, k1, CAST(NULL AS VARCHAR), n1, "
+        "NULL, NULL, NULL, NULL, NULL, NULL, v1",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4000,6 +4158,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g24": g24_multi_table_txn,
         "g25": g25_cdc_subscription,
         "g27": g27_bucketed_join,
+        "g28": g28_materialized_view,
     }
     from . import _timing
 
@@ -4285,6 +4444,19 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         _dn().alias("v1"),
     )
+    g28 = raw["g28"].select(
+        F.concat(F.lit("g28_"), F.col("part")).alias("part"),
+        F.col("k1"),
+        _sn().alias("s1"),
+        F.col("n1"),
+        _bn().alias("n2"),
+        _bn().alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        F.col("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -4307,6 +4479,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g24)
         .unionByName(g25)
         .unionByName(g27)
+        .unionByName(g28)
     )
 
 

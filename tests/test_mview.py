@@ -1,0 +1,144 @@
+"""Materialized-view refresh contracts (TableStore.create_mview /
+refresh_mview) — the edge cases the graded g28 entry can't isolate:
+zero-net-group exclusion, SUM0 semantics for all-NULL groups, the
+replay guard, and spec validation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from file_db_spark.filedb.store import TableStore
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("val", T.LongType()),
+    ]
+)
+
+
+def _store(spark):
+    root = tempfile.mkdtemp(prefix="mvt_")
+    return TableStore(spark, root, {"src": SCHEMA}, bucketing=False)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _mv(store):
+    store.create_mview(
+        "mv",
+        "src",
+        group_by=["grp"],
+        count_col="n",
+        sums={"total": "val"},
+        key_cols=["id"],
+        compare_cols=["grp", "val"],
+    )
+
+
+def _rows(store):
+    return {
+        r["grp"]: (r["n"], r["total"]) for r in store.read("mv").collect()
+    }
+
+
+def test_seed_then_incremental_matches_recompute(spark):
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 10), (2, "a", 5), (3, "b", 7)]))
+    _mv(store)
+    assert _rows(store) == {"a": (2, 15), "b": (1, 7)}
+    # move 2 a->b, change 3's value, insert c, delete 1
+    store.replace("src", _df(spark, [(2, "b", 5), (3, "b", 9), (4, "c", 1)]))
+    m = store.refresh_mview("mv")
+    assert m["status"] == "applied"
+    assert _rows(store) == {"b": (2, 14), "c": (1, 1)}
+    # group 'a' emptied -> deleted; 'c' new -> inserted
+    assert m["deleted"] == 1 and m["inserted"] == 1 and m["updated"] == 1
+
+
+def test_zero_net_group_writes_nothing(spark):
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 10), (2, "b", 5)]))
+    _mv(store)
+    gens_before = len(store.generations("mv"))
+    # swap ids within 'a'-equivalent state: delete 1, insert 3 same group
+    # and value -> net zero for 'a', real change for 'b'
+    store.replace("src", _df(spark, [(3, "a", 10), (2, "b", 6)]))
+    m = store.refresh_mview("mv")
+    assert m["updated"] == 1 and m["inserted"] == 0 and m["deleted"] == 0
+    assert _rows(store) == {"a": (1, 10), "b": (1, 6)}
+    assert len(store.generations("mv")) == gens_before + 1
+
+
+def test_sum0_all_null_group(spark):
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", None), (2, "a", None)]))
+    _mv(store)
+    assert _rows(store) == {"a": (2, 0)}
+    store.replace("src", _df(spark, [(1, "a", None)]))
+    store.refresh_mview("mv")
+    assert _rows(store) == {"a": (1, 0)}
+
+
+def test_null_group_key(spark):
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, None, 3), (2, "a", 4)]))
+    _mv(store)
+    store.replace("src", _df(spark, [(1, None, 5), (2, "a", 4)]))
+    store.refresh_mview("mv")
+    assert _rows(store) == {None: (1, 5), "a": (1, 4)}
+
+
+def test_noop_and_replay_guard(spark):
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 1)]))
+    _mv(store)
+    assert store.refresh_mview("mv")["status"] == "noop"
+    store.replace("src", _df(spark, [(1, "a", 2)]))
+    assert store.refresh_mview("mv")["status"] == "applied"
+    # crash window: cursor rolled back, applied marker current
+    gens = store.generations("src")
+    with open(store._cursor_path("src", "__mv_mv"), "w") as fh:
+        fh.write(os.path.basename(gens[0]))
+    assert store.refresh_mview("mv")["status"] == "replayed"
+    # no double apply
+    assert _rows(store) == {"a": (1, 2)}
+    # and the cursor is healed: next refresh is a plain noop
+    assert store.refresh_mview("mv")["status"] == "noop"
+
+
+def test_spec_validation(spark):
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="not covered"):
+        store.create_mview(
+            "mv",
+            "src",
+            group_by=["grp"],
+            count_col="n",
+            sums={"total": "val"},
+            key_cols=["id"],
+            compare_cols=["grp"],  # val missing from the feed
+        )
+
+
+def test_mview_is_a_real_store_table(spark):
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 1), (2, "b", 2)]))
+    _mv(store)
+    store.replace("src", _df(spark, [(1, "a", 9), (2, "b", 2)]))
+    store.refresh_mview("mv")
+    # time travel to the seeded MV generation
+    old = {
+        r["grp"]: (r["n"], r["total"])
+        for r in store.read_at("mv", back=1).collect()
+    }
+    assert old == {"a": (1, 1), "b": (1, 2)}
