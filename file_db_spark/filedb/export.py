@@ -1,0 +1,120 @@
+"""Exactly-once training-shard export sink.
+
+d18 decides the shard layout (salted-hash shard + in-shard position);
+this module WRITES it: one parquet file per shard under a staged
+directory, published by an atomic manifest swap, with a content
+fingerprint making re-runs idempotent — the exactly-once handoff a
+trainer's data loader consumes (and the missing last step between the
+d46 pipeline's selection and an actual training run).
+
+Protocol (the store's stage/publish discipline applied to an export):
+
+1. fingerprint the input: (row count, sum of xxhash64(id)) — one
+   aggregate, order-independent, collision-negligible for dataset
+   identity;
+2. if the published _MANIFEST.json carries the same fingerprint, the
+   export already happened → NO-OP (a retried orchestrator step costs
+   one aggregate, writes nothing);
+3. otherwise stage `data-<fingerprint>/shard=<k>/` — `repartition(n,
+   shard)` puts every shard in exactly one task, so each shard
+   directory holds exactly ONE file, sorted by in-shard position
+   (`sortWithinPartitions` — the sort a sequential reader wants,
+   costing nothing extra since the write scans the partition anyway);
+4. publish by atomically replacing _MANIFEST.json (fingerprint, shard
+   row counts, data dir). A crash before publish leaves an orphaned
+   staging dir and the OLD manifest — the re-run restages over it and
+   publishes; readers never see a partial export.
+
+Scale: one repartition exchange on the shard key (the only shuffle),
+one aggregate for the fingerprint, one for the manifest counts. Shard
+count is the parallelism knob — at 100 TB raise n_shards to O(10k) so
+each file stays ~10 GB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["export_shards", "read_export", "export_manifest"]
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "_MANIFEST.json")
+
+
+def export_manifest(root: str) -> dict | None:
+    try:
+        with open(_manifest_path(root)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _fingerprint(df: DataFrame, id_col: str) -> str:
+    # bit_xor: order-independent and overflow-free (a SUM of hashes
+    # overflows int64 under ANSI mode)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64(F.col(id_col))), F.lit(0)).alias("h"),
+    ).first()
+    return f"{row['n']}-{row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def export_shards(
+    df: DataFrame,
+    root: str,
+    n_shards: int,
+    shard_col: str = "shard",
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """Export `df` (already carrying its shard assignment in
+    `shard_col`, 0..n_shards-1 — d18's layout) as one sorted parquet
+    file per shard under `root`, exactly once. Returns the manifest
+    dict plus 'status': 'written' or 'noop'."""
+    os.makedirs(root, exist_ok=True)
+    fp = _fingerprint(df, id_col)
+    published = export_manifest(root)
+    if published is not None and published["fingerprint"] == fp:
+        return {**published, "status": "noop"}
+    data_dir = f"data-{fp}"
+    staging = os.path.join(root, data_dir)
+    shutil.rmtree(staging, ignore_errors=True)
+    writer = df.repartition(n_shards, F.col(shard_col))
+    if order_col is not None:
+        writer = writer.sortWithinPartitions(shard_col, order_col)
+    writer.write.mode("overwrite").partitionBy(shard_col).parquet(staging)
+    counts = {
+        int(r[shard_col]): r["n"]
+        for r in df.groupBy(shard_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {
+        "fingerprint": fp,
+        "data_dir": data_dir,
+        "n_shards": n_shards,
+        "shards": {str(k): counts[k] for k in sorted(counts)},
+    }
+    tmp = _manifest_path(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(root))
+    if published is not None and published["data_dir"] != data_dir:
+        shutil.rmtree(
+            os.path.join(root, published["data_dir"]), ignore_errors=True
+        )
+    return {**manifest, "status": "written"}
+
+
+def read_export(spark, root: str) -> DataFrame:
+    """Read the published export THROUGH the manifest (never the
+    directory listing — a concurrent re-export stages unseen dirs)."""
+    m = export_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no published export under {root}")
+    return spark.read.parquet(os.path.join(root, m["data_dir"]))

@@ -758,6 +758,12 @@ def dq1_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.ORACLES["d40_unimax_mix"],
         "'d40', CAST(NULL AS BIGINT), lang, avail_tokens, cap_tokens, "
         "CAST(NULL AS VARCHAR), alloc_tokens",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        textops.ORACLES["d47_shard_export_sink"],
+        "'d47_' || part, k1, CAST(NULL AS VARCHAR), n_docs, n_tokens, "
+        "CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)",
     ),
 )
 def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,6 +877,15 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sn().alias("s1"),
         F.col("alloc_tokens").alias("v1"),
     )
+    d47 = textops.d47_shard_export_sink(spark, sf_dir).select(
+        F.concat(F.lit("d47_"), F.col("part")).alias("part"),
+        F.col("k1").alias("doc_id"),
+        _sn().alias("source"),
+        F.col("n_docs").alias("k1"),
+        F.col("n_tokens").alias("k2"),
+        _sn().alias("s1"),
+        _dn().alias("v1"),
+    )
     return (
         d6d8.unionByName(d18)
         .unionByName(d26)
@@ -880,6 +895,7 @@ def dq2_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d37)
         .unionByName(d39)
         .unionByName(d40)
+        .unionByName(d47)
     )
 
 

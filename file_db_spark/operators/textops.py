@@ -4054,3 +4054,105 @@ def d46_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in (meta, qual, dedup, clean, picked):
         frame.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# d47: the shard-export SINK — d18 decides the layout, this entry
+# WRITES it through filedb/export.py's exactly-once protocol and reads
+# the result back from the published files, proving the handoff a
+# trainer's loader consumes (files on disk, not just a plan).
+# ---------------------------------------------------------------------------
+
+_D47_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {{shard_h}} % {{nsh}} AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT 'shard' AS part, CAST(shard AS BIGINT) AS k1,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM t GROUP BY shard
+    UNION ALL
+    SELECT 'meta', 1, 1, 1
+""".format(
+    shard_h="CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)",
+    nsh=N_SHARDS,
+)
+
+
+@_q("d47_shard_export_sink", _D47_ORACLE)
+def d47_shard_export_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once shard export (filedb/export.py): assign d18's
+    salted-hash shard + in-shard position to every document, EXPORT
+    one sorted parquet file per shard behind an atomic manifest swap,
+    re-run the export (must no-op on the content fingerprint — one
+    aggregate, zero writes), then read the published files back
+    through the manifest. 'shard' rows are aggregated FROM THE
+    EXPORTED FILES — hash-matching the oracle's straight aggregation
+    over `documents` proves the round trip wrote every row exactly
+    once; 'meta' pins status: first export written (1), re-run noop
+    (1), and exactly one data file per non-empty shard (1).
+
+    Scale: one repartition exchange on the shard key (each shard
+    lands in exactly one task → one file), the in-file sort rides the
+    write, and the idempotence check is a single aggregate — the
+    orchestrator-retry contract a multi-day 100 TB export run needs."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..filedb import export
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.expr(_SHARD_SQL_SPARK).alias("h16"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    ).withColumn("shard", (F.col("h16") % N_SHARDS).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("h16", "doc_id")
+    laid_out = staged.select(
+        "doc_id", "shard", "n_tok", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+    root = tempfile.mkdtemp(prefix="fdb_d47_")
+    first = export.export_shards(
+        laid_out, root, N_SHARDS, shard_col="shard", order_col="pos"
+    )
+    rerun = export.export_shards(
+        laid_out, root, N_SHARDS, shard_col="shard", order_col="pos"
+    )
+    back = export.read_export(spark, root)
+    shard_rows = back.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    ).select(
+        F.lit("shard").alias("part"),
+        F.col("shard").cast("bigint").alias("k1"),
+        "n_docs",
+        "n_tokens",
+    )
+    data_root = os.path.join(root, first["data_dir"])
+    one_file_each = all(
+        len(glob.glob(os.path.join(data_root, f"shard={k}", "*.parquet"))) == 1
+        for k in first["shards"]
+    )
+    meta = spark.createDataFrame(
+        [
+            (
+                "meta",
+                1 if first["status"] == "written" else 0,
+                1 if rerun["status"] == "noop" else 0,
+                1 if one_file_each else 0,
+            )
+        ],
+        "part string, k1 long, n_docs long, n_tokens long",
+    ).select(
+        "part",
+        F.col("k1").cast("bigint").alias("k1"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    out = shard_rows.unionByName(meta).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

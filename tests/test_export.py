@@ -1,0 +1,84 @@
+"""Exactly-once shard export (filedb/export.py) contracts."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from file_db_spark.filedb import export
+
+
+@pytest.fixture()
+def data(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("bigint").alias("shard"),
+        (F.col("id") % 13).cast("bigint").alias("n_tok"),
+    )
+    root = tempfile.mkdtemp(prefix="exp_")
+    yield df, root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_write_then_noop(spark, data):
+    df, root = data
+    first = export.export_shards(df, root, 7)
+    assert first["status"] == "written"
+    again = export.export_shards(df, root, 7)
+    assert again["status"] == "noop"
+    assert again["fingerprint"] == first["fingerprint"]
+    back = export.read_export(spark, root)
+    assert back.count() == 1000
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == set(
+        range(7)
+    )
+
+
+def test_one_file_per_shard_sorted(spark, data):
+    df, root = data
+    m = export.export_shards(df, root, 7, order_col="doc_id")
+    ddir = os.path.join(root, m["data_dir"])
+    for k in range(7):
+        files = glob.glob(os.path.join(ddir, f"shard={k}", "*.parquet"))
+        assert len(files) == 1, k
+        ids = [r["doc_id"] for r in spark.read.parquet(files[0]).collect()]
+        assert ids == sorted(ids)
+
+
+def test_changed_input_reexports_and_cleans_old(spark, data):
+    df, root = data
+    first = export.export_shards(df, root, 7)
+    df2 = df.where(F.col("doc_id") % 2 == 0)
+    second = export.export_shards(df2, root, 7)
+    assert second["status"] == "written"
+    assert second["fingerprint"] != first["fingerprint"]
+    assert export.read_export(spark, root).count() == 500
+    # the superseded data dir is reclaimed
+    assert not os.path.isdir(os.path.join(root, first["data_dir"]))
+
+
+def test_manifest_counts_match(spark, data):
+    df, root = data
+    m = export.export_shards(df, root, 7)
+    want = {
+        str(r["shard"]): r["n"]
+        for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert m["shards"] == want
+
+
+def test_crash_before_publish_is_recoverable(spark, data):
+    df, root = data
+    # simulate: a staged dir exists but no manifest was ever published
+    fp_dir = os.path.join(root, "data-deadbeef")
+    os.makedirs(fp_dir)
+    with pytest.raises(FileNotFoundError):
+        export.read_export(spark, root)
+    m = export.export_shards(df, root, 7)
+    assert m["status"] == "written"
+    assert export.read_export(spark, root).count() == 1000
