@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "TableStore",
+    "Snapshot",
     "CommitConflict",
     "diff_generations",
     "scd2_snapshot",
@@ -519,6 +520,19 @@ class TableStore:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def snapshot(self) -> "Snapshot":
+        """A consistent multi-table read view pinned at the current
+        catalog version: every `snap.read()` resolves through the SAME
+        pointer map, so a report joining N tables sees exactly one
+        commit point even while writers keep advancing the catalog —
+        the reader half of commit_multi's all-old-or-all-new contract
+        (BEGIN ... in snapshot isolation, the Iceberg
+        snapshot-id-pinned scan analog). Retention contract: vacuum
+        must not reclaim generations a live snapshot still pins —
+        the same rule CDC cursors already impose; a reclaimed pin
+        raises rather than serving a partial table."""
+        return Snapshot(self)
 
     def read(self, name: str) -> DataFrame:
         """Current generation of the table; empty (declared schema) if
@@ -1850,9 +1864,21 @@ class TableStore:
                 self.advance_cursor(src, cons)
                 return {**zero, "status": "replayed"}
             return {**zero, "status": "noop"}
-        delta = self.changes_since(
-            src, cons, spec["key_cols"], spec["compare_cols"]
-        )
+        try:
+            delta = self.changes_since(
+                src, cons, spec["key_cols"], spec["compare_cols"]
+            )
+        except ValueError as e:
+            if "vacuumed" not in str(e):
+                raise
+            # self-heal: vacuum outran this consumer (retention breach)
+            # — fall back to ONE full recompute, re-pin the cursor at
+            # the current generation, and resume incremental from here
+            self.replace(view, self._mv_compute(self.read(src), spec))
+            self.create_consumer(src, cons)
+            spec["applied"] = cur
+            self._mv_write_spec(view, spec)
+            return {**zero, "status": "reseeded"}
         group_by = spec["group_by"]
         cnt = spec["count_col"]
         compare = set(spec["compare_cols"])
@@ -2044,6 +2070,33 @@ def scd2_history(log: DataFrame, key_cols: list[str]) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("op")
     )
+
+
+class Snapshot:
+    """Pinned multi-table read view — see TableStore.snapshot()."""
+
+    def __init__(self, store: TableStore):
+        cat = store._read_catalog()
+        self.version: int = cat["version"]
+        self._pins: dict[str, str] = dict(cat["tables"])
+        self._store = store
+
+    def read(self, name: str) -> DataFrame:
+        ent = self._pins.get(name)
+        if ent is None:
+            # table never tracked by the pointer at pin time: empty
+            # view (it did not exist at this snapshot's commit point)
+            return self._store.spark.createDataFrame(
+                [], self._store.schemas[name]
+            )
+        gen_dir = os.path.join(self._store._dir(name), ent)
+        if not os.path.isdir(gen_dir):
+            raise ValueError(
+                f"snapshot v{self.version}: pinned generation {ent} of "
+                f"{name!r} was vacuumed — retention must cover live "
+                "snapshots (vacuum(retain=N) over the snapshot's age)"
+            )
+        return self._store._read_gen(name, gen_dir)
 
 
 def diff_generations(

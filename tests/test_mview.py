@@ -142,3 +142,21 @@ def test_mview_is_a_real_store_table(spark):
         for r in store.read_at("mv", back=1).collect()
     }
     assert old == {"a": (1, 1), "b": (1, 2)}
+
+
+def test_vacuumed_cursor_reseeds(spark):
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 1), (2, "b", 2)]))
+    _mv(store)
+    # two source commits WITHOUT refreshing, then vacuum past the cursor
+    store.replace("src", _df(spark, [(1, "a", 5), (2, "b", 2)]))
+    store.replace("src", _df(spark, [(1, "a", 5), (3, "c", 7)]))
+    store.vacuum(retain=1)
+    m = store.refresh_mview("mv")
+    assert m["status"] == "reseeded"
+    assert _rows(store) == {"a": (1, 5), "c": (1, 7)}
+    # incremental maintenance resumes cleanly after the re-seed
+    store.replace("src", _df(spark, [(1, "a", 6), (3, "c", 7)]))
+    m2 = store.refresh_mview("mv")
+    assert m2["status"] == "applied" and m2["updated"] == 1
+    assert _rows(store) == {"a": (1, 6), "c": (1, 7)}

@@ -440,3 +440,61 @@ def test_catalog_pointer_is_cross_instance(spark, tmp_path):
     for inst in (st, st2):
         assert {r["id"] for r in inst.read("a").collect()} == set(range(10, 15))
         assert {r["id"] for r in inst.read("b").collect()} == set(range(20, 25))
+
+
+def test_snapshot_pins_multi_table_reads(spark, tmp_path):
+    from file_db_spark.filedb.store import TableStore
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    store = TableStore(
+        spark, str(tmp_path / "snaproot"), {"a": sch, "b": sch}, bucketing=False
+    )
+    store.replace("a", spark.createDataFrame([(1, 10)], sch))
+    store.replace("b", spark.createDataFrame([(1, 100)], sch))
+    snap = store.snapshot()
+    # writers advance both tables after the pin
+    store.replace("a", spark.createDataFrame([(1, 11)], sch))
+    store.replace("b", spark.createDataFrame([(1, 101)], sch))
+    assert [r["v"] for r in snap.read("a").collect()] == [10]
+    assert [r["v"] for r in snap.read("b").collect()] == [100]
+    assert [r["v"] for r in store.read("a").collect()] == [11]
+    # a fresh snapshot sees the new commit point, and versions advance
+    snap2 = store.snapshot()
+    assert snap2.version > snap.version
+    assert [r["v"] for r in snap2.read("b").collect()] == [101]
+
+
+def test_snapshot_vacuumed_pin_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from file_db_spark.filedb.store import TableStore
+    from pyspark.sql import types as T
+
+    sch = T.StructType([T.StructField("id", T.LongType())])
+    store = TableStore(
+        spark, str(tmp_path / "snapvac"), {"a": sch}, bucketing=False
+    )
+    store.replace("a", spark.createDataFrame([(1,)], sch))
+    snap = store.snapshot()
+    store.replace("a", spark.createDataFrame([(2,)], sch))
+    store.vacuum(retain=1)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        snap.read("a")
+
+
+def test_snapshot_unborn_table_is_empty(spark, tmp_path):
+    from file_db_spark.filedb.store import TableStore
+    from pyspark.sql import types as T
+
+    sch = T.StructType([T.StructField("id", T.LongType())])
+    store = TableStore(
+        spark, str(tmp_path / "snapnew"), {"a": sch, "b": sch}, bucketing=False
+    )
+    store.replace("a", spark.createDataFrame([(1,)], sch))
+    snap = store.snapshot()
+    store.replace("b", spark.createDataFrame([(9,)], sch))
+    assert snap.read("b").count() == 0
+    assert store.read("b").count() == 1
