@@ -1837,12 +1837,13 @@ class TableStore:
             "key_cols": list(key_cols),
             "compare_cols": list(compare_cols),
         }
-        seed = self._mv_compute(self.read(src), spec)
-        self.schemas.setdefault(view, seed.schema)
-        self.replace(view, seed)
-        self.create_consumer(src, f"__mv_{view}")
-        spec["applied"] = os.path.basename(self._current(src))
-        self._mv_write_spec(view, spec)
+        with _commit_lock(self.root, f"//mv-{view}"):
+            seed = self._mv_compute(self.read(src), spec)
+            self.schemas.setdefault(view, seed.schema)
+            self.replace(view, seed)
+            self.create_consumer(src, f"__mv_{view}")
+            spec["applied"] = os.path.basename(self._current(src))
+            self._mv_write_spec(view, spec)
 
     def refresh_mview(self, view: str) -> dict:
         """Incrementally refresh `view` from its source's CDC feed.
@@ -1852,7 +1853,14 @@ class TableStore:
         forward WITHOUT re-applying, closing the at-least-once window
         everywhere except a crash between the MERGE commit and the
         spec-marker write, the same one-os.replace window the
-        streaming sinks' txn_version markers document)."""
+        streaming sinks' txn_version markers document). The whole
+        pull->merge->mark->advance sequence holds the view's commit
+        lock: two same-process refreshers would otherwise both pull
+        the same delta and double-apply it."""
+        with _commit_lock(self.root, f"//mv-{view}"):
+            return self._refresh_mview_locked(view)
+
+    def _refresh_mview_locked(self, view: str) -> dict:
         spec = self.mview_spec(view)
         src, cons = spec["src"], f"__mv_{view}"
         cur = os.path.basename(self._current(src))
