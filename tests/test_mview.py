@@ -160,3 +160,53 @@ def test_vacuumed_cursor_reseeds(spark):
     m2 = store.refresh_mview("mv")
     assert m2["status"] == "applied" and m2["updated"] == 1
     assert _rows(store) == {"a": (1, 6), "c": (1, 7)}
+
+
+# -- generative: incremental == recompute under arbitrary wave chains --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(
+    st.integers(min_value=0, max_value=11),                    # id
+    st.sampled_from(["a", "b", "c", None]),                    # grp
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # val
+)
+
+
+def _state(rows):
+    # key-distinct by id (last write wins, like a table state)
+    return list({r[0]: r for r in rows}.values())
+
+
+@st.composite
+def _wave_chain(draw):
+    base = _state(draw(st.lists(_row, min_size=0, max_size=10)))
+    waves = [
+        _state(draw(st.lists(_row, min_size=0, max_size=10)))
+        for _ in range(draw(st.integers(min_value=1, max_value=3)))
+    ]
+    return base, waves
+
+
+@settings(max_examples=12, deadline=None)
+@given(_wave_chain())
+def test_mv_refresh_equals_recompute_generatively(spark, chain):
+    """For ANY base state and wave sequence — inserts, deletes,
+    group moves, NULL groups, NULL values, groups emptied to zero —
+    every incremental refresh must equal the straight recompute."""
+    base, waves = chain
+    store = _store(spark)
+    store.replace("src", _df(spark, base))
+    _mv(store)
+    for wave in waves:
+        store.replace("src", _df(spark, wave))
+        store.refresh_mview("mv")
+        want = {
+            (r["grp"],): (r["n"], r["total"])
+            for r in store._mv_compute(
+                store.read("src"), store.mview_spec("mv")
+            ).collect()
+        }
+        got = {(k,): v for k, v in _rows(store).items()}
+        assert got == want
