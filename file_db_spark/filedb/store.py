@@ -583,7 +583,7 @@ class TableStore:
                 out.write.mode("overwrite").parquet(gen)
             self._catalog_swap({name: os.path.basename(gen)})
 
-    def vacuum(self, retain: int = 1) -> None:
+    def vacuum(self, retain: int = 1, respect_consumers: bool = False) -> None:
         """Drop all but the newest `retain` generations of every table,
         plus any segment directory no retained manifest references.
         A retained MANIFEST generation may reference an older plain
@@ -595,7 +595,16 @@ class TableStore:
         scan covers every table ON DISK under root (not just this
         instance's schema dict), so clones/quarantines created by a
         previous or concurrent instance are protected too. Call
-        only when no lazy plans over older snapshots are alive."""
+        only when no lazy plans over older snapshots are alive.
+
+        `respect_consumers=True` additionally retains every generation
+        a registered CDC cursor still pins (`_CURSOR-*` files — MV
+        consumers included), so retention need not be hand-sized to
+        the slowest consumer's lag: the lagging pull stays serviceable
+        and the space is reclaimed by the next vacuum after the cursor
+        advances. Default False preserves the strict contract the g25
+        retention tests pin (a vacuumed cursor RAISES with a re-seed
+        instruction — the operator chose retention over laggards)."""
         keep_by_table: dict[str, set[str]] = {}
         referenced: set[str] = set()
         cat_tables = self._read_catalog()["tables"]
@@ -610,6 +619,17 @@ class TableStore:
             # newer orphan gen dirs above it in the listing
             if name in cat_tables:
                 keep_by_table[name].add(cat_tables[name])
+            if respect_consumers:
+                for entry in os.listdir(d):
+                    if not entry.startswith("_CURSOR-"):
+                        continue
+                    try:
+                        with open(os.path.join(d, entry)) as fh:
+                            pinned = fh.read().strip()
+                    except OSError:
+                        continue
+                    if pinned:
+                        keep_by_table[name].add(pinned)
             for g in keep_by_table[name]:
                 segs = self._manifest(os.path.join(d, g))
                 for s in segs or []:

@@ -210,3 +210,19 @@ def test_mv_refresh_equals_recompute_generatively(spark, chain):
         }
         got = {(k,): v for k, v in _rows(store).items()}
         assert got == want
+
+
+def test_consumer_aware_vacuum_keeps_lagging_cursor(spark):
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 1)]))
+    _mv(store)
+    store.replace("src", _df(spark, [(1, "a", 2)]))
+    store.replace("src", _df(spark, [(1, "a", 3)]))
+    # consumer-aware vacuum: the lagging MV cursor's generation survives
+    store.vacuum(retain=1, respect_consumers=True)
+    m = store.refresh_mview("mv")
+    assert m["status"] == "applied"
+    assert _rows(store) == {"a": (1, 3)}
+    # cursor advanced -> the next vacuum reclaims the old generations
+    store.vacuum(retain=1, respect_consumers=True)
+    assert len(store.generations("src")) == 1
