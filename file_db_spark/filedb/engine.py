@@ -173,6 +173,7 @@ class Engine:
         for scratch in (d_res.scratch, f_res.scratch):
             if scratch is not None:
                 scratch.unpersist()
+        self._refresh_mviews()
         return len(frontier)
 
     def _apply_removals(
@@ -296,6 +297,39 @@ class Engine:
 
     def dir_detail(self) -> DataFrame:
         return views.dir_detail(self.store.read("directory"), self.store.read("file"))
+
+    # -- standing per-directory rollup (g28 MV, engine-integrated) ---------
+
+    #: MV name for the per-directory file rollup
+    DIR_STATS_MV = "vw_dir_stats"
+
+    def enable_dir_stats_mv(self) -> None:
+        """Register the per-directory file rollup (n_files, total_size)
+        as a standing materialized view over the `file` table
+        (store.create_mview). Once enabled, every crawl wave's commit
+        is followed by an incremental refresh — O(changed dirs) per
+        wave — so `dir_stats()` serves the rollup without re-reading
+        the file table, the way the reference keeps `vw_directory_*`
+        views hot by recomputing them per poll (Server/__init__.py
+        polling loops) except the maintenance cost tracks the CHANGE
+        rate, not the catalog size."""
+        self.store.create_mview(
+            self.DIR_STATS_MV,
+            "file",
+            group_by=["dir_id"],
+            count_col="n_files",
+            sums={"total_size": "size"},
+            key_cols=["id"],
+            compare_cols=["name", "dir_id", "size", "mtime"],
+        )
+
+    def dir_stats(self) -> DataFrame:
+        """The maintained rollup (dir_id, n_files, total_size)."""
+        return self.store.read(self.DIR_STATS_MV)
+
+    def _refresh_mviews(self) -> None:
+        if os.path.exists(self.store._mv_spec_path(self.DIR_STATS_MV)):
+            self.store.refresh_mview(self.DIR_STATS_MV)
 
     def duplicate_report(self, min_count: int = 2) -> DataFrame:
         return search.duplicate_groups(self.listing(), min_count=min_count)

@@ -225,3 +225,51 @@ def test_archive_compaction_on_idle(spark, tmp_path, tree):
 
     f_arch = [r["name"] for r in eng.store.read("file_archive").collect()]
     assert sorted(f_arch) == ["a.txt", "b.txt", "dup1.bin", "dup2.bin"]
+
+
+def test_dir_stats_mv_tracks_crawl_waves(spark, tmp_path, tree):
+    """Engine-integrated g28 MV: the standing per-directory rollup is
+    refreshed per crawl wave and always equals the straight recompute
+    over the file table — including after a mutate-and-recrawl wave
+    that deletes and adds files."""
+    from pyspark.sql import functions as F
+
+    def recompute(eng):
+        return {
+            r["dir_id"]: (r["n_files"], r["total_size"])
+            for r in eng.store.read("file")
+            .groupBy("dir_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.coalesce(
+                    F.sum("size"), F.lit(0).cast("decimal(18,6)")
+                ).alias("total_size"),
+            )
+            .collect()
+        }
+
+    def mv(eng):
+        return {
+            r["dir_id"]: (r["n_files"], r["total_size"])
+            for r in eng.dir_stats().collect()
+        }
+
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    eng.enable_dir_stats_mv()
+    eng.run_until_idle()
+    assert mv(eng) == recompute(eng)
+    assert len(mv(eng)) > 0
+    # mutate the tree: delete one file, grow another, add a new one
+    victims = sorted(tree.rglob("*.txt"))
+    victims[0].unlink()
+    victims[1].write_text("much longer content than before" * 10)
+    (tree / "fresh.txt").write_text("new arrival")
+    import file_db_spark.filedb.engine as _e
+    from datetime import timedelta
+
+    later = _e._utcnow() + timedelta(days=2)
+    eng.crawl_once(now=later, limit=100)
+    while eng.crawl_once(now=later, limit=100):
+        pass
+    assert mv(eng) == recompute(eng)
