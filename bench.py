@@ -111,6 +111,7 @@ HEADLINE = [
     "d46_pretrain_pipeline",  # end-to-end curation DAG (quality->...->shards)
     "g28_materialized_view",  # CDC-refreshed MV (seed/refresh/replay guard)
     "d47_shard_export_sink",  # exactly-once shard export + manifest round trip
+    "g29_optimize",  # compact + ANALYZE + vacuum in one data-invariant pass
     # round-6 additions: TPC-H completion set + merge-on-read deletes
     "a17_small_qty_revenue",  # Q17 correlated-AVG decorrelated to one window
     "a19_order_count_distribution",  # Q13 outer-join count distribution

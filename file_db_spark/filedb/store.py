@@ -1348,6 +1348,54 @@ class TableStore:
             self.replace(name, self.read(name))
             return True
 
+    def optimize(
+        self,
+        *,
+        max_segments: int = 8,
+        max_mor_debt: int = 0,
+        retain: int = 2,
+        respect_consumers: bool = True,
+        analyze_tables: list[str] | tuple = (),
+    ) -> dict:
+        """ONE maintenance pass — the nightly OPTIMIZE command a 100 TB
+        deployment schedules instead of hand-running the pieces: per
+        table, fold append-chains and merge-on-read debt back into a
+        clean snapshot (compact) when over thresholds; re-ANALYZE
+        every compacted table (its stats generation just changed) plus
+        any explicitly requested ones; then ONE consumer-aware vacuum
+        over the whole root. Data-invariant by construction — every
+        step changes layout, statistics, or history depth, never a row
+        (g29 pins table contents across the pass). Returns a
+        per-table report plus the reclaimed generation count, the
+        record an operator's maintenance log keeps."""
+        tables: dict[str, dict] = {}
+        gens_before = 0
+        for name in sorted(self._disk_tables()):
+            gens_before += len(self.generations(name))
+            debt = self.mor_debt(name)
+            entry = {
+                "segments_before": self.segment_count(name),
+                "debt_filters": debt["filters"],
+                "debt_deletes": debt["deletes"],
+            }
+            entry["compacted"] = self.compact(
+                name, max_segments=max_segments, max_mor_debt=max_mor_debt
+            )
+            entry["segments_after"] = self.segment_count(name)
+            entry["analyzed"] = False
+            if entry["compacted"] or name in analyze_tables:
+                self.analyze(name)
+                entry["analyzed"] = True
+            tables[name] = entry
+        self.vacuum(retain=retain, respect_consumers=respect_consumers)
+        gens_after = sum(
+            len(self.generations(n)) for n in self._disk_tables()
+        )
+        return {
+            "tables": tables,
+            "generations_reclaimed": gens_before - gens_after,
+        }
+
     def merge(
         self,
         name: str,

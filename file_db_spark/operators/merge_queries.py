@@ -2763,6 +2763,136 @@ def g28_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g29: OPTIMIZE — the nightly maintenance command composing compact
+# (segments + merge-on-read debt), ANALYZE, and consumer-aware vacuum
+# into one data-invariant pass with an operator report.
+# ---------------------------------------------------------------------------
+
+_G29_ORACLE = f"""
+WITH {{ctes}},
+g29state AS (
+  SELECT id, name, dir_id, size, mtime FROM fx_file
+  UNION ALL
+  SELECT id + 900000, 'ins_' || CAST(id AS VARCHAR), dir_id, size, mtime
+  FROM fx_file WHERE id % 13 = 0
+),
+g29final AS (
+  SELECT * FROM g29state WHERE NOT (id % 7 = 0)
+)
+SELECT 'row' AS part, CAST(id AS BIGINT) AS id, name,
+       CAST(dir_id AS BIGINT) AS dir_id, CAST(size AS DOUBLE) AS size,
+       {_ep_sql('mtime')} AS mtime_ep
+FROM g29final
+UNION ALL
+SELECT 'report', 2, CAST(NULL AS VARCHAR), 2, CAST(1 AS DOUBLE), 1
+UNION ALL
+SELECT 'post', 1, CAST(NULL AS VARCHAR), 2, CAST(1 AS DOUBLE), 0
+UNION ALL
+SELECT 'stats', (SELECT COUNT(*) FROM g29final), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+""".format(ctes=fixtures.FIXTURE_CTES)
+
+
+@_q("g29_optimize", _G29_ORACLE)
+def g29_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE maintenance pass (TableStore.optimize — the nightly
+    command composing the verified pieces): build real maintenance
+    debt on a file table (base snapshot + an appended re-keyed wave =
+    2 segments, then a delete_where = 2 scoped filter tombstones the
+    read path must apply), run ONE optimize(), and pin all three of
+    its contracts. 'row' pins DATA INVARIANCE — table contents after
+    the pass hash-equal the logical state (base ∪ appended minus the
+    delete predicate); layout maintenance must never change a row.
+    'report' pins the maintenance log (2 segments + 2 filters before,
+    compacted, 1 clean segment after); 'post' pins the outcome (1
+    generation after the retain=1 vacuum, 2 reclaimed, table
+    re-ANALYZEd, zero merge-on-read debt left). 'stats' pins that the
+    refreshed planner statistics carry the exact post-pass row count
+    — the stats a 100 TB planner consults are stamped by the same
+    pass that changed the layout.
+
+    Scale: compact is the bounded-frequency O(table) rewrite the MOR
+    write paths defer to; ANALYZE is one aggregate pass over each
+    compacted table only; vacuum is O(metadata) + deletes. One
+    scheduled command instead of three hand-sequenced ones — and
+    consumer-aware by default, so retention never outruns CDC/MV
+    cursors."""
+    import shutil
+    import tempfile
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    cols = [f.name for f in schemas.FILE.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    fid = F.col("id")
+    root = tempfile.mkdtemp(prefix="fdb_g29_")
+    store = TableStore(spark, root, {"file": schemas.FILE}, bucketing=False)
+    store.replace("file", f1.select(*cols))
+    ins = f1.where(fid % 13 == 0).select(
+        (fid + 900000).alias("id"),
+        F.concat(F.lit("ins_"), fid.cast("string")).alias("name"),
+        "dir_id",
+        "size",
+        "ctime",
+        "mtime",
+        "atime",
+        "inserted_on",
+        "updated_on",
+    )
+    store.append("file", ins)
+    store.delete_where("file", "id % 7 = 0")
+    rep = store.optimize(retain=1)
+    t = rep["tables"]["file"]
+    debt_after = store.mor_debt("file")
+    stats = store.table_stats("file")
+    rows = store.read("file").select(
+        F.lit("row").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.col("dir_id").cast("bigint").alias("dir_id"),
+        F.col("size").cast("double").alias("size"),
+        _ep(F.col("mtime")).alias("mtime_ep"),
+    )
+    meta = spark.createDataFrame(
+        [
+            (
+                "report",
+                t["segments_before"],
+                t["debt_filters"],
+                1.0 if t["compacted"] else 0.0,
+                t["segments_after"],
+            ),
+            (
+                "post",
+                len(store.generations("file")),
+                rep["generations_reclaimed"],
+                1.0 if t["analyzed"] else 0.0,
+                debt_after["filters"] + debt_after["deletes"],
+            ),
+            (
+                "stats",
+                stats["n_rows"] if stats else -1,
+                None,
+                None,
+                None,
+            ),
+        ],
+        "part string, a long, b long, c double, d long",
+    ).select(
+        "part",
+        F.col("a").cast("bigint").alias("id"),
+        _sn().alias("name"),
+        F.col("b").cast("bigint").alias("dir_id"),
+        F.col("c").alias("size"),
+        F.col("d").cast("bigint").alias("mtime_ep"),
+    )
+    out = rows.unionByName(meta).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g27: BUCKETED CO-LOCATED JOIN — the standing file<->hash join paid
 # once at write time. Both fact tables are hash-clustered on the join
 # key into the same bucket count; every subsequent equi-join plans
@@ -4118,6 +4248,12 @@ FROM counts_all c JOIN fin f ON f.part = c.part
         _G28_ORACLE,
         "'g28_' || part, k1, CAST(NULL AS VARCHAR), n1, "
         "NULL, NULL, NULL, NULL, NULL, NULL, v1",
+    )
+    + "\nUNION ALL\n"
+    + _sub(
+        _G29_ORACLE,
+        "'g29_' || part, id, name, dir_id, NULL, mtime_ep, NULL, NULL, "
+        "NULL, NULL, size",
     ),
 )
 def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4159,6 +4295,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g25": g25_cdc_subscription,
         "g27": g27_bucketed_join,
         "g28": g28_materialized_view,
+        "g29": g29_optimize,
     }
     from . import _timing
 
@@ -4457,6 +4594,19 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("pid"),
         F.col("v1"),
     )
+    g29 = raw["g29"].select(
+        F.concat(F.lit("g29_"), F.col("part")).alias("part"),
+        F.col("id").alias("k1"),
+        F.col("name").alias("s1"),
+        F.col("dir_id").alias("n1"),
+        _bn().alias("n2"),
+        F.col("mtime_ep").alias("e1"),
+        _bn().alias("e2"),
+        _bn().alias("e3"),
+        _bn().alias("flag"),
+        _bn().alias("pid"),
+        F.col("size").alias("v1"),
+    )
     return (
         g3.unionByName(g4)
         .unionByName(g5)
@@ -4480,6 +4630,7 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g25)
         .unionByName(g27)
         .unionByName(g28)
+        .unionByName(g29)
     )
 
 
