@@ -498,3 +498,23 @@ def test_snapshot_unborn_table_is_empty(spark, tmp_path):
     store.replace("b", spark.createDataFrame([(9,)], sch))
     assert snap.read("b").count() == 0
     assert store.read("b").count() == 1
+
+
+def test_optimize_noop_on_clean_table(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from file_db_spark.filedb.store import TableStore
+
+    sch = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    store = TableStore(
+        spark, str(tmp_path / "optroot"), {"a": sch}, bucketing=False
+    )
+    store.replace("a", spark.createDataFrame([(1, 10), (2, 20)], sch))
+    rep = store.optimize(retain=1)
+    t = rep["tables"]["a"]
+    assert t["compacted"] is False and t["analyzed"] is False
+    assert t["segments_before"] == t["segments_after"] == 1
+    assert rep["generations_reclaimed"] == 0
+    assert store.read("a").count() == 2
