@@ -328,8 +328,16 @@ class Engine:
         return self.store.read(self.DIR_STATS_MV)
 
     def _refresh_mviews(self) -> None:
-        if os.path.exists(self.store._mv_spec_path(self.DIR_STATS_MV)):
-            self.store.refresh_mview(self.DIR_STATS_MV)
+        """Refresh EVERY registered materialized view whose source is
+        an engine-managed table (store.list_mviews enumerates the spec
+        files) — not just the built-in dir-stats rollup, so user-
+        registered views over `file`/`directory`/... stay fresh across
+        crawl waves too. Views over non-engine tables (a user's own
+        store tables under the same root) are left to their owner's
+        cadence."""
+        for view in self.store.list_mviews():
+            if self.store.mview_spec(view).get("src") in _SCHEMAS:
+                self.store.refresh_mview(view)
 
     def duplicate_report(self, min_count: int = 2) -> DataFrame:
         return search.duplicate_groups(self.listing(), min_count=min_count)

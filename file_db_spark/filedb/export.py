@@ -9,9 +9,12 @@ d46 pipeline's selection and an actual training run).
 
 Protocol (the store's stage/publish discipline applied to an export):
 
-1. fingerprint the input: (row count, sum of xxhash64(id)) — one
-   aggregate, order-independent, collision-negligible for dataset
-   identity;
+1. fingerprint the input: (row count, shard count, modular sum of
+   xxhash64 over ALL exported columns, modular sum of xxhash64(id)) —
+   one aggregate, order-independent, and sensitive to every payload
+   value, the shard assignment, the in-shard order keys, and the
+   shard count, so no layout or content change can no-op as a stale
+   'already exported';
 2. if the published _MANIFEST.json carries the same fingerprint, the
    export already happened → NO-OP (a retried orchestrator step costs
    one aggregate, writes nothing);
@@ -54,14 +57,38 @@ def export_manifest(root: str) -> dict | None:
         return None
 
 
-def _fingerprint(df: DataFrame, id_col: str) -> str:
-    # bit_xor: order-independent and overflow-free (a SUM of hashes
-    # overflows int64 under ANSI mode)
-    row = df.agg(
+def _fingerprint(df: DataFrame, id_col: str, n_shards: int) -> str:
+    """Content fingerprint over the FULL exported rows: row count,
+    shard count, and the modular SUM of xxhash64 over every column
+    (sorted column order). Sum — not XOR — so duplicate rows do not
+    cancel ({A,B,B} != {A}); summed as two 32-bit halves in bigint, so
+    no int64 overflow under ANSI mode for any realistic row count
+    (safe to ~2^31 rows; shard counts beyond that raise n_shards).
+    Any change to payload values, shard assignment (shard_col is a df
+    column), in-shard order keys, or the shard count itself produces a
+    different fingerprint and forces a rewrite — a stale export can
+    never be served as 'already done'."""
+    h = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
+    hid = F.xxhash64(F.col(id_col))
+    aggs = [
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64(F.col(id_col))), F.lit(0)).alias("h"),
-    ).first()
-    return f"{row['n']}-{row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
+        F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("row_lo"),
+        F.sum(F.shiftrightunsigned(h, 32)).alias("row_hi"),
+        F.sum(hid.bitwiseAND(F.lit(0xFFFFFFFF))).alias("id_lo"),
+        F.sum(F.shiftrightunsigned(hid, 32)).alias("id_hi"),
+    ]
+    row = df.agg(*aggs).first()
+    m = (1 << 64) - 1
+
+    def _fold(lo_key: str, hi_key: str) -> int:
+        lo = int(row[lo_key] or 0)
+        hi = int(row[hi_key] or 0)
+        return (lo + (hi << 32)) & m
+
+    return (
+        f"{row['n']}-{int(n_shards)}-"
+        f"{_fold('row_lo', 'row_hi'):016x}-{_fold('id_lo', 'id_hi'):016x}"
+    )
 
 
 def export_shards(
@@ -77,7 +104,7 @@ def export_shards(
     file per shard under `root`, exactly once. Returns the manifest
     dict plus 'status': 'written' or 'noop'."""
     os.makedirs(root, exist_ok=True)
-    fp = _fingerprint(df, id_col)
+    fp = _fingerprint(df, id_col, n_shards)
     published = export_manifest(root)
     if published is not None and published["fingerprint"] == fp:
         return {**published, "status": "noop"}

@@ -1369,9 +1369,7 @@ class TableStore:
         per-table report plus the reclaimed generation count, the
         record an operator's maintenance log keeps."""
         tables: dict[str, dict] = {}
-        gens_before = 0
         for name in sorted(self._disk_tables()):
-            gens_before += len(self.generations(name))
             debt = self.mor_debt(name)
             entry = {
                 "segments_before": self.segment_count(name),
@@ -1387,13 +1385,20 @@ class TableStore:
                 self.analyze(name)
                 entry["analyzed"] = True
             tables[name] = entry
+        # count immediately before the vacuum step: compact() just
+        # created one new generation per compacted table, and counting
+        # those in gens_before would report a net history-depth delta
+        # instead of the generations the vacuum actually deleted
+        gens_pre_vacuum = sum(
+            len(self.generations(n)) for n in self._disk_tables()
+        )
         self.vacuum(retain=retain, respect_consumers=respect_consumers)
         gens_after = sum(
             len(self.generations(n)) for n in self._disk_tables()
         )
         return {
             "tables": tables,
-            "generations_reclaimed": gens_before - gens_after,
+            "generations_reclaimed": gens_pre_vacuum - gens_after,
         }
 
     def merge(
@@ -1758,6 +1763,17 @@ class TableStore:
     def _cursor_path(self, name: str, consumer: str) -> str:
         return os.path.join(self._dir(name), f"_CURSOR-{consumer}")
 
+    def _write_cursor(self, name: str, consumer: str, gen: str) -> None:
+        """Atomically pin `consumer`'s cursor to generation basename
+        `gen`. Callers that diffed a SPECIFIC generation must pass that
+        exact generation — re-resolving _current() here would skip any
+        source commit that landed between the pull and the advance."""
+        p = self._cursor_path(name, consumer)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(gen)
+        os.replace(tmp, p)
+
     def create_consumer(self, name: str, consumer: str) -> None:
         """Register a CDC consumer at the table's CURRENT generation:
         its first changes_since() returns everything committed after
@@ -1768,11 +1784,7 @@ class TableStore:
             raise ValueError(
                 f"create_consumer({name!r}): table has no generation yet"
             )
-        p = self._cursor_path(name, consumer)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(os.path.basename(cur))
-        os.replace(tmp, p)
+        self._write_cursor(name, consumer, os.path.basename(cur))
 
     def changes_since(
         self,
@@ -1780,6 +1792,7 @@ class TableStore:
         consumer: str,
         key_cols: list[str],
         compare_cols: list[str],
+        to_gen: str | None = None,
     ) -> DataFrame:
         """The I/D/U change feed between `consumer`'s cursor and the
         current generation — incremental CDC CONSUMPTION (g6's
@@ -1801,8 +1814,23 @@ class TableStore:
 
         Scale: one full-outer equi-join between two snapshots per
         pull, O(changed keys) output — never a log replay, never a
-        full-table handoff to the consumer."""
-        cur = self._current(name)
+        full-table handoff to the consumer.
+
+        `to_gen` pins the diff's upper bound to a specific generation
+        basename instead of whatever is current at call time — the
+        consumer then advances its cursor to EXACTLY that generation
+        (via _write_cursor), so a source commit racing the pull can
+        never be skipped (it lands after `to_gen` and the next pull
+        picks it up)."""
+        if to_gen is not None:
+            cur = os.path.join(self._dir(name), to_gen)
+            if not os.path.isdir(cur):
+                raise ValueError(
+                    f"changes_since({name!r}): pinned generation "
+                    f"{to_gen} not on disk"
+                )
+        else:
+            cur = self._current(name)
         if cur is None:
             raise ValueError(f"changes_since({name!r}): table never written")
         try:
@@ -1861,6 +1889,19 @@ class TableStore:
     def mview_spec(self, view: str) -> dict:
         with open(self._mv_spec_path(view)) as fh:
             return json.load(fh)
+
+    def list_mviews(self) -> list[str]:
+        """Every materialized view registered over this root (spec
+        files `_mv-<view>.json`), sorted. O(1) metadata — the
+        enumeration a maintenance loop uses to refresh ALL standing
+        views instead of a hardcoded one."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            f[len("_mv-"):-len(".json")]
+            for f in os.listdir(self.root)
+            if f.startswith("_mv-") and f.endswith(".json")
+        )
 
     def _mv_compute(self, df: DataFrame, spec: dict) -> DataFrame:
         aggs = [F.count(F.lit(1)).cast("bigint").alias(spec["count_col"])]
@@ -1931,27 +1972,48 @@ class TableStore:
     def _refresh_mview_locked(self, view: str) -> dict:
         spec = self.mview_spec(view)
         src, cons = spec["src"], f"__mv_{view}"
+        # read _current(src) ONCE and pin the whole refresh to it: the
+        # pull diffs cursor..cur and the cursor advances to exactly
+        # cur — a source commit landing mid-refresh (the //mv lock
+        # serializes refreshers, not source writers) stays ahead of the
+        # cursor and is applied by the NEXT refresh instead of being
+        # silently skipped
         cur = os.path.basename(self._current(src))
         zero = {"inserted": 0, "updated": 0, "deleted": 0}
         if spec.get("applied") == cur:
-            with open(self._cursor_path(src, cons)) as fh:
-                cursor = fh.read().strip()
+            try:
+                with open(self._cursor_path(src, cons)) as fh:
+                    cursor = fh.read().strip()
+            except FileNotFoundError:
+                # cursor file lost while the applied generation still
+                # matches current: the view content is up to date, so
+                # re-pin the cursor at the applied generation instead
+                # of raising (the cursor-vacuumed analog of the reseed
+                # self-heal, without the needless recompute)
+                self._write_cursor(src, cons, cur)
+                return {**zero, "status": "replayed"}
             if cursor != cur:
-                self.advance_cursor(src, cons)
+                self._write_cursor(src, cons, cur)
                 return {**zero, "status": "replayed"}
             return {**zero, "status": "noop"}
         try:
             delta = self.changes_since(
-                src, cons, spec["key_cols"], spec["compare_cols"]
+                src, cons, spec["key_cols"], spec["compare_cols"], to_gen=cur
             )
         except ValueError as e:
-            if "vacuumed" not in str(e):
+            if "vacuumed" not in str(e) and "unknown consumer" not in str(e):
                 raise
-            # self-heal: vacuum outran this consumer (retention breach)
-            # — fall back to ONE full recompute, re-pin the cursor at
-            # the current generation, and resume incremental from here
-            self.replace(view, self._mv_compute(self.read(src), spec))
-            self.create_consumer(src, cons)
+            # self-heal: vacuum outran this consumer (retention
+            # breach) or the cursor file itself was lost — fall back
+            # to ONE full recompute OF THE PINNED GENERATION, re-pin
+            # the cursor at that same generation, and resume
+            # incremental from here (recomputing whatever is current
+            # instead would race a mid-reseed source commit: the
+            # recompute could include it while applied/cursor say it
+            # is still pending, double-applying it next refresh)
+            pinned = self._read_gen(src, os.path.join(self._dir(src), cur))
+            self.replace(view, self._mv_compute(pinned, spec))
+            self._write_cursor(src, cons, cur)
             spec["applied"] = cur
             self._mv_write_spec(view, spec)
             return {**zero, "status": "reseeded"}
@@ -2010,7 +2072,10 @@ class TableStore:
         )
         spec["applied"] = cur
         self._mv_write_spec(view, spec)
-        self.advance_cursor(src, cons)
+        # advance to EXACTLY the generation that was diffed — not to
+        # _current(src), which a racing source commit may have moved
+        # past a delta this refresh never applied
+        self._write_cursor(src, cons, cur)
         return {**metrics, "status": "applied"}
 
     def generations(self, name: str) -> list[str]:

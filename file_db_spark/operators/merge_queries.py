@@ -2786,7 +2786,7 @@ FROM g29final
 UNION ALL
 SELECT 'report', 2, CAST(NULL AS VARCHAR), 2, CAST(1 AS DOUBLE), 1
 UNION ALL
-SELECT 'post', 1, CAST(NULL AS VARCHAR), 2, CAST(1 AS DOUBLE), 0
+SELECT 'post', 1, CAST(NULL AS VARCHAR), 3, CAST(1 AS DOUBLE), 0
 UNION ALL
 SELECT 'stats', (SELECT COUNT(*) FROM g29final), CAST(NULL AS VARCHAR),
        CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
@@ -2805,9 +2805,11 @@ def g29_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete predicate); layout maintenance must never change a row.
     'report' pins the maintenance log (2 segments + 2 filters before,
     compacted, 1 clean segment after); 'post' pins the outcome (1
-    generation after the retain=1 vacuum, 2 reclaimed, table
-    re-ANALYZEd, zero merge-on-read debt left). 'stats' pins that the
-    refreshed planner statistics carry the exact post-pass row count
+    generation after the retain=1 vacuum, 3 reclaimed — base, append
+    manifest, and delete manifest, counted immediately before the
+    vacuum so the compaction's own new generation doesn't mask one —
+    table re-ANALYZEd, zero merge-on-read debt left). 'stats' pins
+    that the refreshed planner statistics carry the exact post-pass row count
     — the stats a 100 TB planner consults are stamped by the same
     pass that changed the layout.
 

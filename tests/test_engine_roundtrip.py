@@ -273,3 +273,42 @@ def test_dir_stats_mv_tracks_crawl_waves(spark, tmp_path, tree):
     while eng.crawl_once(now=later, limit=100):
         pass
     assert mv(eng) == recompute(eng)
+
+
+def test_all_registered_mviews_refresh_per_wave(spark, tmp_path, tree):
+    """ADVICE r7: the engine's crawl loop refreshes EVERY registered
+    materialized view over an engine table (store.list_mviews), not
+    just the built-in dir-stats rollup — a user-registered rollup must
+    not silently go stale across waves."""
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    eng.run_until_idle()
+    eng.enable_dir_stats_mv()
+    # a second, user-registered view over the same engine table
+    eng.store.create_mview(
+        "file_size_rollup",
+        "file",
+        group_by=["dir_id"],
+        count_col="n",
+        sums={"bytes": "size"},
+        key_cols=["id"],
+        compare_cols=["name", "dir_id", "size", "mtime"],
+    )
+    (tree / "fresh.txt").write_text("new arrival")
+    import file_db_spark.filedb.engine as _e
+    from datetime import timedelta
+
+    later = _e._utcnow() + timedelta(days=2)
+    while eng.crawl_once(now=later, limit=100):
+        pass
+    want = {
+        r["dir_id"]: (r["n"], r["bytes"])
+        for r in eng.store._mv_compute(
+            eng.store.read("file"), eng.store.mview_spec("file_size_rollup")
+        ).collect()
+    }
+    got = {
+        r["dir_id"]: (r["n"], r["bytes"])
+        for r in eng.store.read("file_size_rollup").collect()
+    }
+    assert got == want and len(got) > 0

@@ -82,3 +82,51 @@ def test_crash_before_publish_is_recoverable(spark, data):
     m = export.export_shards(df, root, 7)
     assert m["status"] == "written"
     assert export.read_export(spark, root).count() == 1000
+
+
+def test_fingerprint_sees_shard_assignment(spark, data):
+    """ADVICE r7: same ids, different shard assignment must re-export
+    (shard_col is part of the fingerprinted row content)."""
+    df, root = data
+    first = export.export_shards(df, root, 7)
+    moved = df.withColumn(
+        "shard", ((F.col("doc_id") + 1) % 7).cast("bigint")
+    )
+    second = export.export_shards(moved, root, 7)
+    assert second["status"] == "written"
+    assert second["fingerprint"] != first["fingerprint"]
+
+
+def test_fingerprint_sees_n_shards(spark, data):
+    """Same rows, different shard count must re-export (n_shards is
+    folded into the fingerprint)."""
+    df, root = data
+    df5 = df.withColumn("shard", (F.col("doc_id") % 5).cast("bigint"))
+    first = export.export_shards(df5, root, 5)
+    second = export.export_shards(df5, root, 7)
+    assert second["status"] == "written"
+    assert second["fingerprint"] != first["fingerprint"]
+
+
+def test_fingerprint_sees_payload_and_order_cols(spark, data):
+    """A payload-only change (same ids, same shards) must re-export —
+    the fingerprint hashes every exported column, not just the id."""
+    df, root = data
+    first = export.export_shards(df, root, 7, order_col="n_tok")
+    bumped = df.withColumn("n_tok", F.col("n_tok") + 1)
+    second = export.export_shards(bumped, root, 7, order_col="n_tok")
+    assert second["status"] == "written"
+    assert second["fingerprint"] != first["fingerprint"]
+
+
+def test_fingerprint_duplicate_rows_do_not_cancel(spark, data):
+    """{A, B, B} must not fingerprint like {A}: the hash combine is a
+    modular SUM, not XOR, so duplicate-id pairs cannot cancel."""
+    df, root = data
+    a = df.where(F.col("doc_id") < 3)
+    b = df.where(F.col("doc_id") == 5)
+    small = a.unionAll(b).unionAll(b)  # A + B + B
+    first = export.export_shards(small, root, 7)
+    second = export.export_shards(a, root, 7)
+    assert second["status"] == "written"
+    assert second["fingerprint"] != first["fingerprint"]

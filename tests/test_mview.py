@@ -226,3 +226,81 @@ def test_consumer_aware_vacuum_keeps_lagging_cursor(spark):
     # cursor advanced -> the next vacuum reclaims the old generations
     store.vacuum(retain=1, respect_consumers=True)
     assert len(store.generations("src")) == 1
+
+
+def test_racing_source_commit_not_skipped(spark):
+    """ADVICE r7: a source commit landing between the refresh's CDC
+    pull and its cursor advance must NOT be skipped. The refresh pins
+    the generation it actually diffed and advances the cursor to
+    exactly that generation, so the racing commit stays ahead of the
+    cursor and the NEXT refresh applies it."""
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 1)]))
+    _mv(store)
+    store.replace("src", _df(spark, [(1, "a", 2)]))
+
+    real_merge = store.merge
+    raced = {"done": False}
+
+    def racing_merge(name, *a, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            # a second writer commits to src mid-refresh (after the
+            # pull, before the cursor advance)
+            store.replace("src", _df(spark, [(1, "a", 5), (2, "b", 7)]))
+        return real_merge(name, *a, **kw)
+
+    store.merge = racing_merge
+    assert store.refresh_mview("mv")["status"] == "applied"
+    store.merge = real_merge
+    # the racing commit is still pending (cursor pinned at the diffed
+    # generation), and the next refresh applies it — never skipped
+    assert store.refresh_mview("mv")["status"] == "applied"
+    assert _rows(store) == {"a": (1, 5), "b": (1, 7)}
+    assert store.refresh_mview("mv")["status"] == "noop"
+
+
+def test_cursor_lost_while_applied_current_self_heals(spark):
+    """ADVICE r7: a missing cursor file with the applied marker still
+    current re-pins (status 'replayed') instead of raising a raw
+    FileNotFoundError."""
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 1)]))
+    _mv(store)
+    os.remove(store._cursor_path("src", "__mv_mv"))
+    assert store.refresh_mview("mv")["status"] == "replayed"
+    assert store.refresh_mview("mv")["status"] == "noop"
+    assert _rows(store) == {"a": (1, 1)}
+
+
+def test_cursor_lost_with_pending_commits_reseeds(spark):
+    """A missing cursor file with source commits pending falls into
+    the reseed path (full recompute of the pinned generation)."""
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 1)]))
+    _mv(store)
+    store.replace("src", _df(spark, [(1, "a", 2), (2, "b", 3)]))
+    os.remove(store._cursor_path("src", "__mv_mv"))
+    assert store.refresh_mview("mv")["status"] == "reseeded"
+    assert _rows(store) == {"a": (1, 2), "b": (1, 3)}
+    assert store.refresh_mview("mv")["status"] == "noop"
+
+
+def test_list_mviews(spark):
+    store = _store(spark)
+    store.replace("src", _df(spark, [(1, "a", 1)]))
+    assert store.list_mviews() == []
+    _mv(store)
+    store.create_mview(
+        "mv2",
+        "src",
+        group_by=["grp"],
+        count_col="n",
+        sums={},
+        key_cols=["id"],
+        compare_cols=["grp", "val"],
+    )
+    assert store.list_mviews() == ["mv", "mv2"]
+    # a fresh instance over the same root sees them too
+    again = TableStore(spark, store.root, {"src": SCHEMA}, bucketing=False)
+    assert again.list_mviews() == ["mv", "mv2"]
