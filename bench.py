@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+ONE compact JSON line (summary numbers + the fixed r02-comparable
+query set — sized to survive the driver's ~2 KB stdout tail capture):
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "shared_r02_total": S, "n_queries": K, "detail_file": "BENCH_DETAIL.json"}
+
+The FULL per-query timings and per-suite member seconds are written to
+BENCH_DETAIL.json at the repo root (committed each round, so the
+per-query history stays recoverable).
 
 Each query is materialized with df.count() (full execution, nothing
 collected to the driver beyond the count). A warmup query runs first so
@@ -218,17 +224,44 @@ def main() -> None:
     from file_db_spark.operators import _timing
 
     members = {k: dict(v) for k, v in _timing.MEMBER_SECONDS.items() if v}
+    # VERDICT r7 #2: the driver captures only a ~2 KB tail of stdout,
+    # and the full per-query dict outgrew it in round 5 (BENCH_r0{5,6,7}
+    # all have parsed:null). stdout now carries ONE compact line —
+    # summary numbers plus the fixed 14-query r02-comparable set (the
+    # cross-round regression gauge) — and the full per-query timings +
+    # suite member seconds go to BENCH_DETAIL.json, committed in the
+    # repo, so the per-query history stays recoverable every round.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf_num,
+                "shared_r02_total": shared,
+                "n_queries": len(timings),
+                "queries": timings,
+                "members": members,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: timings[n] for n in R02_SHARED if n in timings},
                 "sf": sf_num,
                 "shared_r02_total": shared,
                 "n_queries": len(timings),
-                "members": members,
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )

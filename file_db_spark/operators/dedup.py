@@ -2612,6 +2612,39 @@ def x26_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X27_SOURCES = ("x3", "x4", "x5", "x11")
 
+#: largest exact-duplicate clique x27's pair-level contract accepts.
+#: Test corpora sit at 1-2 (sf0.001-sf0.1); the 10x scale-probe data
+#: (10 id-shifted copies of every text — deliberately duplication-
+#: dense) sits at ~20 and MUST trip the guard: that input's pair
+#: enumeration is the measured 1.57-exponent blowup, and the correct
+#: operator for it is x36 (collapse-first, exponent 0.25).
+X27_MAX_EXACT_CLIQUE = 8
+
+
+def _x27_density_guard(d: DataFrame) -> None:
+    """Refuse duplication-dense corpora BEFORE any pair enumeration:
+    one aggregate (hash-groupBy over text) measuring the largest
+    exact-duplicate clique — the term that drives x27's quadratic pair
+    count. O(corpus) with a map-side partial aggregate, no shuffle of
+    document payloads (only 8-byte hashes)."""
+    row = (
+        d.groupBy(F.xxhash64("text").alias("__h"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c").alias("mx"))
+        .first()
+    )
+    mx = int(row["mx"] or 0)
+    if mx > X27_MAX_EXACT_CLIQUE:
+        raise ValueError(
+            f"x27_fused_dedup_graph: duplication-dense input (largest "
+            f"exact-duplicate clique {mx} > {X27_MAX_EXACT_CLIQUE}); "
+            "pair-level provenance enumerates ~k^2 pairs per clique "
+            "and is superlinear by contract on such corpora — use "
+            "x36_collapsed_provenance_graph (collapse-first: identical "
+            "generator union on exact-dup representatives, O(distinct "
+            "texts) pair work, then one expand join back to members)"
+        )
+
 
 def _x27_oracle() -> str:
     subs = {
@@ -2684,7 +2717,20 @@ def x27_fused_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair tables is tiny next to any of them, and the component pass is
     the x7/x16 machinery (diameter-bounded rounds, per-round
     localCheckpoint). Provenance is one explode + keyed agg over the
-    tagged pair table."""
+    tagged pair table.
+
+    CONTRACT GUARD (VERDICT r7 #4): pair-level provenance is
+    inherently quadratic in exact-duplicate clique size — k identical
+    copies of a document turn every true pair into ~k^2, and no bucket
+    cap can fix a contract that enumerates all of them. x27 therefore
+    REFUSES duplication-dense corpora (max exact-duplicate clique >
+    X27_MAX_EXACT_CLIQUE, one cheap aggregate checked BEFORE any pair
+    enumeration) and points at x36_collapsed_provenance_graph, the
+    collapse-first form with the same generator union on exact-dup
+    representatives (measured exponent 0.25 vs x27's 1.57 —
+    SCALING.md). x27 remains the right tool at audit scale: one corpus
+    shard with bounded cliques, full pair-level provenance."""
+    _x27_density_guard(load_table(spark, sf_dir, "documents"))
     srcs = {
         "x3": x3_ngram_jaccard(spark, sf_dir),
         "x4": x4_minhash_lsh(spark, sf_dir),

@@ -383,3 +383,57 @@ def test_x32_cut_sizes_and_ranks(spark, sf_dir):
         assert all(r["proto_rank"] > n - len(outlier) for r in outlier)
         cos = [r["cos_to_centroid"] for r in rows]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_x27_density_guard_trips_before_pair_enumeration(spark, tmp_path):
+    """VERDICT r7 #4: x27's pair-level contract is quadratic in
+    exact-duplicate clique size, so a duplication-dense corpus must be
+    REFUSED up front with a pointer to the collapse-first x36 — not
+    ground through k^2 pair enumeration."""
+    import pandas as pd
+    import pytest
+
+    rows = [
+        {
+            "doc_id": i,
+            "text": "the exact same document text, repeated verbatim",
+            "lang": "en",
+            "source": "web",
+            "n_chars": 48,
+        }
+        for i in range(40)
+    ] + [
+        {
+            "doc_id": 100 + i,
+            "text": f"a unique document number {i} with its own words",
+            "lang": "en",
+            "source": "web",
+            "n_chars": 48,
+        }
+        for i in range(5)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    with pytest.raises(ValueError, match="x36_collapsed_provenance_graph"):
+        dedup.x27_fused_dedup_graph(spark, str(tmp_path))
+
+
+def test_x27_guard_passes_bounded_cliques(spark, tmp_path):
+    """Cliques at or under the threshold pass the guard (the audit-
+    scale contract x27 keeps serving)."""
+    import pandas as pd
+
+    rows = [
+        {
+            "doc_id": k * 100 + i,
+            "text": f"family {k} shared text body for the clique",
+            "lang": "en",
+            "source": "web",
+            "n_chars": 42,
+        }
+        for k in range(6)
+        for i in range(dedup.X27_MAX_EXACT_CLIQUE)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    dedup._x27_density_guard(
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+    )

@@ -53,7 +53,11 @@ DST = os.path.join(REPO, ".scale_probe", f"sf{COPIES / 10:.1f}")
 #: asymptotics matter most (all scan documents/embeddings/events)
 PROBE_SET = [
     "v16_ivf_pq_residual",
-    "x27_fused_dedup_graph",
+    # x27_fused_dedup_graph is NOT probed: the probe data's 10x
+    # exact-dup cliques now trip its duplication-density guard by
+    # design (VERDICT r7 #4) — x36_collapsed_provenance_graph is the
+    # deployable form and carries the provenance probe
+    "x36_collapsed_provenance_graph",
     "v15_mmr_rerank",
     "v11_nn_descent",
     "x19_pagerank",
