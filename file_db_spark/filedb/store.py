@@ -39,21 +39,71 @@ class CommitConflict(Exception):
     generation the writer read was superseded before it committed."""
 
 
-#: per-(root, table) commit locks so same-process writers (e.g. suite
-#: members sharing a store under ThreadPoolExecutor) serialize their
-#: read-base + commit sequence — without this, two threads can both
-#: read the same base generation and silently lose one update. EVERY
-#: manifest-mutating method takes its table's lock (not just
-#: replace_if); re-entrant so composed writes (merge_scd2 -> append,
-#: compact -> replace) nest without deadlock.
-_COMMIT_LOCKS: dict[tuple[str, str], threading.RLock] = {}
+try:  # POSIX; on platforms without fcntl the lock degrades to thread-only
+    import fcntl as _fcntl
+except ImportError:  # pragma: no cover
+    _fcntl = None
+
+
+class _TableLock:
+    """Re-entrant per-(root, table) commit lock covering BOTH scopes a
+    single-box store can race in: threads of this process (an RLock)
+    and OTHER OS PROCESSES writing the same root (an exclusive
+    fcntl.flock on `<root>/_locks/<table>.lock`, taken while the
+    outermost re-entrant hold is active). Every manifest-mutating
+    method serializes its read-base + commit sequence through this —
+    two engine processes appending to one table both land, no lost
+    segment (pinned in tests/test_store_multiprocess.py). Re-entrant
+    so composed writes (merge_scd2 -> append, compact -> replace,
+    table commit -> catalog swap) nest without deadlock; lock ORDER is
+    consistent everywhere (sorted table locks, catalog last), so
+    cross-process writers cannot deadlock either. On a cluster this
+    role is played by the lakehouse log's atomic append; flock is the
+    dependency-free single-box analog."""
+
+    def __init__(self, root: str, name: str):
+        safe = "".join(
+            ch if ch.isalnum() or ch in "._-" else "_" for ch in name
+        )
+        self._path = os.path.join(root, "_locks", f"{safe}.lock")
+        self._rlock = threading.RLock()
+        self._depth = 0  # mutated only while _rlock is held
+        self._fh = None
+
+    def acquire(self) -> None:
+        self._rlock.acquire()
+        self._depth += 1
+        if self._depth == 1 and _fcntl is not None:
+            os.makedirs(os.path.dirname(self._path), exist_ok=True)
+            self._fh = open(self._path, "a")
+            _fcntl.flock(self._fh, _fcntl.LOCK_EX)
+
+    def release(self) -> None:
+        self._depth -= 1
+        if self._depth == 0 and self._fh is not None:
+            _fcntl.flock(self._fh, _fcntl.LOCK_UN)
+            self._fh.close()
+            self._fh = None
+        self._rlock.release()
+
+    def __enter__(self) -> "_TableLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+_COMMIT_LOCKS: dict[tuple[str, str], _TableLock] = {}
 _COMMIT_LOCKS_GUARD = threading.Lock()
 
 
-def _commit_lock(root: str, name: str) -> threading.RLock:
+def _commit_lock(root: str, name: str) -> _TableLock:
     key = (os.path.abspath(root), name)
     with _COMMIT_LOCKS_GUARD:
-        return _COMMIT_LOCKS.setdefault(key, threading.RLock())
+        if key not in _COMMIT_LOCKS:
+            _COMMIT_LOCKS[key] = _TableLock(os.path.abspath(root), name)
+        return _COMMIT_LOCKS[key]
 
 
 def _seg_id(entry: dict) -> str:
@@ -907,15 +957,14 @@ class TableStore:
         exactly what prevents the lost update a blind replace()
         commits. Returns the new current generation dir.
 
-        Single-box approximation: a per-(root, table) process-wide
-        lock serializes the check+replace, so same-process racers
-        (suite members sharing a store under ThreadPoolExecutor) can
-        never both pass the _current() check — exactly one wins, the
-        other gets CommitConflict. Cross-PROCESS writers on one root
-        still race in the window between check and rename (a real
-        lakehouse serializes that via the atomic log append; the
-        single-box analog would be an O_EXCL commit-marker file);
-        generation swaps remain atomic (write-new-then-rename), so
+        Single-box approximation: the per-(root, table) commit lock —
+        a thread RLock PLUS an exclusive flock on the table's lock
+        file — serializes the check+replace across threads AND OS
+        processes sharing the root, so no two racers can both pass the
+        _current() check: exactly one wins, the other gets
+        CommitConflict (a real lakehouse serializes this via the
+        atomic log append; flock is the single-box analog).
+        Generation swaps remain atomic (write-new-then-rename), so
         readers never see a torn table either way."""
         with _commit_lock(self.root, name):
             cur = self._current(name)
