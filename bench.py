@@ -118,6 +118,8 @@ HEADLINE = [
     "g28_materialized_view",  # CDC-refreshed MV (seed/refresh/replay guard)
     "d47_shard_export_sink",  # exactly-once shard export + manifest round trip
     "g29_optimize",  # compact + ANALYZE + vacuum in one data-invariant pass
+    # round-8 additions
+    "g30_bucketed_merge",  # O(changes) MERGE on a bucketed table, 0-Exchange join kept
     # round-6 additions: TPC-H completion set + merge-on-read deletes
     "a17_small_qty_revenue",  # Q17 correlated-AVG decorrelated to one window
     "a19_order_count_distribution",  # Q13 outer-join count distribution

@@ -149,12 +149,13 @@ class Engine:
         control = merge.mark_dirs_crawled(control, stats, missing, now)
 
         # entity-table commits through the store's general MERGE INTO
-        # (merge.py's M1/M2 clauses): `directory` commits O(changes)
-        # merge-on-read — one DV + one upsert segment per wave instead
-        # of rewriting the whole table; `file` is bucketed, so the
-        # store rewrites it to preserve the co-located join layout.
-        # State is value-identical to d_res.directory / f_res.file
-        # (pinned in tests/test_incremental_ops.py).
+        # (merge.py's M1/M2 clauses): BOTH entity tables commit
+        # O(changes) merge-on-read — `directory` as one DV + one
+        # upsert segment per wave; `file` (bucketed) as bucket-ALIGNED
+        # delta files + a commit-scoped DV with the base hardlinked,
+        # so the zero-Exchange file⋈hash layout survives every wave
+        # without a table rewrite. State is value-identical to
+        # d_res.directory / f_res.file (tests/test_incremental_ops.py).
         merge.upsert_directories_into(self.store, staged_dirs, now)
         merge.upsert_files_into(self.store, staged_files.drop("dir_path"), now)
         self.store.replace("directory_control", control)
@@ -255,10 +256,11 @@ class Engine:
         horizon = self.config.get("archive_compact_segments", 8)
         for t in ("directory_archive", "file_archive", "hash_control"):
             self.store.compact(t, max_segments=horizon)
-        # `directory` now accrues one upsert segment + one DV per
-        # MERGE-committed wave — fold that merge-on-read debt on the
-        # same idle edge
+        # the entity tables accrue merge-on-read debt per MERGE-
+        # committed wave (`directory`: upsert segments + DVs; `file`:
+        # bucket-aligned delta waves + DVs) — fold it on the idle edge
         self.store.compact("directory", max_segments=horizon, max_mor_debt=horizon)
+        self.store.compact("file", max_segments=horizon, max_mor_debt=horizon)
         # refresh planner statistics on the same maintenance cadence
         # (one aggregate pass) so the broadcast-vs-shuffle decision
         # tracks the catalog's actual size

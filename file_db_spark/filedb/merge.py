@@ -267,11 +267,15 @@ def upsert_directories_into(store, staged_dirs: DataFrame, now) -> dict:
 def upsert_files_into(store, staged_files: DataFrame, now) -> dict:
     """M2's entity-table upsert as a TableStore.merge() call (update
     size/ctime/mtime/atime + updated_on when any differs — O5; insert
-    staged values + timestamps). `file` is a BUCKETED table, so the
-    store rewrites through replace() to preserve the co-located join
-    layout — same cost as before, one code path for the semantics.
-    Rehash scheduling stays in merge_files (it needs the
-    content-changed split). Returns merge metrics."""
+    staged values + timestamps). `file` is a BUCKETED table and the
+    store commits it O(changes) merge-on-read: bucket-aligned delta
+    files + a commit-scoped deletion vector, base files hardlinked —
+    the co-located join layout survives the wave WITHOUT the full
+    rewrite it used to cost (the reference maintains its file PK
+    B-tree incrementally per insert, FileDbDAL/File.py:203-229; this
+    is the layout-preserving Spark analog). Rehash scheduling stays in
+    merge_files (it needs the content-changed split). Returns merge
+    metrics."""
     staged = staged_files.dropDuplicates(["id"])
     nowc = _now_lit(now)
     return store.merge(

@@ -417,6 +417,207 @@ class TableStore:
                     names.add(entry)
         return names
 
+    # -- bucketed merge-on-read commits ---------------------------------------
+    # A bucketed table's MERGE used to fall back to a full rewrite (the
+    # O(table)-per-crawl-wave cost VERDICT r7 named the last scale
+    # killer). It now commits O(changes): the U/I delta is written as a
+    # bucket-ALIGNED set of files (same bucket function, same count —
+    # one file per touched bucket) into a new generation directory that
+    # HARDLINKS the prior generation's data files (O(#files) metadata,
+    # zero data bytes), plus one deletion vector over the touched keys.
+    # Rows carry a hidden `__commit_ns` column so a DV written at
+    # commit T masks exactly the OLDER versions of its keys
+    # (`__commit_ns < T`) — the file-scoped-DV contract expressed as a
+    # commit-scoped predicate, which is what lets the whole generation
+    # keep reading through ONE session-catalog bucketed table (bucket
+    # ids parse from the file names, so the co-located zero-Exchange
+    # join layout survives every MOR commit; pinned in
+    # tests/test_store_bucketing.py). DVs apply as ONE broadcast
+    # anti-join (they are O(changes) small), which preserves the
+    # scan's hash-partitioning. compact() folds the debt back into a
+    # clean snapshot on the maintenance edge. On a real lakehouse this
+    # whole mechanism is Delta/Iceberg MERGE with deletion vectors over
+    # a bucketed/clustered layout; hardlinks are the single-box analog
+    # of manifest entries pointing at immutable data files.
+
+    #: hidden physical column stamping every bucketed row with its
+    #: commit's nanos (never visible through read())
+    _COMMIT_COL = "__commit_ns"
+
+    def _bucket_meta_path(self, gen_dir: str) -> str:
+        return os.path.join(gen_dir, "_BUCKETDV.json")
+
+    def _bucket_meta(self, gen_dir: str) -> dict | None:
+        """Merge-on-read metadata of a bucketed generation:
+        ``{"waves": n, "dvs": [{"path": rel-to-table-dir, "ns": int,
+        "keys": [col...]}]}`` — None for a clean (replace-written)
+        generation. Lives INSIDE the generation dir (underscore file,
+        invisible to parquet scans) so time travel reads each
+        generation with exactly its own deletion state."""
+        try:
+            with open(self._bucket_meta_path(gen_dir)) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _bucket_phys_schema(self, name: str) -> T.StructType:
+        return T.StructType(
+            list(self.schemas[name].fields)
+            + [T.StructField(self._COMMIT_COL, T.LongType(), True)]
+        )
+
+    def _apply_bucket_dvs(
+        self, name: str, gen_dir: str, df: DataFrame
+    ) -> DataFrame:
+        """Apply a bucketed generation's deletion vectors to its scan
+        and strip the hidden commit column. DVs union into ONE small
+        (key, dv_ns) table applied as a single BROADCAST anti-join —
+        masks a row iff some LATER vector covers its key — which
+        preserves the scan's bucket hash-partitioning (no Exchange on
+        the probe side). Rows from pre-__commit_ns files (legacy
+        generations' hardlinked files) null-fill the column and count
+        as commit 0, i.e. older than every vector."""
+        meta = self._bucket_meta(gen_dir)
+        if meta and meta["dvs"]:
+            import functools
+            import operator as _op
+
+            table_dir = os.path.dirname(gen_dir)
+            by_keys: dict[tuple, list[dict]] = {}
+            for e in meta["dvs"]:
+                by_keys.setdefault(tuple(e["keys"]), []).append(e)
+            # one union + one broadcast anti-join per distinct key set
+            # (a table merged on one key — the normal case — pays ONE)
+            for keys, entries in by_keys.items():
+                dv = None
+                for e in entries:
+                    part = (
+                        self.spark.read.parquet(
+                            os.path.join(table_dir, e["path"])
+                        )
+                        .select(*keys)
+                        .withColumn("__dv_ns", F.lit(int(e["ns"])))
+                    )
+                    dv = part if dv is None else dv.unionByName(part)
+                commit = (
+                    F.coalesce(df[self._COMMIT_COL], F.lit(0))
+                    if self._COMMIT_COL in df.columns
+                    else F.lit(0)
+                )
+                cond = functools.reduce(
+                    _op.and_, [df[k].eqNullSafe(dv[k]) for k in keys]
+                ) & (commit < dv["__dv_ns"])
+                df = df.join(F.broadcast(dv), cond, "left_anti")
+        return df.drop(self._COMMIT_COL)
+
+    def _register_bucketed_gen(self, name: str, gen_dir: str) -> None:
+        """Register a generation directory of bucket-aligned files as
+        an EXTERNAL session-catalog bucketed table (bucket ids parse
+        from the file names Spark's own bucketed writer produced) —
+        what lets an incrementally-merged generation keep planning
+        co-located zero-Exchange joins without any data rewrite."""
+        nb, keys = BUCKET_SPECS[name]
+        tbl = self._table_name(name, gen_dir)
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in self._bucket_phys_schema(name).fields
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        self.spark.sql(
+            f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(keys)}) "
+            f"SORTED BY ({', '.join(keys)}) INTO {nb} BUCKETS "
+            f"LOCATION '{gen_dir}'"
+        )
+
+    @staticmethod
+    def _link_data_files(src_dir: str, dst_dir: str) -> int:
+        """Hardlink every data file of `src_dir` into `dst_dir`
+        (O(#files) metadata, zero data bytes — segments are immutable,
+        so generations share them by link count; the manifest-reuse
+        analog). Returns the number of files linked."""
+        n = 0
+        for fn in sorted(os.listdir(src_dir)):
+            if fn.startswith(("_", ".")):
+                continue  # _SUCCESS / _BUCKETDV / hidden
+            s = os.path.join(src_dir, fn)
+            if not os.path.isfile(s):
+                continue
+            dst = os.path.join(dst_dir, fn)
+            if os.path.exists(dst):
+                raise FileExistsError(
+                    f"bucketed commit: data file name collision {fn!r}"
+                )
+            try:
+                os.link(s, dst)
+            except OSError:
+                shutil.copy2(s, dst)  # cross-device fallback
+            n += 1
+        return n
+
+    def _merge_bucketed_commit(
+        self,
+        name: str,
+        cur: str,
+        classified: DataFrame,
+        on: list[str],
+        metrics: dict[str, int],
+    ) -> None:
+        """O(changes) MERGE commit for a bucketed table (see the
+        section comment above): bucket-aligned delta files + one DV +
+        hardlinked base, published as a new generation + catalog swap.
+        Caller holds the table's commit lock."""
+        nb, keys = BUCKET_SPECS[name]
+        cols = [f.name for f in self.schemas[name].fields]
+        d = self._dir(name)
+        ns = time.time_ns()
+        gen = os.path.join(d, f"gen-{ns}")
+        os.makedirs(gen, exist_ok=True)
+        stage = None
+        if metrics["updated"] or metrics["inserted"]:
+            # Spark's own bucketed writer guarantees hash compatibility
+            # with the base layout; repartition on the bucket keys makes
+            # each task own one bucket -> at most nb delta files
+            delta = (
+                classified.where(F.col("__op").isin("U", "I"))
+                .select(*cols)
+                .withColumn(self._COMMIT_COL, F.lit(ns))
+            )
+            stage = os.path.join(d, f"stage-{ns}")
+            tmp_tbl = f"{self._table_name(name, gen)}_stage"
+            (
+                delta.repartition(nb, *[F.col(k) for k in keys])
+                .write.mode("overwrite")
+                .format("parquet")
+                .option("path", stage)
+                .bucketBy(nb, *keys)
+                .sortBy(*keys)
+                .saveAsTable(tmp_tbl)
+            )
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external
+        prior = self._bucket_meta(cur) or {"waves": 0, "dvs": []}
+        dvs = list(prior["dvs"])
+        if metrics["updated"] or metrics["deleted"]:
+            dv = f"dv-{ns}"
+            (
+                classified.where(F.col("__op").isin("U", "D"))
+                .select(*[F.col(f"__k_{k}").alias(k) for k in on])
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(os.path.join(d, dv))
+            )
+            dvs.append({"path": dv, "ns": ns, "keys": list(on)})
+        self._link_data_files(cur, gen)
+        if stage is not None:
+            self._link_data_files(stage, gen)
+            shutil.rmtree(stage, ignore_errors=True)
+        tmp = self._bucket_meta_path(gen) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"waves": int(prior["waves"]) + 1, "dvs": dvs}, fh)
+        os.replace(tmp, self._bucket_meta_path(gen))
+        self._register_bucketed_gen(name, gen)
+        self._catalog_swap({name: os.path.basename(gen)})
+
     def _base_doc(self, name: str) -> dict:
         """The current generation expressed as manifest entries
         (relative to the table dir — the SAME dir any new generation
@@ -506,10 +707,19 @@ class TableStore:
 
     def _manifest(self, gen_dir: str) -> list[str] | None:
         """ALL file paths (absolute) a manifest generation references —
-        data segments AND deletion-vector files — else None. This is
-        the reference set vacuum() must protect."""
+        data segments AND deletion-vector files — else None. Bucketed
+        MOR generations reference their deletion vectors through
+        _BUCKETDV.json (their data files live inside the gen dir
+        itself, protected by generation retention). This is the
+        reference set vacuum() must protect."""
         doc = self._doc(gen_dir)
         if doc is None:
+            meta = self._bucket_meta(gen_dir)
+            if meta is not None:
+                table_dir = os.path.dirname(gen_dir)
+                return [
+                    os.path.join(table_dir, e["path"]) for e in meta["dvs"]
+                ]
             return None
         table_dir = os.path.dirname(gen_dir)
         return [
@@ -532,6 +742,16 @@ class TableStore:
         doc = self._doc(gen_dir)
         reader = self.spark.read.schema(self.schemas[name])
         if doc is None:
+            # bucketed MOR generation read OUTSIDE the session catalog
+            # (fresh session / time travel / CDC diff): plain path read
+            # with the physical schema, deletion vectors still applied
+            # — value-identical to the catalog read, just re-shuffles
+            # on join
+            if self._bucket_meta(gen_dir) is not None:
+                phys = self.spark.read.schema(
+                    self._bucket_phys_schema(name)
+                ).parquet(gen_dir)
+                return self._apply_bucket_dvs(name, gen_dir, phys)
             return reader.parquet(gen_dir)
         table_dir = os.path.dirname(gen_dir)
         dvs = [
@@ -598,7 +818,9 @@ class TableStore:
             tbl = self._table_name(name, cur)
             try:
                 if self.spark.catalog.tableExists(tbl):
-                    return self.spark.table(tbl)
+                    return self._apply_bucket_dvs(
+                        name, cur, self.spark.table(tbl)
+                    )
             except Exception:
                 pass
         return self._read_gen(name, cur)
@@ -620,7 +842,11 @@ class TableStore:
             if self.bucketing and name in BUCKET_SPECS:
                 n, keys = BUCKET_SPECS[name]
                 (
-                    out.write.mode("overwrite")
+                    out.withColumn(
+                        self._COMMIT_COL,
+                        F.lit(int(os.path.basename(gen)[len("gen-"):])),
+                    )
+                    .write.mode("overwrite")
                     .format("parquet")
                     .option("path", gen)
                     .bucketBy(n, *keys)
@@ -689,7 +915,10 @@ class TableStore:
             for entry in sorted(os.listdir(d)):
                 if entry in keep:
                     continue
-                if not entry.startswith(("gen-", "seg-", "dv-")):
+                # stage-: a crashed bucketed-merge's staging dir (its
+                # committed files were hardlinked into the generation,
+                # so removing the orphan never loses data)
+                if not entry.startswith(("gen-", "seg-", "dv-", "stage-")):
                     continue
                 gen_dir = os.path.join(d, entry)
                 if os.path.normpath(os.path.abspath(gen_dir)) in referenced:
@@ -1245,12 +1474,23 @@ class TableStore:
     def mor_debt(self, name: str) -> dict[str, int]:
         """Merge-on-read debt of the current generation: how many
         scoped filters (predicate tombstones) and deletion vectors the
-        read path must apply. The compaction trigger a 100 TB table
-        watches alongside segment_count — compact() folds all of it
-        back into one clean snapshot."""
+        read path must apply. For a bucketed MOR generation, `deletes`
+        counts its deletion vectors and `waves` the merge commits
+        accumulated since the last clean snapshot (each wave adds up
+        to nb delta files — open-cost debt even when insert-only).
+        The compaction trigger a 100 TB table watches alongside
+        segment_count — compact() folds all of it back into one clean
+        snapshot."""
         cur = self._current(name)
         doc = self._doc(cur) if cur is not None else None
         if doc is None:
+            meta = self._bucket_meta(cur) if cur is not None else None
+            if meta is not None:
+                return {
+                    "filters": 0,
+                    "deletes": len(meta["dvs"]),
+                    "waves": int(meta["waves"]),
+                }
             return {"filters": 0, "deletes": 0}
         return {
             "filters": sum(1 for e in doc["segments"] if e.get("filter")),
@@ -1388,9 +1628,9 @@ class TableStore:
         still time-travel until vacuum()."""
         with _commit_lock(self.root, name):
             debt = self.mor_debt(name)
-            over_debt = (
-                max_mor_debt is not None
-                and debt["filters"] + debt["deletes"] > max_mor_debt
+            over_debt = max_mor_debt is not None and (
+                debt["filters"] + debt["deletes"] + debt.get("waves", 0)
+                > max_mor_debt
             )
             if self.segment_count(name) <= max_segments and not over_debt:
                 return False
@@ -1486,9 +1726,13 @@ class TableStore:
         segment holding updated+inserted rows; the base segments are
         never rewritten (exactly the merge-on-read MERGE a 100 TB
         table needs: deleting/updating a million rows writes
-        megabytes). Bucketed tables rewrite through replace() to
-        preserve the bucket layout (their O(table) cost buys the
-        shuffle-free joins the layout exists for). Returns metrics
+        megabytes). Bucketed tables ALSO commit O(changes): the delta
+        is written bucket-ALIGNED (same hash function, one file per
+        touched bucket), the base files carry over by hardlink, and a
+        commit-scoped deletion vector masks superseded row versions —
+        the zero-Exchange co-located join layout survives every MOR
+        commit instead of being repurchased with a full rewrite per
+        wave (_merge_bucketed_commit). Returns metrics
         {'inserted', 'updated', 'deleted'}.
         """
         import functools
@@ -1592,12 +1836,27 @@ class TableStore:
                     "deleted": int(counts.get("D", 0)),
                 }
                 n_changes = sum(metrics.values())
+                if self.bucketing and name in BUCKET_SPECS:
+                    cur = self._current(name)
+                    if cur is None:
+                        # first write: full replace registers the layout
+                        self.replace(
+                            name,
+                            classified.where(
+                                F.col("__op").isNull() | (F.col("__op") != "D")
+                            ).select(*cols),
+                        )
+                        return metrics
+                    if n_changes == 0:
+                        return metrics  # nothing differs: write NOTHING
+                    # O(changes) bucket-aligned MOR commit — never a
+                    # table rewrite (see _merge_bucketed_commit)
+                    self._merge_bucketed_commit(
+                        name, cur, classified, on, metrics
+                    )
+                    return metrics
                 base = self._base_doc(name)
-                delta_ok = (
-                    not (self.bucketing and name in BUCKET_SPECS)
-                    and bool(base["segments"])
-                )
-                if not delta_ok:
+                if not base["segments"]:
                     self.replace(
                         name,
                         classified.where(

@@ -80,9 +80,11 @@ def test_merge_refuses_key_assignment(spark, tmp_path):
         )
 
 
-def test_merge_bucketed_rewrites_and_keeps_layout(spark, tmp_path):
-    """A bucketed target merges through replace(): values identical,
-    bucket metadata still registered for shuffle-free joins."""
+def test_merge_bucketed_is_incremental_and_keeps_layout(spark, tmp_path):
+    """A bucketed target now merges O(changes): values identical, one
+    merge-on-read wave recorded (bucket-aligned delta + DV, base
+    hardlinked), bucket metadata still registered for shuffle-free
+    joins — NOT a table rewrite."""
     st = TableStore(
         spark, str(tmp_path / "b"), {"file": schemas.FILE}, bucketing=True
     )
@@ -109,7 +111,8 @@ def test_merge_bucketed_rewrites_and_keeps_layout(spark, tmp_path):
     assert m["updated"] == 1 and m["deleted"] == 0 and m["inserted"] == 0
     got = {r["id"]: float(r["size"]) for r in st.read("file").select("id", "size").collect()}
     assert got == {1: 1.0, 2: 5.0}
-    assert st.segment_count("file") == 1  # clean bucketed snapshot, no MOR debt
+    debt = st.mor_debt("file")
+    assert debt["deletes"] == 1 and debt["waves"] == 1  # MOR commit, no rewrite
     assert fcols  # schema intact
 
 
