@@ -2177,12 +2177,19 @@ class TableStore:
     # from the source's CDC subscription (changes_since + a dedicated
     # __mv_<view> consumer) applied through the general MERGE — the
     # Delta Live Tables / Materialize-style refresh loop built from
-    # the store's own primitives. Only self-maintainable aggregates
-    # are allowed (COUNT(*) and SUM0 — SUM with NULLs counted as 0, so
-    # base + delta arithmetic is closed; MIN/MAX would need auxiliary
-    # state, the classic IVM restriction). Refresh is O(changed
-    # groups): one net multi-commit diff, one delta aggregate, one
-    # MERGE writing a DV + segment over the touched groups only.
+    # the store's own primitives. COUNT(*) and SUM0 (SUM with NULLs
+    # counted as 0) are fully self-maintainable — base + delta
+    # arithmetic is closed. MIN/MAX are maintained with the classic
+    # delete-aware split: inserts fold incrementally (least/greatest
+    # against the group's current extreme); a refresh RECOMPUTES only
+    # the groups whose current extreme was retracted (a delete or
+    # update-away of the value sitting at the min/max), reading the
+    # pinned source generation semi-joined to exactly those group
+    # keys. Refresh stays O(changed groups) in the common case and
+    # O(retracted-extreme groups) worst case — never the whole view —
+    # and everything still commits as ONE MERGE, so the crash window
+    # stays the single spec-marker os.replace the replay guard
+    # documents.
 
     def _mv_spec_path(self, view: str) -> str:
         return os.path.join(self.root, f"_mv-{view}.json")
@@ -2217,6 +2224,10 @@ class TableStore:
             s = F.sum(F.col(src_col))
             zero = F.lit(0).cast(df.schema[src_col].dataType)
             aggs.append(F.coalesce(s, zero).alias(out))
+        for out, src_col in spec.get("mins", {}).items():
+            aggs.append(F.min(F.col(src_col)).alias(out))
+        for out, src_col in spec.get("maxs", {}).items():
+            aggs.append(F.max(F.col(src_col)).alias(out))
         return df.groupBy(*spec["group_by"]).agg(*aggs)
 
     def create_mview(
@@ -2229,37 +2240,68 @@ class TableStore:
         sums: dict[str, str],
         key_cols: list[str],
         compare_cols: list[str],
+        mins: dict[str, str] | None = None,
+        maxs: dict[str, str] | None = None,
     ) -> None:
         """Register + seed a materialized view: `view` = SELECT
-        group_by, COUNT(*) AS count_col, SUM0(src_col) AS out... FROM
-        `src` GROUP BY group_by. The seed is one full recompute; the
+        group_by, COUNT(*) AS count_col, SUM0(src_col) AS out...,
+        MIN(src_col) AS out..., MAX(src_col) AS out... FROM `src`
+        GROUP BY group_by. The seed is one full recompute; the
         consumer cursor is pinned at the seeded generation so the
-        first refresh applies exactly the commits after it. Group and
-        sum columns must be visible to the change feed (key_cols or
-        compare_cols) — a group move or value change the diff can't
-        see would silently corrupt the view."""
+        first refresh applies exactly the commits after it. Group,
+        sum, and min/max columns must be visible to the change feed
+        (key_cols or compare_cols) — a group move or value change the
+        diff can't see would silently corrupt the view. MIN/MAX
+        refresh incrementally on inserts and fall back to a per-group
+        recompute ONLY where the current extreme was retracted (see
+        the section comment)."""
+        mins = dict(mins or {})
+        maxs = dict(maxs or {})
         feed_cols = set(key_cols) | set(compare_cols)
-        missing = (set(group_by) | set(sums.values())) - feed_cols
+        missing = (
+            set(group_by)
+            | set(sums.values())
+            | set(mins.values())
+            | set(maxs.values())
+        ) - feed_cols
         if missing:
             raise ValueError(
                 f"create_mview({view!r}): {sorted(missing)} not covered "
                 "by key_cols/compare_cols — the change feed could not "
                 "maintain them"
             )
+        overlap = set(sums) & set(mins) | set(sums) & set(maxs) | set(mins) & set(maxs)
+        if overlap or count_col in (set(sums) | set(mins) | set(maxs)):
+            raise ValueError(
+                f"create_mview({view!r}): output column names must be "
+                "distinct across count/sums/mins/maxs"
+            )
         spec = {
             "src": src,
             "group_by": list(group_by),
             "count_col": count_col,
             "sums": dict(sums),
+            "mins": mins,
+            "maxs": maxs,
             "key_cols": list(key_cols),
             "compare_cols": list(compare_cols),
         }
         with _commit_lock(self.root, f"//mv-{view}"):
-            seed = self._mv_compute(self.read(src), spec)
+            cur = self._current(src)
+            if cur is None:
+                raise ValueError(
+                    f"create_mview({view!r}): source {src!r} has no "
+                    "generation yet"
+                )
+            # pin the seeded generation: seed, cursor, and the applied
+            # marker all name the SAME generation, so a source commit
+            # racing the seed is applied by the first refresh instead
+            # of being skipped
+            seed = self._mv_compute(self._read_gen(src, cur), spec)
             self.schemas.setdefault(view, seed.schema)
             self.replace(view, seed)
-            self.create_consumer(src, f"__mv_{view}")
-            spec["applied"] = os.path.basename(self._current(src))
+            self._write_cursor(src, f"__mv_{view}", os.path.basename(cur))
+            spec["applied"] = os.path.basename(cur)
             self._mv_write_spec(view, spec)
 
     def refresh_mview(self, view: str) -> dict:
@@ -2276,6 +2318,70 @@ class TableStore:
         the same delta and double-apply it."""
         with _commit_lock(self.root, f"//mv-{view}"):
             return self._refresh_mview_locked(view)
+
+    def _mv_extend_extremes(
+        self, view: str, src: str, cur: str, spec: dict, net: DataFrame
+    ) -> DataFrame:
+        """Delete-aware MIN/MAX maintenance: tag each touched group
+        with `__rec` — TRUE iff a retracted value sits at (or beyond)
+        the group's CURRENT extreme, so the incremental fold can no
+        longer prove the extreme — and attach absolute re-aggregates
+        (`__abs_<col>`) computed from the PINNED source generation
+        semi-joined to exactly those group keys. Cost: one join of the
+        (small) net against the MV's extreme columns, plus one source
+        scan filtered to the retracted-extreme groups — O(changed
+        groups) decision, O(recomputed groups) fallback, never a view
+        recompute."""
+        import functools
+        import operator as _op
+
+        group_by = spec["group_by"]
+        mins = spec.get("mins", {})
+        maxs = spec.get("maxs", {})
+        extremes = {**mins, **maxs}
+        cur_mv = self.read(view).select(
+            *group_by,
+            *[F.col(out).alias(f"__cur_{out}") for out in extremes],
+        )
+
+        def keyeq(a: DataFrame, b: DataFrame):
+            return functools.reduce(
+                _op.and_, [a[g].eqNullSafe(b[g]) for g in group_by]
+            )
+
+        j = net.join(cur_mv, keyeq(net, cur_mv), "left").select(
+            net["*"], *[cur_mv[f"__cur_{out}"] for out in extremes]
+        )
+        rec = F.lit(False)
+        for out in extremes:
+            threatened = (
+                F.col(f"__retr_{out}") <= F.col(f"__cur_{out}")
+                if out in mins
+                else F.col(f"__retr_{out}") >= F.col(f"__cur_{out}")
+            )
+            rec = rec | (
+                F.col(f"__retr_{out}").isNotNull()
+                & F.col(f"__cur_{out}").isNotNull()
+                & threatened
+            )
+        tagged = j.withColumn("__rec", rec).drop(
+            *[f"__cur_{out}" for out in extremes]
+        )
+        rec_keys = tagged.where(F.col("__rec")).select(*group_by)
+        pinned = self._read_gen(src, os.path.join(self._dir(src), cur))
+        absolutes = self._mv_compute(
+            pinned.join(rec_keys, keyeq(pinned, rec_keys), "left_semi"), spec
+        )
+        agg_cols = (
+            [spec["count_col"]] + list(spec["sums"]) + list(extremes)
+        )
+        absolutes = absolutes.select(
+            *group_by,
+            *[F.col(c).alias(f"__abs_{c}") for c in agg_cols],
+        )
+        return tagged.join(
+            absolutes, keyeq(tagged, absolutes), "left"
+        ).select(tagged["*"], *[absolutes[f"__abs_{c}"] for c in agg_cols])
 
     def _refresh_mview_locked(self, view: str) -> dict:
         spec = self.mview_spec(view)
@@ -2328,6 +2434,9 @@ class TableStore:
         group_by = spec["group_by"]
         cnt = spec["count_col"]
         compare = set(spec["compare_cols"])
+        mins = spec.get("mins", {})
+        maxs = spec.get("maxs", {})
+        extremes = {**mins, **maxs}
 
         def side(prefix: str, ops: list[str], sign: int) -> DataFrame:
             gcols = [
@@ -2340,8 +2449,15 @@ class TableStore:
                 (F.lit(sign) * F.col(f"{prefix}{sc}")).alias(f"__d_{out}")
                 for out, sc in spec["sums"].items()
             ]
+            # min/max carry the raw value + the row's sign: the insert
+            # side folds via least/greatest; the retraction side only
+            # decides WHICH groups need a recompute
+            evals = [
+                F.col(f"{prefix}{sc}").alias(f"__v_{out}")
+                for out, sc in extremes.items()
+            ]
             return delta.where(F.col("op").isin(*ops)).select(
-                *gcols, F.lit(sign).cast("bigint").alias("__dn"), *vals
+                *gcols, F.lit(sign).cast("bigint").alias("__dn"), *vals, *evals
             )
 
         contrib = side("old_", ["D", "U"], -1).unionByName(
@@ -2359,10 +2475,35 @@ class TableStore:
                 .alias(f"__d_{out}")
             )
             nonzero = nonzero | (F.col(f"__d_{out}") != 0)
-        net = contrib.groupBy(*group_by).agg(dn_sum, *d_sums).where(nonzero)
+        e_aggs = []
+        ins_row = F.col("__dn") == 1
+        for out in extremes:
+            fold = F.min if out in mins else F.max
+            e_aggs.append(
+                fold(F.when(ins_row, F.col(f"__v_{out}"))).alias(f"__ins_{out}")
+            )
+            e_aggs.append(
+                fold(F.when(~ins_row, F.col(f"__v_{out}"))).alias(
+                    f"__retr_{out}"
+                )
+            )
+            # a value change invisible to count/sum deltas still
+            # touches the extremes — keep the group in the net
+            nonzero = (
+                nonzero
+                | F.col(f"__ins_{out}").isNotNull()
+                | F.col(f"__retr_{out}").isNotNull()
+            )
+        net = (
+            contrib.groupBy(*group_by).agg(dn_sum, *d_sums, *e_aggs)
+        ).where(nonzero)
+
+        if extremes:
+            net = self._mv_extend_extremes(view, src, cur, spec, net)
 
         upd = {cnt: f"CAST(t.{cnt} + s.__dn AS BIGINT)"}
         ins = {cnt: "CAST(s.__dn AS BIGINT)"}
+        delete_cond = f"(t.{cnt} + s.__dn) = 0"
         for out in spec["sums"]:
             ddl = mv_schema[out].dataType.simpleString()
             upd[out] = (
@@ -2370,13 +2511,42 @@ class TableStore:
                 f"AS {ddl})"
             )
             ins[out] = f"CAST(COALESCE(s.__d_{out}, 0) AS {ddl})"
+        if extremes:
+            # recomputed groups take ABSOLUTE values for every
+            # aggregate (count/sum absolutes equal the delta result by
+            # construction — one consistent row either way); fast-path
+            # groups fold inserts with least/greatest
+            upd[cnt] = (
+                f"CAST(CASE WHEN s.__rec THEN s.__abs_{cnt} "
+                f"ELSE t.{cnt} + s.__dn END AS BIGINT)"
+            )
+            for out in spec["sums"]:
+                ddl = mv_schema[out].dataType.simpleString()
+                upd[out] = (
+                    f"CAST(CASE WHEN s.__rec THEN COALESCE(s.__abs_{out}, 0) "
+                    f"ELSE COALESCE(t.{out}, 0) + COALESCE(s.__d_{out}, 0) "
+                    f"END AS {ddl})"
+                )
+            for out in extremes:
+                ddl = mv_schema[out].dataType.simpleString()
+                fold = "least" if out in mins else "greatest"
+                upd[out] = (
+                    f"CAST(CASE WHEN s.__rec THEN s.__abs_{out} "
+                    f"ELSE {fold}(t.{out}, s.__ins_{out}) END AS {ddl})"
+                )
+                ins[out] = f"CAST(s.__ins_{out} AS {ddl})"
+            # a recomputed group that emptied has no absolute row left
+            delete_cond = (
+                f"(s.__rec AND s.__abs_{cnt} IS NULL) OR "
+                f"((NOT s.__rec) AND (t.{cnt} + s.__dn) = 0)"
+            )
         metrics = self.merge(
             view,
             net,
             on=group_by,
             when_matched_update=upd,
             when_not_matched_insert=ins,
-            when_matched_delete=f"(t.{cnt} + s.__dn) = 0",
+            when_matched_delete=delete_cond,
         )
         spec["applied"] = cur
         self._mv_write_spec(view, spec)

@@ -2643,26 +2643,36 @@ g28a1 AS (
   FROM fx_file GROUP BY dir_id
 ),
 g28a2 AS (
-  SELECT dir_id, CAST(COUNT(*) AS BIGINT) AS n, COALESCE(SUM(size), 0) AS s
+  SELECT dir_id, CAST(COUNT(*) AS BIGINT) AS n, COALESCE(SUM(size), 0) AS s,
+         MIN(size) AS mn, MAX(size) AS mx
   FROM f2 GROUP BY dir_id
 ),
 g28a3 AS (
-  SELECT dir_id, CAST(COUNT(*) AS BIGINT) AS n, COALESCE(SUM(size), 0) AS s
+  SELECT dir_id, CAST(COUNT(*) AS BIGINT) AS n, COALESCE(SUM(size), 0) AS s,
+         MIN(size) AS mn, MAX(size) AS mx
   FROM g28s3 GROUP BY dir_id
 ),
 g28m1 AS ({_G28_METRICS_CTE.format(a="g28a1", b="g28a2")}),
 g28m2 AS ({_G28_METRICS_CTE.format(a="g28a2", b="g28a3")})
 SELECT 'mv1' AS part, CAST(dir_id AS BIGINT) AS k1,
-       n AS n1, CAST(s AS DOUBLE) AS v1
+       n AS n1, CAST(s AS DOUBLE) AS v1,
+       CAST(mn AS DOUBLE) AS v2, CAST(mx AS DOUBLE) AS v3
 FROM g28a2
 UNION ALL
-SELECT 'mv2', CAST(dir_id AS BIGINT), n, CAST(s AS DOUBLE) FROM g28a3
+SELECT 'mv2', CAST(dir_id AS BIGINT), n, CAST(s AS DOUBLE),
+       CAST(mn AS DOUBLE), CAST(mx AS DOUBLE)
+FROM g28a3
 UNION ALL
-SELECT 'meta1', ins, upd, CAST(del AS DOUBLE) FROM g28m1
+SELECT 'meta1', ins, upd, CAST(del AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM g28m1
 UNION ALL
-SELECT 'meta2', ins, upd, CAST(del AS DOUBLE) FROM g28m2
+SELECT 'meta2', ins, upd, CAST(del AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM g28m2
 UNION ALL
-SELECT 'status', 1, 1, CAST(NULL AS DOUBLE)
+SELECT 'status', 1, 1, CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 """.format(ctes=fixtures.FIXTURE_CTES)
 
 
@@ -2671,13 +2681,17 @@ def g28_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized view with CDC-driven incremental refresh
     (TableStore.create_mview/refresh_mview — the Delta Live Tables /
     Materialize loop from the store's own primitives): seed a
-    per-directory rollup MV (COUNT(*) + SUM0(size)) over the file
-    table, commit the g6 change wave, refresh, commit a MOR
-    delete_where wave, refresh again. 'mv1'/'mv2' pin the MV contents
-    after each refresh against straight recomputes — incremental ==
-    recompute, including group moves, NULL group keys (null-safe
-    MERGE keys), groups deleted to zero, and deletes arriving as
-    metadata-only deletion vectors through the CDC feed. 'meta1'/
+    per-directory rollup MV (COUNT(*) + SUM0(size) + MIN/MAX(size))
+    over the file table, commit the g6 change wave, refresh, commit a
+    MOR delete_where wave, refresh again. 'mv1'/'mv2' pin the MV
+    contents after each refresh against straight recomputes —
+    incremental == recompute, including group moves, NULL group keys
+    (null-safe MERGE keys), groups deleted to zero, deletes arriving
+    as metadata-only deletion vectors through the CDC feed, and
+    MIN/MAX maintained delete-aware (inserts fold via least/greatest;
+    a group whose extreme was retracted — the delete wave removes
+    min-or-max holders in some dirs — recomputes from the pinned
+    source generation, O(retracted-extreme groups) only). 'meta1'/
     'meta2' pin the refresh's MERGE metrics against SQL-derived
     expected group counts (inserted = new groups, updated = net-
     changed groups — zero-net groups are filtered before the MERGE
@@ -2712,6 +2726,8 @@ def g28_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_by=["dir_id"],
         count_col="n_files",
         sums={"total_size": "size"},
+        mins={"min_size": "size"},
+        maxs={"max_size": "size"},
         key_cols=["id"],
         compare_cols=["name", "dir_id", "size", "mtime"],
     )
@@ -2722,6 +2738,8 @@ def g28_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dir_id").cast("bigint").alias("k1"),
         F.col("n_files").cast("bigint").alias("n1"),
         F.col("total_size").cast("double").alias("v1"),
+        F.col("min_size").cast("double").alias("v2"),
+        F.col("max_size").cast("double").alias("v3"),
     )
     noop = store.refresh_mview("dir_rollup")
     store.delete_where("file", G28_DEL_PRED)
@@ -2738,6 +2756,8 @@ def g28_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dir_id").cast("bigint").alias("k1"),
         F.col("n_files").cast("bigint").alias("n1"),
         F.col("total_size").cast("double").alias("v1"),
+        F.col("min_size").cast("double").alias("v2"),
+        F.col("max_size").cast("double").alias("v3"),
     )
     meta = spark.createDataFrame(
         [
@@ -2756,6 +2776,8 @@ def g28_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k1").cast("bigint").alias("k1"),
         F.col("n1").cast("bigint").alias("n1"),
         "v1",
+        _dn().alias("v2"),
+        _dn().alias("v3"),
     )
     out = mv1.unionByName(mv2).unionByName(meta).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
