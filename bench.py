@@ -120,6 +120,7 @@ HEADLINE = [
     "g29_optimize",  # compact + ANALYZE + vacuum in one data-invariant pass
     # round-8 additions
     "g30_bucketed_merge",  # O(changes) MERGE on a bucketed table, 0-Exchange join kept
+    "g31_subtree_scan",  # manifest-level prefix skipping (P5 at catalog scale)
     # round-6 additions: TPC-H completion set + merge-on-read deletes
     "a17_small_qty_revenue",  # Q17 correlated-AVG decorrelated to one window
     "a19_order_count_distribution",  # Q13 outer-join count distribution

@@ -341,6 +341,16 @@ class Engine:
             if self.store.mview_spec(view).get("src") in _SCHEMAS:
                 self.store.refresh_mview(view)
 
+    def subtree(self, prefix: str) -> tuple[DataFrame, dict[str, int]]:
+        """P5 at catalog scale: every catalog directory under `prefix`,
+        served through the store's manifest-level prefix skipping
+        (store.read_prefix) — only segments whose dir_path zone range
+        can intersect the subtree are opened, so the query cost tracks
+        the subtree's share of crawl waves, not catalog history.
+        Returns (rows, skip report). The reference serves this from
+        its dir_path B-tree (FileDbDAL/Directory.py range scans)."""
+        return self.store.read_prefix("directory", "dir_path", prefix)
+
     def duplicate_report(self, min_count: int = 2) -> DataFrame:
         return search.duplicate_groups(self.listing(), min_count=min_count)
 

@@ -248,6 +248,10 @@ def upsert_directories_into(store, staged_dirs: DataFrame, now) -> dict:
         "directory",
         staged,
         ["dir_path"],
+        # dir_path zone maps on every wave's upsert segment: crawl
+        # waves have subtree locality, so store.read_prefix() prunes
+        # subtree queries to the touching segments (P5 at 100x)
+        zone_cols=["dir_path"],
         when_matched_update={
             "ctime": F.col("s.ctime"),
             "mtime": F.col("s.mtime"),

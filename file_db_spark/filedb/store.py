@@ -1139,6 +1139,75 @@ class TableStore:
             report["scanned"] += 1
         return self._read_gen(name, cur, keep=keep).where(pred), report
 
+    @staticmethod
+    def _prefix_upper(prefix: str) -> str | None:
+        """Smallest string greater than every string with this prefix
+        (last char incremented, max-codepoint tail dropped); None when
+        no upper bound exists. Python code-point order == Spark's
+        UTF8 binary order (UTF-8 preserves code-point order), so the
+        bound composes with Spark-written zone maps."""
+        p = prefix
+        while p:
+            c = ord(p[-1])
+            if c < 0x10FFFF:
+                return p[:-1] + chr(c + 1)
+            p = p[:-1]
+        return None
+
+    def read_prefix(
+        self, name: str, col: str, prefix: str
+    ) -> tuple[DataFrame, dict[str, int]]:
+        """Subtree/prefix scan with manifest-level data skipping (P5 at
+        catalog scale): rows where `col` STARTS WITH `prefix`, scanning
+        only the segments whose [min, max] zone range on `col` can
+        intersect [prefix, prefix⁺) — pure metadata, no data file
+        opened for the rest. Because segments are sorted on the path
+        column at write (SORT_KEYS) and crawl waves have subtree
+        locality, a subtree query over a continuously-crawled catalog
+        opens O(matching segments), not O(history) — the engine-store
+        analog of g11's z-order range clustering, and the reference's
+        `dir_path` B-tree range scan (FileDbDAL/Directory.py). Scoped
+        filters and deletion vectors of surviving segments still
+        apply. Returns (rows, report) like read_point."""
+        cur = self._current(name)
+        pred = F.col(col).startswith(prefix)
+        if cur is None:
+            return (
+                self.spark.createDataFrame([], self.schemas[name]),
+                {"total": 0, "zone_skipped": 0, "scanned": 0},
+            )
+        doc = self._doc(cur)
+        if doc is None:
+            return self._read_gen(name, cur).where(pred), {
+                "total": 1,
+                "zone_skipped": 0,
+                "scanned": 1,
+            }
+        upper = self._prefix_upper(prefix)
+        report = {
+            "total": len(doc["segments"]),
+            "zone_skipped": 0,
+            "scanned": 0,
+        }
+        keep: set[str] = set()
+        for e in doc["segments"]:
+            st = (e.get("stats") or {}).get(col)
+            if st is not None:
+                zmin, zmax = st.get("min"), st.get("max")
+                # the segment's value range can only miss [prefix,
+                # upper) when stats are present; all-NULL segments
+                # (zmin None) can never satisfy startswith
+                if zmin is None:
+                    if int(st.get("nulls", 0)) > 0 and zmax is None:
+                        report["zone_skipped"] += 1
+                        continue
+                elif zmax < prefix or (upper is not None and zmin >= upper):
+                    report["zone_skipped"] += 1
+                    continue
+            keep.add(_seg_id(e))
+            report["scanned"] += 1
+        return self._read_gen(name, cur, keep=keep).where(pred), report
+
     def write_with_expectations(
         self, name: str, df: DataFrame, expectations: dict[str, str]
     ) -> dict[str, int]:
@@ -1699,6 +1768,8 @@ class TableStore:
         when_not_matched_insert: dict | str | None = "all",
         when_matched_delete=None,
         changed_only: list[str] | None = None,
+        zone_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict[str, int]:
         """General MERGE INTO (the Delta/Iceberg `MERGE` analog),
         unifying the engine's bespoke upserts (merge.py M1/M2) with
@@ -1719,6 +1790,9 @@ class TableStore:
           updated only if one of these columns differs null-safely
           between source and target, so a re-crawl wave that touched
           nothing writes nothing.
+        - `zone_cols` / `bloom_cols`: record data-skipping statistics
+          on the upsert segment (append()'s contract) so point and
+          prefix reads can prune the wave's segment at manifest level.
 
         COMMIT SHAPE: for a non-bucketed table with an existing base
         the merge commits O(changes) — ONE manifest generation adding
@@ -1897,7 +1971,18 @@ class TableStore:
                         ),
                         "seg",
                     )
-                    doc["segments"] = doc["segments"] + [{"path": seg}]
+                    entry: dict = {"path": seg}
+                    if zone_cols or bloom_cols:
+                        # data-skipping stats on the upsert segment
+                        # (one O(delta) aggregate over the bytes just
+                        # written — same contract as append())
+                        written = self.spark.read.schema(
+                            self.schemas[name]
+                        ).parquet(os.path.join(d, seg))
+                        entry["stats"] = self._segment_stats(
+                            written, zone_cols or [], bloom_cols or []
+                        )
+                    doc["segments"] = doc["segments"] + [entry]
                 self._commit_manifest(name, doc)
                 return metrics
             finally:

@@ -3120,6 +3120,91 @@ def g30_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# g31: SUBTREE-PREFIX SKIPPING — P5 ("everything under this path") at
+# catalog scale: dir_path zone maps on every segment let a
+# startswith(prefix) query open only the segments whose path range can
+# intersect the subtree (store.read_prefix; the engine's crawl-wave
+# MERGE records the stats on every upsert segment).
+# ---------------------------------------------------------------------------
+
+_G31_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES}
+SELECT 'row' AS part, CAST(id AS BIGINT) AS id, dir_path,
+       CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2
+FROM fx_directory WHERE dir_path LIKE '/corpus%'
+UNION ALL
+SELECT 'report', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1, 2
+UNION ALL
+SELECT 'miss', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 0, 0
+"""
+
+
+@_q("g31_subtree_scan", _G31_ORACLE)
+def g31_subtree_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree-prefix scan with manifest-level skipping
+    (TableStore.read_prefix — VERDICT r7 #7): the directory fixture is
+    committed as two path-family segments ('/corpus/...' vs
+    'C:\\corpus\\...') with dir_path zone maps, then 'everything under
+    /corpus' is served opening ONLY the matching segment. 'row' pins
+    the subtree's rows against a LIKE scan in DuckDB (skipping changes
+    what is READ, never the answer); 'report' pins the skip
+    accounting — 1 of 2 segments scanned from pure metadata; 'miss'
+    pins the empty-prefix case — 0 segments opened, 0 rows.
+
+    Scale: a continuously-crawled catalog accrues one upsert segment
+    per wave (g30/g26), each stamped with its dir_path range by the
+    engine's MERGE; waves have subtree locality, so 'ls -R /backup/
+    2024-06' on a 10^9-directory catalog opens the handful of
+    segments whose range touches that subtree — the manifest-level
+    analog of the reference's dir_path B-tree range scan
+    (FileDbDAL/Directory.py) and of Delta/Iceberg file skipping over
+    a range-clustered layout (g11's z-order is the 2-D sibling)."""
+    import shutil
+    import tempfile
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    dcols = [f.name for f in schemas.DIRECTORY.fields]
+    d1 = fixtures.fixture_directory(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_g31_")
+    store = TableStore(
+        spark, root, {"directory": schemas.DIRECTORY}, bucketing=False
+    )
+    for fam in ("/", "C:"):
+        store.append(
+            "directory",
+            d1.where(F.col("dir_path").startswith(fam)).select(*dcols),
+            zone_cols=["dir_path"],
+        )
+    rows, rep = store.read_prefix("directory", "dir_path", "/corpus")
+    miss, rep_miss = store.read_prefix("directory", "dir_path", "/zzz")
+    out_rows = rows.select(
+        F.lit("row").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        "dir_path",
+        _bn().alias("n1"),
+        _bn().alias("n2"),
+    )
+    meta = spark.createDataFrame(
+        [
+            ("report", rep["scanned"], rep["total"]),
+            ("miss", rep_miss["scanned"], miss.count()),
+        ],
+        "part string, a long, b long",
+    ).select(
+        "part",
+        _bn().alias("id"),
+        _sn().alias("dir_path"),
+        F.col("a").cast("bigint").alias("n1"),
+        F.col("b").cast("bigint").alias("n2"),
+    )
+    out = out_rows.unionByName(meta).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # g27: BUCKETED CO-LOCATED JOIN — the standing file<->hash join paid
 # once at write time. Both fact tables are hash-clustered on the join
 # key into the same bucket count; every subsequent equi-join plans

@@ -518,3 +518,103 @@ def test_optimize_noop_on_clean_table(spark, tmp_path):
     assert t["segments_before"] == t["segments_after"] == 1
     assert rep["generations_reclaimed"] == 0
     assert store.read("a").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Prefix/subtree skipping (VERDICT r7 #7): startswith(prefix) scans
+# only the segments whose zone range on the path column can intersect
+# [prefix, prefix+) — P5 at catalog scale.
+# ---------------------------------------------------------------------------
+
+_PSCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _prefix_store(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path / "p"), {"t": _PSCHEMA}, bucketing=False)
+    for root in ("/a", "/b", "/c"):
+        rows = spark.createDataFrame(
+            [(f"{root}/d{i}", i) for i in range(20)], _PSCHEMA
+        )
+        st.append("t", rows, zone_cols=["path"])
+    return st
+
+
+def test_read_prefix_prunes_disjoint_subtrees(spark, tmp_path):
+    st = _prefix_store(spark, tmp_path)
+    df, rep = st.read_prefix("t", "path", "/b/")
+    assert rep == {"total": 3, "zone_skipped": 2, "scanned": 1}
+    assert df.count() == 20
+    assert all(r["path"].startswith("/b/") for r in df.collect())
+    # a root-wide prefix scans everything; a miss scans nothing
+    _, rep_all = st.read_prefix("t", "path", "/")
+    assert rep_all == {"total": 3, "zone_skipped": 0, "scanned": 3}
+    miss, rep_miss = st.read_prefix("t", "path", "/zzz")
+    assert rep_miss["scanned"] == 0 and miss.count() == 0
+
+
+def test_read_prefix_boundary_and_equality(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path / "pb"), {"t": _PSCHEMA}, bucketing=False)
+    st.append(
+        "t",
+        spark.createDataFrame([("/b", 1), ("/b/x", 2)], _PSCHEMA),
+        zone_cols=["path"],
+    )
+    st.append(
+        "t",
+        spark.createDataFrame([("/b0", 3)], _PSCHEMA),  # '/b0' > '/b/' range
+        zone_cols=["path"],
+    )
+    df, rep = st.read_prefix("t", "path", "/b/")
+    # '/b0' sorts after every '/b/'-prefixed string -> segment skipped
+    assert rep["zone_skipped"] == 1 and rep["scanned"] == 1
+    assert [r["path"] for r in df.collect()] == ["/b/x"]
+    # exact-equality prefix: a segment whose max IS the prefix survives
+    df2, rep2 = st.read_prefix("t", "path", "/b")
+    assert df2.count() == 3  # '/b', '/b/x', '/b0' all start with '/b'
+    assert rep2["scanned"] == 2
+
+
+def test_read_prefix_respects_dvs_and_scoped_filters(spark, tmp_path):
+    st = _prefix_store(spark, tmp_path)
+    st.delete_rows(
+        "t",
+        spark.createDataFrame([("/b/d3",), ("/b/d4",)], "path string"),
+        ["path"],
+    )
+    df, rep = st.read_prefix("t", "path", "/b/")
+    assert df.count() == 18  # deletion vector still applies post-prune
+    assert rep["scanned"] == 1
+
+
+def test_engine_subtree_opens_only_matching_segments(spark, tmp_path):
+    """Engine integration: crawl two roots in separate waves; a
+    subtree query over root 1 prunes the waves that only touched
+    root 2 (dir_path zone maps recorded by the MERGE upsert segments),
+    and returns exactly root 1's directories."""
+    from file_db_spark.filedb.engine import Engine
+
+    r1 = tmp_path / "tree1"
+    r2 = tmp_path / "tree2"
+    for root, names in ((r1, "abc"), (r2, "xyz")):
+        for n in names:
+            (root / n).mkdir(parents=True)
+            (root / n / f"{n}.txt").write_text(n)
+    eng = Engine(spark, str(tmp_path / "cat2"))
+    eng.install()
+    eng.add_root(str(r1))
+    while eng.crawl_once(limit=100):
+        pass
+    eng.add_root(str(r2))
+    while eng.crawl_once(limit=100):
+        pass
+    rows, rep = eng.subtree(str(r1))
+    got = {r["dir_path"] for r in rows.collect()}
+    assert got == {str(r1)} | {str(r1 / n) for n in "abc"}
+    # the root-2-only waves' upsert segments are zone-pruned
+    assert rep["zone_skipped"] >= 1, rep
+    assert rep["scanned"] < rep["total"]
