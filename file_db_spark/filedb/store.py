@@ -389,10 +389,16 @@ class TableStore:
 
     def _load_disk_schemas(self) -> None:
         """Adopt tables persisted by a previous instance over this
-        root (declared schemas passed to __init__ take precedence)."""
+        root. Declared schemas passed to __init__ take precedence —
+        EXCEPT for tables with a column-mapping log, whose persisted
+        schema reflects renames/drops a stale declaration cannot know
+        about (the epoch map only decodes correctly against the
+        post-rename declared names)."""
         for entry in sorted(os.listdir(self.root)):
             p = os.path.join(self.root, entry, "_SCHEMA.json")
-            if entry not in self.schemas and os.path.exists(p):
+            if not os.path.exists(p):
+                continue
+            if entry not in self.schemas or self._colmap(entry) is not None:
                 with open(p) as fh:
                     self.schemas[entry] = T.StructType.fromJson(json.load(fh))
 
@@ -659,7 +665,179 @@ class TableStore:
             out = out.sortWithinPartitions(*SORT_KEYS[name])
         seg = f"{prefix}-{time.time_ns()}"
         out.write.mode("overwrite").parquet(os.path.join(d, seg))
+        self._stamp_epoch(name, os.path.join(d, seg))
         return seg
+
+    # -- column mapping (rename/drop without rewrite) --------------------------
+    # Stable-identity schema evolution for non-bucketed tables: a
+    # rename or drop is METADATA-ONLY. `_COLMAP.json` records an event
+    # log (rename/drop/add) with a monotonically increasing EPOCH, and
+    # every data directory written since the first event carries an
+    # `_EPOCH` stamp (an underscore file inside the parquet dir —
+    # invisible to scans). Reading a segment resolves each CURRENT
+    # logical column to its physical name AT THAT SEGMENT'S EPOCH by
+    # walking the event log backwards — the name-based equivalent of
+    # Delta column mapping / Iceberg field ids (events compose, and a
+    # column re-added after a drop can never capture an old physical
+    # column's bytes, because the old segment's read schema simply
+    # excludes it). Time travel, CDC diffs, and manifests mixing
+    # pre-/post-rename segments all present CURRENT logical names
+    # (Delta column-mapping semantics). Renames/drops require zero
+    # merge-on-read debt (compact first): scoped filter strings and
+    # DV key lists are written in the names current at THEIR commit,
+    # and the zero-debt gate keeps every live reference current.
+
+    def _colmap_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_COLMAP.json")
+
+    def _colmap(self, name: str) -> dict | None:
+        try:
+            with open(self._colmap_path(name)) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _colmap_append(self, name: str, events: list[dict]) -> None:
+        cm = self._colmap(name) or {"epoch": 0, "events": []}
+        cm["epoch"] += 1
+        for ev in events:
+            cm["events"].append({**ev, "epoch": cm["epoch"]})
+        p = self._colmap_path(name)
+        os.makedirs(self._dir(name), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cm, fh)
+        os.replace(tmp, p)
+
+    def _stamp_epoch(self, name: str, data_dir: str) -> None:
+        """Record the table's current schema epoch inside a freshly
+        written data dir (no-op for epoch-0 tables — absent stamp
+        means epoch 0)."""
+        cm = self._colmap(name)
+        if cm and cm["epoch"] > 0:
+            tmp = os.path.join(data_dir, "_EPOCH.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(cm["epoch"]))
+            os.replace(tmp, os.path.join(data_dir, "_EPOCH"))
+
+    @staticmethod
+    def _data_epoch(data_dir: str) -> int:
+        try:
+            with open(os.path.join(data_dir, "_EPOCH")) as fh:
+                return int(fh.read())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    @staticmethod
+    def _names_at_epoch(
+        fields: list, events: list[dict], epoch: int
+    ) -> dict[str, str | None]:
+        """current logical name -> physical name at `epoch` (None if
+        the field did not exist yet). Events are walked newest-first;
+        only events AFTER `epoch` separate then from now."""
+        out: dict[str, str | None] = {}
+        newer = [e for e in events if e["epoch"] > epoch]
+        for f in fields:
+            nm: str | None = f.name
+            for ev in reversed(newer):
+                if ev["op"] == "rename" and ev["to"] == nm:
+                    nm = ev["from"]
+                elif ev["op"] == "add" and ev["name"] == nm:
+                    nm = None  # born after this epoch
+                    break
+            out[f.name] = nm
+        return out
+
+    def _map_segment_df(
+        self, name: str, data_dir: str, colmap: dict
+    ) -> DataFrame:
+        """Read one data dir under column mapping: per-epoch physical
+        schema, aliased to current logical names, absent-at-epoch
+        fields null-filled."""
+        fields = list(self.schemas[name].fields)
+        epoch = self._data_epoch(data_dir)
+        if epoch >= colmap["epoch"]:
+            return self.spark.read.schema(self.schemas[name]).parquet(data_dir)
+        mapping = self._names_at_epoch(fields, colmap["events"], epoch)
+        phys = T.StructType(
+            [
+                T.StructField(mapping[f.name], f.dataType, True)
+                for f in fields
+                if mapping[f.name] is not None
+            ]
+        )
+        df = self.spark.read.schema(phys).parquet(data_dir)
+        cols = []
+        for f in fields:
+            if mapping[f.name] is None:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(mapping[f.name]).alias(f.name))
+        return df.select(*cols)
+
+    def _guard_colmap_change(self, name: str, cols: list[str]) -> None:
+        if self.bucketing and name in BUCKET_SPECS:
+            raise ValueError(
+                f"column mapping on bucketed table {name!r} requires a "
+                "rewrite (bucket DDL names are physical); use replace()"
+            )
+        for c in cols:
+            if c in SORT_KEYS.get(name, []):
+                raise ValueError(
+                    f"{name!r}: {c!r} is a sort-on-write key; rename the "
+                    "SORT_KEYS policy first"
+                )
+        debt = self.mor_debt(name)
+        if debt["filters"] or debt["deletes"]:
+            raise ValueError(
+                f"{name!r}: rename/drop requires zero merge-on-read debt "
+                "(scoped filters / deletion vectors reference column "
+                "names as-of their commit) — run compact() first"
+            )
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """METADATA-ONLY column rename (the Delta column-mapping /
+        Iceberg rename analog): no generation or segment is rewritten,
+        at any table size. Every read — current, time travel, CDC —
+        presents the NEW name uniformly; segments written before the
+        rename resolve through the epoch map. A rename alone is
+        invisible to diff_generations (same values, same keys)."""
+        schema = self.schemas[name]
+        if old not in schema.fieldNames():
+            raise ValueError(f"rename_column({name!r}): no column {old!r}")
+        if new in schema.fieldNames():
+            raise ValueError(
+                f"rename_column({name!r}): {new!r} already exists"
+            )
+        self._guard_colmap_change(name, [old])
+        self.schemas[name] = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        # persist unconditionally: a fresh instance must see the
+        # post-rename names even if its caller declared stale ones
+        self._persist_schema(name)
+        self._colmap_append(name, [{"op": "rename", "from": old, "to": new}])
+
+    def drop_column(self, name: str, col: str) -> None:
+        """METADATA-ONLY column drop: the declared schema shrinks; old
+        segments' bytes for the column are simply never read again. A
+        column added later under the SAME name is a NEW field — old
+        segments null-fill it and can never leak the dropped bytes
+        (the add event fences the epochs)."""
+        schema = self.schemas[name]
+        if col not in schema.fieldNames():
+            raise ValueError(f"drop_column({name!r}): no column {col!r}")
+        if len(schema.fields) == 1:
+            raise ValueError(f"drop_column({name!r}): cannot drop last column")
+        self._guard_colmap_change(name, [col])
+        self.schemas[name] = T.StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        self._persist_schema(name)
+        self._colmap_append(name, [{"op": "drop", "name": col}])
 
     def _table_name(self, name: str, gen_dir: str) -> str:
         gen = os.path.basename(gen_dir).replace("gen-", "")
@@ -740,7 +918,15 @@ class TableStore:
         data-skipping (read_point) prunes through; the scoped filters
         and vectors of the surviving segments still apply."""
         doc = self._doc(gen_dir)
-        reader = self.spark.read.schema(self.schemas[name])
+        colmap = self._colmap(name)
+
+        def _read_data(data_dir: str) -> DataFrame:
+            if colmap is not None:
+                return self._map_segment_df(name, data_dir, colmap)
+            return self.spark.read.schema(self.schemas[name]).parquet(
+                data_dir
+            )
+
         if doc is None:
             # bucketed MOR generation read OUTSIDE the session catalog
             # (fresh session / time travel / CDC diff): plain path read
@@ -752,7 +938,7 @@ class TableStore:
                     self._bucket_phys_schema(name)
                 ).parquet(gen_dir)
                 return self._apply_bucket_dvs(name, gen_dir, phys)
-            return reader.parquet(gen_dir)
+            return _read_data(gen_dir)
         table_dir = os.path.dirname(gen_dir)
         dvs = [
             {
@@ -768,7 +954,10 @@ class TableStore:
         for e in doc["segments"]:
             if keep is not None and _seg_id(e) not in keep:
                 continue
-            df = reader.parquet(os.path.join(table_dir, e["path"]))
+            # column mapping resolves to CURRENT logical names BEFORE
+            # scoped filters and deletion vectors apply (their
+            # references are kept current by the zero-debt rename gate)
+            df = _read_data(os.path.join(table_dir, e["path"]))
             if e.get("filter"):
                 df = df.where(F.expr(e["filter"]))
             seg_id = os.path.basename(e["path"].rstrip("/"))
@@ -857,6 +1046,7 @@ class TableStore:
                 if name in SORT_KEYS:
                     out = out.sortWithinPartitions(*SORT_KEYS[name])
                 out.write.mode("overwrite").parquet(gen)
+                self._stamp_epoch(name, gen)
             self._catalog_swap({name: os.path.basename(gen)})
 
     def vacuum(self, retain: int = 1, respect_consumers: bool = False) -> None:
@@ -1408,6 +1598,13 @@ class TableStore:
     def _clone_locked(
         self, name: str, src_dir: str, tdir: str, target: str
     ) -> None:
+        # the clone shares the source's segments, so it must share the
+        # epoch map that decodes them; its own renames diverge from here
+        if self._colmap(name) is not None:
+            os.makedirs(tdir, exist_ok=True)
+            shutil.copyfile(
+                self._colmap_path(name), self._colmap_path(target)
+            )
         base = self._base_doc(name)
 
         def rerel(rel: str) -> str:
@@ -1519,6 +1716,13 @@ class TableStore:
                     "nullable (old files cannot supply values for it)"
                 )
         self.schemas[name] = new_schema
+        if added and self._colmap(name) is not None:
+            # epoch-fence the additions: a column re-added under a
+            # previously-dropped name must NOT capture old segments'
+            # bytes — their read schema excludes it and null-fills
+            self._colmap_append(
+                name, [{"op": "add", "name": f.name} for f in added]
+            )
         if os.path.exists(os.path.join(self._dir(name), "_SCHEMA.json")):
             self._persist_schema(name)  # keep the on-disk registry current
         if self.bucketing and name in BUCKET_SPECS:
@@ -2053,6 +2257,7 @@ class TableStore:
                 if name in SORT_KEYS:
                     out = out.sortWithinPartitions(*SORT_KEYS[name])
                 out.write.mode("overwrite").parquet(sdir)
+                self._stamp_epoch(name, sdir)  # travels with the rename
                 staged[name] = os.path.basename(sdir)
             if crash_before_journal:
                 raise RuntimeError(

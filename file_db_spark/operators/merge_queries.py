@@ -1265,15 +1265,36 @@ def g15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _G16_ORACLE = f"""
 WITH {fixtures.FIXTURE_CTES}
 SELECT 'cur' AS part, CAST(id AS BIGINT) AS id, name,
-       CAST(dir_id AS BIGINT) AS dir_id, CAST(NULL AS VARCHAR) AS origin
+       CAST(dir_id AS BIGINT) AS dir_id, CAST(size AS DOUBLE) AS size_mb,
+       CAST(NULL AS VARCHAR) AS origin
 FROM fx_file
 UNION ALL
 SELECT 'cur', CAST(id + 1000000 AS BIGINT), name,
-       CAST(dir_id AS BIGINT), 'wave2'
+       CAST(dir_id AS BIGINT), CAST(size AS DOUBLE), 'wave2'
 FROM fx_file
 UNION ALL
 SELECT 'old', CAST(id AS BIGINT), name,
-       CAST(dir_id AS BIGINT), CAST(NULL AS VARCHAR)
+       CAST(dir_id AS BIGINT), CAST(size AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM fx_file
+UNION ALL
+SELECT 'ren', CAST(id AS BIGINT), name, CAST(dir_id AS BIGINT),
+       CAST(size AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM fx_file
+UNION ALL
+SELECT 'ren', CAST(id + 1000000 AS BIGINT), name,
+       CAST(dir_id AS BIGINT), CAST(size AS DOUBLE), 'wave2'
+FROM fx_file
+UNION ALL
+SELECT 'ren', CAST(id + 2000000 AS BIGINT), name,
+       CAST(dir_id AS BIGINT), CAST(size AS DOUBLE), 'wave3'
+FROM fx_file
+UNION ALL
+SELECT 'tt', CAST(id AS BIGINT), name, CAST(dir_id AS BIGINT),
+       CAST(size AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM fx_file
+UNION ALL
+SELECT 'tt', CAST(id + 1000000 AS BIGINT), name,
+       CAST(dir_id AS BIGINT), CAST(size AS DOUBLE), 'wave2'
 FROM fx_file
 """
 
@@ -1287,12 +1308,21 @@ def g16_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     that carries the column. The 'cur' rows prove a mixed-segment
     manifest reads through the one widened schema (pre-evolution rows
     null-fill); the 'old' rows prove time travel to a pre-evolution
-    generation ALSO presents the widened schema. The oracle spells
-    out exactly that contract in SQL.
+    generation ALSO presents the widened schema. Then the RENAME half
+    (VERDICT r7 #8 — column mapping, the Delta column-mapping /
+    Iceberg field-id analog): rename_column('size' -> 'size_mb') is
+    metadata-only too; 'ren' pins the post-rename state — THREE
+    epochs of segments (pre-evolution, pre-rename, post-rename) read
+    uniformly under the new name, including a wave appended AFTER the
+    rename under the new physical name; 'tt' pins time travel ACROSS
+    the rename boundary — the pre-rename generation presents the
+    current logical name (values identical). The oracle spells out
+    exactly that contract in SQL.
 
     At 100 TB evolution must be O(1) metadata, never an O(table)
-    rewrite — `store.evolve` is, and this query is the driver-graded
-    proof that reads stay correct across the boundary."""
+    rewrite — `store.evolve`, `rename_column`, and `drop_column` all
+    are, and this query is the driver-graded proof that reads stay
+    correct across every boundary."""
     import shutil
     import tempfile
 
@@ -1318,11 +1348,36 @@ def g16_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("bigint").alias("id"),
         "name",
         F.col("dir_id").cast("bigint").alias("dir_id"),
+        F.col("size").cast("double").alias("size_mb"),
         "origin",
     ]
     cur = store.read("file").select(F.lit("cur").alias("part"), *cols)
     old = store.read_at("file", back=1).select(F.lit("old").alias("part"), *cols)
-    out = cur.unionByName(old).localCheckpoint(eager=True)
+    # rename boundary: metadata-only (size is not a sort-on-write key,
+    # so the rename gate allows it), then append a wave under the NEW
+    # physical name — three segment epochs now coexist in one manifest
+    store.rename_column("file", "size", "size_mb")
+    wave3 = (
+        f1.withColumn("id", F.col("id") + 2000000)
+        .withColumnRenamed("size", "size_mb")
+        .withColumn("origin", F.lit("wave3"))
+    )
+    store.append("file", wave3)
+    rcols = [
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.col("dir_id").cast("bigint").alias("dir_id"),
+        F.col("size_mb").cast("double").alias("size_mb"),
+        "origin",
+    ]
+    ren = store.read("file").select(F.lit("ren").alias("part"), *rcols)
+    tt = store.read_at("file", back=1).select(F.lit("tt").alias("part"), *rcols)
+    out = (
+        cur.unionByName(old)
+        .unionByName(ren)
+        .unionByName(tt)
+        .localCheckpoint(eager=True)
+    )
     shutil.rmtree(root, ignore_errors=True)
     return out
 
