@@ -158,7 +158,10 @@ class Engine:
         # d_res.directory / f_res.file (tests/test_incremental_ops.py).
         merge.upsert_directories_into(self.store, staged_dirs, now)
         merge.upsert_files_into(self.store, staged_files.drop("dir_path"), now)
-        self.store.replace("directory_control", control)
+        # directory_control is as large as the catalog — commit the
+        # recomputed state O(changes) too (all-column change
+        # suppression; only claimed/crawled/seeded rows differ)
+        merge.upsert_control_into(self.store, control)
         self.store.append("hash_control", f_res.hash_schedule)
         # one emptiness probe for both queues (two isEmpty calls would
         # each re-walk their merge lineage)
@@ -192,19 +195,50 @@ class Engine:
             dir_removals.select("dir_id"),
             now,
         )
-        new_file, new_hash, new_hc, file_archive = merge.delete_files(
+        _, _, _, file_archive = merge.delete_files(
             res["file"], res["hash"], res["hash_control"],
             file_removals.select("file_id"), now,
         )
-        self.store.replace("directory", res["directory"])
-        self.store.replace("directory_control", res["directory_control"])
-        self.store.replace("file", new_file)
-        self.store.replace("hash", new_hash)
-        self.store.replace("hash_control", new_hc)
+        # archives first (append-only lineage; the lazy victim reads
+        # pin the pre-delete snapshot — old generations stay on disk)
         self.store.append("directory_archive", res["directory_archive_rows"])
         self.store.append(
             "file_archive", res["file_archive_rows"].unionByName(file_archive)
         )
+        # then the deletes, all O(victims): deletion vectors for the
+        # manifest-committed tables, delete-only MERGEs (commit-scoped
+        # DVs, base hardlinked) for the bucketed ones — a removal wave
+        # writes kilobytes, never a rebuilt catalog (the round-7 shape
+        # replaced FIVE full-table rewrites here)
+        dir_victims = res["victim_dir_ids"]
+        file_victims = (
+            res["victim_file_ids"]
+            .unionByName(file_removals.select("file_id"))
+            .distinct()
+        )
+        self.store.delete_rows(
+            "directory", dir_victims.select(F.col("dir_id").alias("id")), ["id"]
+        )
+        self.store.delete_rows(
+            "directory_control", dir_victims.select("dir_id"), ["dir_id"]
+        )
+        self.store.merge(
+            "file",
+            file_victims.select(F.col("file_id").alias("id")),
+            ["id"],
+            when_matched_update=None,
+            when_not_matched_insert=None,
+            when_matched_delete="true",
+        )
+        self.store.merge(
+            "hash",
+            file_victims,
+            ["file_id"],
+            when_matched_update=None,
+            when_not_matched_insert=None,
+            when_matched_delete="true",
+        )
+        self.store.delete_rows("hash_control", file_victims, ["file_id"])
 
     # -- hash wave (§3.1 stage 6) ------------------------------------------
     def hash_once(
@@ -219,7 +253,9 @@ class Engine:
         limit = limit if limit is not None else self.config["hash_batch_size"]
         process_id = process_id if process_id is not None else self.config["process_id"]
         hc = self.store.read("hash_control")
-        work, hc = scheduler.get_files_to_hash(hc, now, limit, process_id)
+        # claims are intra-wave here (claimed rows are processed and
+        # dropped in the same wave), so only `work` is committed state
+        work, _ = scheduler.get_files_to_hash(hc, now, limit, process_id)
         # NOTE: vw_ll/vw_file_detail join full_path with a backslash
         # (reference quirk) — rebuild with the OS separator for real IO
         f = self.store.read("file").alias("f")
@@ -233,12 +269,18 @@ class Engine:
         todo = work.join(io_paths, "file_id", "left")
         n = todo.count()
         if n == 0:
-            self.store.replace("hash_control", hc)
-            return 0
-        staged = hash_files(todo)
-        new_hash, new_hc = merge.merge_hashes(self.store.read("hash"), hc, staged, now)
-        self.store.replace("hash", new_hash)
-        self.store.replace("hash_control", new_hc)
+            return 0  # nothing claimed: the control state is unchanged
+        staged = hash_files(todo).localCheckpoint(eager=True)
+        # entity commit O(changes): bucketed MERGE on the hash table
+        # (merge_hashes' M4/M5 clauses — upsert_hashes_into); control
+        # commit O(processed): ONE deletion vector dropping the
+        # claimed-and-processed rows (file_missing ones included),
+        # exactly merge_hashes' anti-join semantics without rewriting
+        # a control table as large as the unhashed backlog
+        merge.upsert_hashes_into(self.store, staged, now)
+        self.store.delete_rows(
+            "hash_control", staged.select("file_id"), ["file_id"]
+        )
         return n
 
     def run_until_idle(self, max_waves: int = 100, limit: int = 100) -> None:
@@ -254,13 +296,14 @@ class Engine:
             if crawled == 0 and hashed == 0:
                 break
         horizon = self.config.get("archive_compact_segments", 8)
-        for t in ("directory_archive", "file_archive", "hash_control"):
+        for t in ("directory_archive", "file_archive"):
             self.store.compact(t, max_segments=horizon)
-        # the entity tables accrue merge-on-read debt per MERGE-
-        # committed wave (`directory`: upsert segments + DVs; `file`:
-        # bucket-aligned delta waves + DVs) — fold it on the idle edge
-        self.store.compact("directory", max_segments=horizon, max_mor_debt=horizon)
-        self.store.compact("file", max_segments=horizon, max_mor_debt=horizon)
+        # every hot table now accrues merge-on-read debt per wave
+        # (`directory`/`directory_control`/`hash_control`: upsert
+        # segments + DVs; `file`/`hash`: bucket-aligned delta waves +
+        # commit-scoped DVs) — fold it all on the same idle edge
+        for t in ("directory", "directory_control", "hash_control", "file", "hash"):
+            self.store.compact(t, max_segments=horizon, max_mor_debt=horizon)
         # refresh planner statistics on the same maintenance cadence
         # (one aggregate pass) so the broadcast-vs-shuffle decision
         # tracks the catalog's actual size

@@ -41,6 +41,8 @@ __all__ = [
     "delete_files",
     "delete_directories",
     "upsert_directories_into",
+    "upsert_hashes_into",
+    "upsert_control_into",
     "upsert_files_into",
 ]
 
@@ -423,6 +425,66 @@ def merge_hashes(
     return new_hash, new_control
 
 
+def upsert_hashes_into(store, staged_hashes: DataFrame, now) -> dict:
+    """M4/M5 as a TableStore.merge() call — the hash wave's entity
+    commit, O(changes): `hash` is BUCKETED on file_id, so the store
+    writes bucket-aligned delta files + a commit-scoped deletion
+    vector and hardlinks the base (never a table rewrite — the
+    reference maintains hash_sha1_hash/file_id B-trees incrementally
+    per insert, FileDbDAL/Hash.py:94-103). Same clauses as
+    merge_hashes: update digest + stamp times only when a digest
+    null-safely differs (M5 change detection); insert with
+    id = file_id. file_missing rows never reach `hash`. Returns merge
+    metrics."""
+    ok = staged_hashes.where(~F.col("file_missing")).dropDuplicates(
+        ["file_id"]
+    )
+    src = ok.select("file_id", "md5_hash", "sha1_hash", "hashed_on")
+    return store.merge(
+        "hash",
+        src,
+        ["file_id"],
+        when_matched_update={
+            "md5_hash": F.col("s.md5_hash"),
+            "md5_hash_time": F.col("s.hashed_on"),
+            "sha1_hash": F.col("s.sha1_hash"),
+            "sha1_hash_time": F.col("s.hashed_on"),
+        },
+        when_not_matched_insert={
+            "id": F.col("s.file_id"),
+            "md5_hash": F.col("s.md5_hash"),
+            "md5_hash_time": F.col("s.hashed_on"),
+            "sha1_hash": F.col("s.sha1_hash"),
+            "sha1_hash_time": F.col("s.hashed_on"),
+        },
+        changed_only=["md5_hash", "sha1_hash"],
+    )
+
+
+def upsert_control_into(store, control: DataFrame) -> dict:
+    """Commit a recomputed directory_control state O(changes): the
+    scheduler functions produce the FULL next control state (claims
+    stamped, crawled rows rescheduled, new dirs seeded — the row set
+    only ever grows in the crawl path; removals go through the DV
+    delete path), and the general MERGE with all-column change
+    suppression writes ONLY the rows that differ — one DV + one
+    upsert segment per wave instead of rewriting a control table that
+    is as large as the catalog itself."""
+    data_cols = [
+        f.name
+        for f in store.schemas["directory_control"].fields
+        if f.name != "dir_path"
+    ]
+    return store.merge(
+        "directory_control",
+        control.dropDuplicates(["dir_path"]),
+        ["dir_path"],
+        when_matched_update="all",
+        when_not_matched_insert="all",
+        changed_only=data_cols,
+    )
+
+
 def upsert_hash(
     hash_df: DataFrame,
     listing: DataFrame,
@@ -522,4 +584,10 @@ def delete_directories(
         "directory_control": directory_control.join(victim_ids, "dir_id", "left_anti"),
         "directory_archive_rows": dir_archive,
         "file_archive_rows": file_archive,
+        # victim KEY SETS for O(changes) deletion-vector commits (the
+        # engine's removal path writes these as DVs instead of
+        # rewriting the rebuilt tables above; the rebuilt tables stay
+        # for the pure-function callers and their oracles)
+        "victim_dir_ids": victim_ids,
+        "victim_file_ids": victim_files,
     }

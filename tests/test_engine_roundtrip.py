@@ -312,3 +312,47 @@ def test_all_registered_mviews_refresh_per_wave(spark, tmp_path, tree):
         for r in eng.store.read("file_size_rollup").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_removal_wave_commits_o_changes(spark, tmp_path, tree):
+    """Round-8 write-shape pin: a removal wave commits deletion
+    vectors / delete-only MERGEs over the victim keys — never a
+    rebuilt table. After deleting a subtree and recrawling, the hot
+    tables carry merge-on-read debt (DVs / MOR waves) and the values
+    still match the logical state (covered by the value assertions in
+    test_recrawl_snapshot_diff; here we pin the COMMIT SHAPE)."""
+    import shutil as _sh
+    from datetime import timedelta
+
+    import file_db_spark.filedb.engine as _e
+
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    while eng.crawl_once(limit=100):
+        pass
+    # snapshot file bytes before the removal wave
+    _sh.rmtree(tree / "sub1")
+    later = _e._utcnow() + timedelta(days=2)
+    while eng.crawl_once(now=later, limit=100):
+        pass
+    st = eng.store
+    # file + hash: bucketed MOR commits (waves of debt, no rewrite)
+    assert st.mor_debt("file").get("waves", 0) >= 1
+    # directory: manifest DV from the removal (plus merge waves)
+    assert st.mor_debt("directory")["deletes"] >= 1
+    assert st.mor_debt("directory_control")["deletes"] >= 1
+    # and the catalog no longer lists the removed subtree
+    assert (
+        st.read("directory")
+        .where(F.col("dir_path").startswith(str(tree / "sub1")))
+        .count()
+        == 0
+    )
+    assert st.read("file").where(F.col("name") == "b.txt").count() == 0
+    # compaction folds all the debt back (the idle edge runs the same
+    # call with the configured horizon; force the threshold here)
+    assert st.compact("file", max_mor_debt=0) is True
+    assert st.compact("directory", max_mor_debt=0) is True
+    assert st.mor_debt("file") == {"filters": 0, "deletes": 0}
+    assert st.mor_debt("directory")["deletes"] == 0
+    assert st.read("file").where(F.col("name") == "b.txt").count() == 0
