@@ -349,7 +349,8 @@ class Engine:
     DIR_STATS_MV = "vw_dir_stats"
 
     def enable_dir_stats_mv(self) -> None:
-        """Register the per-directory file rollup (n_files, total_size)
+        """Register the per-directory file rollup (n_files, total_size,
+        min_size, max_size)
         as a standing materialized view over the `file` table
         (store.create_mview). Once enabled, every crawl wave's commit
         is followed by an incremental refresh — O(changed dirs) per
@@ -364,12 +365,15 @@ class Engine:
             group_by=["dir_id"],
             count_col="n_files",
             sums={"total_size": "size"},
+            mins={"min_size": "size"},
+            maxs={"max_size": "size"},
             key_cols=["id"],
             compare_cols=["name", "dir_id", "size", "mtime"],
         )
 
     def dir_stats(self) -> DataFrame:
-        """The maintained rollup (dir_id, n_files, total_size)."""
+        """The maintained rollup (dir_id, n_files, total_size, min_size,
+        max_size) — MIN/MAX ride the delete-aware incremental path."""
         return self.store.read(self.DIR_STATS_MV)
 
     def _refresh_mviews(self) -> None:

@@ -236,7 +236,7 @@ def test_dir_stats_mv_tracks_crawl_waves(spark, tmp_path, tree):
 
     def recompute(eng):
         return {
-            r["dir_id"]: (r["n_files"], r["total_size"])
+            r["dir_id"]: (r["n_files"], r["total_size"], r["min_size"], r["max_size"])
             for r in eng.store.read("file")
             .groupBy("dir_id")
             .agg(
@@ -244,13 +244,15 @@ def test_dir_stats_mv_tracks_crawl_waves(spark, tmp_path, tree):
                 F.coalesce(
                     F.sum("size"), F.lit(0).cast("decimal(18,6)")
                 ).alias("total_size"),
+                F.min("size").alias("min_size"),
+                F.max("size").alias("max_size"),
             )
             .collect()
         }
 
     def mv(eng):
         return {
-            r["dir_id"]: (r["n_files"], r["total_size"])
+            r["dir_id"]: (r["n_files"], r["total_size"], r["min_size"], r["max_size"])
             for r in eng.dir_stats().collect()
         }
 
