@@ -199,23 +199,33 @@ class Engine:
             res["file"], res["hash"], res["hash_control"],
             file_removals.select("file_id"), now,
         )
-        # archives first (append-only lineage; the lazy victim reads
-        # pin the pre-delete snapshot — old generations stay on disk)
-        self.store.append("directory_archive", res["directory_archive_rows"])
-        self.store.append(
-            "file_archive", res["file_archive_rows"].unionByName(file_archive)
+        # materialize the victim derivation ONCE: the key sets and
+        # archive rows feed seven downstream commits, and each would
+        # otherwise re-run the subtree-resolution joins over the
+        # catalog-sized tables (all four frames are O(victims) small)
+        dir_archive_rows = res["directory_archive_rows"].localCheckpoint(
+            eager=True
         )
-        # then the deletes, all O(victims): deletion vectors for the
-        # manifest-committed tables, delete-only MERGEs (commit-scoped
-        # DVs, base hardlinked) for the bucketed ones — a removal wave
-        # writes kilobytes, never a rebuilt catalog (the round-7 shape
-        # replaced FIVE full-table rewrites here)
-        dir_victims = res["victim_dir_ids"]
+        file_archive_rows = (
+            res["file_archive_rows"]
+            .unionByName(file_archive)
+            .localCheckpoint(eager=True)
+        )
+        dir_victims = res["victim_dir_ids"].localCheckpoint(eager=True)
         file_victims = (
             res["victim_file_ids"]
             .unionByName(file_removals.select("file_id"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
+        # archives first (append-only lineage), then the deletes, all
+        # O(victims): deletion vectors for the manifest-committed
+        # tables, delete-only MERGEs (commit-scoped DVs, base
+        # hardlinked) for the bucketed ones — a removal wave writes
+        # kilobytes, never a rebuilt catalog (the round-7 shape
+        # replaced FIVE full-table rewrites here)
+        self.store.append("directory_archive", dir_archive_rows)
+        self.store.append("file_archive", file_archive_rows)
         self.store.delete_rows(
             "directory", dir_victims.select(F.col("dir_id").alias("id")), ["id"]
         )
@@ -281,6 +291,9 @@ class Engine:
         self.store.delete_rows(
             "hash_control", staged.select("file_id"), ["file_id"]
         )
+        # hash waves commit to `hash` too — keep views registered over
+        # it (or any engine table) fresh, not just the crawl loop's
+        self._refresh_mviews()
         return n
 
     def run_until_idle(self, max_waves: int = 100, limit: int = 100) -> None:

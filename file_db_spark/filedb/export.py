@@ -57,17 +57,21 @@ def export_manifest(root: str) -> dict | None:
         return None
 
 
-def _fingerprint(df: DataFrame, id_col: str, n_shards: int) -> str:
+def _fingerprint(
+    df: DataFrame, id_col: str, n_shards: int, layout: str
+) -> str:
     """Content fingerprint over the FULL exported rows: row count,
-    shard count, and the modular SUM of xxhash64 over every column
+    shard count, a layout tag (which columns shard and order the
+    export — same rows re-exported under a different sort key must
+    rewrite), and the modular SUM of xxhash64 over every column
     (sorted column order). Sum — not XOR — so duplicate rows do not
     cancel ({A,B,B} != {A}); summed as two 32-bit halves in bigint, so
     no int64 overflow under ANSI mode for any realistic row count
     (safe to ~2^31 rows; shard counts beyond that raise n_shards).
     Any change to payload values, shard assignment (shard_col is a df
-    column), in-shard order keys, or the shard count itself produces a
-    different fingerprint and forces a rewrite — a stale export can
-    never be served as 'already done'."""
+    column), in-shard order keys, the shard count, or the layout
+    parameters produces a different fingerprint and forces a rewrite —
+    a stale export can never be served as 'already done'."""
     h = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
     hid = F.xxhash64(F.col(id_col))
     aggs = [
@@ -85,8 +89,11 @@ def _fingerprint(df: DataFrame, id_col: str, n_shards: int) -> str:
         hi = int(row[hi_key] or 0)
         return (lo + (hi << 32)) & m
 
+    import hashlib
+
+    tag = hashlib.md5(layout.encode()).hexdigest()[:8]
     return (
-        f"{row['n']}-{int(n_shards)}-"
+        f"{row['n']}-{int(n_shards)}-{tag}-"
         f"{_fold('row_lo', 'row_hi'):016x}-{_fold('id_lo', 'id_hi'):016x}"
     )
 
@@ -104,7 +111,9 @@ def export_shards(
     file per shard under `root`, exactly once. Returns the manifest
     dict plus 'status': 'written' or 'noop'."""
     os.makedirs(root, exist_ok=True)
-    fp = _fingerprint(df, id_col, n_shards)
+    fp = _fingerprint(
+        df, id_col, n_shards, f"shard={shard_col};order={order_col}"
+    )
     published = export_manifest(root)
     if published is not None and published["fingerprint"] == fp:
         return {**published, "status": "noop"}

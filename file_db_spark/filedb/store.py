@@ -74,9 +74,20 @@ class _TableLock:
         self._rlock.acquire()
         self._depth += 1
         if self._depth == 1 and _fcntl is not None:
-            os.makedirs(os.path.dirname(self._path), exist_ok=True)
-            self._fh = open(self._path, "a")
-            _fcntl.flock(self._fh, _fcntl.LOCK_EX)
+            try:
+                os.makedirs(os.path.dirname(self._path), exist_ok=True)
+                self._fh = open(self._path, "a")
+                _fcntl.flock(self._fh, _fcntl.LOCK_EX)
+            except BaseException:
+                # unwind fully: a failed flock must not leave the
+                # RLock held (deadlocking siblings) or let a retry
+                # enter at depth 2 with no OS lock at all
+                if self._fh is not None:
+                    self._fh.close()
+                    self._fh = None
+                self._depth -= 1
+                self._rlock.release()
+                raise
 
     def release(self) -> None:
         self._depth -= 1
@@ -794,6 +805,27 @@ class TableStore:
                 "(scoped filters / deletion vectors reference column "
                 "names as-of their commit) — run compact() first"
             )
+        # registered materialized views name source columns in their
+        # spec JSON — a rename/drop they can't see would break every
+        # subsequent refresh (the spec would select vanished columns)
+        for view in self.list_mviews():
+            spec = self.mview_spec(view)
+            if spec.get("src") != name:
+                continue
+            referenced = (
+                set(spec.get("group_by", []))
+                | set(spec.get("sums", {}).values())
+                | set(spec.get("mins", {}).values())
+                | set(spec.get("maxs", {}).values())
+                | set(spec.get("key_cols", []))
+                | set(spec.get("compare_cols", []))
+            )
+            hit = sorted(set(cols) & referenced)
+            if hit:
+                raise ValueError(
+                    f"{name!r}: {hit} referenced by materialized view "
+                    f"{view!r} — drop or re-create the view first"
+                )
 
     def rename_column(self, name: str, old: str, new: str) -> None:
         """METADATA-ONLY column rename (the Delta column-mapping /
@@ -809,17 +841,27 @@ class TableStore:
             raise ValueError(
                 f"rename_column({name!r}): {new!r} already exists"
             )
-        self._guard_colmap_change(name, [old])
-        self.schemas[name] = T.StructType(
-            [
-                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
-                for f in schema.fields
-            ]
-        )
-        # persist unconditionally: a fresh instance must see the
-        # post-rename names even if its caller declared stale ones
-        self._persist_schema(name)
-        self._colmap_append(name, [{"op": "rename", "from": old, "to": new}])
+        with _commit_lock(self.root, name):
+            self._guard_colmap_change(name, [old])
+            # colmap event FIRST, schema second: a crash in between
+            # leaves an event the old declared schema resolves through
+            # harmlessly (epoch mapping finds no current field to
+            # translate), whereas schema-first would read old segments
+            # under the new name with NO mapping — silent null-fill
+            self._colmap_append(
+                name, [{"op": "rename", "from": old, "to": new}]
+            )
+            self.schemas[name] = T.StructType(
+                [
+                    T.StructField(
+                        new if f.name == old else f.name, f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
+            )
+            # persist unconditionally: a fresh instance must see the
+            # post-rename names even if its caller declared stale ones
+            self._persist_schema(name)
 
     def drop_column(self, name: str, col: str) -> None:
         """METADATA-ONLY column drop: the declared schema shrinks; old
@@ -832,12 +874,13 @@ class TableStore:
             raise ValueError(f"drop_column({name!r}): no column {col!r}")
         if len(schema.fields) == 1:
             raise ValueError(f"drop_column({name!r}): cannot drop last column")
-        self._guard_colmap_change(name, [col])
-        self.schemas[name] = T.StructType(
-            [f for f in schema.fields if f.name != col]
-        )
-        self._persist_schema(name)
-        self._colmap_append(name, [{"op": "drop", "name": col}])
+        with _commit_lock(self.root, name):
+            self._guard_colmap_change(name, [col])
+            self._colmap_append(name, [{"op": "drop", "name": col}])
+            self.schemas[name] = T.StructType(
+                [f for f in schema.fields if f.name != col]
+            )
+            self._persist_schema(name)
 
     def _table_name(self, name: str, gen_dir: str) -> str:
         gen = os.path.basename(gen_dir).replace("gen-", "")
@@ -1070,7 +1113,25 @@ class TableStore:
         and the space is reclaimed by the next vacuum after the cursor
         advances. Default False preserves the strict contract the g25
         retention tests pin (a vacuumed cursor RAISES with a re-seed
-        instruction — the operator chose retention over laggards)."""
+        instruction — the operator chose retention over laggards).
+
+        Holds EVERY table's commit lock (sorted order — same global
+        order all writers use, catalog last) for the whole pass: the
+        sweep deletes unreferenced stage-/dv- dirs, and an in-flight
+        cross-process MERGE's not-yet-published commit state would
+        otherwise be reclaimed from under it."""
+        locks = [
+            _commit_lock(self.root, n) for n in sorted(self._disk_tables())
+        ]
+        for lk in locks:
+            lk.acquire()
+        try:
+            return self._vacuum_locked(retain, respect_consumers)
+        finally:
+            for lk in reversed(locks):
+                lk.release()
+
+    def _vacuum_locked(self, retain: int, respect_consumers: bool) -> None:
         keep_by_table: dict[str, set[str]] = {}
         referenced: set[str] = set()
         cat_tables = self._read_catalog()["tables"]

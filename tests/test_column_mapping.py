@@ -163,3 +163,23 @@ def test_clone_shares_epoch_map(spark):
     st.rename_column("t2", "value", "v2")
     assert st.read("t2").columns == ["id", "name", "v2"]
     assert st.read("t").columns == ["id", "name", "value"]
+
+
+def test_rename_refuses_columns_referenced_by_mviews(spark):
+    """Review r8: a rename/drop a registered MV spec references would
+    break every subsequent refresh — refuse with a pointer."""
+    st = _store(spark)
+    st.replace("t", _df(spark, [(1, "a", 10)]))
+    st.create_mview(
+        "rollup",
+        "t",
+        group_by=["name"],
+        count_col="n",
+        sums={"total": "v"},
+        key_cols=["id"],
+        compare_cols=["name", "v"],
+    )
+    with pytest.raises(ValueError, match="rollup"):
+        st.rename_column("t", "v", "val")
+    with pytest.raises(ValueError, match="rollup"):
+        st.drop_column("t", "name")

@@ -130,3 +130,14 @@ def test_fingerprint_duplicate_rows_do_not_cancel(spark, data):
     second = export.export_shards(a, root, 7)
     assert second["status"] == "written"
     assert second["fingerprint"] != first["fingerprint"]
+
+
+def test_fingerprint_sees_layout_params(spark, data):
+    """Review r8: same rows, same shard count, but a DIFFERENT
+    order_col parameter must re-export — the requested in-shard sort
+    is part of the published layout."""
+    df, root = data
+    first = export.export_shards(df, root, 7, order_col="doc_id")
+    second = export.export_shards(df, root, 7, order_col="n_tok")
+    assert second["status"] == "written"
+    assert second["fingerprint"] != first["fingerprint"]

@@ -137,3 +137,38 @@ def test_racing_appends_from_two_processes_all_land(spark):
     cat = store._read_catalog()
     assert cat["tables"]["t"].startswith("gen-")
     json.dumps(cat)  # round-trippable
+
+
+def test_lock_acquire_unwinds_on_flock_failure(monkeypatch):
+    """Review r8: a failing flock must not leave the RLock held or let
+    a retry run unlocked at depth 2."""
+    import tempfile
+
+    from file_db_spark.filedb import store as store_mod
+
+    root = tempfile.mkdtemp(prefix="lockfail_")
+    lk = store_mod._commit_lock(root, "t_failcase")
+
+    calls = {"n": 0}
+    real_flock = store_mod._fcntl.flock
+
+    def failing_flock(fh, op):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected ENOLCK")
+        return real_flock(fh, op)
+
+    monkeypatch.setattr(store_mod._fcntl, "flock", failing_flock)
+    try:
+        with pytest.raises(OSError, match="ENOLCK"):
+            lk.acquire()
+        # fully unwound: depth 0, RLock free, retry takes the flock
+        assert lk._depth == 0 and lk._fh is None
+        with lk:
+            assert lk._depth == 1 and lk._fh is not None
+        assert lk._depth == 0 and lk._fh is None
+    finally:
+        monkeypatch.setattr(store_mod._fcntl, "flock", real_flock)
+
+
+import pytest  # noqa: E402  (used by the test above)
