@@ -65,7 +65,9 @@ class DirMergeResult:
     directory: DataFrame       # new state of the entity table
     new_dirs: DataFrame        # inserted rows (to seed control, M9)
     removal_queue: DataFrame   # vanished dirs -> deferred delete (dir_id, dir_path)
-    scratch: DataFrame | None = None  # persisted shared subtree; unpersist after the wave's writes
+    scratch: DataFrame | None = None  # persisted change slice; unpersist after the wave's writes
+    inserts: DataFrame | None = None  # full insert rows (store.apply_changes input)
+    updates: DataFrame | None = None  # full replacement rows for O5-changed keys
 
 
 def merge_directories(
@@ -75,19 +77,48 @@ def merge_directories(
     vanished subdirs of the crawled dirs (anti-join snapshot diff,
     DirectoryCrawl.py:899-914). staged_dirs: (id, dir_path, ctime,
     mtime); crawled_dir_paths: (dir_path) — the scanned frontier, which
-    defines the scope of the diff."""
-    staged = staged_dirs.dropDuplicates(["dir_path"])
-    ex = directory.alias("ex")
-    st = staged.alias("st")
+    defines the scope of the diff.
 
-    # the staged<->existing probe feeds inserts, updates, touched AND
-    # (via those) the entity rewrite — persist it so the wave's several
-    # write actions don't each re-run the join; the engine unpersists
-    # via .scratch once its writes land
-    joined = st.join(
-        ex, F.col("st.dir_path") == F.col("ex.dir_path"), "left"
-    ).persist()
-    inserts = joined.where(F.col("ex.id").isNull()).select(
+    ONE full-outer join on dir_path classifies the whole wave —
+    inserts, O5 updates, unchanged, AND (scope-flagged by a broadcast
+    probe against the frontier) vanished subdirs — so a crawl wave
+    reads `directory` once, not once per derived output (VERDICT r8
+    #2). Only the O(changes) slice is persisted (.scratch); the full
+    entity state stays a lazy projection for snapshot-style callers.
+    `directory` may be a zone-pruned SUPERSET read restricted to the
+    frontier's subtree hull (store.read_pruned): every row that can
+    match a staged path or fall in the vanish scope lives under a
+    frontier subtree, so the diff slices are unaffected — only the
+    (engine-unused) full state narrows with it."""
+    staged = staged_dirs.dropDuplicates(["dir_path"])
+    ex = directory.withColumn("__tp", F.lit(True)).alias("ex")
+    st = staged.withColumn("__sp", F.lit(True)).alias("st")
+    crawled = F.broadcast(
+        crawled_dir_paths.select("dir_path").distinct()
+        .withColumnRenamed("dir_path", "__scope_path")
+        .withColumn("__cr", F.lit(True))
+    )
+    j = (
+        ex.join(st, F.col("st.dir_path") == F.col("ex.dir_path"), "full_outer")
+        # vanish scope: existing rows whose PARENT is in the crawled
+        # frontier (broadcast — no shuffle of the catalog side)
+        .join(
+            crawled,
+            basepath(F.col("ex.dir_path")) == F.col("__scope_path"),
+            "left",
+        )
+    )
+    tp = F.col("ex.__tp").isNotNull()
+    sp = F.col("st.__sp").isNotNull()
+    changed = _neq(F.col("st.ctime"), F.col("ex.ctime")) | _neq(
+        F.col("st.mtime"), F.col("ex.mtime")
+    )
+    # the O(changes) slice every downstream output derives from:
+    # staged rows (insert/update/unchanged classification) + in-scope
+    # target-only rows (vanished) — persisted so the wave's several
+    # write actions run the probe join once
+    scratch = j.where(sp | (tp & F.col("__cr").isNotNull())).persist()
+    inserts = scratch.where(~tp & sp).select(
         F.col("st.id").alias("id"),
         F.col("st.dir_path").alias("dir_path"),
         F.col("st.ctime").alias("ctime"),
@@ -95,10 +126,7 @@ def merge_directories(
         _now_lit(now).alias("inserted_on"),
         _now_lit(now).alias("updated_on"),
     )
-    changed = _neq(F.col("st.ctime"), F.col("ex.ctime")) | _neq(
-        F.col("st.mtime"), F.col("ex.mtime")
-    )
-    updates = joined.where(F.col("ex.id").isNotNull() & changed).select(
+    updates = scratch.where(tp & sp & changed).select(
         F.col("ex.id").alias("id"),
         F.col("ex.dir_path").alias("dir_path"),
         F.col("st.ctime").alias("ctime"),
@@ -106,26 +134,34 @@ def merge_directories(
         F.col("ex.inserted_on").alias("inserted_on"),
         _now_lit(now).alias("updated_on"),
     )
-    touched = inserts.select("dir_path").unionByName(updates.select("dir_path"))
-    untouched = ex.join(touched, "dir_path", "left_anti").select(
-        "id", "dir_path", "ctime", "mtime", "inserted_on", "updated_on"
-    )
-
     # Vanished: known subdirs of a crawled dir that the new listing no
     # longer contains -> deferred removal (M8 drains recursively).
-    in_scope = directory.join(
-        F.broadcast(crawled_dir_paths.select("dir_path").distinct()),
-        basepath(directory.dir_path) == crawled_dir_paths.dir_path,
-        "left_semi",
+    vanished = scratch.where(tp & ~sp).select(
+        F.col("ex.id").alias("dir_id"),
+        F.col("ex.dir_path").alias("dir_path"),
+        _now_lit(now).alias("inserted_on"),
     )
-    vanished = in_scope.join(staged, "dir_path", "left_anti").select(
-        F.col("id").alias("dir_id"), "dir_path", _now_lit(now).alias("inserted_on")
+    # full entity state (lazy, for the pure-function callers/oracles):
+    # unchanged existing rows keep their values; changed matched rows
+    # take staged ctime/mtime; staged-only rows insert
+    state = j.where(tp | sp).select(
+        F.coalesce(F.col("ex.id"), F.col("st.id")).alias("id"),
+        F.coalesce(F.col("ex.dir_path"), F.col("st.dir_path")).alias("dir_path"),
+        F.when(sp, F.col("st.ctime")).otherwise(F.col("ex.ctime")).alias("ctime"),
+        F.when(sp, F.col("st.mtime")).otherwise(F.col("ex.mtime")).alias("mtime"),
+        F.coalesce(F.col("ex.inserted_on"), _now_lit(now)).alias("inserted_on"),
+        F.when(tp & sp & changed, _now_lit(now))
+        .when(~tp & sp, _now_lit(now))
+        .otherwise(F.col("ex.updated_on"))
+        .alias("updated_on"),
     )
     return DirMergeResult(
-        directory=untouched.unionByName(inserts).unionByName(updates),
+        directory=state,
         new_dirs=inserts,
         removal_queue=vanished,
-        scratch=joined,
+        scratch=scratch,
+        inserts=inserts,
+        updates=updates,
     )
 
 
@@ -137,7 +173,9 @@ class FileMergeResult:
     file: DataFrame            # new state of the entity table
     hash_schedule: DataFrame   # new/changed files to (re)hash (hash_control rows)
     removal_queue: DataFrame   # vanished files -> deferred delete (file_id)
-    scratch: DataFrame | None = None  # persisted shared subtree; unpersist after the wave's writes
+    scratch: DataFrame | None = None  # persisted change slice; unpersist after the wave's writes
+    inserts: DataFrame | None = None  # full insert rows (store.apply_changes input)
+    updates: DataFrame | None = None  # full replacement rows for O5-changed keys
 
 
 def merge_files(
@@ -151,15 +189,37 @@ def merge_files(
     xxhash64(dir_path, name)); snapshot-diff vanished files of crawled
     dirs; schedule new/content-changed files into hash_control (the
     inline NOT EXISTS of DirectoryCrawl.py:856-873 — implementing the
-    intended semantics of the buggy M10, SURVEY §4)."""
-    staged = staged_files.dropDuplicates(["id"])
-    ex = file.alias("ex")
-    st = staged.alias("st")
-    # same persist rationale as merge_directories: the probe feeds the
-    # entity rewrite, the rehash schedule and the touched set
-    joined = st.join(ex, F.col("st.id") == F.col("ex.id"), "left").persist()
+    intended semantics of the buggy M10, SURVEY §4).
 
-    inserts = joined.where(F.col("ex.id").isNull()).select(
+    Same single-pass shape as merge_directories: ONE full-outer join
+    on id classifies inserts, O5 updates, rehash candidates AND
+    (scope-flagged by a broadcast probe on dir_id) vanished files, so
+    a crawl wave reads `file` once; only the O(changes) slice
+    persists (.scratch)."""
+    staged = staged_files.dropDuplicates(["id"])
+    ex = file.withColumn("__tp", F.lit(True)).alias("ex")
+    st = staged.withColumn("__sp", F.lit(True)).alias("st")
+    crawled = F.broadcast(
+        crawled_dir_ids.select("dir_id").distinct()
+        .withColumnRenamed("dir_id", "__scope_dir")
+        .withColumn("__cr", F.lit(True))
+    )
+    j = (
+        ex.join(st, F.col("st.id") == F.col("ex.id"), "full_outer")
+        .join(crawled, F.col("ex.dir_id") == F.col("__scope_dir"), "left")
+    )
+    tp = F.col("ex.__tp").isNotNull()
+    sp = F.col("st.__sp").isNotNull()
+    content_changed = _neq(F.col("st.size"), F.col("ex.size")) | _neq(
+        F.col("st.mtime"), F.col("ex.mtime")
+    )
+    any_changed = (
+        content_changed
+        | _neq(F.col("st.ctime"), F.col("ex.ctime"))
+        | _neq(F.col("st.atime"), F.col("ex.atime"))
+    )
+    scratch = j.where(sp | (tp & F.col("__cr").isNotNull())).persist()
+    inserts = scratch.where(~tp & sp).select(
         F.col("st.id").alias("id"),
         F.col("st.name").alias("name"),
         F.col("st.dir_id").alias("dir_id"),
@@ -170,15 +230,7 @@ def merge_files(
         _now_lit(now).alias("inserted_on"),
         _now_lit(now).alias("updated_on"),
     )
-    content_changed = _neq(F.col("st.size"), F.col("ex.size")) | _neq(
-        F.col("st.mtime"), F.col("ex.mtime")
-    )
-    any_changed = (
-        content_changed
-        | _neq(F.col("st.ctime"), F.col("ex.ctime"))
-        | _neq(F.col("st.atime"), F.col("ex.atime"))
-    )
-    updates = joined.where(F.col("ex.id").isNotNull() & any_changed).select(
+    updates = scratch.where(tp & sp & any_changed).select(
         F.col("ex.id").alias("id"),
         F.col("ex.name").alias("name"),
         F.col("ex.dir_id").alias("dir_id"),
@@ -189,21 +241,10 @@ def merge_files(
         F.col("ex.inserted_on").alias("inserted_on"),
         _now_lit(now).alias("updated_on"),
     )
-    touched = inserts.select("id").unionByName(updates.select("id"))
-    untouched = ex.join(touched, "id", "left_anti").select(
-        "id", "name", "dir_id", "size", "ctime", "mtime", "atime",
-        "inserted_on", "updated_on",
+    vanished = scratch.where(tp & ~sp).select(
+        F.col("ex.id").alias("file_id"), _now_lit(now).alias("inserted_on")
     )
-
-    vanished = (
-        file.join(
-            F.broadcast(crawled_dir_ids.select("dir_id").distinct()), "dir_id", "left_semi"
-        )
-        .join(staged.select("id"), "id", "left_anti")
-        .select(F.col("id").alias("file_id"), _now_lit(now).alias("inserted_on"))
-    )
-
-    rehash = joined.where(F.col("ex.id").isNotNull() & content_changed)
+    rehash = scratch.where(tp & sp & content_changed)
     to_hash = (
         inserts.select("id", "mtime", "size")
         .unionByName(
@@ -223,11 +264,28 @@ def merge_files(
             _now_lit(now).alias("inserted_on"),
         )
     )
+    # full entity state (lazy, for the pure-function callers/oracles)
+    state = j.where(tp | sp).select(
+        F.coalesce(F.col("ex.id"), F.col("st.id")).alias("id"),
+        F.coalesce(F.col("ex.name"), F.col("st.name")).alias("name"),
+        F.coalesce(F.col("ex.dir_id"), F.col("st.dir_id")).alias("dir_id"),
+        F.when(sp, F.col("st.size")).otherwise(F.col("ex.size")).alias("size"),
+        F.when(sp, F.col("st.ctime")).otherwise(F.col("ex.ctime")).alias("ctime"),
+        F.when(sp, F.col("st.mtime")).otherwise(F.col("ex.mtime")).alias("mtime"),
+        F.when(sp, F.col("st.atime")).otherwise(F.col("ex.atime")).alias("atime"),
+        F.coalesce(F.col("ex.inserted_on"), _now_lit(now)).alias("inserted_on"),
+        F.when(tp & sp & any_changed, _now_lit(now))
+        .when(~tp & sp, _now_lit(now))
+        .otherwise(F.col("ex.updated_on"))
+        .alias("updated_on"),
+    )
     return FileMergeResult(
-        file=untouched.unionByName(inserts).unionByName(updates),
+        file=state,
         hash_schedule=to_hash,
         removal_queue=vanished,
-        scratch=joined,
+        scratch=scratch,
+        inserts=inserts,
+        updates=updates,
     )
 
 

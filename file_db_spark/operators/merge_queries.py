@@ -5002,3 +5002,398 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+# ---------------------------------------------------------------------------
+# g32: TARGET-PRUNED MERGE — VERDICT r8 #1 (the last O(table)-per-wave
+# compute). merge() intersects the source wave's per-key min/max hull
+# (one O(source) aggregate) with every base segment's recorded zone
+# maps and READS ONLY the overlapping segments into the classification
+# join; the new deletion vector's `over` scope shrinks with it. A wave
+# whose hull misses every segment classifies against an EMPTY target —
+# a pure-insert commit with zero target bytes read.
+# ---------------------------------------------------------------------------
+
+_G32_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+g32src AS (
+  SELECT id, dir_path, ctime,
+         CASE WHEN id % 2 = 0 THEN mtime + INTERVAL 1 HOUR ELSE mtime END AS mtime,
+         (id % 7 = 0) AS _del
+  FROM fx_directory WHERE dir_path LIKE '/corpus%'
+  UNION ALL
+  SELECT 901032, '/corpus/zz_g32_new', TIMESTAMP '2024-06-30',
+         TIMESTAMP '2024-06-30', FALSE
+),
+g32m AS (
+  SELECT s.*, (t.id IS NOT NULL) AS matched,
+         (s.ctime IS DISTINCT FROM t.ctime
+          OR s.mtime IS DISTINCT FROM t.mtime) AS changed
+  FROM g32src s LEFT JOIN fx_directory t ON s.dir_path = t.dir_path
+),
+g32final AS (
+  SELECT t.id, t.dir_path, t.ctime, t.mtime
+  FROM fx_directory t LEFT JOIN g32src s ON t.dir_path = s.dir_path
+  WHERE s.dir_path IS NULL
+  UNION ALL
+  SELECT t.id, t.dir_path, t.ctime, t.mtime
+  FROM fx_directory t JOIN g32m m ON t.dir_path = m.dir_path
+  WHERE NOT m._del AND NOT m.changed
+  UNION ALL
+  SELECT t.id, t.dir_path, m.ctime, m.mtime
+  FROM fx_directory t JOIN g32m m ON t.dir_path = m.dir_path
+  WHERE NOT m._del AND m.changed
+  UNION ALL
+  SELECT id, dir_path, ctime, mtime FROM g32m WHERE NOT matched
+  UNION ALL
+  SELECT 901033, 'Z:\\g32\\new', TIMESTAMP '2024-06-30', TIMESTAMP '2024-06-30'
+)
+SELECT 'row' AS part, CAST(id AS BIGINT) AS id, dir_path,
+       {_ep_sql('ctime')} AS n1, {_ep_sql('mtime')} AS n2
+FROM g32final
+UNION ALL
+SELECT 'metrics1', (SELECT COUNT(*) FROM g32m WHERE NOT matched),
+       CAST(NULL AS VARCHAR),
+       (SELECT COUNT(*) FROM g32m WHERE matched AND NOT _del AND changed),
+       (SELECT COUNT(*) FROM g32m WHERE matched AND _del)
+UNION ALL
+SELECT 'report1', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1, 2
+UNION ALL
+SELECT 'dvover', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1, 1
+UNION ALL
+SELECT 'report2', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 0, 3
+UNION ALL
+SELECT 'metrics2', 1, CAST(NULL AS VARCHAR), 0, 0
+UNION ALL
+SELECT 'guard', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1, 1
+"""
+
+
+@_q("g32_merge_pruning", _G32_ORACLE)
+def g32_merge_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-pruned MERGE INTO (TableStore.merge — VERDICT r8 #1):
+    the `directory` fixture is committed as TWO path-family segments
+    ('/...' vs 'C:...') carrying dir_path zone maps; a merge wave
+    touching only '/corpus' then classifies against ONE segment —
+    the source-hull/zone intersection proves the other can hold no
+    matching key, so it is neither read nor covered by the commit's
+    deletion vector. 'row' pins the post-merge table (both waves)
+    against a clause-by-clause DuckDB mirror — pruning changes what
+    is READ, never the answer; 'metrics1' pins wave-1 counts;
+    'report1' pins the prune accounting (1 of 2 segments scanned);
+    'dvover' pins the DV's `over` scope (1 segment — untouched
+    segments never pay the read-side anti-join); 'report2'/'metrics2'
+    pin the disjoint-wave fast path — a 'Z:...' insert wave scans 0
+    of 3 segments and still lands correctly; 'guard' pins the
+    source_duplicates='error' guard — a duplicate-key wave raises
+    BEFORE any write and the table is unchanged.
+
+    Scale: the reference upserts by probing its dir_path B-tree per
+    staged row (FileDbDAL/DirectoryCrawl.py:836-852) — it never
+    seq-scans the table to merge a wave. This is the manifest-level
+    Spark analog: with subtree-local crawl waves and dir_path-sorted
+    segments, a 10^3-dir wave against a 10^9-row catalog joins
+    against the handful of segments whose range the wave touches,
+    exactly like Delta/Iceberg MERGE file-skipping on a clustered
+    layout."""
+    import shutil
+    import tempfile
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    dcols = [f.name for f in schemas.DIRECTORY.fields]
+    d1 = fixtures.fixture_directory(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_g32_")
+    store = TableStore(
+        spark, root, {"directory": schemas.DIRECTORY}, bucketing=False
+    )
+    for fam in ("/", "C:"):
+        store.append(
+            "directory",
+            d1.where(F.col("dir_path").startswith(fam)).select(*dcols),
+            zone_cols=["dir_path"],
+        )
+    did = F.col("id")
+    src1 = (
+        d1.where(F.col("dir_path").startswith("/corpus"))
+        .select(
+            "id",
+            "dir_path",
+            "ctime",
+            F.when(did % 2 == 0, F.col("mtime") + F.expr("INTERVAL 1 HOUR"))
+            .otherwise(F.col("mtime"))
+            .alias("mtime"),
+            (did % 7 == 0).alias("_del"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(901032).cast("long").alias("id"),
+                F.lit("/corpus/zz_g32_new").alias("dir_path"),
+                _ts("2024-06-30 00:00:00").alias("ctime"),
+                _ts("2024-06-30 00:00:00").alias("mtime"),
+                F.lit(False).alias("_del"),
+            )
+        )
+    )
+    clauses = dict(
+        when_matched_update={
+            "ctime": F.col("s.ctime"),
+            "mtime": F.col("s.mtime"),
+        },
+        when_not_matched_insert={
+            "id": F.col("s.id"),
+            "ctime": F.col("s.ctime"),
+            "mtime": F.col("s.mtime"),
+        },
+        changed_only=["ctime", "mtime"],
+    )
+    m1 = store.merge(
+        "directory", src1, ["dir_path"],
+        when_matched_delete="s._del",
+        zone_cols=["dir_path"],
+        **clauses,
+    )
+    rep1 = dict(store.last_merge_report)
+    doc = store._doc(store._current("directory"))
+    dv_over = len(doc["deletes"][-1]["over"])
+    n_dvs = len(doc["deletes"])
+    # wave 2: hull disjoint from EVERY segment -> 0 scanned, pure insert
+    src2 = spark.range(1).select(
+        F.lit(901033).cast("long").alias("id"),
+        F.lit("Z:\\g32\\new").alias("dir_path"),
+        _ts("2024-06-30 00:00:00").alias("ctime"),
+        _ts("2024-06-30 00:00:00").alias("mtime"),
+    )
+    m2 = store.merge("directory", src2, ["dir_path"], **clauses)
+    rep2 = dict(store.last_merge_report)
+    # duplicate-source guard: raises before any write, state unchanged
+    n_before = store.read("directory").count()
+    guard = 0
+    try:
+        store.merge(
+            "directory",
+            src2.unionByName(src2),
+            ["dir_path"],
+            source_duplicates="error",
+            **clauses,
+        )
+    except ValueError:
+        guard = 1
+    unchanged = 1 if store.read("directory").count() == n_before else 0
+    rows = store.read("directory").select(
+        F.lit("row").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        "dir_path",
+        _ep(F.col("ctime")).alias("n1"),
+        _ep(F.col("mtime")).alias("n2"),
+    )
+    meta = spark.createDataFrame(
+        [
+            ("metrics1", m1["inserted"], m1["updated"], m1["deleted"]),
+            ("report1", None, rep1["scanned"], rep1["total"]),
+            ("dvover", None, dv_over, n_dvs),
+            ("report2", None, rep2["scanned"], rep2["total"]),
+            ("metrics2", m2["inserted"], m2["updated"], m2["deleted"]),
+            ("guard", None, guard, unchanged),
+        ],
+        "part string, a long, b long, c long",
+    ).select(
+        "part",
+        F.col("a").cast("bigint").alias("id"),
+        _sn().alias("dir_path"),
+        F.col("b").cast("bigint").alias("n1"),
+        F.col("c").cast("bigint").alias("n2"),
+    )
+    out = rows.unionByName(meta).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# g33: BUCKET-COUNT EVOLUTION — VERDICT r8 #6. BUCKET_SPECS pins the
+# install-time layout; store.rebucket(name, n) migrates a live table to
+# a new count with ONE clean rewrite (an OPTIMIZE variant), records the
+# override in _BUCKETSPEC.json, and stamps every generation with ITS
+# actual count (_NBUCKETS) so MOR merges always extend a base at the
+# base's own count — history and crash windows stay correct.
+# ---------------------------------------------------------------------------
+
+_G33_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+g33w1 AS (SELECT id, 'w1_' || name AS name FROM fx_file WHERE id % 5 = 0),
+g33s1 AS (
+  SELECT f.id, COALESCE(w.name, f.name) AS name, f.dir_id, f.size
+  FROM fx_file f LEFT JOIN g33w1 w ON f.id = w.id
+),
+g33w2 AS (SELECT id, 'w2_' || name AS name FROM g33s1 WHERE id % 9 = 1),
+g33fin AS (
+  SELECT s.id, COALESCE(w.name, s.name) AS name, s.dir_id, s.size
+  FROM g33s1 s LEFT JOIN g33w2 w ON s.id = w.id
+  UNION ALL
+  SELECT id + 950000, 'ins_' || CAST(id AS VARCHAR), 1,
+         CAST('2.5' AS DECIMAL(18,6))
+  FROM fx_file WHERE id % 17 = 0
+)
+SELECT 'row' AS part, CAST(id AS BIGINT) AS id, name,
+       CAST(dir_id AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+       CAST(size AS DOUBLE) AS v1
+FROM g33fin
+UNION ALL
+SELECT 'join', CAST(f.id AS BIGINT), h.md5_hash, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM g33fin f JOIN fx_hash h ON h.file_id = f.id
+UNION ALL
+SELECT 'metrics1', 0, CAST(NULL AS VARCHAR),
+       (SELECT COUNT(*) FROM g33w1), 0, CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'metrics2', (SELECT COUNT(*) FROM fx_file WHERE id % 17 = 0),
+       CAST(NULL AS VARCHAR), (SELECT COUNT(*) FROM g33w2), 0,
+       CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'shape', 0, CAST(NULL AS VARCHAR), 16, 1, CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'probe', 1, CAST(NULL AS VARCHAR), 16, CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 'debt', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1, 1,
+       CAST(NULL AS DOUBLE)
+"""
+
+
+@_q("g33_rebucket", _G33_ORACLE)
+def g33_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution (TableStore.rebucket — VERDICT r8 #6):
+    the `file`/`hash` pair starts at the installed 8-bucket layout,
+    takes a MERGE wave, migrates BOTH tables to 16 buckets with one
+    clean rewrite each, then takes another merge-on-read wave at the
+    new count. 'row' pins the final table against a DuckDB mirror of
+    both waves (migration changes layout, never a row); 'join' pins
+    the co-located file⋈hash join result THROUGH the migration + MOR
+    debt; 'metrics1'/'metrics2' pin each wave's counts; 'shape' pins
+    the scale contract at the NEW width — 0 shuffle Exchanges in the
+    join plan, _gen_buckets()==16, SortMergeJoin; 'probe' pins bucket
+    PRUNING at the new count (a point predicate plans
+    SelectedBucketsCount: 1 out of 16); 'debt' pins that the
+    post-migration wave committed MOR (1 wave, 1 DV), i.e. rebucket
+    didn't regress the O(changes) commit shape.
+
+    Scale: a bucket count frozen at install time is a 100 TB
+    dead-end — buckets must keep fitting one executor's sort budget
+    as data grows 100x. rebucket() is the bounded-frequency O(table)
+    rewrite (same cost class as compact) that re-amortizes the
+    join shuffle at the new width; generations keep their own
+    _NBUCKETS stamp so time travel and the crash window between the
+    spec flip and the rewrite never mis-parse bucket ids."""
+    import re as _re
+    import shutil
+    import tempfile
+
+    from ..filedb import schemas
+    from ..filedb.store import TableStore
+
+    fcols = [f.name for f in schemas.FILE.fields]
+    hcols = [f.name for f in schemas.HASH.fields]
+    f1 = fixtures.fixture_file(spark, sf_dir)
+    fid = F.col("id")
+    root = tempfile.mkdtemp(prefix="fdb_g33_")
+    store = TableStore(
+        spark, root, {"file": schemas.FILE, "hash": schemas.HASH},
+        bucketing=True,
+    )
+    store.replace("file", f1.select(*fcols))
+    store.replace("hash", fixtures.fixture_hash(spark, sf_dir).select(*hcols))
+    src1 = f1.where(fid % 5 == 0).select(
+        "id", F.concat(F.lit("w1_"), F.col("name")).alias("name")
+    )
+    m1 = store.merge(
+        "file", src1, ["id"],
+        when_matched_update={"name": F.col("s.name")},
+        when_not_matched_insert=None,
+        changed_only=["name"],
+    )
+    store.rebucket("file", 16)
+    store.rebucket("hash", 16)
+    nb_after = store._gen_buckets("file", store._current("file"))
+    cur = store.read("file")
+    src2 = (
+        cur.where(fid % 9 == 1)
+        .select(
+            "id",
+            F.concat(F.lit("w2_"), F.col("name")).alias("name"),
+            "dir_id",
+            "size",
+            "mtime",
+        )
+        .unionByName(
+            f1.where(fid % 17 == 0).select(
+                (fid + 950000).alias("id"),
+                F.concat(F.lit("ins_"), fid.cast("string")).alias("name"),
+                F.lit(1).cast("int").alias("dir_id"),
+                F.expr("CAST('2.5' AS DECIMAL(18,6))").alias("size"),
+                F.expr("TIMESTAMP '2024-06-30'").alias("mtime"),
+            )
+        )
+    )
+    m2 = store.merge(
+        "file", src2, ["id"],
+        when_matched_update={"name": F.col("s.name")},
+        when_not_matched_insert={
+            "name": F.col("s.name"),
+            "dir_id": F.col("s.dir_id"),
+            "size": F.col("s.size"),
+            "mtime": F.col("s.mtime"),
+        },
+        changed_only=["name"],
+    )
+    ft = store.read("file")
+    ht = store.read("hash")
+    joined = (
+        ft.hint("merge")
+        .join(ht.hint("merge"), ft["id"] == ht["file_id"])
+        .select(ft["id"].alias("id"), "md5_hash")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    exchanges = len(_re.findall(r"Exchange hashpartitioning", plan))
+    smj = 1 if "SortMergeJoin" in plan else 0
+    from ..filedb import bucketing
+
+    probe_sel, probe_of = bucketing.selected_buckets(
+        store.read("file").where(F.col("id") == F.lit(1).cast("long"))
+    )
+    debt = store.mor_debt("file")
+    rows = store.read("file").select(
+        F.lit("row").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        "name",
+        F.col("dir_id").cast("bigint").alias("n1"),
+        _bn().alias("n2"),
+        F.col("size").cast("double").alias("v1"),
+    )
+    jrows = joined.select(
+        F.lit("join").alias("part"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("md5_hash").alias("name"),
+        _bn().alias("n1"),
+        _bn().alias("n2"),
+        _dn().alias("v1"),
+    )
+    meta = spark.createDataFrame(
+        [
+            ("metrics1", m1["inserted"], None, m1["updated"], m1["deleted"]),
+            ("metrics2", m2["inserted"], None, m2["updated"], m2["deleted"]),
+            ("shape", exchanges, None, nb_after, smj),
+            ("probe", probe_sel, None, probe_of, None),
+            ("debt", None, None, debt.get("waves", 0), debt["deletes"]),
+        ],
+        "part string, a long, s string, b long, c long",
+    ).select(
+        "part",
+        F.col("a").cast("bigint").alias("id"),
+        F.col("s").alias("name"),
+        F.col("b").cast("bigint").alias("n1"),
+        F.col("c").cast("bigint").alias("n2"),
+        _dn().alias("v1"),
+    )
+    out = rows.unionByName(jrows).unionByName(meta).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
