@@ -124,6 +124,7 @@ HEADLINE = [
     # round-9 additions
     "g32_merge_pruning",  # target-pruned MERGE (zone-hull segment skipping)
     "g33_rebucket",  # bucket-count evolution (OPTIMIZE-variant migration)
+    "g34_due_scan",  # timestamp zone-map due-claim pruning (read_pruned)
     # round-6 additions: TPC-H completion set + merge-on-read deletes
     "a17_small_qty_revenue",  # Q17 correlated-AVG decorrelated to one window
     "a19_order_count_distribution",  # Q13 outer-join count distribution

@@ -5397,3 +5397,132 @@ def g33_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows.unionByName(jrows).unionByName(meta).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# g34: DUE-SCAN PRUNING — read_pruned over TIMESTAMP zone maps, the
+# primitive behind the engine's crawl claim (VERDICT r8 #3): a
+# schedule query (next_crawl <= now) opens only the segments whose
+# recorded time range reaches the probe. Timestamps persist in the
+# manifest as tagged ISO strings (fixed-format ISO order ==
+# chronological order), so pruning needs no type machinery at read.
+# ---------------------------------------------------------------------------
+
+_G34_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES},
+g34ctl AS (
+  SELECT id, dir_path,
+         TIMESTAMP '2024-07-01' + (id % 5) * INTERVAL 1 DAY AS next_crawl
+  FROM fx_directory
+)
+SELECT 'due' AS part, CAST(id AS BIGINT) AS id, dir_path,
+       {_ep_sql('next_crawl')} AS n1, CAST(NULL AS BIGINT) AS n2
+FROM g34ctl WHERE next_crawl <= TIMESTAMP '2024-07-02 12:00:00'
+UNION ALL
+SELECT 'mid', CAST(id AS BIGINT), dir_path, {_ep_sql('next_crawl')},
+       CAST(NULL AS BIGINT)
+FROM g34ctl
+WHERE next_crawl >= TIMESTAMP '2024-07-03'
+  AND next_crawl <= TIMESTAMP '2024-07-04 12:00:00'
+UNION ALL
+SELECT 'report1', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1, 3
+UNION ALL
+SELECT 'report2', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1, 3
+"""
+
+
+@_q("g34_due_scan", _G34_ORACLE)
+def g34_due_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schedule-range scan with manifest-level TIMESTAMP skipping
+    (TableStore.read_pruned — the engine's due-claim primitive): a
+    control-style table is committed as three segments split by
+    schedule day, each stamped with its next_crawl zone range; a
+    'what is due by T' probe then opens ONE segment from pure
+    metadata. 'due' pins the due set against a plain DuckDB time
+    filter (skipping changes what is READ, never the answer); 'mid'
+    pins a bounded [lo, hi] interval hitting only the middle segment;
+    'report1'/'report2' pin the skip accounting (1 of 3 segments
+    scanned for each probe).
+
+    Scale: a 10^9-row directory_control table accrues one upsert
+    segment per crawl wave, and every rescheduled row moves its
+    next_crawl INTO THE FUTURE — so the claim's 'due <= now' probe
+    prunes precisely the recently-rescheduled segments and the scan
+    tracks the DUE fraction, not the catalog
+    (engine.crawl_once wires this; claim-skip behavior pinned in
+    tests/test_engine_wave_shape.py). The reference's analog is the
+    partial index WHERE assigned_process_id IS NULL ordered by
+    next_crawl (FileDbDAL/DirectoryCrawl.py:641-687 claim query)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..filedb.store import TableStore
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("dir_path", T.StringType()),
+            T.StructField("next_crawl", T.TimestampType()),
+        ]
+    )
+    d1 = fixtures.fixture_directory(spark, sf_dir)
+    ctl = d1.select(
+        "id",
+        "dir_path",
+        (
+            F.expr("timestamp'2024-07-01 00:00:00'")
+            + F.make_interval(days=(F.col("id") % 5).cast("int"))
+        ).alias("next_crawl"),
+    )
+    root = tempfile.mkdtemp(prefix="fdb_g34_")
+    store = TableStore(spark, root, {"control": schema}, bucketing=False)
+    bands = [(0, 1), (2, 3), (4, 4)]
+    for lo, hi in bands:
+        store.append(
+            "control",
+            ctl.where((F.col("id") % 5 >= lo) & (F.col("id") % 5 <= hi)),
+            zone_cols=["next_crawl"],
+        )
+    from datetime import datetime as _dt
+
+    due_probe = _dt(2024, 7, 2, 12, 0, 0)
+    sup1, rep1 = store.read_pruned("control", "next_crawl", [(None, due_probe)])
+    due = sup1.where(F.col("next_crawl") <= F.lit(due_probe))
+    lo2, hi2 = _dt(2024, 7, 3), _dt(2024, 7, 4, 12, 0, 0)
+    sup2, rep2 = store.read_pruned("control", "next_crawl", [(lo2, hi2)])
+    mid = sup2.where(
+        (F.col("next_crawl") >= F.lit(lo2)) & (F.col("next_crawl") <= F.lit(hi2))
+    )
+
+    def rows(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("part"),
+            F.col("id").cast("bigint").alias("id"),
+            "dir_path",
+            _ep(F.col("next_crawl")).alias("n1"),
+            _bn().alias("n2"),
+        )
+
+    meta = spark.createDataFrame(
+        [
+            ("report1", rep1["scanned"], rep1["total"]),
+            ("report2", rep2["scanned"], rep2["total"]),
+        ],
+        "part string, a long, b long",
+    ).select(
+        "part",
+        _bn().alias("id"),
+        _sn().alias("dir_path"),
+        F.col("a").cast("bigint").alias("n1"),
+        F.col("b").cast("bigint").alias("n2"),
+    )
+    out = (
+        rows(due, "due")
+        .unionByName(rows(mid, "mid"))
+        .unionByName(meta)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
