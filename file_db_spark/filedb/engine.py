@@ -69,35 +69,38 @@ class Engine:
 
     def add_root(self, path: str, now: datetime | None = None) -> None:
         """Seed a crawl root: a directory row + a due control row
-        (install.py:66-72 intended semantics)."""
+        (install.py:66-72 intended semantics). Commits O(1) through
+        apply_changes — a new root on a 10^9-row catalog appends one
+        row per table instead of rewriting three catalog-sized tables
+        (and the rewrite would also have erased every accumulated
+        zone map the wave pruning runs on)."""
         now = now or _utcnow()
         path = strip_trailing_slashes(path) or path
         row = self.spark.createDataFrame(
             [(None, path, None, None, now, now)], schemas.DIRECTORY
         ).withColumn("id", F.xxhash64("dir_path"))
-        existing = self.store.read("directory")
-        self.store.replace(
-            "directory",
-            existing.unionByName(
-                row.join(existing.select("dir_path"), "dir_path", "left_anti")
-            ),
+        new_dir = row.join(
+            self.store.read("directory").select("dir_path"),
+            "dir_path",
+            "left_anti",
         )
-        self.store.replace(
-            "drive",
-            self.store.read("drive")
-            .unionByName(
-                row.select(
-                    F.col("id"), "dir_path", F.col("inserted_on")
-                ).join(self.store.read("drive").select("dir_path"), "dir_path", "left_anti")
-            ),
+        self.store.apply_changes(
+            "directory", ["dir_path"], inserts=new_dir, zone_cols=["dir_path"]
         )
-        self.store.replace(
+        new_drive = row.select("id", "dir_path", "inserted_on").join(
+            self.store.read("drive").select("dir_path"), "dir_path", "left_anti"
+        )
+        self.store.apply_changes("drive", ["dir_path"], inserts=new_drive)
+        seeds = scheduler.control_seed_rows(
+            self.store.read("directory_control").select("dir_path"),
+            row.select("id", "dir_path"),
+            now,
+        )
+        self.store.apply_changes(
             "directory_control",
-            scheduler.seed_control_for_dirs(
-                self.store.read("directory_control"),
-                row.select("id", "dir_path"),
-                now,
-            ),
+            ["dir_path"],
+            inserts=seeds,
+            zone_cols=["dir_path", "next_crawl"],
         )
 
     # -- crawl wave (§3.1 stages 2-5) --------------------------------------
