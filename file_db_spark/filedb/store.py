@@ -624,6 +624,11 @@ class TableStore:
         import re as _re
 
         full = {"mode": "full", "total": nb, "scanned": nb, "pruned": 0}
+        cap = max(1, nb // 2)
+        # early-exit probe: we only need to know whether the wave
+        # touches MORE than cap buckets — limit(cap+1) keeps the probe
+        # one cheap partial-aggregate job even on a large source (the
+        # common all-buckets wave pays the minimum to learn it)
         tb = {
             r["b"]
             for r in source.select(
@@ -632,9 +637,10 @@ class TableStore:
                 )
             )
             .distinct()
+            .limit(cap + 1)
             .collect()
         }
-        if len(tb) > max(1, nb // 2):
+        if len(tb) > cap:
             return None, full
         pat = _re.compile(r"_(\d{5,})\.")
         sel: list[str] = []
