@@ -60,6 +60,7 @@ class Engine:
         #: the frontier-subtree directory probe)
         self.last_claim_report: dict | None = None
         self.last_probe_report: dict | None = None
+        self.last_removal_report: dict | None = None
 
     # -- bootstrap (§3.3) --------------------------------------------------
     def install(self) -> None:
@@ -258,14 +259,43 @@ class Engine:
         self._refresh_mviews()
         return len(frontier)
 
+    #: removal waves with at most this many vanished roots resolve
+    #: their subtrees against a zone-pruned directory read (the root
+    #: paths collect driver-side to build the hull); larger waves fall
+    #: back to the full read rather than collect unbounded paths
+    _REMOVAL_PRUNE_MAX_ROOTS = 10_000
+
     def _apply_removals(
         self, dir_removals: DataFrame, file_removals: DataFrame, now: datetime
     ) -> None:
         """M8 drain, immediate mode: cascade-delete vanished entries and
         archive them (deferred batching is the scheduler's choice at
-        scale; the atomic unit stays one crawl wave)."""
+        scale; the atomic unit stays one crawl wave). The subtree
+        resolution reads `directory` through the same zone-pruned
+        superset as the frontier probe — victims and their descendants
+        all live under the vanished roots' path hull, so a removal
+        wave's directory scan tracks the vanished subtrees, not the
+        catalog (report in self.last_removal_report)."""
+        roots = [
+            r["dir_path"]
+            for r in dir_removals.select("dir_path")
+            .limit(self._REMOVAL_PRUNE_MAX_ROOTS + 1)
+            .collect()
+        ]
+        if 0 < len(roots) <= self._REMOVAL_PRUNE_MAX_ROOTS:
+            directory_df, self.last_removal_report = self.store.read_pruned(
+                "directory",
+                "dir_path",
+                [
+                    (p, self.store._prefix_upper(p))
+                    for p in sorted(set(roots))
+                ],
+            )
+        else:
+            directory_df = self.store.read("directory")
+            self.last_removal_report = None
         res = merge.delete_directories(
-            self.store.read("directory"),
+            directory_df,
             self.store.read("file"),
             self.store.read("hash"),
             self.store.read("hash_control"),

@@ -188,3 +188,39 @@ def test_two_standing_mviews_through_mixed_waves(spark, tmp_path, tree):
     assert expect_dup.exceptAll(got_dup).count() == 0
     # the removal really flowed through: the duplicate group shrank
     assert got_dup.where(F.col("n_files") >= 2).count() == 0
+
+
+def test_removal_resolution_prunes_directory(spark, tmp_path):
+    """A removal wave resolves victim subtrees against a zone-pruned
+    directory read: segments disjoint from the vanished roots' path
+    hull are never opened, and the cascade still deletes exactly the
+    subtree."""
+    import shutil as _sh
+
+    a = tmp_path / "r1"
+    b = tmp_path / "r2"
+    (a / "adir").mkdir(parents=True)
+    (b / "bdir").mkdir(parents=True)
+    (a / "adir" / "x.txt").write_text("x")
+    (b / "bdir" / "y.txt").write_text("y")
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(a))
+    eng.add_root(str(b))
+    while eng.crawl_once(limit=10):
+        pass
+    _sh.rmtree(b / "bdir")
+    later = _e._utcnow() + timedelta(days=8)
+    while eng.crawl_once(now=later, limit=10):
+        pass
+    rep = eng.last_removal_report
+    assert rep is not None
+    # the a-subtree segments (add_root seed + crawl waves) are disjoint
+    # from the vanished b-subtree hull and were skipped at manifest level
+    assert rep["zone_skipped"] >= 1
+    dirs = {r["dir_path"] for r in eng.store.read("directory").collect()}
+    assert str(b / "bdir") not in dirs
+    assert str(a / "adir") in dirs
+    # cascade reached the files too
+    assert (
+        eng.store.read("file").where(F.col("name") == "y.txt").count() == 0
+    )
