@@ -1700,6 +1700,63 @@ class TableStore:
             return False
         return True
 
+    #: a merge wave with at most this many distinct keys also probes
+    #: each candidate segment's BLOOM digest (point-wave merges against
+    #: interleaved key ranges prune where min/max can't); past the cap
+    #: the hull decision stands alone — no unbounded driver collect
+    _MERGE_BLOOM_PROBE_KEYS = 64
+
+    def _bloom_prune_targets(
+        self,
+        name: str,
+        source: DataFrame,
+        on: list[str],
+        touched: list[dict],
+    ) -> tuple[list[dict], int]:
+        """Second-stage MERGE target pruning for SMALL waves: when the
+        (single-column) source key set is tiny, probe each
+        hull-surviving segment's bloom digest with every source key —
+        a segment whose digest rejects ALL of them provably holds no
+        match and drops from both the classification join and the DV
+        scope. Zone ranges prune by VALUE ORDER; blooms prune by
+        MEMBERSHIP, which is what a scattered point-wave needs
+        (read_point's logic, vectorized over the wave). Costs one
+        bounded collect, attempted only when some candidate actually
+        recorded a digest. Returns (kept_segments, n_bloom_pruned)."""
+        if len(on) != 1 or not touched:
+            return touched, 0
+        k = on[0]
+        if not any(
+            ((e.get("stats") or {}).get(k) or {}).get("bloom")
+            for e in touched
+        ):
+            return touched, 0
+        cap = self._MERGE_BLOOM_PROBE_KEYS
+        rows = source.select(k).distinct().limit(cap + 1).collect()
+        vals = [r[k] for r in rows]
+        if not vals or len(vals) > cap or any(v is None for v in vals):
+            return touched, 0
+        coltype = self.schemas[name][k].dataType
+        hashes = [self._probe_hash(v, coltype) for v in vals]
+        kept: list[dict] = []
+        pruned = 0
+        for e in touched:
+            bloom = ((e.get("stats") or {}).get(k) or {}).get("bloom")
+            if bloom:
+                bmp = base64.b64decode(bloom["bits"])
+                hit = any(
+                    all(
+                        bmp[p >> 3] & (1 << (p & 7))
+                        for p in _bloom_positions(h, bloom["m"], bloom["k"])
+                    )
+                    for h in hashes
+                )
+                if not hit:
+                    pruned += 1
+                    continue
+            kept.append(e)
+        return kept, pruned
+
     def read_pruned(
         self,
         name: str,
@@ -2498,11 +2555,15 @@ class TableStore:
                         for e in doc0["segments"]
                         if self._hull_touches(e, on, hull)
                     ]
+                    touched, bloom_pruned = self._bloom_prune_targets(
+                        name, source, on, touched
+                    )
                     report = {
                         "mode": "segments",
                         "total": len(doc0["segments"]),
                         "scanned": len(touched),
                         "pruned": len(doc0["segments"]) - len(touched),
+                        "bloom_pruned": bloom_pruned,
                     }
                     t_raw = self._read_gen(
                         name, cur, keep={_seg_id(e) for e in touched}

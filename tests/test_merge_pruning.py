@@ -299,3 +299,38 @@ def test_rebucket_rejects_unbucketed(spark, tmp_path):
     st = _store(spark, tmp_path, {"t": SCHEMA})
     with pytest.raises(ValueError):
         st.rebucket("t", 16)
+
+
+def test_merge_bloom_prunes_interleaved_segments(spark, tmp_path):
+    """Zone ranges can't separate INTERLEAVED key sets; the bloom
+    digests can. A small wave probes each hull-surviving segment's
+    digest and drops segments holding none of the wave's keys — from
+    the join AND the DV scope."""
+    st = _store(spark, tmp_path, {"t": SCHEMA})
+    st.append(
+        "t",
+        _kv(spark, [("a1", 1), ("a3", 3), ("a5", 5)]),
+        zone_cols=["k"],
+        bloom_cols=["k"],
+    )
+    st.append(
+        "t",
+        _kv(spark, [("a2", 2), ("a4", 4), ("a6", 6)]),
+        zone_cols=["k"],
+        bloom_cols=["k"],
+    )
+    m = st.merge("t", _kv(spark, [("a3", 30)]), ["k"])
+    assert m == {"inserted": 0, "updated": 1, "deleted": 0}
+    rep = st.last_merge_report
+    # zone hull [a3,a3] overlaps BOTH ranges; the bloom rejects seg 2
+    assert rep["scanned"] == 1 and rep["bloom_pruned"] == 1
+    doc = st._doc(st._current("t"))
+    assert len(doc["deletes"][-1]["over"]) == 1
+    got = {r["k"]: r["v"] for r in st.read("t").collect()}
+    assert got["a3"] == 30 and got["a4"] == 4 and len(got) == 6
+    # a wave larger than the probe cap falls back to hull-only (values
+    # still exact)
+    big = _kv(spark, [(f"z{i:03d}", i) for i in range(100)])
+    m2 = st.merge("t", big, ["k"])
+    assert m2["inserted"] == 100
+    assert st.read("t").count() == 106
