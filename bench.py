@@ -125,6 +125,8 @@ HEADLINE = [
     "g32_merge_pruning",  # target-pruned MERGE (zone-hull segment skipping)
     "g33_rebucket",  # bucket-count evolution (OPTIMIZE-variant migration)
     "g34_due_scan",  # timestamp zone-map due-claim pruning (read_pruned)
+    # round-10 additions
+    "g35_file_probe",  # per-data-file dir_id digests (read_bucketed_pruned)
     # round-6 additions: TPC-H completion set + merge-on-read deletes
     "a17_small_qty_revenue",  # Q17 correlated-AVG decorrelated to one window
     "a19_order_count_distribution",  # Q13 outer-join count distribution
@@ -287,6 +289,23 @@ def main() -> None:
             except Exception:
                 pass  # surfaced by the suite run; don't kill the report
         members_isolated[suite] = iso
+    # member-drift flag (VERDICT r9 #8): a streaming-suite member
+    # whose startup-netted concurrent wall exceeds its isolated
+    # runtime by >20% (plus a 0.2 s noise floor) is flagged here, so a
+    # member regression surfaces as a field in the committed bench
+    # record instead of requiring a manual diff of the two dicts
+    member_drift: dict[str, dict] = {}
+    for suite, iso in members_isolated.items():
+        for m, t_iso in iso.items():
+            t_net = members_net.get(suite, {}).get(m)
+            if t_net is None or t_iso <= 0:
+                continue
+            if t_net > t_iso * 1.2 + 0.2:
+                member_drift.setdefault(suite, {})[m] = {
+                    "net": t_net,
+                    "isolated": t_iso,
+                    "ratio": round(t_net / t_iso, 2),
+                }
     # VERDICT r7 #2: the driver captures only a ~2 KB tail of stdout,
     # and the full per-query dict outgrew it in round 5 (BENCH_r0{5,6,7}
     # all have parsed:null). stdout now carries ONE compact line —
@@ -311,6 +330,7 @@ def main() -> None:
                 "stream_startup_sec": stream_startup,
                 "members_net": members_net,
                 "members_isolated": members_isolated,
+                "member_drift": member_drift,
             },
             fh,
             indent=1,
@@ -328,6 +348,7 @@ def main() -> None:
                 "shared_r02_total": shared,
                 "n_queries": len(timings),
                 "stream_startup_sec": stream_startup,
+                "member_drift": member_drift,
                 "detail_file": "BENCH_DETAIL.json",
             }
         )

@@ -245,13 +245,31 @@ def merge_files(
         F.col("ex.id").alias("file_id"), _now_lit(now).alias("inserted_on")
     )
     rehash = scratch.where(tp & sp & content_changed)
+    # full_path rides the schedule row when the staged listing carries
+    # dir_path (the engine's scan does) — what lets the hash wave open
+    # files with ZERO catalog reads; pure-function callers without
+    # dir_path schedule a NULL path and the wave falls back to the
+    # legacy file⋈directory resolve for those rows
+    if "dir_path" in staged.columns:
+        from .scan import child_path_col
+
+        fp = child_path_col(F.col("st.dir_path"), F.col("st.name"))
+    else:
+        fp = F.lit(None).cast("string")
     to_hash = (
-        inserts.select("id", "mtime", "size")
+        scratch.where(~tp & sp)
+        .select(
+            F.col("st.id").alias("id"),
+            F.col("st.mtime").alias("mtime"),
+            F.col("st.size").alias("size"),
+            fp.alias("full_path"),
+        )
         .unionByName(
             rehash.select(
                 F.col("ex.id").alias("id"),
                 F.col("st.mtime").alias("mtime"),
                 F.col("st.size").alias("size"),
+                fp.alias("full_path"),
             )
         )
         .join(hash_control.select("file_id"), F.col("id") == F.col("file_id"), "left_anti")
@@ -262,6 +280,7 @@ def merge_files(
             F.lit(None).cast("timestamp").alias("process_assigned_on"),
             F.lit(False).alias("file_missing"),
             _now_lit(now).alias("inserted_on"),
+            "full_path",
         )
     )
     # full entity state (lazy, for the pure-function callers/oracles)

@@ -100,15 +100,19 @@ def get_files_to_hash(
     hash_control: DataFrame, now, limit: int = 5000, process_id: int = 1
 ) -> tuple[DataFrame, DataFrame]:
     """T2: claim the smallest unclaimed files first (hash cheapest
-    first, DirectoryCrawl.py:714-718). Returns (work, new_control)."""
+    first, DirectoryCrawl.py:714-718). Returns (work, new_control).
+    When the control frame carries `full_path` (the store's schema
+    does), the claim returns it too — the hash wave then opens files
+    without any catalog resolve."""
     nowc = F.lit(now).cast("timestamp")
+    extra = ["full_path"] if "full_path" in hash_control.columns else []
     work = (
         hash_control.where(
             F.col("process_assigned_on").isNull() & ~F.coalesce("file_missing", F.lit(False))
         )
         .orderBy(F.col("file_size").asc(), F.col("file_id").asc())
         .limit(limit)
-        .select("file_id", "file_size")
+        .select("file_id", "file_size", *extra)
     )
     claimed = work.select("file_id").withColumn("claimed", F.lit(True))
     new_control = (

@@ -121,7 +121,14 @@ DIRECTORY_CONTROL = _s(
     ("inserted_on", _TS),
 )
 
-# FileDbDAL/DirectoryCrawl.py:551-562
+# FileDbDAL/DirectoryCrawl.py:551-562, plus `full_path`: the work
+# queue carries the path the hash wave will open, denormalized at
+# schedule time (merge_files knows it from the staged listing). The
+# reference re-derives paths by probing its file/directory PK B-trees
+# per claimed row; at catalog scale the denormalized column is what
+# lets a hash wave run with ZERO reads of `file`/`directory`
+# (engine.hash_once). Nullable: rows scheduled before the column
+# existed resolve through the legacy catalog join.
 HASH_CONTROL = _s(
     ("file_id", _LONG),
     ("mtime", _TS),
@@ -129,4 +136,5 @@ HASH_CONTROL = _s(
     ("process_assigned_on", _TS),
     ("file_missing", T.BooleanType()),
     ("inserted_on", _TS),
+    ("full_path", _STR),
 )

@@ -263,6 +263,19 @@ BUCKET_SPECS: dict[str, tuple[int, list[str]]] = {
     "hash": (8, ["file_id"]),
 }
 
+#: Per-DATA-FILE skipping stats recorded on bucketed commits: for each
+#: bucketed table, the non-key columns whose per-file zone maps + bloom
+#: digests let a wave read a key-pruned SUBSET of the generation's data
+#: files (read_bucketed_pruned). `file` records dir_id: its id is
+#: xxhash64(dir_path, name), so every row a crawl wave can match or
+#: vanish carries a dir_id in the wave's frontier — the digest turns
+#: the M2 classification probe from O(table) into O(files holding
+#: frontier dirs) (the manifest analog of the reference probing its
+#: (dir_id, name) B-tree per staged row, FileDbDAL/File.py:203-229).
+BUCKET_FILE_STATS: dict[str, list[str]] = {
+    "file": ["dir_id"],
+}
+
 
 def _num(v) -> bool:
     """True for a plain number (bool excluded — it would compare as
@@ -510,6 +523,265 @@ class TableStore:
         with open(tmp, "w") as fh:
             fh.write(str(int(n)))
         os.replace(tmp, os.path.join(gen_dir, self._NBUCKETS_FILE))
+
+    # -- per-data-file skipping stats (bucketed generations) -------------------
+    # A bucketed generation's data files carry a `_FILESTATS.json`
+    # sidecar ({file_basename: {col: {min, max, nulls, bloom?}}}) for
+    # the BUCKET_FILE_STATS columns — the per-file half of the
+    # manifest zone/bloom story (Delta per-file stats / Iceberg
+    # column metrics at file granularity). Delta commits stat their
+    # O(changes) stage files; hardlinked base files inherit the prior
+    # generation's entries verbatim (the bytes are the same inode).
+    # read_bucketed_pruned() consults the sidecar to scan only the
+    # files that can hold some probe key — pure metadata, no data
+    # file opened for the rest.
+
+    _FILESTATS_FILE = "_FILESTATS.json"
+    #: per-file blooms use a smaller bits/key than segment blooms (16
+    #: vs 32, fp ~2e-3/key — a false positive just scans one extra
+    #: file) and a higher distinct-key cap: a freshly compacted wide
+    #: file holds many distinct dir_ids, and losing its digest means
+    #: it is scanned on EVERY wave
+    _FILE_BLOOM_BITS_PER_KEY = 16
+    _FILE_BLOOM_MAX_KEYS = 65536
+    #: probes with more keys than this fall back to a full read
+    #: (bounds the driver-side zone/bloom evaluation)
+    _FILE_PRUNE_MAX_KEYS = 100_000
+
+    def _file_stat_cols(self, name: str) -> list[str]:
+        """BUCKET_FILE_STATS columns actually present in the table's
+        DECLARED schema — a caller may register a same-named table
+        with a different shape (fixtures, clones), and stats silently
+        narrow to the columns that exist."""
+        declared = set(self.schemas[name].fieldNames())
+        return [
+            c for c in (BUCKET_FILE_STATS.get(name) or []) if c in declared
+        ]
+
+    def _filestats_path(self, gen_dir: str) -> str:
+        return os.path.join(gen_dir, self._FILESTATS_FILE)
+
+    def _filestats(self, gen_dir: str) -> dict | None:
+        try:
+            with open(self._filestats_path(gen_dir)) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            return None
+
+    def _write_filestats(self, gen_dir: str, stats: dict) -> None:
+        tmp = self._filestats_path(gen_dir) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
+        os.replace(tmp, self._filestats_path(gen_dir))
+
+    def _per_file_stats(
+        self, name: str, data_dir: str, cols: list[str]
+    ) -> dict:
+        """Zone maps + bloom digests PER DATA FILE of `data_dir` for
+        `cols`: one grouped aggregate pass (min/max/nulls/distinct per
+        file) plus, per column, one distributive bit-position
+        aggregation (each value's xxhash64 expands to its k positions
+        JVM-side; only distinct positions per file reach the driver).
+        All files of one pass share a digest width m sized from the
+        largest per-file key count (bounded by _FILE_BLOOM_MAX_KEYS —
+        files beyond the cap record zone-only stats). Cost is O(rows
+        in data_dir): O(changes) when statting a delta stage, O(table)
+        only inside an already-O(table) clean rewrite."""
+        k = self._BLOOM_K
+        df = (
+            self.spark.read.schema(self._bucket_phys_schema(name))
+            .parquet(data_dir)
+            .withColumn(
+                "__f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+        )
+        aggs: list = []
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"mn__{c}"),
+                F.max(c).alias(f"mx__{c}"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"nl__{c}"),
+                F.count_distinct(F.xxhash64(c)).alias(f"nd__{c}"),
+            ]
+        zone_rows = df.groupBy("__f").agg(*aggs).collect()
+        out: dict[str, dict] = {}
+        bloom_m: dict[str, int] = {}
+        for c in cols:
+            eligible = [
+                int(r[f"nd__{c}"])
+                for r in zone_rows
+                if 0 < int(r[f"nd__{c}"]) <= self._FILE_BLOOM_MAX_KEYS
+            ]
+            if eligible:
+                nbits = max(
+                    64, max(eligible) * self._FILE_BLOOM_BITS_PER_KEY
+                )
+                bloom_m[c] = 1 << (nbits - 1).bit_length()
+        for r in zone_rows:
+            ent: dict = {}
+            for c in cols:
+                mn, mx = _stats_probe(r[f"mn__{c}"]), _stats_probe(r[f"mx__{c}"])
+                for v in (mn, mx):
+                    if v is not None and not isinstance(v, (int, float, str)):
+                        raise TypeError(
+                            f"per-file stats on {c!r}: unsupported type "
+                            f"{type(v).__name__}"
+                        )
+                ent[c] = {
+                    "min": mn,
+                    "max": mx,
+                    "nulls": int(r[f"nl__{c}"]),
+                }
+            out[r["__f"]] = ent
+        for c, m in bloom_m.items():
+            pos_expr = (
+                f"transform(sequence(0, {k - 1}), i -> "
+                f"pmod((xxhash64({c}) & 4294967295) + "
+                f"i * (shiftrightunsigned(xxhash64({c}), 32) | 1), {m}))"
+            )
+            pos_rows = (
+                df.where(F.col(c).isNotNull())
+                .select("__f", F.explode(F.expr(pos_expr)).alias("p"))
+                .groupBy("__f")
+                .agg(F.collect_set("p").alias("ps"))
+                .collect()
+            )
+            skip = {
+                r["__f"]
+                for r in zone_rows
+                if int(r[f"nd__{c}"]) > self._FILE_BLOOM_MAX_KEYS
+            }
+            for r in pos_rows:
+                if r["__f"] in skip:
+                    continue  # over the cap: zone-only for this file
+                bmp = bytearray(m // 8)
+                for p in r["ps"]:
+                    bmp[p >> 3] |= 1 << (p & 7)
+                out[r["__f"]][c]["bloom"] = {
+                    "m": m,
+                    "k": k,
+                    "bits": base64.b64encode(bytes(bmp)).decode(),
+                }
+        return out
+
+    def read_bucketed_pruned(
+        self, name: str, col: str, keys: list, include_nulls: bool = False
+    ) -> tuple[DataFrame, dict[str, int]]:
+        """Key-pruned SUPERSET read of a bucketed table: scan only the
+        data files whose recorded per-file stats (zone range by value
+        order, bloom digest by membership) can hold SOME key in
+        `keys` on `col` — pure metadata, no other file is opened.
+        Deletion vectors still apply, so the result is exactly what a
+        full read restricted to those files would return; NO row
+        filter is applied (callers compose their own predicates — the
+        read_pruned contract at file granularity). Files without a
+        recorded entry are always scanned, so the read is sound across
+        commits that predate the sidecar. Falls back to the full
+        read() when the table isn't bucketed, has no sidecar, or the
+        probe exceeds _FILE_PRUNE_MAX_KEYS. Returns (df, {mode, total,
+        zone_skipped, bloom_skipped, scanned})."""
+        full_report = {
+            "mode": "full",
+            "total": 0,
+            "zone_skipped": 0,
+            "bloom_skipped": 0,
+            "scanned": 0,
+        }
+        cur = self._current(name)
+        if cur is None:
+            return (
+                self.spark.createDataFrame([], self.schemas[name]),
+                full_report,
+            )
+        stats = (
+            self._filestats(cur)
+            if self._is_bucketed(name)
+            and self._doc(cur) is None
+            and col in self.schemas[name].fieldNames()
+            else None
+        )
+        vals = [v for v in keys if v is not None]
+        want_nulls = include_nulls or len(vals) < len(keys)
+        if stats is None or len(vals) > self._FILE_PRUNE_MAX_KEYS:
+            full_report["total"] = full_report["scanned"] = 1
+            return self.read(name), full_report
+        import bisect
+
+        coltype = self.schemas[name][col].dataType
+        probes = sorted({_stats_probe(v) for v in vals})
+        comparable = probes and all(
+            isinstance(p, (int, float, str)) and not isinstance(p, bool)
+            for p in probes
+        )
+        hashes: list[int] | None = None  # computed on first bloom probe
+        report = {
+            "mode": "files",
+            "total": 0,
+            "zone_skipped": 0,
+            "bloom_skipped": 0,
+            "scanned": 0,
+        }
+        kept: list[str] = []
+        for fn in sorted(os.listdir(cur)):
+            if fn.startswith(("_", ".")):
+                continue
+            p = os.path.join(cur, fn)
+            if not os.path.isfile(p):
+                continue
+            report["total"] += 1
+            st = (stats.get(fn) or {}).get(col)
+            if st is None:
+                kept.append(p)
+                report["scanned"] += 1
+                continue
+            if want_nulls and int(st.get("nulls", 0)) > 0:
+                kept.append(p)
+                report["scanned"] += 1
+                continue
+            zmin, zmax = st.get("min"), st.get("max")
+            if zmin is None and zmax is None:
+                # all-NULL (or empty) file: no non-null key can match
+                report["zone_skipped"] += 1
+                continue
+            if comparable and _zone_comparable(probes[0], zmin):
+                lo = bisect.bisect_left(probes, zmin)
+                hi = bisect.bisect_right(probes, zmax)
+                cand = probes[lo:hi]
+            else:
+                cand = probes  # not cleanly comparable: can't zone-prune
+            if not cand:
+                report["zone_skipped"] += 1
+                continue
+            bloom = st.get("bloom")
+            if bloom is not None:
+                if hashes is None:
+                    by_probe = {
+                        _stats_probe(v): self._probe_hash(v, coltype)
+                        for v in vals
+                    }
+                    hashes = by_probe
+                bmp = base64.b64decode(bloom["bits"])
+                hit = any(
+                    all(
+                        bmp[q >> 3] & (1 << (q & 7))
+                        for q in _bloom_positions(
+                            hashes[c], bloom["m"], bloom["k"]
+                        )
+                    )
+                    for c in cand
+                )
+                if not hit:
+                    report["bloom_skipped"] += 1
+                    continue
+            kept.append(p)
+            report["scanned"] += 1
+        phys_schema = self._bucket_phys_schema(name)
+        phys = (
+            self.spark.read.schema(phys_schema).parquet(*kept)
+            if kept
+            else self.spark.createDataFrame([], phys_schema)
+        )
+        return self._apply_bucket_dvs(name, cur, phys), report
 
     # -- bucketed merge-on-read commits ---------------------------------------
     # A bucketed table's MERGE used to fall back to a full rewrite (the
@@ -776,10 +1048,19 @@ class TableStore:
                 .parquet(os.path.join(d, dv))
             )
             dvs.append({"path": dv, "ns": ns, "keys": list(on)})
+        # per-file skipping stats: hardlinked base files inherit the
+        # prior sidecar's entries (same bytes); the delta stage pays
+        # one O(changes) stats pass before linking in
+        fcols = self._file_stat_cols(name)
+        fstats = dict(self._filestats(cur) or {}) if fcols else {}
+        if fcols and stage is not None:
+            fstats.update(self._per_file_stats(name, stage, fcols))
         self._link_data_files(cur, gen)
         if stage is not None:
             self._link_data_files(stage, gen)
             shutil.rmtree(stage, ignore_errors=True)
+        if fcols:
+            self._write_filestats(gen, fstats)
         tmp = self._bucket_meta_path(gen) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"waves": int(prior["waves"]) + 1, "dvs": dvs}, fh)
@@ -1218,32 +1499,56 @@ class TableStore:
         a cluster. Generations are a few KB of parquet here; vacuum()
         is the explicit retention knob."""
         with _commit_lock(self.root, name):
-            d = self._dir(name)
-            os.makedirs(d, exist_ok=True)
-            gen = os.path.join(d, f"gen-{time.time_ns()}")
-            cols = [f.name for f in self.schemas[name].fields]
-            out = df.select(*cols)
             if self.bucketing and name in BUCKET_SPECS:
                 n, keys = self._bucket_spec(name)
-                (
-                    out.withColumn(
-                        self._COMMIT_COL,
-                        F.lit(int(os.path.basename(gen)[len("gen-"):])),
-                    )
-                    .write.mode("overwrite")
-                    .format("parquet")
-                    .option("path", gen)
-                    .bucketBy(n, *keys)
-                    .sortBy(*keys)
-                    .saveAsTable(self._table_name(name, gen))
-                )
-                self._stamp_nbuckets(gen, n)
+                gen = self._write_bucketed_gen(name, df, n, keys)
             else:
+                d = self._dir(name)
+                os.makedirs(d, exist_ok=True)
+                gen = os.path.join(d, f"gen-{time.time_ns()}")
+                cols = [f.name for f in self.schemas[name].fields]
+                out = df.select(*cols)
                 if name in SORT_KEYS:
                     out = out.sortWithinPartitions(*SORT_KEYS[name])
                 out.write.mode("overwrite").parquet(gen)
                 self._stamp_epoch(name, gen)
             self._catalog_swap({name: os.path.basename(gen)})
+
+    def _write_bucketed_gen(
+        self, name: str, df: DataFrame, n: int, keys: list[str]
+    ) -> str:
+        """Write a full clean bucketed generation (data + _NBUCKETS
+        stamp + session-catalog registration + per-file stats) WITHOUT
+        swapping the catalog pointer — the staging half of replace()
+        and of the lock-free rebucket() rewrite. The generation is
+        invisible to every pointer-resolved reader until a caller
+        swaps it in."""
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        gen = os.path.join(d, f"gen-{time.time_ns()}")
+        cols = [f.name for f in self.schemas[name].fields]
+        (
+            df.select(*cols)
+            .withColumn(
+                self._COMMIT_COL,
+                F.lit(int(os.path.basename(gen)[len("gen-"):])),
+            )
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", gen)
+            .bucketBy(n, *keys)
+            .sortBy(*keys)
+            .saveAsTable(self._table_name(name, gen))
+        )
+        self._stamp_nbuckets(gen, n)
+        fcols = self._file_stat_cols(name)
+        if fcols:
+            # per-file skipping stats for the clean snapshot (one
+            # extra pass inside an already-O(table) rewrite) — without
+            # them every post-compact wave would scan the whole
+            # rewritten base again
+            self._write_filestats(gen, self._per_file_stats(name, gen, fcols))
+        return gen
 
     def vacuum(self, retain: int = 1, respect_consumers: bool = False) -> None:
         """Drop all but the newest `retain` generations of every table,
@@ -1714,46 +2019,73 @@ class TableStore:
         touched: list[dict],
     ) -> tuple[list[dict], int]:
         """Second-stage MERGE target pruning for SMALL waves: when the
-        (single-column) source key set is tiny, probe each
-        hull-surviving segment's bloom digest with every source key —
-        a segment whose digest rejects ALL of them provably holds no
-        match and drops from both the classification join and the DV
-        scope. Zone ranges prune by VALUE ORDER; blooms prune by
-        MEMBERSHIP, which is what a scattered point-wave needs
-        (read_point's logic, vectorized over the wave). Costs one
-        bounded collect, attempted only when some candidate actually
-        recorded a digest. Returns (kept_segments, n_bloom_pruned)."""
-        if len(on) != 1 or not touched:
+        source key set is tiny, probe each hull-surviving segment's
+        bloom digests with every source key tuple — a segment whose
+        digests reject ALL of them provably holds no match and drops
+        from both the classification join and the DV scope. Zone
+        ranges prune by VALUE ORDER; blooms prune by MEMBERSHIP, which
+        is what a scattered point-wave needs (read_point's logic,
+        vectorized over the wave). COMPOSITE keys probe per-column
+        digests with AND semantics: an equi-match needs every column
+        to agree, so a tuple survives a segment only if each recorded
+        digest admits its column's value (a NULL component or a column
+        without a digest can't refute — it passes). Costs one bounded
+        collect, attempted only when some candidate actually recorded
+        a digest on some key column. Returns (kept_segments,
+        n_bloom_pruned)."""
+        if not touched:
             return touched, 0
-        k = on[0]
         if not any(
             ((e.get("stats") or {}).get(k) or {}).get("bloom")
             for e in touched
+            for k in on
         ):
             return touched, 0
         cap = self._MERGE_BLOOM_PROBE_KEYS
-        rows = source.select(k).distinct().limit(cap + 1).collect()
-        vals = [r[k] for r in rows]
-        if not vals or len(vals) > cap or any(v is None for v in vals):
+        rows = source.select(*on).distinct().limit(cap + 1).collect()
+        if not rows or len(rows) > cap:
             return touched, 0
-        coltype = self.schemas[name][k].dataType
-        hashes = [self._probe_hash(v, coltype) for v in vals]
+        hmemo: dict[tuple, int] = {}
+
+        def _h(col: str, v) -> int:
+            key = (col, v)
+            if key not in hmemo:
+                hmemo[key] = self._probe_hash(
+                    v, self.schemas[name][col].dataType
+                )
+            return hmemo[key]
+
         kept: list[dict] = []
         pruned = 0
         for e in touched:
-            bloom = ((e.get("stats") or {}).get(k) or {}).get("bloom")
-            if bloom:
-                bmp = base64.b64decode(bloom["bits"])
-                hit = any(
-                    all(
+            stats = e.get("stats") or {}
+            blooms: dict[str, tuple[bytes, int, int]] = {}
+            for k in on:
+                b = (stats.get(k) or {}).get("bloom")
+                if b:
+                    blooms[k] = (base64.b64decode(b["bits"]), b["m"], b["k"])
+            if not blooms:
+                kept.append(e)
+                continue
+            hit = False
+            for r in rows:
+                admits = True
+                for k, (bmp, m, kk) in blooms.items():
+                    v = r[k]
+                    if v is None:
+                        continue  # digests don't cover NULLs: pass
+                    if not all(
                         bmp[p >> 3] & (1 << (p & 7))
-                        for p in _bloom_positions(h, bloom["m"], bloom["k"])
-                    )
-                    for h in hashes
-                )
-                if not hit:
-                    pruned += 1
-                    continue
+                        for p in _bloom_positions(_h(k, v), m, kk)
+                    ):
+                        admits = False
+                        break
+                if admits:
+                    hit = True
+                    break
+            if not hit:
+                pruned += 1
+                continue
             kept.append(e)
         return kept, pruned
 
@@ -2303,26 +2635,66 @@ class TableStore:
         bucket-aligned deltas at the new count and co-located joins
         keep planning with zero Exchange at the new width. Generations
         written BEFORE the migration keep their own count (each carries
-        an `_NBUCKETS` stamp), so time travel, CDC diffs, and a crash
-        between the spec flip and the rewrite all stay correct — a
-        merge landing in that window still extends the old-count base
-        at the old count."""
+        an `_NBUCKETS` stamp), so time travel, CDC diffs, and crashes
+        around the migration all stay correct — a merge landing
+        mid-rewrite still extends the old-count base at the old count.
+        The rewrite STAGES WITHOUT the table lock and publishes with an
+        optimistic check-and-swap (spec flip + pointer swap together,
+        under the lock, only if the rewritten base is still current;
+        otherwise rebase and retry) — at thousands of buckets the
+        rewrite takes minutes, and holding the flock for it would
+        stall every concurrent wave. A crash leaves at worst an orphan
+        staged generation that vacuum reclaims."""
         if name not in BUCKET_SPECS:
             raise ValueError(f"rebucket(): {name!r} is not a bucketed table")
         if not self.bucketing:
             raise ValueError("rebucket(): store was built with bucketing=False")
         if int(n_buckets) < 1:
             raise ValueError(f"rebucket(): bad bucket count {n_buckets!r}")
-        with _commit_lock(self.root, name):
-            d = self._dir(name)
-            os.makedirs(d, exist_ok=True)
-            _, keys = BUCKET_SPECS[name]
+        d = self._dir(name)
+        os.makedirs(d, exist_ok=True)
+        _, keys = BUCKET_SPECS[name]
+
+        def _flip_spec() -> None:
             tmp = os.path.join(d, "_BUCKETSPEC.json.tmp")
             with open(tmp, "w") as fh:
                 json.dump({"n": int(n_buckets), "keys": keys}, fh)
             os.replace(tmp, os.path.join(d, "_BUCKETSPEC.json"))
-            if self._current(name) is not None:
-                self.replace(name, self.read(name))
+
+        if self._current(name) is None:
+            with _commit_lock(self.root, name):
+                _flip_spec()
+            return
+        # STAGE OUTSIDE THE LOCK (VERDICT r9 #5): the O(table) rewrite
+        # runs against a pinned base generation with no flock held, so
+        # concurrent waves keep committing at the old count (their
+        # generations carry their own _NBUCKETS stamp — always
+        # correct). The lock is taken only for the optimistic swap: if
+        # the base is still current, flip the spec and publish the
+        # staged generation; if a wave landed mid-rewrite, drop the
+        # stale staging and REBASE on the new current (the replace_if
+        # idiom) — neither the wave nor the migration is ever lost.
+        for _ in range(3):
+            base = self._current(name)
+            staged = self._write_bucketed_gen(
+                name, self._read_gen(name, base), int(n_buckets), keys
+            )
+            with _commit_lock(self.root, name):
+                if self._current(name) == base:
+                    _flip_spec()
+                    self._catalog_swap({name: os.path.basename(staged)})
+                    return
+            try:
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._table_name(name, staged)}"
+                )
+            except Exception:
+                pass
+            shutil.rmtree(staged, ignore_errors=True)
+        # pathologically contended table: serialize the last attempt
+        with _commit_lock(self.root, name):
+            _flip_spec()
+            self.replace(name, self.read(name))
 
     def compact(
         self,

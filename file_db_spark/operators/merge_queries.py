@@ -5526,3 +5526,124 @@ def g34_due_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# g35: PER-FILE PROBE PRUNING — read_bucketed_pruned over per-data-file
+# dir_id zone/bloom digests, the primitive that turned the crawl
+# wave's last O(table) scan into O(files holding frontier dirs)
+# (VERDICT r9 #1). A bucketed `file` table committed in three
+# dir-banded waves records a _FILESTATS.json sidecar per generation;
+# a frontier probe then scans only the data files whose digests can
+# hold some frontier dir_id — membership pruning, since id-bucketed
+# files have no dir_id value locality for zone maps to use.
+# ---------------------------------------------------------------------------
+
+_G35_ORACLE = f"""
+WITH {fixtures.FIXTURE_CTES}
+SELECT 'probe' AS part, CAST(id AS BIGINT) AS id, name,
+       CAST(dir_id AS BIGINT) AS n1, CAST(size AS DOUBLE) AS v1
+FROM fx_file WHERE dir_id % 3 = 1
+UNION ALL
+SELECT 'orphans', CAST(id AS BIGINT), name, CAST(dir_id AS BIGINT),
+       CAST(size AS DOUBLE)
+FROM fx_file WHERE dir_id IS NULL
+UNION ALL
+SELECT 'report1', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1,
+       CAST(1 AS DOUBLE)
+UNION ALL
+SELECT 'report2', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), 1,
+       CAST(1 AS DOUBLE)
+"""
+
+
+@_q("g35_file_probe", _G35_ORACLE)
+def g35_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier probe with PER-DATA-FILE skipping on a bucketed table
+    (TableStore.read_bucketed_pruned — the engine's M2 file-probe
+    primitive): the fixture `file` table is committed in three waves
+    banded by dir_id%3 (first a clean bucketed snapshot, then two
+    bucket-aligned MOR deltas), each commit recording dir_id zone maps
+    + bloom digests per data file in the generation's _FILESTATS.json
+    sidecar. A probe for the dir_id%3==1 frontier then opens ONLY the
+    files whose digests admit some frontier id — dir_ids interleave
+    across every wave's id-hashed buckets, so zone ranges cannot
+    separate them and the BLOOM membership test is what prunes (the
+    per-file twin of g23's segment digests). 'probe' pins the
+    superset-then-filter result against a plain DuckDB filter
+    (pruning changes what is READ, never the answer); 'orphans' pins
+    the NULL-key path (a NULL probe key keeps exactly the null-holding
+    files); 'report1'/'report2' pin that each probe pruned at least
+    one file AND that the skip accounting is exhaustive
+    (scanned + zone_skipped + bloom_skipped == total).
+
+    Scale: at 10^9 file rows a crawl wave's classification join reads
+    a frontier-sized subset of data files instead of the table —
+    engine.crawl_once wires this (wave-shape pins in
+    tests/test_engine_wave_shape.py). The reference's analog is the
+    per-staged-row probe of the file (dir_id, name) B-tree
+    (FileDbDAL/File.py:203-229, DirectoryCrawl.py:836-852)."""
+    import shutil
+    import tempfile
+
+    from ..filedb import schemas as _schemas
+    from ..filedb.store import TableStore
+
+    f = fixtures.fixture_file(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fdb_g35_")
+    store = TableStore(spark, root, {"file": _schemas.FILE}, bucketing=True)
+    grp = F.coalesce(F.col("dir_id") % 3, F.lit(0))
+    for band in (0, 1, 2):
+        store.apply_changes("file", ["id"], inserts=f.where(grp == band))
+    frontier = sorted(
+        r["dir_id"]
+        for r in f.where((F.col("dir_id") % 3 == 1))
+        .select("dir_id")
+        .distinct()
+        .collect()
+    )
+    sup1, rep1 = store.read_bucketed_pruned("file", "dir_id", frontier)
+    probe = sup1.where(F.col("dir_id").isin(frontier))
+    sup2, rep2 = store.read_bucketed_pruned("file", "dir_id", [None])
+    orphans = sup2.where(F.col("dir_id").isNull())
+
+    def rows(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("part"),
+            F.col("id").cast("bigint").alias("id"),
+            "name",
+            F.col("dir_id").cast("bigint").alias("n1"),
+            F.col("size").cast("double").alias("v1"),
+        )
+
+    def flags(rep: dict) -> tuple[int, int]:
+        pruned = 1 if rep["zone_skipped"] + rep["bloom_skipped"] > 0 else 0
+        acct = (
+            1
+            if rep["scanned"] + rep["zone_skipped"] + rep["bloom_skipped"]
+            == rep["total"]
+            and rep["mode"] == "files"
+            else 0
+        )
+        return pruned, acct
+
+    p1, a1 = flags(rep1)
+    p2, a2 = flags(rep2)
+    meta = spark.createDataFrame(
+        [("report1", p1, a1), ("report2", p2, a2)],
+        "part string, a long, b long",
+    ).select(
+        "part",
+        _bn().alias("id"),
+        _sn().alias("name"),
+        F.col("a").cast("bigint").alias("n1"),
+        F.col("b").cast("double").alias("v1"),
+    )
+    out = (
+        rows(probe, "probe")
+        .unionByName(rows(orphans, "orphans"))
+        .unionByName(meta)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

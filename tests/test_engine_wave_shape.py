@@ -35,14 +35,16 @@ def _mk_engine(spark, tmp_path) -> Engine:
 
 def test_one_read_per_table_per_wave(spark, tmp_path, tree, monkeypatch):
     """The wave reads `directory` ONCE (the zone-pruned frontier
-    probe), `file` ONCE (the M2 probe), and claims control through one
-    zone-pruned read plus one one-column seed anti-join — the commit
-    path (apply_changes) performs NO reads at all."""
+    probe), `file` ONCE (the file-pruned M2 probe — no plain read at
+    all), and claims control through one zone-pruned read plus one
+    one-column seed anti-join — the commit path (apply_changes)
+    performs NO reads at all."""
     eng = _mk_engine(spark, tmp_path)
     eng.add_root(str(tree))
     store = eng.store
     counts: dict[str, int] = {}
     real_read, real_pruned = store.read, store.read_pruned
+    real_fpruned = store.read_bucketed_pruned
 
     def counting_read(name):
         counts[name] = counts.get(name, 0) + 1
@@ -52,19 +54,113 @@ def test_one_read_per_table_per_wave(spark, tmp_path, tree, monkeypatch):
         counts[f"{name}:pruned"] = counts.get(f"{name}:pruned", 0) + 1
         return real_pruned(name, col, intervals, include_nulls)
 
+    def counting_fpruned(name, col, keys, include_nulls=False):
+        counts[f"{name}:file_pruned"] = counts.get(f"{name}:file_pruned", 0) + 1
+        return real_fpruned(name, col, keys, include_nulls)
+
     monkeypatch.setattr(store, "read", counting_read)
     monkeypatch.setattr(store, "read_pruned", counting_pruned)
+    monkeypatch.setattr(store, "read_bucketed_pruned", counting_fpruned)
     crawled = eng.crawl_once(limit=100)
     assert crawled == 1  # only the seeded root is due in wave 1
     # directory: ONE pruned probe, ZERO plain reads
     assert counts.get("directory:pruned") == 1
     assert counts.get("directory", 0) == 0
-    # file: ONE plain read (the M2 probe)
-    assert counts.get("file") == 1
+    # file: ONE file-pruned probe, ZERO plain reads (VERDICT r9 #1)
+    assert counts.get("file:file_pruned") == 1
+    assert counts.get("file", 0) == 0
     # control: ONE pruned claim read + ONE one-column seed projection
     assert counts.get("directory_control:pruned") == 1
     assert counts.get("directory_control", 0) == 1
     assert counts.get("hash_control", 0) == 1
+
+
+def test_file_probe_prunes_disjoint_wave_files(spark, tmp_path):
+    """The M2 probe scans ONLY the `file` data files whose per-file
+    dir_id digests can hold a frontier dir_id: after two disjoint
+    subtrees committed their file rows in separate waves, re-crawling
+    one subtree skips the other's delta files at sidecar level — and
+    the catalog state is unchanged by the pruning."""
+    a = tmp_path / "fa"
+    b = tmp_path / "fb"
+    (a / "adir").mkdir(parents=True)
+    (b / "bdir").mkdir(parents=True)
+    (a / "adir" / "x.txt").write_text("x")
+    (b / "bdir" / "y.txt").write_text("y")
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(a))
+    eng.add_root(str(b))
+    while eng.crawl_once(limit=10):
+        pass
+    # re-crawl everything: each wave's file probe consults the sidecar
+    later = _e._utcnow() + timedelta(days=8)
+    pruned_any = False
+    while eng.crawl_once(now=later, limit=1):
+        rep = eng.last_file_probe_report
+        assert rep is not None and rep["mode"] == "files"
+        # soundness: a wave never scans MORE files than exist
+        assert rep["scanned"] + rep["zone_skipped"] + rep["bloom_skipped"] == rep["total"]
+        if rep["zone_skipped"] + rep["bloom_skipped"] > 0:
+            pruned_any = True
+    # the disjoint-subtree waves must have skipped the other tree's
+    # delta files (frontier dir_ids are membership-pruned by bloom)
+    assert pruned_any
+    files = {r["name"] for r in eng.store.read("file").collect()}
+    assert files == {"x.txt", "y.txt"}
+
+
+def test_hash_wave_zero_catalog_reads(spark, tmp_path, tree, monkeypatch):
+    """The hash wave opens files through the full_path denormalized
+    into hash_control at schedule time — ZERO reads of `file` or
+    `directory` (VERDICT r9 #2) — and still lands correct digests."""
+    import hashlib
+
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    while eng.crawl_once(limit=100):
+        pass
+    store = eng.store
+    counts: dict[str, int] = {}
+    real_read = store.read
+
+    def counting_read(name):
+        counts[name] = counts.get(name, 0) + 1
+        return real_read(name)
+
+    monkeypatch.setattr(store, "read", counting_read)
+    hashed = eng.hash_once(limit=1000)
+    assert hashed == 4
+    assert counts.get("file", 0) == 0
+    assert counts.get("directory", 0) == 0
+    # digest parity against hashlib on a known file
+    expect = hashlib.md5(b"alpha").hexdigest()
+    fid_rows = (
+        eng.store.read("file").where(F.col("name") == "a.txt").collect()
+    )
+    got = (
+        eng.store.read("hash")
+        .where(F.col("file_id") == fid_rows[0]["id"])
+        .first()
+    )
+    assert got["md5_hash"] == expect
+
+
+def test_hash_wave_legacy_rows_resolve_via_catalog(spark, tmp_path, tree):
+    """Rows scheduled WITHOUT full_path (pre-column history, or a
+    pure-function scheduler) still hash: the wave falls back to the
+    bounded catalog resolve for exactly those ids."""
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    while eng.crawl_once(limit=100):
+        pass
+    # simulate legacy schedule rows: null out every full_path
+    hc = eng.store.read("hash_control").withColumn(
+        "full_path", F.lit(None).cast("string")
+    )
+    eng.store.replace("hash_control", hc)
+    assert eng.hash_once(limit=1000) == 4
+    assert eng.store.read("hash").count() == 4
+    assert eng.store.read("hash_control").count() == 0
 
 
 def test_claim_read_prunes_rescheduled_segments(spark, tmp_path, tree):

@@ -301,6 +301,52 @@ def test_rebucket_rejects_unbucketed(spark, tmp_path):
         st.rebucket("t", 16)
 
 
+def test_rebucket_rebases_on_concurrent_wave(spark, tmp_path, monkeypatch):
+    """A MERGE wave landing while the rebucket rewrite is staging
+    (lock NOT held — VERDICT r9 #5) is never lost: the optimistic swap
+    detects the superseded base, drops the stale staging, and rebases
+    — the migrated table holds BOTH the wave's change and the new
+    bucket count."""
+    st = _store(spark, tmp_path, {"file": BKT_SCHEMA}, bucketing=True)
+    st.replace(
+        "file",
+        spark.range(100).select(
+            F.col("id"), F.concat(F.lit("p"), F.col("id")).alias("payload")
+        ),
+    )
+    real = st._write_bucketed_gen
+    state = {"injected": False}
+
+    def staging_with_concurrent_wave(name, df, n, keys):
+        gen = real(name, df, n, keys)
+        if not state["injected"]:
+            state["injected"] = True
+            # a second store instance (another process's engine)
+            # commits a wave between staging and the swap attempt
+            other = TableStore(
+                spark, str(tmp_path / "store"), {"file": BKT_SCHEMA},
+                bucketing=True,
+            )
+            other.merge(
+                "file",
+                spark.range(1).select(
+                    F.lit(7).cast("long").alias("id"),
+                    F.lit("mid-rewrite").alias("payload"),
+                ),
+                ["id"],
+            )
+        return gen
+
+    monkeypatch.setattr(st, "_write_bucketed_gen", staging_with_concurrent_wave)
+    st.rebucket("file", 16)
+    assert state["injected"]  # the race actually happened
+    cur = st._current("file")
+    assert st._gen_buckets("file", cur) == 16
+    got = st.read("file")
+    assert got.count() == 100
+    assert got.where(F.col("id") == 7).first()["payload"] == "mid-rewrite"
+
+
 def test_merge_bloom_prunes_interleaved_segments(spark, tmp_path):
     """Zone ranges can't separate INTERLEAVED key sets; the bloom
     digests can. A small wave probes each hull-surviving segment's
@@ -334,3 +380,49 @@ def test_merge_bloom_prunes_interleaved_segments(spark, tmp_path):
     m2 = st.merge("t", big, ["k"])
     assert m2["inserted"] == 100
     assert st.read("t").count() == 106
+
+
+COMP_SCHEMA = T.StructType(
+    [
+        T.StructField("k1", T.StringType()),
+        T.StructField("k2", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def test_merge_bloom_prunes_composite_keys(spark, tmp_path):
+    """Composite-key waves probe per-column digests with AND
+    semantics (VERDICT r9 #6): k1 is constant (its digest admits
+    every segment) while k2 interleaves, so only the k2 digest can
+    refute — one disjoint column kills the segment."""
+    st = _store(spark, tmp_path, {"t": COMP_SCHEMA})
+    st.append(
+        "t",
+        spark.createDataFrame([("x", 1, 10), ("x", 3, 30), ("x", 5, 50)], COMP_SCHEMA),
+        zone_cols=["k1", "k2"],
+        bloom_cols=["k1", "k2"],
+    )
+    st.append(
+        "t",
+        spark.createDataFrame([("x", 2, 20), ("x", 4, 40), ("x", 6, 60)], COMP_SCHEMA),
+        zone_cols=["k1", "k2"],
+        bloom_cols=["k1", "k2"],
+    )
+    src = spark.createDataFrame([("x", 4, 400)], COMP_SCHEMA)
+    m = st.merge("t", src, ["k1", "k2"])
+    assert m == {"inserted": 0, "updated": 1, "deleted": 0}
+    rep = st.last_merge_report
+    # k1 hull ['x','x'] and k2 hull [4,4] overlap BOTH segments' zone
+    # ranges; the k2 bloom rejects segment 1 ({1,3,5})
+    assert rep["scanned"] == 1 and rep["bloom_pruned"] == 1
+    got = {(r["k1"], r["k2"]): r["v"] for r in st.read("t").collect()}
+    assert got[("x", 4)] == 400 and got[("x", 3)] == 30 and len(got) == 6
+    # a NULL key component can't be refuted by any digest: the mixed
+    # wave matches its non-null tuple and inserts the null one — no
+    # segment is over-pruned
+    src2 = spark.createDataFrame([("x", 3, 300), ("x", None, 999)], COMP_SCHEMA)
+    m2 = st.merge("t", src2, ["k1", "k2"])
+    assert m2["updated"] == 1 and m2["inserted"] == 1
+    got2 = {(r["k1"], r["k2"]): r["v"] for r in st.read("t").collect()}
+    assert got2[("x", 3)] == 300 and got2[("x", None)] == 999

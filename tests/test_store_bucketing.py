@@ -125,7 +125,7 @@ def test_segmented_append_compact_vacuum(spark, tmp_path):
 
     def rows(lo, hi):
         return spark.createDataFrame(
-            [(i, None, Decimal(i), None, None, None) for i in range(lo, hi)],
+            [(i, None, Decimal(i), None, None, None, None) for i in range(lo, hi)],
             schemas.HASH_CONTROL,
         )
 
