@@ -290,21 +290,32 @@ def main() -> None:
                 pass  # surfaced by the suite run; don't kill the report
         members_isolated[suite] = iso
     # member-drift flag (VERDICT r9 #8): a streaming-suite member
-    # whose startup-netted concurrent wall exceeds its isolated
-    # runtime by >20% (plus a 0.2 s noise floor) is flagged here, so a
-    # member regression surfaces as a field in the committed bench
-    # record instead of requiring a manual diff of the two dicts
+    # whose ISOLATED runtime this round exceeds the PREVIOUS committed
+    # round's isolated runtime by >20% (plus a 0.3 s noise floor) is
+    # flagged here, so a member regression surfaces as a field in the
+    # bench record instead of requiring a manual diff of two rounds'
+    # BENCH_DETAIL files. Isolated-vs-isolated is the only stable
+    # comparison: the concurrent walls inherently carry thread-pool
+    # contention far beyond any fixed tolerance.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path) as fh:
+            prev_iso = json.load(fh).get("members_isolated", {})
+    except (OSError, ValueError):
+        prev_iso = {}
     member_drift: dict[str, dict] = {}
     for suite, iso in members_isolated.items():
         for m, t_iso in iso.items():
-            t_net = members_net.get(suite, {}).get(m)
-            if t_net is None or t_iso <= 0:
+            t_prev = prev_iso.get(suite, {}).get(m)
+            if not t_prev or t_prev <= 0:
                 continue
-            if t_net > t_iso * 1.2 + 0.2:
+            if t_iso > t_prev * 1.2 + 0.3:
                 member_drift.setdefault(suite, {})[m] = {
-                    "net": t_net,
                     "isolated": t_iso,
-                    "ratio": round(t_net / t_iso, 2),
+                    "prev_isolated": t_prev,
+                    "ratio": round(t_iso / t_prev, 2),
                 }
     # VERDICT r7 #2: the driver captures only a ~2 KB tail of stdout,
     # and the full per-query dict outgrew it in round 5 (BENCH_r0{5,6,7}
@@ -313,9 +324,6 @@ def main() -> None:
     # cross-round regression gauge) — and the full per-query timings +
     # suite member seconds go to BENCH_DETAIL.json, committed in the
     # repo, so the per-query history stays recoverable every round.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as fh:
         json.dump(
             {

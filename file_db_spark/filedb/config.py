@@ -40,6 +40,12 @@ DEFAULTS: dict[str, Any] = {
     # snapshot on the engine's idle path (store.compact — the OPTIMIZE
     # half of the O(delta) append story)
     "archive_compact_segments": 8,
+    # crawl claims are COMMITTED (cross-process disjointness); a claim
+    # older than this lease counts as free again, so a crashed worker
+    # stops blocking its directories without waiting for the manual
+    # M11 reset (Engine.reset_claims). Spark-only knob — the reference
+    # claims in-database with no expiry.
+    "claim_timeout_s": 86_400,
 }
 
 

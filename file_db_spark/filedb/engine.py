@@ -159,7 +159,8 @@ class Engine:
                 "directory_control", "next_crawl", [(None, now)]
             )
             work, _ = scheduler.get_dirs_to_crawl(
-                control_due, now, limit, process_id, full_rows=True
+                control_due, now, limit, process_id, full_rows=True,
+                stale_after_s=self.config.get("claim_timeout_s"),
             )
             claimed_rows = work.select(*ctl_cols).collect()
             frontier = [r["dir_path"] for r in claimed_rows]
@@ -471,6 +472,43 @@ class Engine:
         # it (or any engine table) fresh, not just the crawl loop's
         self._refresh_mviews()
         return n
+
+    def reset_claims(self) -> int:
+        """M11 crash recovery, COMMITTED (SQLUtil.py:407-441
+        util_reset_process_tasks): null every crawl and hash claim so
+        a restarted deployment reclaims work a dead process held.
+        Crawl claims persist since round 10 (cross-process
+        disjointness), so this is the startup-time recovery the
+        reference runs — call with no live workers. Commits
+        O(claimed rows): only rows actually holding a claim are
+        rewritten (one DV + one segment per control table). The
+        lease-expiry knob (`claim_timeout_s`) covers the same failure
+        without operator action; this is the immediate form. Returns
+        the number of claims released."""
+        released = 0
+        ctl = self.store.read("directory_control")
+        held = ctl.where(
+            F.col("assigned_process_id").isNotNull()
+            | F.col("process_assigned_on").isNotNull()
+        )
+        m = self.store.apply_changes(
+            "directory_control",
+            ["dir_path"],
+            updates=scheduler.reset_claims(held),
+            zone_cols=["dir_path", "next_crawl"],
+        )
+        released += m["updated"]
+        hc = self.store.read("hash_control")
+        hc_held = hc.where(F.col("process_assigned_on").isNotNull())
+        m = self.store.apply_changes(
+            "hash_control",
+            ["file_id"],
+            updates=hc_held.withColumn(
+                "process_assigned_on", F.lit(None).cast("timestamp")
+            ),
+        )
+        released += m["updated"]
+        return released
 
     def run_until_idle(self, max_waves: int = 100, limit: int = 100) -> None:
         """Continuous mode, batch flavor: crawl+hash until no work is

@@ -46,7 +46,7 @@ def get_drives_to_crawl(drive: DataFrame, control: DataFrame, limit: int = 10) -
 
 def get_dirs_to_crawl(
     control: DataFrame, now, limit: int = 10, process_id: int = 1,
-    full_rows: bool = False,
+    full_rows: bool = False, stale_after_s: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """T1: pick + claim up to `limit` due directories. Returns
     (claimed_work, new_control). Global top-k compiles to
@@ -57,11 +57,22 @@ def get_dirs_to_crawl(
     claimed rows' state. `control` may be a zone-pruned superset read
     (store.read_pruned on next_crawl <= now): the due filter applies
     here, so the claim set is unchanged while the scan tracks the DUE
-    segments, not the catalog (VERDICT r8 #3)."""
+    segments, not the catalog (VERDICT r8 #3).
+
+    `stale_after_s`: claims older than this many seconds count as
+    FREE — the lease-expiry complement to the engine's committed
+    claims (a process that died holding a claim stops blocking its
+    dirs after the lease; the reference's only recovery is the manual
+    M11 reset, kept as Engine.reset_claims). None = no expiry (the
+    reference's literal semantics — suites/oracles use this)."""
     nowc = F.lit(now).cast("timestamp")
-    due = control.where(
-        (F.col("next_crawl") <= nowc) & F.col("assigned_process_id").isNull()
-    )
+    free = F.col("assigned_process_id").isNull()
+    if stale_after_s is not None:
+        free = free | (
+            F.col("process_assigned_on")
+            < nowc - F.make_interval(secs=F.lit(int(stale_after_s)))
+        )
+    due = control.where((F.col("next_crawl") <= nowc) & free)
     score = (
         (nowc.cast("long") - F.col("next_crawl").cast("long")) / 3600.0
         + F.round(F.col("file_count") / 100)

@@ -109,6 +109,56 @@ def test_file_probe_prunes_disjoint_wave_files(spark, tmp_path):
     assert files == {"x.txt", "y.txt"}
 
 
+def _claim_root_artificially(eng, pid, assigned_on):
+    """Commit a crawl claim as a (dead) foreign process would leave it."""
+    held = (
+        eng.store.read("directory_control")
+        .withColumn("assigned_process_id", F.lit(pid).cast("int"))
+        .withColumn(
+            "process_assigned_on", F.lit(assigned_on).cast("timestamp")
+        )
+    )
+    eng.store.apply_changes(
+        "directory_control",
+        ["dir_path"],
+        updates=held,
+        zone_cols=["dir_path", "next_crawl"],
+    )
+
+
+def test_reset_claims_releases_stuck_work(spark, tmp_path, tree):
+    """Claims persist across processes now, so a dead worker blocks
+    its dirs — Engine.reset_claims (M11, committed) releases them."""
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    now = _e._utcnow()
+    _claim_root_artificially(eng, 99, now)
+    assert eng.crawl_once(now=now, limit=100) == 0  # blocked by the claim
+    assert eng.reset_claims() == 1
+    assert eng.crawl_once(now=now, limit=100) == 1  # root claimable again
+
+
+def test_stale_claims_expire_via_lease(spark, tmp_path, tree):
+    """A claim older than claim_timeout_s counts as free — a crashed
+    worker stops blocking its dirs without operator action."""
+    from datetime import timedelta as _td
+
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    now = _e._utcnow()
+    _claim_root_artificially(eng, 99, now - _td(days=2))  # > 1-day lease
+    assert eng.crawl_once(now=now, limit=100) == 1  # lease expired: claimed
+    # a FRESH claim is honored — no premature steal one hour in
+    _claim_root_artificially(eng, 99, now)
+    assert eng.crawl_once(now=now + _td(hours=1), limit=100) == 0
+    # once the lease runs out the dirs flow again without any reset
+    later = now + _td(days=8)
+    frontier_paths = set()
+    while eng.crawl_once(now=later, limit=100):
+        frontier_paths |= set(eng.last_frontier)
+    assert str(tree) in frontier_paths
+
+
 def test_hash_wave_zero_catalog_reads(spark, tmp_path, tree, monkeypatch):
     """The hash wave opens files through the full_path denormalized
     into hash_control at schedule time — ZERO reads of `file` or
