@@ -419,14 +419,34 @@ class Engine:
         now = now or _utcnow()
         limit = limit if limit is not None else self.config["hash_batch_size"]
         process_id = process_id if process_id is not None else self.config["process_id"]
-        hc = self.store.read("hash_control")
-        # claims are intra-wave here (claimed rows are processed and
-        # dropped in the same wave), so only `work` is committed state.
+        from .store import _commit_lock
+
+        # CLAIM UNDER THE HASH-CONTROL FLOCK (the crawl claim's twin):
+        # the backlog scan, the smallest-first pick, and the claim
+        # COMMIT serialize with every other hash-wave claimant, so two
+        # engine processes hash DISJOINT file sets instead of
+        # double-reading the same bytes. Claims clear when the wave's
+        # delete_rows drops the processed rows; a crashed wave's
+        # claims free via the claim_timeout_s lease or reset_claims.
         # The claim is bounded by `limit`; checkpointing it eagerly
-        # lets the wave's several consumers (split, count, hash) reuse
-        # the O(batch) rows instead of re-running the TakeOrdered.
-        work, _ = scheduler.get_files_to_hash(hc, now, limit, process_id)
-        work = work.localCheckpoint(eager=True)
+        # lets the wave's several consumers (split, count, commit,
+        # hash) reuse the O(batch) rows instead of re-running the
+        # TakeOrdered.
+        with _commit_lock(self.store.root, "hash_control"):
+            hc = self.store.read("hash_control")
+            work, _ = scheduler.get_files_to_hash(
+                hc, now, limit, process_id,
+                full_rows=True,
+                stale_after_s=self.config.get("claim_timeout_s"),
+            )
+            work = work.localCheckpoint(eager=True)
+            self.store.apply_changes(
+                "hash_control",
+                ["file_id"],
+                updates=work.withColumn(
+                    "process_assigned_on", F.lit(now).cast("timestamp")
+                ),
+            )
         # ZERO-catalog-read path (VERDICT r9 #2): hash_control rows
         # carry full_path denormalized at schedule time, so the wave
         # opens files directly. Only rows scheduled before the column

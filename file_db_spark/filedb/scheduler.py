@@ -108,22 +108,35 @@ def get_dirs_to_crawl(
 
 
 def get_files_to_hash(
-    hash_control: DataFrame, now, limit: int = 5000, process_id: int = 1
+    hash_control: DataFrame, now, limit: int = 5000, process_id: int = 1,
+    full_rows: bool = False, stale_after_s: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """T2: claim the smallest unclaimed files first (hash cheapest
     first, DirectoryCrawl.py:714-718). Returns (work, new_control).
     When the control frame carries `full_path` (the store's schema
     does), the claim returns it too — the hash wave then opens files
-    without any catalog resolve."""
+    without any catalog resolve. `full_rows=True` returns every
+    control column (the engine's committed-claim input);
+    `stale_after_s` frees claims older than the lease, exactly as in
+    get_dirs_to_crawl (None = the reference's no-expiry semantics)."""
     nowc = F.lit(now).cast("timestamp")
-    extra = ["full_path"] if "full_path" in hash_control.columns else []
-    work = (
-        hash_control.where(
-            F.col("process_assigned_on").isNull() & ~F.coalesce("file_missing", F.lit(False))
+    free = F.col("process_assigned_on").isNull()
+    if stale_after_s is not None:
+        free = free | (
+            F.col("process_assigned_on")
+            < nowc - F.make_interval(secs=F.lit(int(stale_after_s)))
         )
+    extra = ["full_path"] if "full_path" in hash_control.columns else []
+    out_cols = (
+        list(hash_control.columns)
+        if full_rows
+        else ["file_id", "file_size", *extra]
+    )
+    work = (
+        hash_control.where(free & ~F.coalesce("file_missing", F.lit(False)))
         .orderBy(F.col("file_size").asc(), F.col("file_id").asc())
         .limit(limit)
-        .select("file_id", "file_size", *extra)
+        .select(*out_cols)
     )
     claimed = work.select("file_id").withColumn("claimed", F.lit(True))
     new_control = (

@@ -195,6 +195,32 @@ def test_hash_wave_zero_catalog_reads(spark, tmp_path, tree, monkeypatch):
     assert got["md5_hash"] == expect
 
 
+def test_hash_claims_commit_and_recover(spark, tmp_path, tree, monkeypatch):
+    """Hash claims COMMIT under the control flock (two processes hash
+    disjoint sets); a wave that crashes after claiming leaves its rows
+    blocked until reset_claims (or the lease) frees them."""
+    eng = _mk_engine(spark, tmp_path)
+    eng.add_root(str(tree))
+    while eng.crawl_once(limit=100):
+        pass
+
+    def exploding_hash_files(work):
+        raise RuntimeError("injected crash after the claim commit")
+
+    monkeypatch.setattr(_e, "hash_files", exploding_hash_files)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng.hash_once(limit=1000)
+    monkeypatch.undo()
+    # the crashed wave's claims persist: nothing claimable now
+    assert eng.hash_once(limit=1000) == 0
+    assert eng.store.read("hash").count() == 0
+    # M11 frees them and the wave completes
+    assert eng.reset_claims() == 4
+    assert eng.hash_once(limit=1000) == 4
+    assert eng.store.read("hash").count() == 4
+    assert eng.store.read("hash_control").count() == 0
+
+
 def test_hash_wave_legacy_rows_resolve_via_catalog(spark, tmp_path, tree):
     """Rows scheduled WITHOUT full_path (pre-column history, or a
     pure-function scheduler) still hash: the wave falls back to the
