@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.paths import basepath, strip_trailing_slashes
+from ..functions.paths import strip_trailing_slashes
 from . import merge, scan, scheduler, schemas, search, views
 from .hashing import hash_files
 from .store import TableStore, portable_xxhash64
@@ -221,6 +221,27 @@ class Engine:
         file_superset, self.last_file_probe_report = (
             self.store.read_bucketed_pruned("file", "dir_id", frontier_ids)
         )
+        # narrow the superset to the frontier's ROWS as well: every row
+        # the wave can match or vanish carries dir_id ∈ frontier, so
+        # this filter loses nothing — and as an In-predicate it pushes
+        # into the parquet scan of the kept files, pruning row groups
+        # the file-level digests couldn't (over-cap files record
+        # zone-only sidecar stats but still carry parquet bloom
+        # filters on dir_id — written by the bucketed committers).
+        # Large frontiers use a broadcast semi-join instead of an
+        # unpushable giant literal list.
+        if len(frontier_ids) <= 256:
+            file_superset = file_superset.where(
+                F.col("dir_id").isin(frontier_ids)
+            )
+        else:
+            file_superset = file_superset.join(
+                F.broadcast(
+                    crawled.select(F.xxhash64("dir_path").alias("dir_id"))
+                ),
+                "dir_id",
+                "left_semi",
+            )
         f_res = merge.merge_files(
             file_superset,
             staged_files,  # dir_path kept: to_hash denormalizes full_path

@@ -1026,15 +1026,20 @@ class TableStore:
             )
             stage = os.path.join(d, f"stage-{ns}")
             tmp_tbl = f"{self._table_name(name, gen)}_stage"
-            (
+            writer = (
                 delta.repartition(nb, *[F.col(k) for k in keys])
                 .write.mode("overwrite")
                 .format("parquet")
                 .option("path", stage)
-                .bucketBy(nb, *keys)
-                .sortBy(*keys)
-                .saveAsTable(tmp_tbl)
             )
+            # parquet-level bloom filters on the sidecar columns: the
+            # row-group twin of the _FILESTATS digests — a pushed
+            # In/EqualTo predicate (the engine's frontier row filter)
+            # prunes row groups even in files whose distinct-key count
+            # exceeded the sidecar digest cap
+            for c in self._file_stat_cols(name):
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            writer.bucketBy(nb, *keys).sortBy(*keys).saveAsTable(tmp_tbl)
             self.spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external
         prior = self._bucket_meta(cur) or {"waves": 0, "dvs": []}
         dvs = list(prior["dvs"])
@@ -1527,7 +1532,7 @@ class TableStore:
         os.makedirs(d, exist_ok=True)
         gen = os.path.join(d, f"gen-{time.time_ns()}")
         cols = [f.name for f in self.schemas[name].fields]
-        (
+        writer = (
             df.select(*cols)
             .withColumn(
                 self._COMMIT_COL,
@@ -1536,9 +1541,13 @@ class TableStore:
             .write.mode("overwrite")
             .format("parquet")
             .option("path", gen)
-            .bucketBy(n, *keys)
-            .sortBy(*keys)
-            .saveAsTable(self._table_name(name, gen))
+        )
+        # see _merge_bucketed_commit: row-group bloom filters on the
+        # sidecar columns for pushed-predicate pruning inside wide files
+        for c in self._file_stat_cols(name):
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.bucketBy(n, *keys).sortBy(*keys).saveAsTable(
+            self._table_name(name, gen)
         )
         self._stamp_nbuckets(gen, n)
         fcols = self._file_stat_cols(name)
