@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Capture .explain('formatted') output for registry queries into
+plans/<tag>/<query>_<suffix>.txt (the judge-facing before/after plan
+evidence for optimization rounds).
+
+Usage: python tools/capture_plans.py <tag> <suffix> [query ...]
+       (no query args = the bench HEADLINE list)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    tag, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    outdir = os.path.join(REPO, "plans", tag)
+    os.makedirs(outdir, exist_ok=True)
+
+    from file_db_spark import operators as ops
+    from file_db_spark.session import get_spark
+
+    if not names:
+        import bench
+
+        names = list(bench.HEADLINE)
+    spark = get_spark(app_name="capture_plans")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for name in names:
+        fn = ops.ALL_QUERIES.get(name)
+        if fn is None:
+            print(f"SKIP {name}: not registered")
+            continue
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        try:
+            ops.dedup.clear_cache(sf_dir)
+            ops.textops.clear_cache(sf_dir)
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # capture the failure instead of dying
+            plan = f"ERROR building {name}: {exc!r}\n"
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
