@@ -1219,13 +1219,29 @@ def _lloyd_assign(pts: DataFrame, iters: int) -> DataFrame:
                 cosine(F.col("emb"), F.col("centroid")).alias("cos"),
             )
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cos").desc(), F.col("cand_cell").asc()
-        )
+        # keyed argmax via max_by (partial map-side aggregation; the
+        # window form shuffled all k candidates per vector AND sorted
+        # them — guide §2.3). Tie-break matches the oracle's
+        # (cos DESC, cell ASC): struct ordering takes the higher cos,
+        # then the higher -cand_cell == the lower cell.
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "emb", F.col("cand_cell").alias("cell"), "cos")
+            scored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("emb").alias("emb"),
+                        F.col("cand_cell").alias("cell"),
+                        F.col("cos").alias("cos"),
+                    ),
+                    F.struct(F.col("cos"), (-F.col("cand_cell")).alias("nc")),
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                F.col("best.emb").alias("emb"),
+                F.col("best.cell").alias("cell"),
+                F.col("best.cos").alias("cos"),
+            )
             .persist()
         )
     return assigned
