@@ -340,14 +340,15 @@ def s7_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             b.unpersist()
 
-    q = (
-        hourly.writeStream.outputMode("update")
-        .foreachBatch(upsert)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with es.stream_shuffle(spark):
+        q = (
+            hourly.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     stored = spark.read.parquet(data_dir)
     out = (
@@ -509,14 +510,15 @@ def s9_stream_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(marker + ".tmp", marker)
 
     src = es.events_source(spark, sf_dir)
-    q = (
-        src.writeStream.outputMode("append")
-        .foreachBatch(merge_cells)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with es.stream_shuffle(spark):
+        q = (
+            src.writeStream.outputMode("append")
+            .foreachBatch(merge_cells)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     cells = spark.read.parquet(data_dir)
     e = load_table(spark, sf_dir, "events")
@@ -807,14 +809,15 @@ def s11_stream_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(tmp, data_dir)
 
     src = es.events_source(spark, sf_dir)
-    q = (
-        src.writeStream.outputMode("append")
-        .foreachBatch(merge_registers)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with es.stream_shuffle(spark):
+        q = (
+            src.writeStream.outputMode("append")
+            .foreachBatch(merge_registers)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     from .events import _E13_EMPTY
 
@@ -944,7 +947,7 @@ def _place_batch_file(b, i: int, root: str, sdir: str) -> None:
     from pyspark.sql import functions as F
 
     tmp = os.path.join(root, f"w{i}")
-    b.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(tmp)
+    b.filter(F.col("b") == i).drop("b").repartition(1).write.parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     dst = os.path.join(sdir, f"b{i}.parquet")
     shutil.move(part, dst)
@@ -1015,14 +1018,15 @@ def s13_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = _replay_agg(stream)
     name = f"s13_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    with es.stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
@@ -1108,16 +1112,17 @@ def s14_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFram
             .option("maxFilesPerTrigger", 1)
             .parquet(sdir)
         )
-        q = (
-            _replay_agg(stream)
-            .writeStream.outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .format("parquet")
-            .option("path", sink)
-            .start()
-        )
-        q.awaitTermination()
+        with es.stream_shuffle(spark):
+            q = (
+                _replay_agg(stream)
+                .writeStream.outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .format("parquet")
+                .option("path", sink)
+                .start()
+            )
+            q.awaitTermination()
 
     half = S13_BATCHES // 2
     for i in range(half):
@@ -1212,7 +1217,7 @@ def s15_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_cols = ["id", "name", "dir_id", "size", "mtime"]
     for i, w in enumerate(waves):
         tmp = os.path.join(root, f"w{i}")
-        w.select(*dim_cols, F.lit(i + 1).cast("int").alias("wave")).coalesce(
+        w.select(*dim_cols, F.lit(i + 1).cast("int").alias("wave")).repartition(
             1
         ).write.parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
@@ -1252,13 +1257,14 @@ def s15_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(sdir)
     )
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(root, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with es.stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     out = (
         scd2_history(store.read("dim"), ["id"])
@@ -1375,7 +1381,7 @@ def s16_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [f.name for f in schemas.FILE.fields]
     for i, w in enumerate(waves):
         tmp = os.path.join(root, f"w{i}")
-        w.select(*cols).withColumn("wave", F.lit(i + 1).cast("int")).coalesce(
+        w.select(*cols).withColumn("wave", F.lit(i + 1).cast("int")).repartition(
             1
         ).write.parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
@@ -1414,16 +1420,17 @@ def s16_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_schema = T.StructType(
         list(schemas.FILE.fields) + [T.StructField("wave", T.IntegerType(), True)]
     )
-    q = (
-        spark.readStream.schema(stream_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sdir)
-        .writeStream.foreachBatch(gate)
-        .option("checkpointLocation", os.path.join(root, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with es.stream_shuffle(spark):
+        q = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert last_metrics.get("_wave") == len(waves)
 
     qrows = store.read("file__quarantine").select(
@@ -1518,7 +1525,7 @@ def s17_stream_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(sdir)
     for i, w in enumerate(waves):
         tmp = os.path.join(root, f"w{i}")
-        w.select(*cols).withColumn("wave", F.lit(i + 1).cast("int")).coalesce(
+        w.select(*cols).withColumn("wave", F.lit(i + 1).cast("int")).repartition(
             1
         ).write.parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
@@ -1553,16 +1560,17 @@ def s17_stream_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_schema = T.StructType(
         list(dim_schema.fields) + [T.StructField("wave", T.IntegerType(), True)]
     )
-    q = (
-        spark.readStream.schema(stream_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sdir)
-        .writeStream.foreachBatch(apply)
-        .option("checkpointLocation", os.path.join(root, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with es.stream_shuffle(spark):
+        q = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     mor = store.read("dim").select(
         F.lit("mor").alias("part"),
@@ -1653,7 +1661,7 @@ def s18_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdir = os.path.join(root, "stream")
     os.makedirs(sdir)
     tmp = os.path.join(root, "w0")
-    e.unionByName(sentinels).coalesce(1).write.parquet(tmp)
+    e.unionByName(sentinels).repartition(1).write.parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     shutil.move(part, os.path.join(sdir, "b0.parquet"))
 
@@ -1782,7 +1790,7 @@ def s19_stream_cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(sdir)
     for i, w in enumerate([f2, f3]):
         tmp = os.path.join(root, f"w{i}")
-        w.select(*cols).withColumn("wave", F.lit(i + 1).cast("int")).coalesce(
+        w.select(*cols).withColumn("wave", F.lit(i + 1).cast("int")).repartition(
             1
         ).write.parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
@@ -1843,16 +1851,17 @@ def s19_stream_cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_schema = T.StructType(
         list(dim_schema.fields) + [T.StructField("wave", T.IntegerType(), True)]
     )
-    q = (
-        spark.readStream.schema(stream_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(sdir)
-        .writeStream.foreachBatch(apply)
-        .option("checkpointLocation", os.path.join(root, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with es.stream_shuffle(spark):
+        q = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     pending = store.changes_since(
         "dim", "ivm", ["id"], ["name", "dir_id", "size", "mtime"]

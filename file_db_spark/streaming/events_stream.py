@@ -20,7 +20,9 @@ merge) instead of the batch lag/cumsum idiom.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,7 +37,49 @@ __all__ = [
     "user_spend_monitor",
     "session_counts",
     "run_to_memory",
+    "stream_shuffle",
 ]
+
+# ---------------------------------------------------------------------------
+# State-store width control. A stateful streaming operator opens one
+# state-store provider per shuffle partition (a stream-stream join opens
+# FOUR), and every provider acquisition serializes through the global
+# StateStore.loadedProviders lock with a synchronous coordinator RPC —
+# measured as 30/32 executor threads BLOCKED in getStateStoreProvider
+# during s8's join stage. State partitions should therefore track STATE
+# VOLUME, not the batch shuffle width: at bench scale the stores hold
+# KBs, so the default of 8 keeps full correctness while cutting provider
+# round-trips 4x. Production (large state) raises SPARK_GRAFT_STREAM_SHUFFLE.
+# The override is scoped + refcounted so concurrent suite members
+# compose; Structured Streaming clones the session (and its conf) when a
+# query starts, so the pinned width travels with the query.
+# ---------------------------------------------------------------------------
+_SHUF_KEY = "spark.sql.shuffle.partitions"
+_STREAM_SHUF_LOCK = threading.Lock()
+_STREAM_SHUF_DEPTH = 0
+_STREAM_SHUF_PREV: str | None = None
+
+
+@contextlib.contextmanager
+def stream_shuffle(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the streaming
+    state-store width (``$SPARK_GRAFT_STREAM_SHUFFLE``, default 8) while
+    a streaming query starts and drains. Reentrant across threads: the
+    first entry saves the batch width, the last exit restores it."""
+    global _STREAM_SHUF_DEPTH, _STREAM_SHUF_PREV
+    n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    with _STREAM_SHUF_LOCK:
+        if _STREAM_SHUF_DEPTH == 0:
+            _STREAM_SHUF_PREV = spark.conf.get(_SHUF_KEY)
+            spark.conf.set(_SHUF_KEY, n)
+        _STREAM_SHUF_DEPTH += 1
+    try:
+        yield
+    finally:
+        with _STREAM_SHUF_LOCK:
+            _STREAM_SHUF_DEPTH -= 1
+            if _STREAM_SHUF_DEPTH == 0 and _STREAM_SHUF_PREV is not None:
+                spark.conf.set(_SHUF_KEY, _STREAM_SHUF_PREV)
 
 #: events.parquet schema: ts arrives as TIMESTAMP(MICROS, not
 #: UTC-adjusted) -> TIMESTAMP_NTZ; events_source casts it to a
@@ -138,15 +182,16 @@ def run_to_memory(
     window of a drained static source stays open, so use
     output_mode='complete' when comparing an aggregation against its
     batch oracle."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .trigger(availableNow=True)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    with stream_shuffle(spark):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .trigger(availableNow=True)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
