@@ -20,6 +20,8 @@ oversized embedding cells are sign-bit sub-bucketed — see
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -39,6 +41,16 @@ from ..functions.text import (
     word_shingles_from_tokens,
 )
 from ..functions.vectors import cosine
+from ..session import scoped_shuffle
+
+#: shuffle width for small-state fixpoint loops / reductions (label
+#: propagation, provenance flag rollups): their shuffled state is
+#: O(candidate pairs among near-dup representatives), thousands of rows
+#: even when the corpus is not. Env-tunable for deployments whose pair
+#: graphs are genuinely wide.
+_SMALL_STATE_SHUFFLE = int(
+    os.environ.get("SPARK_GRAFT_SMALLSTATE_SHUFFLE", "8")
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -3538,50 +3550,102 @@ def x36_collapsed_provenance_graph(
     provenance is required."""
     d = load_table(spark, sf_dir, "documents")
     g = d.select("doc_id", F.md5("text").alias("tkey"))
-    rep_groups = g.groupBy("tkey").agg(F.min("doc_id").alias("rep_id"))
+    # Materialize the exact-collapse ONCE (eager localCheckpoint):
+    # without it each of the four generators re-plans and re-runs the
+    # md5 groupBy + rep join inside its own pipeline — measured 4.0 s
+    # of single-threaded Catalyst planning before the first job (the
+    # unioned tree holds four copies of the collapse subtree) plus a
+    # 2.7 s CPU stage that AQE had coalesced to ONE task (post-shuffle
+    # bytes are tiny, but the stage carries the tokenize+hash kernels —
+    # coalescing by bytes serializes compute, the v11 lesson). The
+    # explicit repartition pins the rep corpus at full parallelism for
+    # the four downstream text kernels; it shuffles each rep text once
+    # and is amortized over all four generators (at cluster scale this
+    # is "stage the rep corpus evenly, then fan out the generators").
+    rep_groups = (
+        g.groupBy("tkey").agg(F.min("doc_id").alias("rep_id")).localCheckpoint()
+    )
     members = g.join(rep_groups, "tkey").select("doc_id", "rep_id")
-    rep_docs = d.join(
-        rep_groups.select(F.col("rep_id").alias("doc_id")), "doc_id"
-    ).select("doc_id", "text")
+    rep_docs = (
+        d.join(rep_groups.select(F.col("rep_id").alias("doc_id")), "doc_id")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     scratch: list = []
-    srcs = {
-        "x3": _x3_pairs_from(rep_docs, scratch),
-        "x4": _x4_pairs_from(rep_docs, scratch),
-        "x5": _x5_pairs_from(rep_docs, scratch),
-        "x11": _x11_pairs_from(rep_docs, scratch),
+    gens = {
+        "x3": _x3_pairs_from,
+        "x4": _x4_pairs_from,
+        "x5": _x5_pairs_from,
+        "x11": _x11_pairs_from,
     }
+
+    # Materialize the four generators CONCURRENTLY from driver threads
+    # (guide §2.6): Catalyst planning of these deep pipelines is
+    # single-threaded per query and measured 3.5 s for the monolithic
+    # 4-way union tree before the first task launched; four threads
+    # plan four small trees in parallel and each generator's jobs
+    # back-fill executors left idle by another's stragglers. Each
+    # result is an eager localCheckpoint, so the downstream pair graph
+    # unions four materialized leaves. Results are identical: the same
+    # four pair tables, union order preserved by dict order.
+    def _one(item):
+        k, fn = item
+        sc = rep_docs.sparkSession.sparkContext
+        sc.setJobDescription(f"x36: {k} pair generator")
+        local: list = []
+        part = (
+            fn(rep_docs, local)
+            .select("doc_a", "doc_b")
+            .withColumn("src", F.lit(k))
+            .localCheckpoint()
+        )
+        for fr in local:  # generator internals are dead once pairs exist
+            fr.unpersist()
+        return k, part
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(gens)) as pool:
+        parts = dict(pool.map(_one, gens.items()))
     tagged = None
-    for k, df in srcs.items():
-        part = df.select("doc_a", "doc_b").withColumn("src", F.lit(k))
-        tagged = part if tagged is None else tagged.unionByName(part)
-    tagged = tagged.persist()
-    scratch.append(tagged)
-    pairs = tagged.select("doc_a", "doc_b").distinct()
-    edges = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    )
-    labels = _propagate_min_labels(edges, "x36").select(
-        F.col("v").alias("rep_id"),
-        F.col("lab").cast("bigint").alias("component_id"),
-    )
-    prov = (
-        tagged.select(
-            F.explode(F.array("doc_a", "doc_b")).alias("rep_id"), "src"
+    for k in gens:
+        tagged = parts[k] if tagged is None else tagged.unionByName(parts[k])
+    # Downstream of the generators everything — pair graph, label
+    # propagation fixpoint, provenance flags — is O(representative
+    # pairs) state, thousands of rows here; the loop's serial rounds
+    # were paying 32 task launches per shuffle for ~0 CPU each
+    # (measured: 109-128-task union stages at < 1 ms CPU/task), so it
+    # runs under a narrow scoped shuffle.
+    spark = tagged.sparkSession
+    with scoped_shuffle(spark, _SMALL_STATE_SHUFFLE):
+        pairs = tagged.select("doc_a", "doc_b").distinct()
+        edges = pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ).unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
         )
-        .distinct()
-        .groupBy("rep_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("src") == k, 1).otherwise(0))
-                .cast("bigint")
-                .alias(f"in_{k}")
-                for k in _X27_SOURCES
-            ],
-            F.countDistinct("src").cast("bigint").alias("n_sources"),
+        labels = _propagate_min_labels(edges, "x36").select(
+            F.col("v").alias("rep_id"),
+            F.col("lab").cast("bigint").alias("component_id"),
         )
-    )
+        prov = (
+            tagged.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("rep_id"), "src"
+            )
+            .distinct()
+            .groupBy("rep_id")
+            .agg(
+                *[
+                    F.max(F.when(F.col("src") == k, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"in_{k}")
+                    for k in _X27_SOURCES
+                ],
+                F.countDistinct("src").cast("bigint").alias("n_sources"),
+            )
+            .localCheckpoint()
+        )
     out = (
         members.join(labels, "rep_id", "left")
         .join(prov, "rep_id", "left")

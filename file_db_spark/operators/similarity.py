@@ -2496,7 +2496,22 @@ def v16_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     them lazily — that's inherent to the one-shot train+serve shape;
     the persisted-artifact path (ensure_index) unpersists after its
     writes."""
-    cents, pcents, codes, _cached = _v16_train(spark, sf_dir)
+    cents, pcents, codes, cached = _v16_train(spark, sf_dir)
+    # Freeze the three artifacts as eager localCheckpoints — the
+    # in-memory analog of ensure_index's parquet writes. Without this
+    # the serve plan drags the ENTIRE training lineage (two Lloyd
+    # rounds + PQ rounds + their caches) behind it, and AQE re-walks
+    # that whole plan after every serve stage: measured ~0.45 s of
+    # driver time between each of the ~12 serve-phase jobs (7.45 s of
+    # inter-job gaps on a 12.3 s wall). With the artifacts as leaves
+    # the serve query plans over (codes ⋈ tiny broadcasts) only. The
+    # training caches are dead once the artifacts are materialized, so
+    # they are released here instead of staying pinned for the session.
+    cents = cents.localCheckpoint()
+    pcents = pcents.localCheckpoint()
+    codes = codes.localCheckpoint()
+    for df in cached:
+        df.unpersist()
     return _v16_serve_plan(spark, sf_dir, cents, pcents, codes)
 
 
