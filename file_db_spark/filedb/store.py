@@ -20,7 +20,7 @@ import shutil
 import threading
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1423,9 +1423,16 @@ class TableStore:
         table_dir = os.path.dirname(gen_dir)
         dvs = [
             {
-                "df": self.spark.read.parquet(
-                    os.path.join(table_dir, d["path"])
-                ).select(*d["keys"]),
+                # explicit key schema: vectors only ever hold the
+                # table's key columns, so the scan needs no footer
+                # round-trip for schema inference
+                "df": self.spark.read.schema(
+                    T.StructType(
+                        [self.schemas[name][k] for k in d["keys"]]
+                    )
+                )
+                .parquet(os.path.join(table_dir, d["path"]))
+                .select(*d["keys"]),
                 "keys": d["keys"],
                 "over": set(d["over"]),
             }
@@ -3024,18 +3031,35 @@ class TableStore:
                 F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(f"__k_{k}")
                 for k in on
             ]
+            # Eager localCheckpoint, not persist: the classified set is
+            # read 3-4 times (metrics count, DV write, segment write,
+            # bucketed commit) and its lineage drags the FULL merge
+            # graph — target read (manifest + DV anti-joins) ⋈ source
+            # (often a CDC diff's own full-outer join). A persist leaves
+            # that tree in every downstream plan (re-analyzed and
+            # AQE-re-walked per action) and pins the cache at session
+            # shuffle width (cached plans are exempt from AQE
+            # coalescing); the checkpoint truncates the plan to an RDD
+            # leaf at AQE-coalesced width — O(changes) bytes wide, not
+            # 32 fixed tasks per downstream job.
+            # merge metrics ride the checkpoint materialization as
+            # observed metrics — the per-op counts arrive with the one
+            # action that computes the classified set, instead of a
+            # second groupBy job over it
+            obs = Observation()
             classified = (
                 j.withColumn("__op", op)
                 .select("__op", *key_out, *newvals)
-                .persist()
+                .observe(
+                    obs,
+                    F.count(F.when(F.col("__op") == "I", 1)).alias("I"),
+                    F.count(F.when(F.col("__op") == "U", 1)).alias("U"),
+                    F.count(F.when(F.col("__op") == "D", 1)).alias("D"),
+                )
+                .localCheckpoint(eager=True)
             )
             try:
-                counts = {
-                    r["__op"]: r["n"]
-                    for r in classified.groupBy("__op")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
+                counts = obs.get
                 metrics = {
                     "inserted": int(counts.get("I", 0)),
                     "updated": int(counts.get("U", 0)),

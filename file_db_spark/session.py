@@ -116,6 +116,14 @@ def get_spark(
         # --- python interchange is always Arrow ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # The default generated-class cache holds 100 entries; one store
+        # MERGE/refresh pipeline alone compiles >100 distinct codegen
+        # units, so consecutive waves thrash the cache and recompile
+        # every unit each run (measured: g28/g30/g33 each lose 1-2 s/run
+        # to Janino at any data scale — compile cost is per plan shape,
+        # not per byte). 4096 entries keeps a long-lived session's
+        # working set compiled at a fixed few-MB driver cost.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         # broadcast dims aggressively; AQE converts sort-merge to broadcast
         # at runtime when a side turns out small post-filter.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
