@@ -55,6 +55,24 @@ _SMALL_STATE_SHUFFLE = int(
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
+
+def _spread_corpus(d: DataFrame) -> DataFrame:
+    """Spread a narrow scan to full parallelism before the
+    compute-heavy per-row kernels (tokenize → shingle → hash). A small
+    corpus arrives as ONE parquet file with ONE row group, so the scan
+    is a single partition and everything up to the first shuffle —
+    exactly the expensive kernels — runs in a single task (guide §2.4:
+    AQE only coalesces post-shuffle; nothing widens a narrow map side).
+    Guarded by the scan's actual width so a corpus that is already
+    wider than the session (the 100 TB case: thousands of input splits)
+    is returned untouched — this spreads COMPUTE on small inputs, it
+    never re-shuffles big ones."""
+    spark = d.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() >= dp:
+        return d
+    return d.repartition(dp)
+
 # Derived-result cache, same pattern as filedb/fixtures.py: the x3
 # pair table and x7 component labels are deterministic functions of
 # (session, sf_dir) and feed several registry entries in one grading
@@ -215,7 +233,7 @@ def x3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_x3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _x3_pairs_from(load_table(spark, sf_dir, "documents"))
+    return _x3_pairs_from(_spread_corpus(load_table(spark, sf_dir, "documents")))
 
 
 def _x3_pairs_from(d: DataFrame, scratch: list | None = None) -> DataFrame:
@@ -356,7 +374,7 @@ def x4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation is embarrassingly parallel Column work — one md5 per
     shingle plus 32 integer permutations, all inside codegen.
     """
-    return _x4_pairs_from(load_table(spark, sf_dir, "documents"))
+    return _x4_pairs_from(_spread_corpus(load_table(spark, sf_dir, "documents")))
 
 
 def _x4_pairs_from(d: DataFrame, scratch: list | None = None) -> DataFrame:
@@ -488,7 +506,7 @@ def x5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: band explode + equi-join on (band, bucket); the 64 per-bit
     vote aggregations are per-row array ops inside codegen, and the
     persisted band table is 4 small ints per doc."""
-    return _x5_pairs_from(load_table(spark, sf_dir, "documents"))
+    return _x5_pairs_from(_spread_corpus(load_table(spark, sf_dir, "documents")))
 
 
 def _x5_pairs_from(d: DataFrame, scratch: list | None = None) -> DataFrame:
@@ -1069,7 +1087,7 @@ def x11_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|doc|/W values so the exploded table is a fraction of the k-gram
     count. One shuffle for the cap window (reused by the join), one
     pair aggregate."""
-    return _x11_pairs_from(load_table(spark, sf_dir, "documents"))
+    return _x11_pairs_from(_spread_corpus(load_table(spark, sf_dir, "documents")))
 
 
 def _x11_pairs_from(d: DataFrame, scratch: list | None = None) -> DataFrame:
@@ -2743,26 +2761,53 @@ def x27_fused_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALING.md). x27 remains the right tool at audit scale: one corpus
     shard with bounded cliques, full pair-level provenance."""
     _x27_density_guard(load_table(spark, sf_dir, "documents"))
-    srcs = {
-        "x3": x3_ngram_jaccard(spark, sf_dir),
-        "x4": x4_minhash_lsh(spark, sf_dir),
-        "x5": x5_simhash(spark, sf_dir),
-        "x11": x11_winnow_neardup(spark, sf_dir),
+    gens = {
+        "x3": x3_ngram_jaccard,
+        "x4": x4_minhash_lsh,
+        "x5": x5_simhash,
+        "x11": x11_winnow_neardup,
     }
+
+    # Materialize the four generators CONCURRENTLY from driver threads
+    # (the x36 pattern, guide §2.6): Catalyst plans the four deep
+    # pipelines in parallel instead of as one monolithic union tree,
+    # and each generator's jobs back-fill executors idle under
+    # another's stragglers. Each result is an eager localCheckpoint,
+    # so pairs + provenance read four materialized leaves instead of
+    # re-walking the generator lineage per action. Union order is
+    # preserved by dict order; results are the same four pair tables.
+    def _one(item):
+        k, fn = item
+        spark.sparkContext.setJobDescription(f"x27: {k} pair generator")
+        return k, (
+            fn(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .withColumn("src", F.lit(k))
+            .localCheckpoint()
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(gens)) as pool:
+        parts = dict(pool.map(_one, gens.items()))
     tagged = None
-    for k, df in srcs.items():
-        part = df.select("doc_a", "doc_b").withColumn("src", F.lit(k))
+    for k in gens:
+        part = parts[k]
         tagged = part if tagged is None else tagged.unionByName(part)
-    tagged = tagged.persist()  # pairs + provenance both read it
     pairs = tagged.select("doc_a", "doc_b").distinct()
     edges = pairs.select(
         F.col("doc_a").alias("src_v"), F.col("doc_b").alias("dst_v")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src_v"), F.col("doc_a").alias("dst_v"))
     ).select(F.col("src_v").alias("a"), F.col("dst_v").alias("b"))
-    labels = _propagate_min_labels(edges, "x27").select(
-        F.col("v").alias("doc_id"), F.col("lab").cast("bigint").alias("component_id")
-    )
+    # the fixpoint's shuffled state is O(pair endpoints) — thousands of
+    # rows — so its per-round shuffles run narrow (the x36 pattern);
+    # the corpus-scale generator work already happened above
+    with scoped_shuffle(spark, _SMALL_STATE_SHUFFLE):
+        labels = _propagate_min_labels(edges, "x27").select(
+            F.col("v").alias("doc_id"),
+            F.col("lab").cast("bigint").alias("component_id"),
+        )
     prov = (
         tagged.select(
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id"), "src"
