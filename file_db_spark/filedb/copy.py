@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .hashing import _hash_one
+from ..localframe import local_df
 
 __all__ = [
     "COPY_FILE",
@@ -76,7 +77,7 @@ def queue_copy(
 ) -> DataFrame:
     """Append a copy job (FileHandler.py:42-82 queue semantics)."""
     now = now or datetime.now(tz=timezone.utc).replace(tzinfo=None)
-    row = spark.createDataFrame(
+    row = local_df(spark, 
         [(None, file_path, new_path, overwrite, verify, move, None, now)], COPY_FILE
     ).withColumn("id", F.xxhash64("file_path", "new_path", "inserted_on"))
     return queue.unionByName(row)

@@ -27,6 +27,7 @@ from ..functions.paths import strip_trailing_slashes
 from . import merge, scan, scheduler, schemas, search, views
 from .hashing import hash_files
 from .store import TableStore, portable_xxhash64
+from ..localframe import local_df
 
 __all__ = ["Engine"]
 
@@ -71,7 +72,7 @@ class Engine:
     def install(self) -> None:
         for name in _SCHEMAS:
             if self.store._current(name) is None:
-                self.store.replace(name, self.spark.createDataFrame([], _SCHEMAS[name]))
+                self.store.replace(name, local_df(self.spark, [], _SCHEMAS[name]))
 
     def add_root(self, path: str, now: datetime | None = None) -> None:
         """Seed a crawl root: a directory row + a due control row
@@ -82,7 +83,7 @@ class Engine:
         zone map the wave pruning runs on)."""
         now = now or _utcnow()
         path = strip_trailing_slashes(path) or path
-        row = self.spark.createDataFrame(
+        row = local_df(self.spark, 
             [(None, path, None, None, now, now)], schemas.DIRECTORY
         ).withColumn("id", F.xxhash64("dir_path"))
         new_dir = row.join(
@@ -170,7 +171,7 @@ class Engine:
             # the claimed control rows, rebuilt driver-side (bounded by
             # `limit`) — the O(batch) input of the control-state
             # recompute, replacing a full control-table rewrite lineage
-            claimed = self.spark.createDataFrame(
+            claimed = local_df(self.spark, 
                 [tuple(r[c] for c in ctl_cols) for r in claimed_rows],
                 schemas.DIRECTORY_CONTROL,
             )
@@ -187,7 +188,7 @@ class Engine:
 
         listing = scan.scan_dirs(self.spark, frontier).persist()
         staged_dirs, staged_files = scan.listing_to_catalog_rows(listing)
-        crawled = self.spark.createDataFrame([(p,) for p in frontier], "dir_path string")
+        crawled = local_df(self.spark, [(p,) for p in frontier], "dir_path string")
         missing = listing.where(F.col("error").isNotNull()).select("dir_path").distinct()
 
         # M1 probe over a zone-pruned SUPERSET of `directory`: every

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..localframe import local_df
 
 __all__ = [
     "fixture_file",
@@ -99,7 +100,7 @@ def _build_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
     file_dirs = _file_paths(d).select("dir_path").where(
         F.col("dir_path") != "/orphan/nowhere"
     )
-    roots = spark.createDataFrame(
+    roots = local_df(spark, 
         [("/corpus",), ("C:\\corpus",), ("C:\\",)], "dir_path string"
     )
     # id = 1-based rank in dir_path order over the ~21-row dir set.
@@ -211,7 +212,7 @@ def _build_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def fixture_file_category(spark: SparkSession) -> DataFrame:
     """extension -> category dimension (FileDbDAL/File.py:191-198)."""
-    return spark.createDataFrame(
+    return local_df(spark, 
         [("txt", "document"), ("t_t", "weird"), ("jpg", "image"), ("exe", "executable")],
         "extension string, category string",
     )

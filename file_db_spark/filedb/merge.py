@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.paths import basepath, clamp
+from ..localframe import local_df
 
 __all__ = [
     "DirMergeResult",
@@ -583,11 +584,11 @@ def upsert_hash(
     )
     if not exists:
         return hash_df
-    staged = spark.createDataFrame(
+    staged = local_df(spark, 
         [(int(file_id), md5_hash, sha1_hash, now, False)],
         "file_id long, md5_hash string, sha1_hash string, hashed_on timestamp, file_missing boolean",
     )
-    empty_control = spark.createDataFrame([], "file_id long")
+    empty_control = local_df(spark, [], "file_id long")
     new_hash, _ = merge_hashes(hash_df, empty_control, staged, now)
     return new_hash
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.paths import strip_trailing_slashes, strip_trailing_slashes_col
+from ..localframe import local_df
 
 __all__ = [
     "SCAN_SCHEMA",
@@ -104,7 +105,7 @@ def scan_dirs(
     import pandas as pd
 
     if not isinstance(dirs, DataFrame):
-        dirs = spark.createDataFrame([(p,) for p in dirs], "dir_path string")
+        dirs = local_df(spark, [(p,) for p in dirs], "dir_path string")
     dirs = dirs.select("dir_path").distinct()
     if partitions:
         dirs = dirs.repartition(partitions)
@@ -147,7 +148,7 @@ def crawl_tree(
     must not accumulate O(levels) cached DataFrames). The caller owns
     the single returned cache handle — `.unpersist()` it when done."""
     all_levels: list[DataFrame] = []
-    frontier = spark.createDataFrame(
+    frontier = local_df(spark, 
         [(p,) for p in dict.fromkeys(roots)], "dir_path string"
     )
     depth = 0
@@ -166,7 +167,7 @@ def crawl_tree(
         frontier = next_frontier  # lazy view over the cached listing
         depth += 1
     if not all_levels:
-        return spark.createDataFrame([], SCAN_SCHEMA)
+        return local_df(spark, [], SCAN_SCHEMA)
     out = all_levels[0]
     for df in all_levels[1:]:
         out = out.unionByName(df)

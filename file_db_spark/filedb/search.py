@@ -14,6 +14,8 @@ FileDbDAL/Directory.py:196-358).
 
 from __future__ import annotations
 
+from ..localframe import local_df
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,7 +85,7 @@ def search_full_path(
     (dir_path = basepath(p), name = basename(p)); tiny probe set ->
     broadcast."""
     paths = [sql_path_parse_exact_search(p) for p in _as_list(full_paths)]
-    probes = spark.createDataFrame([(p,) for p in paths], "probe_path string").select(
+    probes = local_df(spark, [(p,) for p in paths], "probe_path string").select(
         "probe_path",
         basepath("probe_path").alias("p_dir"),
         basename("probe_path").alias("p_name"),

@@ -23,6 +23,7 @@ import time
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..localframe import local_df
 
 __all__ = [
     "TableStore",
@@ -690,7 +691,7 @@ class TableStore:
         cur = self._current(name)
         if cur is None:
             return (
-                self.spark.createDataFrame([], self.schemas[name]),
+                local_df(self.spark, [], self.schemas[name]),
                 full_report,
             )
         stats = (
@@ -779,7 +780,7 @@ class TableStore:
         phys = (
             self.spark.read.schema(phys_schema).parquet(*kept)
             if kept
-            else self.spark.createDataFrame([], phys_schema)
+            else local_df(self.spark, [], phys_schema)
         )
         return self._apply_bucket_dvs(name, cur, phys), report
 
@@ -931,7 +932,7 @@ class TableStore:
         phys = (
             self.spark.read.schema(phys_schema).parquet(*sel)
             if sel
-            else self.spark.createDataFrame([], phys_schema)
+            else local_df(self.spark, [], phys_schema)
         )
         return (
             self._apply_bucket_dvs(name, gen_dir, phys),
@@ -1462,7 +1463,7 @@ class TableStore:
                     df = df.join(dv["df"], cond, "left_anti")
             parts.append(df)
         if not parts:
-            return self.spark.createDataFrame([], self.schemas[name])
+            return local_df(self.spark, [], self.schemas[name])
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1490,7 +1491,7 @@ class TableStore:
         is value-identical but re-shuffles on join."""
         cur = self._current(name)
         if cur is None:
-            return self.spark.createDataFrame([], self.schemas[name])
+            return local_df(self.spark, [], self.schemas[name])
         if self.bucketing and name in BUCKET_SPECS:
             tbl = self._table_name(name, cur)
             try:
@@ -1832,7 +1833,7 @@ class TableStore:
         cur = self._current(name)
         if cur is None:
             return (
-                self.spark.createDataFrame([], self.schemas[name]),
+                local_df(self.spark, [], self.schemas[name]),
                 {"total": 0, "zone_skipped": 0, "bloom_skipped": 0, "scanned": 0},
             )
         doc = self._doc(cur)
@@ -1916,7 +1917,7 @@ class TableStore:
         pred = F.col(col).startswith(prefix)
         if cur is None:
             return (
-                self.spark.createDataFrame([], self.schemas[name]),
+                local_df(self.spark, [], self.schemas[name]),
                 {"total": 0, "zone_skipped": 0, "scanned": 0},
             )
         doc = self._doc(cur)
@@ -2127,7 +2128,7 @@ class TableStore:
         cur = self._current(name)
         if cur is None:
             return (
-                self.spark.createDataFrame([], self.schemas[name]),
+                local_df(self.spark, [], self.schemas[name]),
                 {"total": 0, "zone_skipped": 0, "scanned": 0},
             )
         doc = self._doc(cur)
@@ -3199,7 +3200,7 @@ class TableStore:
             }
             if n_ins + n_upd + n_del == 0:
                 return metrics  # nothing differs: write NOTHING
-            empty = self.spark.createDataFrame([], self.schemas[name])
+            empty = local_df(self.spark, [], self.schemas[name])
             ins = inserts.select(*cols) if n_ins else None
             upd = updates.select(*cols) if n_upd else None
             iu = (
@@ -4102,7 +4103,7 @@ class Snapshot:
         if ent is None:
             # table never tracked by the pointer at pin time: empty
             # view (it did not exist at this snapshot's commit point)
-            return self._store.spark.createDataFrame(
+            return local_df(self._store.spark, 
                 [], self._store.schemas[name]
             )
         gen_dir = os.path.join(self._store._dir(name), ent)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..filedb import fixtures, search, views
+from ..localframe import local_df
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -305,7 +306,7 @@ def c9_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c10_path_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 exact dir-path probes as a set query (Directory.py:181-193)."""
     d, _, _, _ = _catalog(spark, sf_dir)
-    probes = spark.createDataFrame(
+    probes = local_df(spark, 
         [("/corpus",), ("C:\\",), ("/corpus/src5",), ("/nope",)],
         "probe_path string",
     )

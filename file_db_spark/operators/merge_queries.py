@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..filedb import fixtures, merge
 from .filedb_catalog import _BP
+from ..localframe import local_df
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -230,7 +231,7 @@ def g1_merge_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    crawled = spark.createDataFrame([("/corpus",), ("C:\\corpus",)], "dir_path string")
+    crawled = local_df(spark, [("/corpus",), ("C:\\corpus",)], "dir_path string")
     dm = merge.merge_directories(dirs, staged_dirs, crawled, NOW)
 
     src0 = dirs.where(
@@ -642,7 +643,7 @@ def g3_mark_crawled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_active",
         )
     )
-    missing = spark.createDataFrame([("C:\\",)], "dir_path string")
+    missing = local_df(spark, [("C:\\",)], "dir_path string")
     out = merge.mark_dirs_crawled(control, stats, missing, NOW)
     return out.select(
         F.col("dir_id").cast("bigint").alias("k1"),
@@ -802,7 +803,7 @@ def g4_schedule_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("dir_missing"),
         _ts("2024-06-01 00:00:00").alias("inserted_on"),
     )
-    drive = spark.createDataFrame(
+    drive = local_df(spark, 
         [(1, "/corpus"), (2, "C:\\corpus"), (3, "C:\\"), (4, "D:\\data"), (5, "E:\\")],
         "id long, dir_path string",
     )
@@ -810,7 +811,7 @@ def g4_schedule_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1work, claimed_control = scheduler.get_dirs_to_crawl(
         control, NOW, limit=5, process_id=42
     )
-    new_dirs = spark.createDataFrame(
+    new_dirs = local_df(spark, 
         [(900010, "/corpus/src_new_a"), (900011, "C:\\corpus\\src_new_b"), (1, "/corpus")],
         "id long, dir_path string",
     )
@@ -1097,7 +1098,7 @@ def _g6_wave(spark: SparkSession, f1: DataFrame) -> DataFrame:
             "updated_on",
         )
         .unionByName(
-            spark.createDataFrame(
+            local_df(spark, 
                 [
                     (
                         900002,
@@ -1462,7 +1463,7 @@ def g17_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("violated").alias("s1"),
         F.lit(None).cast("bigint").alias("n1"),
     )
-    m = spark.createDataFrame(
+    m = local_df(spark, 
         [(k, metrics[k]) for k in sorted(metrics)], "s1 string, n1 long"
     ).select(
         F.lit("metric").alias("part"),
@@ -1735,7 +1736,7 @@ def g20_optimistic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("double").alias("size"),
         _ep(F.col("mtime")).alias("mtime_ep"),
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [(len(store.generations("dim")), n_conflicts)], "g long, c long"
     ).select(
         F.lit("meta").alias("part"),
@@ -1843,7 +1844,7 @@ def g21_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ep(F.col("mtime")).alias("mtime_ep"),
     )
     debt = store.mor_debt("dim")
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [(store.segment_count("dim"), debt["filters"])], "s long, f long"
     ).select(
         F.lit("meta").alias("part"),
@@ -1946,7 +1947,7 @@ def g22_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def meta_row(part: str) -> DataFrame:
         debt = store.mor_debt("dim")
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(store.segment_count("dim"), debt["filters"], debt["deletes"])],
             "s long, f long, d long",
         ).select(
@@ -2077,7 +2078,7 @@ def g23_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def meta_row(part: str, rep: dict[str, int]) -> DataFrame:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(rep["total"], rep["scanned"], rep["zone_skipped"], rep["bloom_skipped"])],
             "t long, s long, z long, b long",
         ).select(
@@ -2278,7 +2279,7 @@ def g24_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def meta_row(part: str, a, b, c, d) -> DataFrame:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(a, b, c, d)], "a long, b long, c double, d long"
         ).select(
             F.lit(part).alias("part"),
@@ -2474,7 +2475,7 @@ def g25_cdc_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.advance_cursor("file", "fast")
     p3_rows = store.changes_since("file", "fast", kc, cc).count()
     slow = proj(store.changes_since("file", "slow", kc, cc), "slow")
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [(p3_rows, len(store.generations("file")))], "p long, g long"
     ).select(
         F.lit("meta").alias("part"),
@@ -2646,7 +2647,7 @@ def g26_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ep(F.col("mtime")).alias("mtime_ep"),
     )
     debt = store.mor_debt("dim")
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             ("metrics", metrics["inserted"], metrics["updated"], float(metrics["deleted"])),
             ("shape", store.segment_count("dim"), debt["filters"], float(debt["deletes"])),
@@ -2814,7 +2815,7 @@ def g28_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_size").cast("double").alias("v2"),
         F.col("max_size").cast("double").alias("v3"),
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             ("meta1", m1["inserted"], m1["updated"], float(m1["deleted"])),
             ("meta2", m2["inserted"], m2["updated"], float(m2["deleted"])),
@@ -2933,7 +2934,7 @@ def g29_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("double").alias("size"),
         _ep(F.col("mtime")).alias("mtime_ep"),
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             (
                 "report",
@@ -3152,7 +3153,7 @@ def g30_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dn().alias("size"),
         _bn().alias("mtime_ep"),
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             ("metrics1", m1["inserted"], m1["updated"], float(m1["deleted"]), None),
             ("metrics2", m2["inserted"], m2["updated"], float(m2["deleted"]), None),
@@ -3241,7 +3242,7 @@ def g31_subtree_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("n1"),
         _bn().alias("n2"),
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             ("report", rep["scanned"], rep["total"]),
             ("miss", rep_miss["scanned"], miss.count()),
@@ -3338,7 +3339,7 @@ def g27_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("n1"),
         _bn().alias("n2"),
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             ("meta", smj, None, None, None, exchanges, bucketed_scans),
             ("probe", None, None, None, None, sel, tot),
@@ -3815,7 +3816,7 @@ def g10_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(backlog)
         .persist()
     )
-    names = spark.createDataFrame(
+    names = local_df(spark, 
         [(c,) for c in (
             "orphan_file", "dangling_hash", "missing_parent",
             "null_size", "null_ctime", "hash_backlog",
@@ -4028,7 +4029,7 @@ def _g12_wave2(f1):
             "updated_on",
         )
         .unionByName(
-            spark.createDataFrame(
+            local_df(spark, 
                 [
                     (
                         900002,
@@ -4117,7 +4118,7 @@ def g12_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     gens_after = store.generations("file")
     plan_rows.append(("post", 0, store.read("file").count(), 1))
     plan_rows.append(("gens_after", len(gens_after), None, None))
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         plan_rows, "phase string, back long, n_rows long, keep long"
     ).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
@@ -5187,7 +5188,7 @@ def g32_merge_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ep(F.col("ctime")).alias("n1"),
         _ep(F.col("mtime")).alias("n2"),
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             ("metrics1", m1["inserted"], m1["updated"], m1["deleted"]),
             ("report1", None, rep1["scanned"], rep1["total"]),
@@ -5377,7 +5378,7 @@ def g33_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("n2"),
         _dn().alias("v1"),
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             ("metrics1", m1["inserted"], None, m1["updated"], m1["deleted"]),
             ("metrics2", m2["inserted"], None, m2["updated"], m2["deleted"]),
@@ -5505,7 +5506,7 @@ def g34_due_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             _bn().alias("n2"),
         )
 
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             ("report1", rep1["scanned"], rep1["total"]),
             ("report2", rep2["scanned"], rep2["total"]),
@@ -5629,7 +5630,7 @@ def g35_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p1, a1 = flags(rep1)
     p2, a2 = flags(rep2)
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [("report1", p1, a1), ("report2", p2, a2)],
         "part string, a long, b long",
     ).select(

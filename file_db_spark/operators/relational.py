@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.paths import sql_path_parse_wildcard_search
+from ..localframe import local_df
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -341,7 +342,7 @@ def j7_array_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FileDbDAL/Search.py:125-154). The probe list is tiny -> broadcast;
     for large probe sets this becomes a shuffle join automatically."""
     p = load_table(spark, sf_dir, "part")
-    probes = spark.createDataFrame([(k,) for k in (3, 7, 11, 19, 42, 97)], "pk bigint")
+    probes = local_df(spark, [(k,) for k in (3, 7, 11, 19, 42, 97)], "pk bigint")
     return (
         p.join(F.broadcast(probes), p.p_partkey == probes.pk)
         .select("pk", "p_name", "p_retailprice")

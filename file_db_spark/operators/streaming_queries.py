@@ -17,6 +17,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import events_stream as es
+from ..localframe import local_df
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -1439,7 +1440,7 @@ def s16_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("violated").alias("s1"),
         F.lit(None).cast("bigint").alias("n1"),
     )
-    mrows = spark.createDataFrame(
+    mrows = local_df(spark, 
         [(k, int(last_metrics[k])) for k in sorted(_G17_EXPECTATIONS)]
         + [
             ("_accepted", int(last_metrics["_accepted"])),
@@ -1581,7 +1582,7 @@ def s17_stream_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ep(F.col("mtime")).alias("mtime_ep"),
     )
     debt = store.mor_debt("dim")
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [(store.segment_count("dim"), debt["filters"], debt["deletes"])],
         "s long, f long, d long",
     ).select(
@@ -1651,7 +1652,7 @@ def s18_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, value double"
     )
     sent_ts = mx + datetime.timedelta(days=1)
-    sentinels = spark.createDataFrame(
+    sentinels = local_df(spark, 
         [(-2, sent_ts, -1, "click", 0.0), (-3, sent_ts, -1, "purchase", 0.0)],
         schema,
     )
@@ -1867,7 +1868,7 @@ def s19_stream_cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim", "ivm", ["id"], ["name", "dir_id", "size", "mtime"]
     ).count()
     fin = proj(store.read("dir_stats"), "fin")
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [(len(applied), pending, float(len(store.generations("dim"))))],
         "a long, p long, g double",
     ).select(

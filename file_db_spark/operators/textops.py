@@ -5,6 +5,8 @@ Column expressions (JVM-side) — the 100 TB path has zero Python in it.
 
 from __future__ import annotations
 
+from ..localframe import local_df
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -4137,7 +4139,7 @@ def d47_shard_export_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(glob.glob(os.path.join(data_root, f"shard={k}", "*.parquet"))) == 1
         for k in first["shards"]
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             (
                 "meta",
