@@ -2239,7 +2239,15 @@ def v15_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("bigint").alias("round"),
         )
     )
-    picks = [sel]
+    # Each greedy pick is frozen as an eager localCheckpoint (guide
+    # §3.3 "materialising an intermediate truncates the plan" — the
+    # v16 pattern): round r's plan references every prior round's
+    # picks, so without truncation the final union nests ~2^K copies
+    # of the window/join subtrees — pick 1 re-planned and re-executed
+    # inside every later round AND again in the union. A pick is Q
+    # rows, so each checkpoint is one tiny job; the returned plan is a
+    # union over K leaves and the build caches can be released.
+    picks = [sel.localCheckpoint()]
     for r in range(2, MMR_K + 1):
         prev = picks[0].select("query_id", "nid")
         for p_df in picks[1:]:
@@ -2277,7 +2285,12 @@ def v15_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(r).cast("bigint").alias("round"),
             )
         )
-        picks.append(pick)
+        picks.append(pick.localCheckpoint())
+    # picks are materialized leaves now — the Q×C candidate/pair
+    # caches are dead weight; release them instead of pinning them for
+    # the rest of the session
+    cand.unpersist()
+    pairs.unpersist()
     out = picks[0]
     for p_df in picks[1:]:
         out = out.unionByName(p_df)
@@ -2422,7 +2435,7 @@ def _v16_serve_plan(
             "cell",
             F.zip_with("q_emb", "centroid", lambda a, b: a - b).alias("qres"),
         )
-        .persist()  # per-(query, probe) residual: pd table + the code join
+        # single consumer (the pdm broadcast build) — no persist needed
     )
     qrsub = probed.select(
         "query_id",
@@ -2444,18 +2457,32 @@ def _v16_serve_plan(
         F.col("c_cell").alias("code"),
         _d2(F.col("se"), F.col("centroid")).alias("pd"),
     )
-    out = codes.join(F.broadcast(probed.select("query_id", "cell")), "cell")
-    for i in range(PQ_M):
-        pd_i = pd.filter(F.col("m") == i).select(
-            "query_id",
-            "cell",
-            F.col("code").alias(f"c{i}"),
-            F.col("pd").alias(f"pd{i}"),
-        )
-        out = out.join(F.broadcast(pd_i), ["query_id", "cell", f"c{i}"])
+    # One broadcast ADC distance-table lookup instead of PQ_M sequential
+    # broadcast joins (guide §2.4/§3.1): fold the per-(query, cell)
+    # distance table into a map keyed by m*PQ_K+code — PQ_M*PQ_K entries
+    # per probe, unique by construction since pd carries every (m, code)
+    # pair exactly once — and attach it with a SINGLE broadcast join on
+    # cell. Before: 5 broadcast builds (probed + one per subspace), each
+    # a separate driver-blocking job, 5 BroadcastHashJoins in the plan.
+    # After: 1 build, 1 join; the ADC sum reads the same doubles via
+    # element_at in the same fixed m-order, so results are bit-exact.
+    pdm = pd.groupBy("query_id", "cell").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("m") * PQ_K + F.col("code")).cast("int").alias("k"),
+                    F.col("pd").alias("v"),
+                )
+            )
+        ).alias("pdm")
+    )
+    out = codes.join(F.broadcast(pdm), "cell")
     adc = None
     for i in range(PQ_M):
-        adc = F.col(f"pd{i}") if adc is None else adc + F.col(f"pd{i}")
+        term = F.element_at(
+            F.col("pdm"), (F.lit(i) * PQ_K + F.col(f"c{i}")).cast("int")
+        )
+        adc = term if adc is None else adc + term
     scored_q = out.filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
     )
@@ -3587,7 +3614,9 @@ def v19_retrieval_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("bigint").alias("round"),
         )
     )
-    picks = [sel]
+    # eager per-pick localCheckpoints: same plan-truncation rationale
+    # as v15 (the union otherwise nests ~2^K copies of each round)
+    picks = [sel.localCheckpoint()]
     for r in range(2, V19_K + 1):
         prev = picks[0].select("query_id", "nid")
         for p_df in picks[1:]:
@@ -3613,7 +3642,12 @@ def v19_retrieval_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(r).cast("bigint").alias("round"),
             )
         )
-        picks.append(pick)
+        picks.append(pick.localCheckpoint())
+    # picks are materialized leaves now — the Q×C candidate/pair
+    # caches are dead weight; release them instead of pinning them for
+    # the rest of the session
+    cand.unpersist()
+    pairs.unpersist()
     out = picks[0]
     for p_df in picks[1:]:
         out = out.unionByName(p_df)
