@@ -634,27 +634,43 @@ class TableStore:
                     "nulls": int(r[f"nl__{c}"]),
                 }
             out[r["__f"]] = ent
-        for c, m in bloom_m.items():
+        def _bloom_for(c: str, m: int) -> tuple[str, int, list]:
+            # only ELIGIBLE files (0 < nd <= cap) ever record a digest,
+            # so drop over-cap files' rows BEFORE the explode: a clean
+            # rewrite's big files would otherwise pay k position
+            # expansions per row just to be discarded at the driver
+            eligible_files = [
+                r["__f"]
+                for r in zone_rows
+                if 0 < int(r[f"nd__{c}"]) <= self._FILE_BLOOM_MAX_KEYS
+            ]
+            if not eligible_files:
+                return c, m, []
             pos_expr = (
                 f"transform(sequence(0, {k - 1}), i -> "
                 f"pmod((xxhash64({c}) & 4294967295) + "
                 f"i * (shiftrightunsigned(xxhash64({c}), 32) | 1), {m}))"
             )
-            pos_rows = (
-                df.where(F.col(c).isNotNull())
+            return c, m, (
+                df.where(F.col(c).isNotNull() & F.col("__f").isin(eligible_files))
                 .select("__f", F.explode(F.expr(pos_expr)).alias("p"))
                 .groupBy("__f")
                 .agg(F.collect_set("p").alias("ps"))
                 .collect()
             )
-            skip = {
-                r["__f"]
-                for r in zone_rows
-                if int(r[f"nd__{c}"]) > self._FILE_BLOOM_MAX_KEYS
-            }
+
+        # per-column digest jobs are independent — overlap them from a
+        # small thread pool (guide §2.6) so the stats pass costs
+        # zone + max(col) instead of zone + sum(cols)
+        if len(bloom_m) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(bloom_m)) as pool:
+                results = list(pool.map(lambda cm: _bloom_for(*cm), bloom_m.items()))
+        else:
+            results = [_bloom_for(c, m) for c, m in bloom_m.items()]
+        for c, m, pos_rows in results:
             for r in pos_rows:
-                if r["__f"] in skip:
-                    continue  # over the cap: zone-only for this file
                 bmp = bytearray(m // 8)
                 for p in r["ps"]:
                     bmp[p >> 3] |= 1 << (p & 7)
