@@ -1121,8 +1121,66 @@ class TableStore:
         os.replace(tmp, os.path.join(gen, "_MANIFEST"))
         self._catalog_swap({name: os.path.basename(gen)})
 
-    def _write_segment(self, name: str, df: DataFrame, prefix: str) -> str:
-        """Write rows as one immutable segment dir; returns its relpath."""
+    #: rows at or below which a segment/DV write may go through the
+    #: driver-side Arrow writer instead of a Spark write job. A Spark
+    #: write of a KB-sized delta pays a fixed ~0.5-0.7 s of committer
+    #: machinery (job + task launch, temp dir, per-file rename,
+    #: _SUCCESS) that dwarfs the bytes; collecting the same rows as ONE
+    #: Arrow batch and writing one parquet file driver-side keeps the
+    #: commit O(changes) with a far smaller constant. The threshold is
+    #: a row-count the caller must KNOW (merge/apply_changes metrics) —
+    #: unhinted writes always take the Spark path, so an O(table)
+    #: rewrite can never land on the driver. Tune with
+    #: $SPARK_GRAFT_ARROW_WRITE_ROWS (0 disables).
+    _ARROW_WRITE_MAX_ROWS = int(
+        os.environ.get("SPARK_GRAFT_ARROW_WRITE_ROWS", "65536")
+    )
+
+    def _arrow_write_dir(self, df: DataFrame, path: str) -> bool:
+        """Driver-side single-file parquet write of a SMALL DataFrame
+        (one collect as an Arrow table, no Spark write job). Writes to
+        a temp dir and renames, so a failure leaves no trace; returns
+        False on any conversion surprise and the caller falls back to
+        the Spark writer — behavior can never diverge, only speed.
+        Readers are unaffected: every segment/DV read passes an
+        explicit schema, and Arrow writes the same physical parquet
+        types Spark does (int32/int64, decimal128, timestamp-micros
+        UTC)."""
+        try:
+            import pyarrow.parquet as pq
+
+            tbl = df.toArrow()
+        except Exception:
+            return False
+        tmp = path + ".arrowtmp"
+        try:
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
+            with open(os.path.join(tmp, "_SUCCESS"), "w"):
+                pass
+            os.rename(tmp, path)
+            return True
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+
+    def _arrow_small(self, rows_hint: int | None) -> bool:
+        return (
+            rows_hint is not None
+            and 0 <= rows_hint <= self._ARROW_WRITE_MAX_ROWS
+        )
+
+    def _write_segment(
+        self,
+        name: str,
+        df: DataFrame,
+        prefix: str,
+        rows_hint: int | None = None,
+    ) -> str:
+        """Write rows as one immutable segment dir; returns its relpath.
+        `rows_hint` is an upper bound on the row count when the caller
+        knows it (merge metrics) — small hinted writes take the
+        driver-side Arrow path."""
         d = self._dir(name)
         os.makedirs(d, exist_ok=True)
         cols = [f.name for f in self.schemas[name].fields]
@@ -1130,8 +1188,10 @@ class TableStore:
         if name in SORT_KEYS:
             out = out.sortWithinPartitions(*SORT_KEYS[name])
         seg = f"{prefix}-{time.time_ns()}"
-        out.write.mode("overwrite").parquet(os.path.join(d, seg))
-        self._stamp_epoch(name, os.path.join(d, seg))
+        path = os.path.join(d, seg)
+        if not (self._arrow_small(rows_hint) and self._arrow_write_dir(out, path)):
+            out.write.mode("overwrite").parquet(path)
+        self._stamp_epoch(name, path)
         return seg
 
     # -- column mapping (rename/drop without rewrite) --------------------------
@@ -1680,6 +1740,7 @@ class TableStore:
         df: DataFrame,
         zone_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        rows_hint: int | None = None,
     ) -> None:
         """Append rows (archive/removal-queue semantics): O(delta), not
         O(table) — the new rows are written once as an immutable
@@ -1705,7 +1766,7 @@ class TableStore:
         if self.bucketing and name in BUCKET_SPECS:
             raise ValueError(f"append() on bucketed table {name!r}; use replace()")
         with _commit_lock(self.root, name):
-            seg = self._write_segment(name, df, "seg")
+            seg = self._write_segment(name, df, "seg", rows_hint=rows_hint)
             entry: dict = {"path": seg}
             if zone_cols or bloom_cols:
                 written = self.spark.read.schema(self.schemas[name]).parquet(
@@ -2450,10 +2511,21 @@ class TableStore:
             ver.alias("valid_from"),
             F.lit("D").alias("op"),
         )
-        self.append(
-            name,
-            upserts.select(*log_cols).unionByName(deletes.select(*log_cols)),
+        # the SCD2 delta is O(changed keys); materialize it ONCE with
+        # its row count riding the same action (observed metric), so
+        # the append can take the small-write Arrow path and the write
+        # plans over a leaf instead of re-walking the diff join
+        obs = Observation()
+        out = (
+            upserts.select(*log_cols)
+            .unionByName(deletes.select(*log_cols))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
+        try:
+            self.append(name, out, rows_hint=int(obs.get.get("n", 0)))
+        finally:
+            out.unpersist()
 
     def evolve(self, name: str, new_schema: T.StructType) -> None:
         """Additive schema evolution (the Delta/Iceberg ADD COLUMN
@@ -3119,15 +3191,21 @@ class TableStore:
                 }
                 if metrics["updated"] or metrics["deleted"]:
                     dv = f"dv-{time.time_ns()}"
-                    (
+                    dv_df = (
                         classified.where(F.col("__op").isin("U", "D"))
                         .select(
                             *[F.col(f"__k_{k}").alias(k) for k in on]
                         )
                         .distinct()
-                        .write.mode("overwrite")
-                        .parquet(os.path.join(d, dv))
                     )
+                    n_dv = metrics["updated"] + metrics["deleted"]
+                    if not (
+                        self._arrow_small(n_dv)
+                        and self._arrow_write_dir(dv_df, os.path.join(d, dv))
+                    ):
+                        dv_df.write.mode("overwrite").parquet(
+                            os.path.join(d, dv)
+                        )
                     doc["deletes"] = doc["deletes"] + [
                         {
                             "path": dv,
@@ -3150,6 +3228,7 @@ class TableStore:
                             *cols
                         ),
                         "seg",
+                        rows_hint=metrics["updated"] + metrics["inserted"],
                     )
                     entry: dict = {"path": seg}
                     if zone_cols or bloom_cols:
@@ -3295,14 +3374,19 @@ class TableStore:
                         "pruned": len(base["segments"]) - len(touched),
                     }
                 dv = f"dv-{time.time_ns()}"
-                dv_keys.distinct().write.mode("overwrite").parquet(
-                    os.path.join(d, dv)
-                )
+                dv_df = dv_keys.distinct()
+                if not (
+                    self._arrow_small(n_upd + n_del)
+                    and self._arrow_write_dir(dv_df, os.path.join(d, dv))
+                ):
+                    dv_df.write.mode("overwrite").parquet(os.path.join(d, dv))
                 doc["deletes"] = doc["deletes"] + [
                     {"path": dv, "keys": list(on), "over": over}
                 ]
             if iu is not None:
-                seg = self._write_segment(name, iu, "seg")
+                seg = self._write_segment(
+                    name, iu, "seg", rows_hint=n_ins + n_upd
+                )
                 entry: dict = {"path": seg}
                 if zone_cols or bloom_cols:
                     written = self.spark.read.schema(
