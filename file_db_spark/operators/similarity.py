@@ -1206,7 +1206,12 @@ def _lloyd_assign(pts: DataFrame, iters: int) -> DataFrame:
     """The v6 Lloyd loop (broadcast k x dim centroids -> map-only
     scoring -> keyed argmax -> partial-agg means), factored so training
     can run on any point set. Returns (vec_id, emb, cell, cos)."""
-    assigned = pts.persist()
+    # eager localCheckpoint per round, not lazy persist (guide
+    # §3.3/§5, the x36/v15 lesson): a persist truncates EXECUTION but
+    # every later round still plans over the full prior lineage and
+    # AQE re-walks it per action — measured as inter-job driver gaps.
+    # A checkpoint makes each round plan over one RDD leaf.
+    assigned = pts.localCheckpoint()
     for _ in range(iters):
         cents = _km_centroids(assigned).withColumnRenamed("cell", "c_cell")
         scored = (
@@ -1242,7 +1247,7 @@ def _lloyd_assign(pts: DataFrame, iters: int) -> DataFrame:
                 F.col("best.cell").alias("cell"),
                 F.col("best.cos").alias("cos"),
             )
-            .persist()
+            .localCheckpoint()
         )
     return assigned
 
@@ -2332,7 +2337,7 @@ def _v16_train(spark: SparkSession, sf_dir: str):
         (F.col("vec_id") % KMEANS_K).alias("cell"),
     )
     assigned = _lloyd_assign(pts, KMEANS_ITERS)
-    cents = _km_centroids(assigned).persist()  # frozen coarse codebook
+    cents = _km_centroids(assigned).localCheckpoint()  # frozen coarse codebook
     res = (
         assigned.select("vec_id", "emb", "cell")
         .join(F.broadcast(cents), "cell")
@@ -2341,7 +2346,7 @@ def _v16_train(spark: SparkSession, sf_dir: str):
             "cell",
             F.zip_with("emb", "centroid", lambda a, b: a - b).alias("remb"),
         )
-        .persist()  # residuals feed PQ training AND the final code join
+        .localCheckpoint()  # residuals feed PQ training AND the final code join
     )
     rsub = res.select(
         "vec_id",
@@ -2355,7 +2360,7 @@ def _v16_train(spark: SparkSession, sf_dir: str):
         ),
         ((F.col("vec_id") + F.col("m")) % PQ_K).alias("cell"),
     )
-    passigned = rsub.persist()
+    passigned = rsub.localCheckpoint()
     cached = [cents, res, passigned]
     pcents = None
     for _ in range(PQ_ITERS):
@@ -2385,7 +2390,7 @@ def _v16_train(spark: SparkSession, sf_dir: str):
                 F.col("best.se").alias("se"),
                 F.col("best.cell").alias("cell"),
             )
-            .persist()
+            .localCheckpoint()
         )
         cached.append(passigned)
     codes = (
@@ -2919,12 +2924,12 @@ def _v20_train(spark: SparkSession, sf_dir: str):
         (F.col("vec_id") % KMEANS_K).alias("cell"),
     )
     base = pts.where(F.col("vec_id") % 10 != 0)
-    cents = _km_centroids(_lloyd_assign(base, KMEANS_ITERS)).persist()
+    cents = _km_centroids(_lloyd_assign(base, KMEANS_ITERS)).localCheckpoint()
     cached: list = [cents]
     _res, rsub = _v20_residual_sub(
         _v16_coarse_encode(base, cents), cents, cached
     )
-    passigned = rsub.persist()
+    passigned = rsub.localCheckpoint()
     cached.append(passigned)
     pcents = None
     for _ in range(PQ_ITERS):
@@ -2954,7 +2959,7 @@ def _v20_train(spark: SparkSession, sf_dir: str):
                 F.col("best.se").alias("se"),
                 F.col("best.cell").alias("cell"),
             )
-            .persist()
+            .localCheckpoint()
         )
         cached.append(passigned)
     return cents, pcents, cached
