@@ -1727,13 +1727,18 @@ def x19_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
     # carry the source degree on each edge once: the per-round join then
     # brings only the 2-column rank table to the 3-column edge list
-    ed = e.join(deg, "src").select("src", "dst", "d").persist()
+    # eager localCheckpoints, not lazy persists (the v16/x36 lesson):
+    # each unrolled round otherwise plans over every prior round's
+    # lineage and AQE re-walks it per action — measured 3.1s of
+    # inter-job driver gaps over 50 jobs. As leaves, each round plans
+    # over one RDD each for the edge list and the previous rank.
+    ed = e.join(deg, "src").select("src", "dst", "d").localCheckpoint()
     nn = deg.select(F.count("*").cast("bigint").alias("n"))
     rank = (
         deg.select(F.col("src").alias("v"))
         .crossJoin(F.broadcast(nn))
         .select("v", F.expr(f"{PR_SCALE} div n").cast("bigint").alias("rank"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(PR_ROUNDS):
         contrib = (
@@ -1753,7 +1758,7 @@ def x19_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("rank"),
             )
-            .persist()
+            .localCheckpoint()
         )
     return (
         rank.join(deg, rank.v == deg.src)
