@@ -1062,13 +1062,17 @@ class TableStore:
         dvs = list(prior["dvs"])
         if metrics["updated"] or metrics["deleted"]:
             dv = f"dv-{ns}"
-            (
+            dv_df = (
                 classified.where(F.col("__op").isin("U", "D"))
                 .select(*[F.col(f"__k_{k}").alias(k) for k in on])
                 .distinct()
-                .write.mode("overwrite")
-                .parquet(os.path.join(d, dv))
             )
+            n_dv = metrics["updated"] + metrics["deleted"]
+            if not (
+                self._arrow_small(n_dv)
+                and self._arrow_write_dir(dv_df, os.path.join(d, dv))
+            ):
+                dv_df.write.mode("overwrite").parquet(os.path.join(d, dv))
             dvs.append({"path": dv, "ns": ns, "keys": list(on)})
         # per-file skipping stats: hardlinked base files inherit the
         # prior sidecar's entries (same bytes); the delta stage pays
