@@ -3167,8 +3167,15 @@ def x31_cross_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_rep_tables = []
     shard_member_maps = []
     for s in (0, 1):
-        g = d.where(F.col("doc_id") % 2 == s).select(
-            "doc_id", F.md5("text").alias("tkey")
+        # the member map is scanned twice (its shard rep table AND the
+        # final expansion) and the rep table's consumers nest it again —
+        # checkpoint the narrow (doc_id, tkey) map once per shard so the
+        # md5 text scan runs once per shard, and every downstream plan
+        # reads an RDD leaf (the x30 collapse-first shape; guide §3.3)
+        g = (
+            d.where(F.col("doc_id") % 2 == s)
+            .select("doc_id", F.md5("text").alias("tkey"))
+            .localCheckpoint()
         )
         sg = g.groupBy("tkey").agg(
             F.min("doc_id").alias("srep_id"),
@@ -3176,7 +3183,8 @@ def x31_cross_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         shard_rep_tables.append(sg)
         shard_member_maps.append(g)
-    # reconciliation: merge rep tables (rep-level rows only)
+    # reconciliation: merge rep tables (rep-level rows only); three
+    # consumers (members join, rep_docs, the label expansion) — leaf it
     rep_groups = (
         shard_rep_tables[0]
         .unionByName(shard_rep_tables[1])
@@ -3185,6 +3193,7 @@ def x31_cross_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("srep_id").alias("rep_id"),
             F.sum("s_size").cast("bigint").alias("group_size"),
         )
+        .localCheckpoint()
     )
     members = (
         shard_member_maps[0]
