@@ -3927,14 +3927,21 @@ def d46_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("bucket") < 950)
         .drop("bucket")
-        .persist()
+        # eager localCheckpoint per funnel stage (guide §3.3/§5, the
+        # v16/x36 pattern): each stage's frame feeds BOTH the next
+        # stage and a funnel aggregate; as lazy persists the final
+        # 8-branch union dragged every stage's full lineage, and the
+        # profile showed 69 jobs with 9.9 s of inter-job DRIVER gaps
+        # (AQE re-walking the whole tree after every stage). As leaves,
+        # each stage plans over the previous checkpoint only.
+        .localCheckpoint()
     )
 
     # (1) quality gate — the d35 conjunction over the train split
     keep_ids = (
         _gopher_rated(train_txt).where(_gopher_keep()).select("doc_id")
     )
-    qual = meta.join(keep_ids, "doc_id", "semi").persist()
+    qual = meta.join(keep_ids, "doc_id", "semi").localCheckpoint()
 
     # (2) exact-dedup collapse (x30's stage): one md5 groupBy
     qual_txt = train_txt.join(qual.select("doc_id"), "doc_id", "semi")
@@ -3943,7 +3950,7 @@ def d46_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
         .select("doc_id")
     )
-    dedup = qual.join(reps, "doc_id", "semi").persist()
+    dedup = qual.join(reps, "doc_id", "semi").localCheckpoint()
 
     # (3) decontamination (x9's probe): broadcast the test-split gram
     # set, kill any representative sharing a single 4-gram with it
@@ -3971,7 +3978,7 @@ def d46_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = dedup.join(contam, "doc_id", "anti").persist()
+    clean = dedup.join(contam, "doc_id", "anti").localCheckpoint()
 
     # (4) UniMax waterfill on the surviving corpus (BPE tokens)
     lt = (
@@ -3996,7 +4003,7 @@ def d46_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.join(F.broadcast(alloc), "lang")
         .where(F.col("cum") <= F.floor("alloc").cast("bigint"))
         .select("doc_id", "lang", "n_tok")
-        .persist()
+        .localCheckpoint()
     )
 
     # (6) shard manifest (d18's salted hash, D46_SHARDS shards)
