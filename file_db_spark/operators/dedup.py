@@ -1794,19 +1794,21 @@ def x19_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
     # carry the source degree on each edge once: the per-round join then
-    # brings only the 2-column rank table to the 3-column edge list
-    # eager localCheckpoints, not lazy persists (the v16/x36 lesson):
-    # each unrolled round otherwise plans over every prior round's
-    # lineage and AQE re-walks it per action — measured 3.1s of
-    # inter-job driver gaps over 50 jobs. As leaves, each round plans
-    # over one RDD each for the edge list and the previous rank.
+    # brings only the 2-column rank table to the 3-column edge list.
+    # The edge list stays an eager localCheckpoint (every round plans
+    # over it — consumer depth >= 2, the b645979 rule), but the
+    # per-round ranks are lazy persists: each rank has exactly ONE
+    # consumer (the next round), and at PR_ROUNDS=3 the re-planning an
+    # eager checkpoint saves is smaller than the extra materialization
+    # job it costs (VERDICT r10 #3 — x19 was net slower checkpointed:
+    # 2.32 -> 3.14 s).
     ed = e.join(deg, "src").select("src", "dst", "d").localCheckpoint()
     nn = deg.select(F.count("*").cast("bigint").alias("n"))
     rank = (
         deg.select(F.col("src").alias("v"))
         .crossJoin(F.broadcast(nn))
         .select("v", F.expr(f"{PR_SCALE} div n").cast("bigint").alias("rank"))
-        .localCheckpoint()
+        .persist()
     )
     for _ in range(PR_ROUNDS):
         contrib = (
@@ -1826,7 +1828,7 @@ def x19_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("rank"),
             )
-            .localCheckpoint()
+            .persist()
         )
     return (
         rank.join(deg, rank.v == deg.src)
