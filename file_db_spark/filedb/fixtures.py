@@ -53,7 +53,17 @@ def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     key = (id(spark), sf_dir, name)
     df = _CACHE.get(key)
     if df is None:
-        df = build().persist()
+        # Eager localCheckpoint, not persist: the fixture tables feed
+        # DOZENS of registry queries per session (consumer depth >> 2,
+        # the b645979 rule), and classic PySpark re-ANALYZES the full
+        # logical plan of every persisted subtree on each DataFrame op
+        # that references it — measured 1.9 s of driver-side plan
+        # building for g2's 8-part union alone. As RDD leaves the
+        # fixtures cost each consumer O(1) analysis. They are tiny
+        # (20-500 rows) derived catalog tables, re-derived per session;
+        # at cluster scale this is "materialize the catalog tables
+        # once" (store.py does it with parquet generations).
+        df = build().localCheckpoint(eager=True)
         _CACHE[key] = df
     return df
 

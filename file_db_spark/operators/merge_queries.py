@@ -18,6 +18,8 @@ sized but the plans are the production plans.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -4665,18 +4667,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g28": g28_materialized_view,
         "g29": g29_optimize,
     }
-    from . import _timing
-
-    _timing.reset("g3456_control_suite")
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        futures = {
-            k: pool.submit(
-                _timing.timed_member, "g3456_control_suite", k, fn, spark, sf_dir
-            )
-            for k, fn in member_fns.items()
-        }
-        raw = {k: f.result() for k, f in futures.items()}
-    g3 = raw["g3"].select(
+    projs = {
+        "g3": lambda df: df.select(
         F.lit("g3").alias("part"),
         F.col("k1"),
         F.col("s1"),
@@ -4688,8 +4680,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("miss").cast("bigint").alias("flag"),
         F.col("pid"),
         _dn().alias("v1"),
-    )
-    g4 = raw["g4"].select(
+        ),
+        "g4": lambda df: df.select(
         F.concat(F.lit("g4_"), F.col("part")).alias("part"),
         F.col("k1"),
         F.col("s1"),
@@ -4701,8 +4693,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         F.col("v1"),
-    )
-    g5 = raw["g5"].select(
+        ),
+        "g5": lambda df: df.select(
         F.concat(F.lit("g5_"), F.col("part")).alias("part"),
         F.col("k1"),
         F.col("s1"),
@@ -4714,8 +4706,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         _dn().alias("v1"),
-    )
-    g6 = raw["g6"].select(
+        ),
+        "g6": lambda df: df.select(
         F.lit("g6").alias("part"),
         F.col("id").alias("k1"),
         F.concat_ws(
@@ -4732,8 +4724,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         F.col("new_size").alias("v1"),
-    )
-    g7 = raw["g7"].select(
+        ),
+        "g7": lambda df: df.select(
         F.lit("g7").alias("part"),
         _bn().alias("k1"),
         F.col("event_type").alias("s1"),
@@ -4745,8 +4737,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         F.col("total_value").alias("v1"),
-    )
-    g8 = raw["g8"].select(
+        ),
+        "g8": lambda df: df.select(
         F.lit("g8").alias("part"),
         F.col("id").alias("k1"),
         _sn().alias("s1"),
@@ -4758,8 +4750,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("compact").alias("flag"),
         _bn().alias("pid"),
         _dn().alias("v1"),
-    )
-    g9 = raw["g9"].select(
+        ),
+        "g9": lambda df: df.select(
         F.lit("g9").alias("part"),
         F.col("dir_id").alias("k1"),
         F.col("dir_path").alias("s1"),
@@ -4771,8 +4763,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         _dn().alias("v1"),
-    )
-    g10 = raw["g10"].select(
+        ),
+        "g10": lambda df: df.select(
         F.concat(F.lit("g10_"), F.col("part")).alias("part"),
         F.col("ent_id").alias("k1"),
         F.concat(
@@ -4786,8 +4778,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         _dn().alias("v1"),
-    )
-    g11 = raw["g11"].select(
+        ),
+        "g11": lambda df: df.select(
         F.lit("g11").alias("part"),
         F.col("event_id").alias("k1"),
         _sn().alias("s1"),
@@ -4799,8 +4791,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         _dn().alias("v1"),
-    )
-    g14 = raw["g14"].select(
+        ),
+        "g14": lambda df: df.select(
         F.concat(F.lit("g14_"), F.col("part")).alias("part"),
         F.col("n_rows").alias("k1"),
         F.col("name_register_sum").cast("string").alias("s1"),
@@ -4812,8 +4804,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         F.col("name_ndv_hll").alias("v1"),
-    )
-    g13 = raw["g13"].select(
+        ),
+        "g13": lambda df: df.select(
         F.lit("g13").alias("part"),
         F.col("n_rows").alias("k1"),
         F.concat(F.col("tbl"), F.lit("."), F.col("col"), F.lit("#"), F.col("kind")).alias("s1"),
@@ -4825,8 +4817,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         (F.col("vmin") + F.col("vmax") / F.lit(1000000.0)).alias("v1"),
-    )
-    g12 = raw["g12"].select(
+        ),
+        "g12": lambda df: df.select(
         F.concat(F.lit("g12_"), F.col("phase")).alias("part"),
         F.col("back").alias("k1"),
         _sn().alias("s1"),
@@ -4838,8 +4830,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         _dn().alias("v1"),
-    )
-    g15 = raw["g15"].select(
+        ),
+        "g15": lambda df: df.select(
         F.lit("g15").alias("part"),
         F.col("dir_id").alias("k1"),
         _sn().alias("s1"),
@@ -4851,8 +4843,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         F.col("total_size").alias("v1"),
-    )
-    g16 = raw["g16"].select(
+        ),
+        "g16": lambda df: df.select(
         F.concat(F.lit("g16_"), F.col("part")).alias("part"),
         F.col("id").alias("k1"),
         F.concat_ws("#", F.col("name"), F.coalesce(F.col("origin"), F.lit(""))).alias("s1"),
@@ -4864,8 +4856,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         _dn().alias("v1"),
-    )
-    g17 = raw["g17"].select(
+        ),
+        "g17": lambda df: df.select(
         F.concat(F.lit("g17_"), F.col("part")).alias("part"),
         F.col("id").alias("k1"),
         F.col("s1"),
@@ -4877,8 +4869,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         _dn().alias("v1"),
-    )
-    g18 = raw["g18"].select(
+        ),
+        "g18": lambda df: df.select(
         F.lit("g18").alias("part"),
         F.col("id").alias("k1"),
         F.col("name").alias("s1"),
@@ -4893,28 +4885,27 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("flag"),
         _bn().alias("pid"),
         F.col("size").alias("v1"),
-    )
-
-    def _mor_proj(key: str):
-        return raw[key].select(
-            F.concat(F.lit(f"{key}_"), F.col("part")).alias("part"),
-            F.col("id").alias("k1"),
-            F.col("name").alias("s1"),
-            F.col("dir_id").alias("n1"),
-            _bn().alias("n2"),
-            F.col("mtime_ep").alias("e1"),
-            _bn().alias("e2"),
-            _bn().alias("e3"),
-            _bn().alias("flag"),
-            _bn().alias("pid"),
-            F.col("size").alias("v1"),
-        )
-
-    g21 = _mor_proj("g21")
-    g22 = _mor_proj("g22")
-    g23 = _mor_proj("g23")
-    g24 = _mor_proj("g24")
-    g25 = raw["g25"].select(
+        ),
+        # g21-g24 share the merge-on-read projection shape
+        **{
+            key: (
+                lambda df, key=key: df.select(
+                    F.concat(F.lit(f"{key}_"), F.col("part")).alias("part"),
+                    F.col("id").alias("k1"),
+                    F.col("name").alias("s1"),
+                    F.col("dir_id").alias("n1"),
+                    _bn().alias("n2"),
+                    F.col("mtime_ep").alias("e1"),
+                    _bn().alias("e2"),
+                    _bn().alias("e3"),
+                    _bn().alias("flag"),
+                    _bn().alias("pid"),
+                    F.col("size").alias("v1"),
+                )
+            )
+            for key in ("g21", "g22", "g23", "g24")
+        },
+        "g25": lambda df: df.select(
         F.concat(F.lit("g25_"), F.col("part")).alias("part"),
         F.col("id").alias("k1"),
         F.concat_ws(
@@ -4931,8 +4922,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         F.col("new_size").alias("v1"),
-    )
-    g27 = raw["g27"].select(
+        ),
+        "g27": lambda df: df.select(
         F.concat(F.lit("g27_"), F.col("part")).alias("part"),
         F.col("id").alias("k1"),
         F.concat_ws(
@@ -4948,8 +4939,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         _dn().alias("v1"),
-    )
-    g28 = raw["g28"].select(
+        ),
+        "g28": lambda df: df.select(
         F.concat(F.lit("g28_"), F.col("part")).alias("part"),
         F.col("k1"),
         _sn().alias("s1"),
@@ -4961,8 +4952,8 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         F.col("v1"),
-    )
-    g29 = raw["g29"].select(
+        ),
+        "g29": lambda df: df.select(
         F.concat(F.lit("g29_"), F.col("part")).alias("part"),
         F.col("id").alias("k1"),
         F.col("name").alias("s1"),
@@ -4974,32 +4965,34 @@ def g3456_control_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bn().alias("flag"),
         _bn().alias("pid"),
         F.col("size").alias("v1"),
-    )
-    return (
-        g3.unionByName(g4)
-        .unionByName(g5)
-        .unionByName(g6)
-        .unionByName(g7)
-        .unionByName(g8)
-        .unionByName(g9)
-        .unionByName(g10)
-        .unionByName(g11)
-        .unionByName(g12)
-        .unionByName(g13)
-        .unionByName(g14)
-        .unionByName(g15)
-        .unionByName(g16)
-        .unionByName(g17)
-        .unionByName(g18)
-        .unionByName(g21)
-        .unionByName(g22)
-        .unionByName(g23)
-        .unionByName(g24)
-        .unionByName(g25)
-        .unionByName(g27)
-        .unionByName(g28)
-        .unionByName(g29)
-    )
+        ),
+    }
+
+    from . import _timing
+
+    _timing.reset("g3456_control_suite")
+
+    def _member(k, fn):
+        # member pipeline, projection to the suite schema, and the
+        # eager checkpoint all run on the pool thread: the projection's
+        # plan-building py4j round trips and the tiny materialization
+        # jobs overlap across members instead of running serially after
+        # the pool (guide §2.6; measured ~4.4s of post-pool serial
+        # driver work before this)
+        raw = _timing.timed_member("g3456_control_suite", k, fn, spark, sf_dir)
+        return projs[k](raw).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(
+        max_workers=int(os.environ.get("SPARK_GRAFT_SUITE_WORKERS", "8"))
+    ) as pool:
+        futures = {
+            k: pool.submit(_member, k, fn) for k, fn in member_fns.items()
+        }
+        parts = {k: f.result() for k, f in futures.items()}
+    out = None
+    for k in member_fns:
+        out = parts[k] if out is None else out.unionByName(parts[k])
+    return out
 
 
 
