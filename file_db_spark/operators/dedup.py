@@ -41,7 +41,6 @@ from ..functions.text import (
     word_shingles_from_tokens,
 )
 from ..functions.vectors import cosine
-from ..session import scoped_shuffle
 
 #: shuffle width for small-state fixpoint loops / reductions (label
 #: propagation, provenance flag rollups): their shuffled state is
@@ -796,7 +795,9 @@ def x7_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(spark, sf_dir, "x7_labels", lambda: _build_x7_labels(spark, sf_dir))
 
 
-def _propagate_min_labels(edges: DataFrame, what: str, max_rounds: int = 20) -> DataFrame:
+def _propagate_min_labels(
+    edges: DataFrame, what: str, max_rounds: int = 20, width: int | None = None
+) -> DataFrame:
     """Min-label propagation to a fixpoint over a symmetric edge table
     (columns a, b; both directions present). Returns (v, lab).
 
@@ -805,7 +806,18 @@ def _propagate_min_labels(edges: DataFrame, what: str, max_rounds: int = 20) -> 
     plan growing round over round). Seed = min(self, neighbors): the
     first propagation step folds into the initial aggregate's shuffle,
     saving one full round. Convergence detector is the 1-row label-sum
-    scalar (monotone non-increasing -> fixpoint)."""
+    scalar (monotone non-increasing -> fixpoint).
+
+    ``width`` pins the loop's shuffles to an explicit partition count
+    ON THE FRAMES (repartition by the key each exchange needs), for
+    fixpoints whose state is small even when the corpus is not —
+    VERDICT r10 #8: the previous session-conf scoping
+    (scoped_shuffle) silently narrowed any UNRELATED query running
+    concurrently in the session. The loop's state is O(candidate-pair
+    endpoints); callers pass _SMALL_STATE_SHUFFLE (env-tunable) when
+    that holds."""
+    if width:
+        edges = edges.repartition(width, "a")
     edges = edges.persist()
     labels = (
         edges.select(F.col("a").alias("v"), F.least("a", "b").alias("cand"))
@@ -815,11 +827,16 @@ def _propagate_min_labels(edges: DataFrame, what: str, max_rounds: int = 20) -> 
     )
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
     for _ in range(max_rounds):  # bound >> diameter of near-dup clusters
+        # no explicit repartition on the labels side: EnsureRequirements
+        # co-partitions it to the edges' persisted hash(a, width) layout
         prop = labels.join(edges, labels.v == edges.a).select(
             F.col("b").alias("v"), "lab"
         )
+        u = labels.unionByName(prop)
+        if width:
+            u = u.repartition(width, "v")
         new_labels = (
-            labels.unionByName(prop).groupBy("v").agg(F.min("lab").alias("lab"))
+            u.groupBy("v").agg(F.min("lab").alias("lab"))
         ).localCheckpoint()
         new_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
         labels = new_labels
@@ -2869,20 +2886,26 @@ def x27_fused_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in gens:
         part = parts[k]
         tagged = part if tagged is None else tagged.unionByName(part)
-    pairs = tagged.select("doc_a", "doc_b").distinct()
+    pairs = (
+        tagged.select("doc_a", "doc_b")
+        .repartition(_SMALL_STATE_SHUFFLE, "doc_a", "doc_b")
+        .distinct()
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src_v"), F.col("doc_b").alias("dst_v")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src_v"), F.col("doc_a").alias("dst_v"))
     ).select(F.col("src_v").alias("a"), F.col("dst_v").alias("b"))
     # the fixpoint's shuffled state is O(pair endpoints) — thousands of
-    # rows — so its per-round shuffles run narrow (the x36 pattern);
+    # rows — so its per-round shuffles run narrow, pinned on the frames
+    # themselves (explicit width, not session conf — VERDICT r10 #8);
     # the corpus-scale generator work already happened above
-    with scoped_shuffle(spark, _SMALL_STATE_SHUFFLE):
-        labels = _propagate_min_labels(edges, "x27").select(
-            F.col("v").alias("doc_id"),
-            F.col("lab").cast("bigint").alias("component_id"),
-        )
+    labels = _propagate_min_labels(
+        edges, "x27", width=_SMALL_STATE_SHUFFLE
+    ).select(
+        F.col("v").alias("doc_id"),
+        F.col("lab").cast("bigint").alias("component_id"),
+    )
     prov = (
         tagged.select(
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id"), "src"
@@ -3741,37 +3764,45 @@ def x36_collapsed_provenance_graph(
     # propagation fixpoint, provenance flags — is O(representative
     # pairs) state, thousands of rows here; the loop's serial rounds
     # were paying 32 task launches per shuffle for ~0 CPU each
-    # (measured: 109-128-task union stages at < 1 ms CPU/task), so it
-    # runs under a narrow scoped shuffle.
-    spark = tagged.sparkSession
-    with scoped_shuffle(spark, _SMALL_STATE_SHUFFLE):
-        pairs = tagged.select("doc_a", "doc_b").distinct()
-        edges = pairs.select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-        ).unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    # (measured: 109-128-task union stages at < 1 ms CPU/task). The
+    # narrow widths are pinned on the frames themselves (explicit
+    # repartition by the key each exchange needs — VERDICT r10 #8: the
+    # previous session-conf scoping silently narrowed any unrelated
+    # concurrent query).
+    pairs = (
+        tagged.select("doc_a", "doc_b")
+        .repartition(_SMALL_STATE_SHUFFLE, "doc_a", "doc_b")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    labels = _propagate_min_labels(
+        edges, "x36", width=_SMALL_STATE_SHUFFLE
+    ).select(
+        F.col("v").alias("rep_id"),
+        F.col("lab").cast("bigint").alias("component_id"),
+    )
+    prov = (
+        tagged.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("rep_id"), "src"
         )
-        labels = _propagate_min_labels(edges, "x36").select(
-            F.col("v").alias("rep_id"),
-            F.col("lab").cast("bigint").alias("component_id"),
+        .repartition(_SMALL_STATE_SHUFFLE, "rep_id", "src")
+        .distinct()
+        .groupBy("rep_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("src") == k, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"in_{k}")
+                for k in _X27_SOURCES
+            ],
+            F.countDistinct("src").cast("bigint").alias("n_sources"),
         )
-        prov = (
-            tagged.select(
-                F.explode(F.array("doc_a", "doc_b")).alias("rep_id"), "src"
-            )
-            .distinct()
-            .groupBy("rep_id")
-            .agg(
-                *[
-                    F.max(F.when(F.col("src") == k, 1).otherwise(0))
-                    .cast("bigint")
-                    .alias(f"in_{k}")
-                    for k in _X27_SOURCES
-                ],
-                F.countDistinct("src").cast("bigint").alias("n_sources"),
-            )
-            .localCheckpoint()
-        )
+        .localCheckpoint()
+    )
     out = (
         members.join(labels, "rep_id", "left")
         .join(prov, "rep_id", "left")

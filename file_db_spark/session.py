@@ -14,48 +14,11 @@ Design notes (100 TB stance):
 
 from __future__ import annotations
 
-import contextlib
 import os
-import threading
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark", "scoped_shuffle"]
-
-_SHUF_KEY = "spark.sql.shuffle.partitions"
-_SCOPED_SHUF_LOCK = threading.Lock()
-_SCOPED_SHUF_DEPTH = 0
-_SCOPED_SHUF_PREV: str | None = None
-
-
-@contextlib.contextmanager
-def scoped_shuffle(spark: SparkSession, n: int):
-    """Scope ``spark.sql.shuffle.partitions`` to ``n`` for a block of
-    driver code whose shuffled STATE is small even when the corpus is
-    not (iterative label propagation, k-means centroid loops, top-k
-    reductions). The wide default (32 locally, AQE-coalesced on a
-    cluster) sizes shuffles for O(corpus) stages; a fixpoint loop over
-    a few thousand keys pays 32 task launches per round for microseconds
-    of compute each. Reentrant across threads (suite members compose):
-    the first entry saves the session width, the last exit restores it.
-
-    Scale note: this is data-adaptive, not box-tuned — the scoped width
-    should track the loop's state size (pass a larger ``n`` for larger
-    state), and AQE still coalesces below it when even ``n`` is wide.
-    """
-    global _SCOPED_SHUF_DEPTH, _SCOPED_SHUF_PREV
-    with _SCOPED_SHUF_LOCK:
-        if _SCOPED_SHUF_DEPTH == 0:
-            _SCOPED_SHUF_PREV = spark.conf.get(_SHUF_KEY)
-            spark.conf.set(_SHUF_KEY, str(n))
-        _SCOPED_SHUF_DEPTH += 1
-    try:
-        yield
-    finally:
-        with _SCOPED_SHUF_LOCK:
-            _SCOPED_SHUF_DEPTH -= 1
-            if _SCOPED_SHUF_DEPTH == 0 and _SCOPED_SHUF_PREV is not None:
-                spark.conf.set(_SHUF_KEY, _SCOPED_SHUF_PREV)
+__all__ = ["get_spark", "stop_spark"]
 
 
 def get_spark(
