@@ -15,6 +15,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
+import logging
 import os
 import shutil
 import threading
@@ -24,6 +25,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from ..localframe import local_df
+
+_LOG = logging.getLogger(__name__)
 
 __all__ = [
     "TableStore",
@@ -665,7 +668,9 @@ class TableStore:
         if len(bloom_m) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=len(bloom_m)) as pool:
+            # capped: one concurrent Spark job per digest column is
+            # oversubscription past a few (ADVICE r10)
+            with ThreadPoolExecutor(max_workers=min(len(bloom_m), 4)) as pool:
                 results = list(pool.map(lambda cm: _bloom_for(*cm), bloom_m.items()))
         else:
             results = [_bloom_for(c, m) for c, m in bloom_m.items()]
@@ -1154,7 +1159,8 @@ class TableStore:
             import pyarrow.parquet as pq
 
             tbl = df.toArrow()
-        except Exception:
+        except Exception as exc:
+            _LOG.warning("arrow small-write fell back to Spark for %s: %r", path, exc)
             return False
         tmp = path + ".arrowtmp"
         try:
@@ -1164,7 +1170,8 @@ class TableStore:
                 pass
             os.rename(tmp, path)
             return True
-        except Exception:
+        except Exception as exc:
+            _LOG.warning("arrow small-write fell back to Spark for %s: %r", path, exc)
             shutil.rmtree(tmp, ignore_errors=True)
             return False
 
@@ -2526,10 +2533,10 @@ class TableStore:
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        try:
-            self.append(name, out, rows_hint=int(obs.get.get("n", 0)))
-        finally:
-            out.unpersist()
+        # no unpersist: `out` is a checkpointed frame, and
+        # Dataset.unpersist only releases CacheManager entries — the
+        # checkpoint blocks free via ContextCleaner on GC (ADVICE r10)
+        self.append(name, out, rows_hint=int(obs.get.get("n", 0)))
 
     def evolve(self, name: str, new_schema: T.StructType) -> None:
         """Additive schema evolution (the Delta/Iceberg ADD COLUMN

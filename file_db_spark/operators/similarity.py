@@ -2551,6 +2551,10 @@ def v16_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = cents.localCheckpoint()
     pcents = pcents.localCheckpoint()
     codes = codes.localCheckpoint()
+    # releases the PERSISTED entries in `cached`; checkpointed rounds
+    # in the list are not unpersistable via Dataset.unpersist (ADVICE
+    # r10) — their blocks free via ContextCleaner on the session's
+    # periodic GC (session.py)
     for df in cached:
         df.unpersist()
     return _v16_serve_plan(spark, sf_dir, cents, pcents, codes)
@@ -2625,8 +2629,10 @@ def v16_ensure_index(spark: SparkSession, sf_dir: str) -> str:
         cents.write.mode("overwrite").parquet(os.path.join(path, "cents"))
         pcents.write.mode("overwrite").parquet(os.path.join(path, "pcents"))
         codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
-        # artifacts are on disk now — drop the training caches so a
-        # session running many v16/v20 entries doesn't accumulate them
+        # artifacts are on disk now — drop the persisted training
+        # caches so a session running many v16/v20 entries doesn't
+        # accumulate them (checkpointed entries free via the periodic
+        # GC instead; Dataset.unpersist cannot release them)
         for df in cached:
             df.unpersist()
     return path
