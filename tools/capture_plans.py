@@ -42,7 +42,6 @@ def main() -> None:
     # with SPARK_GRAFT_CAPTURE_REAL_CKPT=1 to capture execution-shape
     # plans instead.
     if os.environ.get("SPARK_GRAFT_CAPTURE_REAL_CKPT", "") in ("", "0"):
-        from pyspark.sql import DataFrame
 
         def _persisting_ckpt(self, eager: bool = True, storageLevel=None):
             out = self.persist()
@@ -50,7 +49,18 @@ def main() -> None:
                 out.count()
             return out
 
+        # patch the CLASSIC subclass too: runtime frames are
+        # pyspark.sql.classic.dataframe.DataFrame, whose own
+        # localCheckpoint shadows a base-class patch
+        from pyspark.sql import DataFrame
+
         DataFrame.localCheckpoint = _persisting_ckpt
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+            _ClassicDF.localCheckpoint = _persisting_ckpt
+        except ImportError:
+            pass
     for name in names:
         fn = ops.ALL_QUERIES.get(name)
         if fn is None:
@@ -66,6 +76,15 @@ def main() -> None:
             )
         except Exception as exc:  # capture the failure instead of dying
             plan = f"ERROR building {name}: {exc!r}\n"
+        # iterative queries' persist-form plans repeat every round's
+        # subtree inside each InMemoryTableScan — cap the file at a
+        # reviewable size (the top of the tree carries the evidence)
+        cap = int(os.environ.get("SPARK_GRAFT_PLAN_MAX_BYTES", "300000"))
+        if len(plan) > cap:
+            plan = (
+                plan[:cap]
+                + f"\n... [truncated by capture_plans: full plan {len(plan)} bytes]\n"
+            )
         with open(path, "w") as fh:
             fh.write(plan)
         print(f"wrote {path} ({len(plan)} bytes)")
