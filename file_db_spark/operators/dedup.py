@@ -21,6 +21,7 @@ oversized embedding cells are sign-bit sub-bucketed — see
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,8 +61,6 @@ ORACLES: dict[str, str] = {}
 #: id(), and collapsed all file-less frames onto one entry). Holds the
 #: kernel families that have already spread once ("seen") and the width
 #: probe results per scanned file set ("width").
-import weakref
-
 _SPREAD_STATE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
